@@ -1,0 +1,703 @@
+package mallispark.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.SchemaIR
+import mallispark.ir.SchemaIR._
+
+/** IR → Catalyst compiler.
+  *
+  * The malli analogue is the compile step of `m/validator` / `m/explainer`
+  * (reference: /root/reference/src/malli/core.cljc:2643-2682) — but where
+  * malli composes row-at-a-time Clojure closures (`-every-pred`,
+  * impl/util.cljc:67-69), we build ONE Catalyst `Column` expression tree per
+  * schema and let whole-stage codegen evaluate it over columnar batches.
+  * Compile-once-reuse (malli caches validators per schema, core.cljc:362-370)
+  * maps to: build the Column once per job, never per row.
+  *
+  * Two products per schema:
+  *   - `valid(ir, col, dt)`   : BooleanType Column (never null)
+  *   - `errors(ir, col, dt)`  : array<struct<path,in,error_key,value>> —
+  *     malli's explain errors ({:path :in :type :value},
+  *     impl/util.cljc:19-21) with `path` = schema path ("/"-joined segments:
+  *     map keys, branch indices — core_test.cljc:239-250) and `in` = value
+  *     path (array indices resolved at runtime inside `transform` lambdas).
+  *
+  * Everything is ANSI-mode safe: `get`/`try_element_at`/`try_cast` instead of
+  * their throwing counterparts (Spark 4 defaults ansi=true).
+  */
+object SchemaCompiler {
+
+  /** Violation row schema — the explain error record. */
+  val violStruct: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("in", StringType, nullable = false),
+    StructField("error_key", StringType, nullable = false),
+    StructField("value", StringType, nullable = true)))
+
+  val violArrType: ArrayType = ArrayType(violStruct, containsNull = false)
+
+  private def emptyViols: Column = F.array().cast(violArrType)
+
+  private def viol(path: String, in: Column, key: String, value: Column): Column =
+    F.struct(
+      F.lit(path).as("path"),
+      F.coalesce(in, F.lit("")).as("in"),
+      F.lit(key).as("error_key"),
+      value.cast(StringType).as("value"))
+
+  private def one(path: String, in: Column, key: String, value: Column): Column =
+    F.array(viol(path, in, key, value)).cast(violArrType)
+
+  /** Schema-path join (static). */
+  private def j(path: String, seg: String): String =
+    if (path.isEmpty) seg else path + "/" + seg
+
+  /** Value-path join (runtime — array indices are data). */
+  private def jin(in: Column, seg: Column): Column =
+    F.when(F.length(in) === 0, seg.cast(StringType))
+      .otherwise(F.concat(in, F.lit("/"), seg.cast(StringType)))
+
+  private def jin(in: Column, seg: String): Column = jin(in, F.lit(seg))
+
+  /** Printable value for the violation row. */
+  private def valueStr(col: Column, dt: DataType): Column = dt match {
+    case BinaryType => F.base64(col)
+    case _: StructType | _: ArrayType | _: MapType => F.to_json(col)
+    case NullType => F.lit(null).cast(StringType)
+    case _ => col.cast(StringType)
+  }
+
+  // --------------------------------------------------------------------
+  // Expected physical types
+  // --------------------------------------------------------------------
+
+  /** The Spark type this schema naturally describes (used by toStructType
+    * and by static invalid-type detection). */
+  def dataTypeOf(ir: SchemaIR): DataType = ir match {
+    case SAny | SSome => StringType // unconstrained; only used for synthesis
+    case SNil => NullType
+    case _: SString | SUuid | _: SRegex => StringType
+    case _: SInt => LongType
+    case _: SDouble => DoubleType
+    case SBoolean => BooleanType
+    case SBinary => BinaryType
+    case _: STimestamp => TimestampType
+    case _: SDate => DateType
+    case SEnum(vs) => vs.headOption.map(litType).getOrElse(StringType)
+    case SCompare(_, v) => litType(v)
+    case _: SFn => StringType
+    case SMaybe(c) => dataTypeOf(c)
+    case SAnd(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
+    case SOr(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
+    case SOrn(bs) => bs.headOption.map(b => dataTypeOf(b._2)).getOrElse(StringType)
+    case SNot(c) => dataTypeOf(c)
+    case SMap(entries, _) => StructType(entries.map(e =>
+      StructField(e.key, dataTypeOf(e.child), nullable = e.optional)))
+    case SMapOf(k, v, _, _) => MapType(dataTypeOf(k), dataTypeOf(v))
+    case SVector(c, _, _) => ArrayType(dataTypeOf(c))
+    case SSet(c, _, _) => ArrayType(dataTypeOf(c))
+    case SEvery(c, _, _, _) => ArrayType(dataTypeOf(c))
+    case STuple(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
+    case SMulti(_, bs, d) =>
+      (bs.map(_._2) ++ d).headOption.map(dataTypeOf).getOrElse(StringType)
+    case _: SRef => StringType
+    case SCat(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
+    case SCatn(es) => ArrayType(es.headOption.map(e => dataTypeOf(e._2)).getOrElse(StringType))
+    case SAlt(cs) => dataTypeOf(cs.head)
+    case SStar(c) => ArrayType(dataTypeOf(c))
+    case SPlus(c) => ArrayType(dataTypeOf(c))
+    case SOpt(c) => ArrayType(dataTypeOf(c))
+    case SRepeat(c, _, _) => ArrayType(dataTypeOf(c))
+  }
+
+  private def litType(v: Any): DataType = v match {
+    case _: String => StringType
+    case _: Int | _: Long => LongType
+    case _: Double | _: Float => DoubleType
+    case _: Boolean => BooleanType
+    case _ => StringType
+  }
+
+  /** `SchemaIR → StructType` for a top-level `:map` schema (the expected
+    * physical schema of the table). */
+  def toStructType(ir: SchemaIR): StructType = ir match {
+    case m: SMap => dataTypeOf(m).asInstanceOf[StructType]
+    case other => throw new IllegalArgumentException(
+      s"top-level schema must be :map, got ${SchemaIR.form(other)}")
+  }
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+  private def isFloating(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  /** Does the physical type fit the leaf schema? Static invalid-type
+    * (malli: type errors at runtime; for us the column type is static so a
+    * mismatched column fails every row — see SURVEY §7 hard-part 4). */
+  private def typeOk(ir: SchemaIR, dt: DataType): Boolean = ir match {
+    case _: SString | SUuid | _: SRegex => dt == StringType
+    case _: SInt => isIntegral(dt)
+    case _: SDouble => isFloating(dt)
+    case SBoolean => dt == BooleanType
+    case SBinary => dt == BinaryType
+    case _: STimestamp => dt == TimestampType
+    case _: SDate => dt == DateType || dt == TimestampType
+    case _ => true
+  }
+
+  // --------------------------------------------------------------------
+  // Compiler context
+  // --------------------------------------------------------------------
+
+  final case class Ctx(registry: Registry = Registry.empty, depth: Int = 8)
+
+  private val uuidRe =
+    // canonical UUID regex — reference: /root/reference/src/malli/transform.cljc:115-116
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+
+  // --------------------------------------------------------------------
+  // valid: SchemaIR → Column (boolean, never null)
+  // --------------------------------------------------------------------
+
+  def valid(ir: SchemaIR, col: Column, dt: DataType)(implicit ctx: Ctx): Column =
+    ir match {
+      case SAny => F.lit(true)
+      case SNil => col.isNull
+      case SSome => col.isNotNull
+
+      case s: SString if !typeOk(s, dt) => F.lit(false)
+      case SString(mn, mx) =>
+        col.isNotNull && between(F.length(col), mn.map(_.toLong), mx.map(_.toLong))
+
+      case s: SInt if !typeOk(s, dt) => F.lit(false)
+      case SInt(mn, mx) => col.isNotNull && between(col, mn, mx)
+
+      case s: SDouble if !typeOk(s, dt) => F.lit(false)
+      case SDouble(mn, mx) => col.isNotNull && between(col, mn, mx)
+
+      case SBoolean => if (dt == BooleanType) col.isNotNull else F.lit(false)
+      case SBinary => if (dt == BinaryType) col.isNotNull else F.lit(false)
+
+      case SUuid =>
+        if (dt != StringType) F.lit(false)
+        else col.isNotNull && col.rlike(uuidRe)
+
+      case s: STimestamp if !typeOk(s, dt) => F.lit(false)
+      case STimestamp(mn, mx) =>
+        col.isNotNull &&
+          between(col, mn.map(java.sql.Timestamp.from), mx.map(java.sql.Timestamp.from))
+
+      case s: SDate if !typeOk(s, dt) => F.lit(false)
+      case SDate(mn, mx) =>
+        col.isNotNull && between(col.cast(DateType),
+          mn.map(java.sql.Date.valueOf), mx.map(java.sql.Date.valueOf))
+
+      case SEnum(vs) => col.isNotNull && col.isin(vs: _*)
+
+      // malli :re uses re-find ⇒ PARTIAL match: do NOT anchor
+      // (core.cljc:1730-1731). rlike is already find-semantics.
+      case SRegex(p) =>
+        if (dt != StringType) F.lit(false) else col.isNotNull && col.rlike(p)
+
+      case SCompare(op, v) =>
+        val l = F.lit(v)
+        val cmp = op match {
+          case ">" => col > l
+          case ">=" => col >= l
+          case "<" => col < l
+          case "<=" => col <= l
+          case "=" => col === l
+          case "not=" => col =!= l
+          case other => throw new IllegalArgumentException(s"bad compare op $other")
+        }
+        col.isNotNull && cmp
+
+      case SFn(_, f) =>
+        // :fn escape hatch — non-codegen scalar UDF, exceptions→false
+        // (malli -safe-pred, core.cljc:209)
+        val safe = F.udf((v: Any) => try f(v) catch { case _: Throwable => false })
+        safe(col)
+
+      case SMaybe(c) => col.isNull || valid(c, col, dt)
+      case SAnd(cs) => cs.map(valid(_, col, dt)).reduce(_ && _)
+      case SOr(cs) => cs.map(valid(_, col, dt)).reduce(_ || _)
+      case SOrn(bs) => bs.map(b => valid(b._2, col, dt)).reduce(_ || _)
+      case SNot(c) => !valid(c, col, dt)
+
+      case SMap(entries, closed) =>
+        dt match {
+          case st: StructType =>
+            val checks = entries.map { e =>
+              st.find(_.name == e.key) match {
+                case None =>
+                  if (e.optional) F.lit(true) else F.lit(false) // static missing
+                case Some(f) =>
+                  val fc = col.getField(e.key)
+                  if (e.optional) fc.isNull || valid(e.child, fc, f.dataType)
+                  else fc.isNotNull && valid(e.child, fc, f.dataType)
+              }
+            }
+            // closed map: any extra PHYSICAL field must be absent (null) —
+            // the non-null case is ::m/extra-key (core.cljc:1315-1322)
+            val closedChecks =
+              if (!closed) Seq.empty
+              else {
+                val known = entries.map(_.key).toSet
+                st.fields.filterNot(f => known(f.name)).toSeq
+                  .map(f => col.getField(f.name).isNull)
+              }
+            col.isNotNull &&
+              (checks ++ closedChecks).foldLeft(F.lit(true))(_ && _)
+          case _ => F.lit(false)
+        }
+
+      case SMapOf(k, v, mn, mx) =>
+        dt match {
+          case MapType(kt, vt, _) =>
+            val keysOk = F.forall(F.map_keys(col), kc => valid(k, kc, kt))
+            val valsOk = F.forall(F.map_values(col), vc => valid(v, vc, vt))
+            col.isNotNull &&
+              between(F.size(col), mn.map(_.toLong), mx.map(_.toLong)) &&
+              F.coalesce(keysOk, F.lit(false)) && F.coalesce(valsOk, F.lit(false))
+          case _ => F.lit(false)
+        }
+
+      case SVector(c, mn, mx) => collValid(c, col, dt, mn, mx, unique = false)
+      case SSet(c, mn, mx) => collValid(c, col, dt, mn, mx, unique = true)
+
+      case SEvery(c, mn, mx, limit) =>
+        dt match {
+          case ArrayType(et, _) =>
+            // bounded element checks (core.cljc:745-751): first `limit` only
+            val bounded = F.slice(col, 1, limit)
+            col.isNotNull &&
+              between(F.size(col), mn.map(_.toLong), mx.map(_.toLong)) &&
+              F.coalesce(F.forall(bounded, x => valid(c, x, et)), F.lit(true))
+          case _ => F.lit(false)
+        }
+
+      case STuple(cs) =>
+        dt match {
+          case ArrayType(et, _) =>
+            val sizeOk = F.size(col) === cs.length
+            val elems = cs.zipWithIndex.map { case (c, i) =>
+              valid(c, F.get(col, F.lit(i)), et)
+            }
+            col.isNotNull && sizeOk && elems.foldLeft(F.lit(true))(_ && _)
+          case st: StructType if st.fields.length == cs.length =>
+            val elems = cs.zip(st.fields).map { case (c, f) =>
+              valid(c, col.getField(f.name), f.dataType)
+            }
+            col.isNotNull && elems.foldLeft(F.lit(true))(_ && _)
+          case _ => F.lit(false)
+        }
+
+      case SMulti(dk, bs, default) =>
+        dt match {
+          case st: StructType =>
+            val dv = col.getField(dk)
+            val fallback = default.map(valid(_, col, dt)).getOrElse(F.lit(false))
+            col.isNotNull && bs.foldRight(fallback) { case ((tag, c), acc) =>
+              F.when(dv === F.lit(tag), valid(c, col, dt)).otherwise(acc)
+            }
+          case _ => F.lit(false)
+        }
+
+      case SRef(name) =>
+        if (ctx.depth <= 0) F.lit(true) // depth-bounded unroll (SURVEY §7.1)
+        else valid(ctx.registry(name), col, dt)(ctx.copy(depth = ctx.depth - 1))
+
+      // ---- seq-regex bounded forms (SURVEY §2.9 tiers 1-2) ----
+      case SCat(cs) =>
+        dt match {
+          case ArrayType(et, _) =>
+            val elems = cs.zipWithIndex.map { case (c, i) =>
+              elemValid(c, F.get(col, F.lit(i)), et)
+            }
+            col.isNotNull && F.size(col) === cs.length &&
+              elems.foldLeft(F.lit(true))(_ && _)
+          case _ => F.lit(false)
+        }
+      case SCatn(es) => valid(SCat(es.map(_._2)), col, dt)
+      case SAlt(cs) => cs.map(valid(_, col, dt)).reduce(_ || _)
+      case SStar(c) =>
+        dt match {
+          case ArrayType(et, _) =>
+            col.isNotNull &&
+              F.coalesce(F.forall(col, x => elemValid(c, x, et)), F.lit(true))
+          case _ => F.lit(false)
+        }
+      case SPlus(c) =>
+        dt match {
+          case ArrayType(et, _) =>
+            col.isNotNull && F.size(col) >= 1 &&
+              F.coalesce(F.forall(col, x => elemValid(c, x, et)), F.lit(true))
+          case _ => F.lit(false)
+        }
+      case SOpt(c) =>
+        dt match {
+          case ArrayType(et, _) =>
+            col.isNotNull && F.size(col) <= 1 &&
+              F.coalesce(F.forall(col, x => elemValid(c, x, et)), F.lit(true))
+          case _ => F.lit(false)
+        }
+      case SRepeat(c, mn, mx) =>
+        dt match {
+          case ArrayType(et, _) =>
+            col.isNotNull && F.size(col).between(mn, mx) &&
+              F.coalesce(F.forall(col, x => elemValid(c, x, et)), F.lit(true))
+          case _ => F.lit(false)
+        }
+    }
+
+  /** Element check inside a regex op: an SAlt among plain schemas matches
+    * one element (bounded form); nested regex ops would need the general
+    * engine (RowEval UDF). */
+  private def elemValid(c: SchemaIR, elem: Column, et: DataType)(
+      implicit ctx: Ctx): Column = c match {
+    case SAlt(cs) => cs.map(valid(_, elem, et)).reduce(_ || _)
+    case other => valid(other, elem, et)
+  }
+
+  private def collValid(c: SchemaIR, col: Column, dt: DataType,
+                        mn: Option[Int], mx: Option[Int], unique: Boolean)(
+      implicit ctx: Ctx): Column = dt match {
+    case ArrayType(et, _) =>
+      val base = col.isNotNull &&
+        between(F.size(col), mn.map(_.toLong), mx.map(_.toLong)) &&
+        F.coalesce(F.forall(col, x => valid(c, x, et)), F.lit(true))
+      if (unique) base && F.size(F.array_distinct(col)) === F.size(col) else base
+    case _ => F.lit(false)
+  }
+
+  private def between(c: Column, mn: Option[Any], mx: Option[Any]): Column =
+    (mn, mx) match {
+      case (None, None) => F.lit(true)
+      case (Some(a), None) => c >= F.lit(a)
+      case (None, Some(b)) => c <= F.lit(b)
+      case (Some(a), Some(b)) => c >= F.lit(a) && c <= F.lit(b)
+    }
+
+  // --------------------------------------------------------------------
+  // errors: SchemaIR → Column (array of violation structs)
+  //   malli explain semantics (core.cljc:2659-2682): empty array ⇔ valid.
+  // --------------------------------------------------------------------
+
+  def errors(ir: SchemaIR, col: Column, dt: DataType, path: String, in: Column)(
+      implicit ctx: Ctx): Column = {
+    def leaf(key: String): Column =
+      F.when(valid(ir, col, dt), emptyViols)
+        .otherwise(one(path, in, key, valueStr(col, dt)))
+
+    ir match {
+      case SAny => emptyViols
+      case SNil => leaf(":nil")
+      case SSome => leaf(":some")
+      case _: SString => leaf(":string")
+      case _: SInt => leaf(":int")
+      case _: SDouble => leaf(":double")
+      case SBoolean => leaf(":boolean")
+      case SBinary => leaf(":bytes")
+      case SUuid => leaf(":uuid")
+      case _: STimestamp => leaf(":time/instant")
+      case _: SDate => leaf(":time/local-date")
+      case _: SEnum => leaf(":enum")
+      case _: SRegex => leaf(":re")
+      case SCompare(op, _) => leaf(s":$op")
+      case SFn(name, _) => leaf(s":fn/$name")
+
+      case SMaybe(c) =>
+        F.when(col.isNull, emptyViols)
+          .otherwise(errors(c, col, dt, j(path, "0"), in))
+
+      case SAnd(cs) =>
+        // every failing child reports, at its branch index
+        // (core_test.cljc:239-250)
+        concatViols(cs.zipWithIndex.map { case (c, i) =>
+          errors(c, col, dt, j(path, i.toString), in)
+        })
+
+      case SOr(cs) =>
+        // errors from ALL branches only when none match
+        F.when(valid(ir, col, dt), emptyViols).otherwise(
+          concatViols(cs.zipWithIndex.map { case (c, i) =>
+            errors(c, col, dt, j(path, i.toString), in)
+          }))
+
+      case SOrn(bs) =>
+        F.when(valid(ir, col, dt), emptyViols).otherwise(
+          concatViols(bs.map { case (tag, c) =>
+            errors(c, col, dt, j(path, tag), in)
+          }))
+
+      case SNot(c) =>
+        F.when(valid(c, col, dt), one(path, in, ":not", valueStr(col, dt)))
+          .otherwise(emptyViols)
+
+      case SMap(entries, closed) =>
+        dt match {
+          case st: StructType =>
+            val nullErr = one(path, in, ErrorKeys.InvalidType,
+              F.lit(null).cast(StringType))
+            val perEntry = entries.map { e =>
+              val p = j(path, e.key)
+              val i2 = jin(in, e.key)
+              st.find(_.name == e.key) match {
+                case None =>
+                  if (e.optional) emptyViols
+                  else one(p, i2, ErrorKeys.MissingKey, F.lit(null).cast(StringType))
+                case Some(f) =>
+                  val fc = col.getField(e.key)
+                  val childErrs = errors(e.child, fc, f.dataType, p, i2)
+                  if (e.optional) F.when(fc.isNull, emptyViols).otherwise(childErrs)
+                  // Parquet conflates missing-key and null value (SURVEY §7.4):
+                  // a null required field reports ::missing-key.
+                  else F.when(fc.isNull,
+                    one(p, i2, ErrorKeys.MissingKey, F.lit(null).cast(StringType)))
+                    .otherwise(childErrs)
+              }
+            }
+            val extras: Seq[Column] =
+              if (!closed) Seq.empty
+              else {
+                val known = entries.map(_.key).toSet
+                st.fields.filterNot(f => known(f.name)).toSeq.map { f =>
+                  // ::m/extra-key fires only when the stray field is present
+                  F.when(col.getField(f.name).isNotNull,
+                    one(j(path, f.name), jin(in, f.name), ErrorKeys.ExtraKey,
+                      valueStr(col.getField(f.name), f.dataType)))
+                    .otherwise(emptyViols)
+                }
+              }
+            F.when(col.isNull, nullErr).otherwise(concatViols(perEntry ++ extras))
+          case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
+        }
+
+      case SMapOf(k, v, mn, mx) =>
+        dt match {
+          case MapType(kt, vt, _) =>
+            val limitsOk = between(F.size(col), mn.map(_.toLong), mx.map(_.toLong))
+            val limitsErr = F.when(limitsOk, emptyViols)
+              .otherwise(one(path, in, ErrorKeys.Limits, F.size(col).cast(StringType)))
+            val entryErrs = F.flatten(F.transform(F.map_entries(col), kv => {
+              val keyE = errors(k, kv.getField("key"), kt, j(path, "0"),
+                jin(in, kv.getField("key").cast(StringType)))
+              val valE = errors(v, kv.getField("value"), vt, j(path, "1"),
+                jin(in, kv.getField("key").cast(StringType)))
+              F.concat(keyE, valE)
+            }))
+            F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+              F.lit(null).cast(StringType)))
+              .otherwise(concatViols(Seq(limitsErr, entryErrs)))
+          case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
+        }
+
+      case SVector(c, mn, mx) => collErrors(c, col, dt, mn, mx, path, in, unique = false)
+      case SSet(c, mn, mx) => collErrors(c, col, dt, mn, mx, path, in, unique = true)
+
+      case SEvery(c, mn, mx, limit) =>
+        dt match {
+          case ArrayType(et, _) =>
+            val limitsOk = between(F.size(col), mn.map(_.toLong), mx.map(_.toLong))
+            val limitsErr = F.when(limitsOk, emptyViols)
+              .otherwise(one(path, in, ErrorKeys.Limits, F.size(col).cast(StringType)))
+            val bounded = F.slice(col, 1, limit)
+            val elemErrs = F.flatten(F.transform(bounded, (x, i) =>
+              errors(c, x, et, j(path, "0"), jin(in, i))))
+            F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+              F.lit(null).cast(StringType)))
+              .otherwise(concatViols(Seq(limitsErr, elemErrs)))
+          case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
+        }
+
+      case STuple(cs) =>
+        dt match {
+          case ArrayType(et, _) =>
+            val sizeErr = F.when(F.size(col) === cs.length, emptyViols)
+              .otherwise(one(path, in, ErrorKeys.TupleSize, F.size(col).cast(StringType)))
+            val elemErrs = cs.zipWithIndex.map { case (c, i) =>
+              F.when(F.size(col) === cs.length,
+                errors(c, F.get(col, F.lit(i)), et, j(path, i.toString), jin(in, i.toString)))
+                .otherwise(emptyViols)
+            }
+            F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+              F.lit(null).cast(StringType)))
+              .otherwise(concatViols(sizeErr +: elemErrs))
+          case st: StructType if st.fields.length == cs.length =>
+            val elemErrs = cs.zip(st.fields).zipWithIndex.map { case ((c, f), i) =>
+              errors(c, col.getField(f.name), f.dataType,
+                j(path, i.toString), jin(in, i.toString))
+            }
+            F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+              F.lit(null).cast(StringType)))
+              .otherwise(concatViols(elemErrs))
+          case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
+        }
+
+      case SMulti(dk, bs, default) =>
+        dt match {
+          case st: StructType =>
+            val dv = col.getField(dk)
+            val fallback = default
+              .map(d => errors(d, col, dt, j(path, "malli.core/default"), in))
+              .getOrElse(one(path, in, ErrorKeys.InvalidDispatch,
+                dv.cast(StringType)))
+            val chain = bs.foldRight(fallback) { case ((tag, c), acc) =>
+              F.when(dv === F.lit(tag), errors(c, col, dt, j(path, tag), in))
+                .otherwise(acc)
+            }
+            F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+              F.lit(null).cast(StringType))).otherwise(chain)
+          case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
+        }
+
+      case SRef(name) =>
+        if (ctx.depth <= 0) emptyViols
+        else errors(ctx.registry(name), col, dt, path, in)(
+          ctx.copy(depth = ctx.depth - 1))
+
+      // seq-regex bounded errors — ::end-of-input / ::input-remaining parity
+      case SCat(cs) => catErrors(cs.zipWithIndex.map { case (c, i) => (i.toString, c) },
+        col, dt, path, in)
+      case SCatn(es) => catErrors(es, col, dt, path, in)
+
+      case SAlt(cs) =>
+        F.when(valid(ir, col, dt), emptyViols).otherwise(
+          concatViols(cs.zipWithIndex.map { case (c, i) =>
+            errors(c, col, dt, j(path, i.toString), in)
+          }))
+
+      case SStar(c) => regexCollErrors(c, col, dt, path, in, None, None)
+      case SPlus(c) => regexCollErrors(c, col, dt, path, in, Some(1), None)
+      case SOpt(c) => regexCollErrors(c, col, dt, path, in, None, Some(1))
+      case SRepeat(c, mn, mx) =>
+        regexCollErrors(c, col, dt, path, in, Some(mn), Some(mx))
+    }
+  }
+
+  private def catErrors(es: Seq[(String, SchemaIR)], col: Column, dt: DataType,
+                        path: String, in: Column)(implicit ctx: Ctx): Column =
+    dt match {
+      case ArrayType(et, _) =>
+        val n = es.length
+        val sizeErr =
+          F.when(F.size(col) < n,
+            one(path, in, ErrorKeys.EndOfInput, F.size(col).cast(StringType)))
+            .when(F.size(col) > n,
+              one(path, in, ErrorKeys.InputRemaining, F.size(col).cast(StringType)))
+            .otherwise(emptyViols)
+        val elemErrs = es.zipWithIndex.map { case ((tag, c), i) =>
+          F.when(F.size(col) === n,
+            elemErrors(c, F.get(col, F.lit(i)), et, j(path, tag), jin(in, i.toString)))
+            .otherwise(emptyViols)
+        }
+        F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+          F.lit(null).cast(StringType)))
+          .otherwise(concatViols(sizeErr +: elemErrs))
+      case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
+    }
+
+  private def elemErrors(c: SchemaIR, elem: Column, et: DataType, path: String,
+                         in: Column)(implicit ctx: Ctx): Column = c match {
+    case SAlt(cs) =>
+      F.when(cs.map(valid(_, elem, et)).reduce(_ || _), emptyViols).otherwise(
+        concatViols(cs.zipWithIndex.map { case (cc, i) =>
+          errors(cc, elem, et, j(path, i.toString), in)
+        }))
+    case other => errors(other, elem, et, path, in)
+  }
+
+  private def regexCollErrors(c: SchemaIR, col: Column, dt: DataType,
+                              path: String, in: Column, mn: Option[Int],
+                              mx: Option[Int])(implicit ctx: Ctx): Column =
+    dt match {
+      case ArrayType(et, _) =>
+        val limitsOk = between(F.size(col), mn.map(_.toLong), mx.map(_.toLong))
+        val limitsErr = F.when(limitsOk, emptyViols)
+          .otherwise(one(path, in, ErrorKeys.Limits, F.size(col).cast(StringType)))
+        val elemErrs = F.flatten(F.transform(col, (x, i) =>
+          elemErrors(c, x, et, j(path, "0"), jin(in, i))))
+        F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+          F.lit(null).cast(StringType)))
+          .otherwise(concatViols(Seq(limitsErr, elemErrs)))
+      case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
+    }
+
+  private def collErrors(c: SchemaIR, col: Column, dt: DataType,
+                         mn: Option[Int], mx: Option[Int], path: String,
+                         in: Column, unique: Boolean)(implicit ctx: Ctx): Column =
+    dt match {
+      case ArrayType(et, _) =>
+        val limitsOk = between(F.size(col), mn.map(_.toLong), mx.map(_.toLong))
+        val limitsErr = F.when(limitsOk, emptyViols)
+          .otherwise(one(path, in, ErrorKeys.Limits, F.size(col).cast(StringType)))
+        val dupErr =
+          if (!unique) emptyViols
+          else F.when(F.size(F.array_distinct(col)) === F.size(col), emptyViols)
+            .otherwise(one(path, in, ErrorKeys.DuplicateKey, valueStr(col, dt)))
+        val elemErrs = F.flatten(F.transform(col, (x, i) =>
+          errors(c, x, et, j(path, "0"), jin(in, i))))
+        F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+          F.lit(null).cast(StringType)))
+          .otherwise(concatViols(Seq(limitsErr, dupErr, elemErrs)))
+      case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
+    }
+
+  private def concatViols(cols: Seq[Column]): Column = {
+    val nonTrivial = cols.filter(_ != null)
+    if (nonTrivial.isEmpty) emptyViols
+    else if (nonTrivial.size == 1) nonTrivial.head
+    else F.concat(nonTrivial: _*)
+  }
+
+  // --------------------------------------------------------------------
+  // DataFrame-level entry points (top-level :map schema over columns)
+  // --------------------------------------------------------------------
+
+  /** Whole-row struct so a top-level `:map` schema addresses columns
+    * uniformly; Catalyst's SimplifyExtractValueOps collapses
+    * GetStructField(CreateStruct(...)) back to the raw column, so this
+    * costs nothing in the physical plan. */
+  private def rowStruct(df: DataFrame): (Column, StructType) = {
+    val cols = df.columns.map(n => F.col(n).as(n))
+    (F.struct(cols.toIndexedSeq: _*), df.schema)
+  }
+
+  /** `m/validate` over a DataFrame: adds a boolean `valid` column. */
+  def validateDF(ir: SchemaIR, df: DataFrame, outCol: String = "valid")(
+      implicit ctx: Ctx = Ctx()): DataFrame = {
+    val (row, st) = rowStruct(df)
+    df.withColumn(outCol, valid(ir, row, st))
+  }
+
+  /** `m/explain` over a DataFrame: adds an `errors` array column
+    * (empty ⇔ valid). */
+  def explainDF(ir: SchemaIR, df: DataFrame, outCol: String = "errors")(
+      implicit ctx: Ctx = Ctx()): DataFrame = {
+    val (row, st) = rowStruct(df)
+    df.withColumn(outCol, errors(ir, row, st, "", F.lit("")))
+  }
+
+  /** Violation rows: one output row per error, keyed by `keyCols`
+    * (the explode/"UDTF" shape of SURVEY §2.12). */
+  def violationsDF(ir: SchemaIR, df: DataFrame, keyCols: Seq[String])(
+      implicit ctx: Ctx = Ctx()): DataFrame = {
+    val withErrs = explainDF(ir, df, "__errs")
+    val exploded = withErrs
+      .where(F.size(F.col("__errs")) > 0)
+      .select(keyCols.map(F.col) :+ F.explode(F.col("__errs")).as("e"): _*)
+    exploded.select(
+      keyCols.map(F.col) ++ Seq(
+        F.col("e.path").as("schema_path"),
+        F.col("e.in").as("in_path"),
+        F.col("e.error_key").as("error_key"),
+        F.col("e.value").as("value")): _*)
+  }
+}

@@ -1,0 +1,386 @@
+package mallispark.eval
+
+import mallispark.ir.SchemaIR
+import mallispark.ir.SchemaIR._
+
+/** Row-at-a-time reference interpreter over plain Scala values.
+  *
+  * This is the malli-shaped evaluator (closure-per-node, like
+  * /root/reference/src/malli/core.cljc `-validator`/`-explainer`) kept for
+  * three purposes only:
+  *   1. duality tests — the Catalyst compilation and this interpreter must
+  *      agree on every fixture (SURVEY §5.3);
+  *   2. the general sequence-regex escape hatch (nested/backtracking forms
+  *      that the bounded Column compilation can't express — impl/regex.cljc
+  *      semantics via a backtracking matcher, SURVEY §2.9 tier 3);
+  *   3. `:fn` predicates inside UDFs.
+  *
+  * It is NOT the engine: production validation runs through
+  * mallispark.compile.SchemaCompiler (whole-stage codegen).
+  */
+object RowEval {
+
+  final case class Err(path: Vector[String], in: Vector[String], key: String,
+                       value: Any)
+
+  def validate(ir: SchemaIR, v: Any)(implicit reg: Registry = Registry.empty,
+                                     depth: Int = 8): Boolean = ir match {
+    case SAny => true
+    case SNil => v == null
+    case SSome => v != null
+    case SString(mn, mx) => v match {
+      case s: String => mn.forall(s.length >= _) && mx.forall(s.length <= _)
+      case _ => false
+    }
+    case SInt(mn, mx) => v match {
+      case n: Long => mn.forall(n >= _) && mx.forall(n <= _)
+      case n: Int => mn.forall(n >= _) && mx.forall(n <= _)
+      case n: Short => mn.forall(n >= _) && mx.forall(n <= _)
+      case n: Byte => mn.forall(n >= _) && mx.forall(n <= _)
+      case _ => false
+    }
+    case SDouble(mn, mx) => v match {
+      case n: Double => mn.forall(n >= _) && mx.forall(n <= _)
+      case n: Float => mn.forall(n >= _) && mx.forall(n <= _)
+      case _ => false
+    }
+    case SBoolean => v.isInstanceOf[Boolean]
+    case SBinary => v.isInstanceOf[Array[Byte]]
+    case SUuid => v match {
+      case s: String => s.matches(
+        "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")
+      case _ => false
+    }
+    case STimestamp(mn, mx) =>
+      val inst = v match {
+        case t: java.sql.Timestamp => Some(t.toInstant)
+        case t: java.time.Instant => Some(t)
+        case _ => None
+      }
+      inst.exists(t => mn.forall(!t.isBefore(_)) && mx.forall(!t.isAfter(_)))
+    case SDate(mn, mx) =>
+      val d = v match {
+        case x: java.sql.Date => Some(x.toLocalDate)
+        case x: java.time.LocalDate => Some(x)
+        case _ => None
+      }
+      d.exists(ld => mn.forall(m => !ld.isBefore(java.time.LocalDate.parse(m))) &&
+        mx.forall(m => !ld.isAfter(java.time.LocalDate.parse(m))))
+    case SEnum(vs) => v != null && vs.exists(x => num(x) == num(v))
+    case SRegex(p) => v match {
+      // malli :re = re-find ⇒ partial match (core.cljc:1730-1731)
+      case s: String => p.r.findFirstIn(s).isDefined
+      case _ => false
+    }
+    case SCompare(op, cv) =>
+      if (v == null) false
+      else (asD(v), asD(cv)) match {
+        case (Some(a), Some(b)) => op match {
+          case ">" => a > b; case ">=" => a >= b; case "<" => a < b
+          case "<=" => a <= b; case "=" => a == b; case "not=" => a != b
+        }
+        case _ => op match {
+          case "=" => v == cv; case "not=" => v != cv
+          case _ => false
+        }
+      }
+    case SFn(_, f) => try f(v) catch { case _: Throwable => false }
+    case SMaybe(c) => v == null || validate(c, v)
+    case SAnd(cs) => cs.forall(validate(_, v))
+    case SOr(cs) => cs.exists(validate(_, v))
+    case SOrn(bs) => bs.exists(b => validate(b._2, v))
+    case SNot(c) => !validate(c, v)
+    case SMap(entries, closed) => asMap(v) match {
+      case None => false
+      case Some(m) =>
+        val entriesOk = entries.forall { e =>
+          m.get(e.key) match {
+            case None | Some(null) => e.optional
+            case Some(x) => validate(e.child, x)
+          }
+        }
+        // Parquet conflates missing key and null value (SURVEY §7.4):
+        // a null-valued extra field counts as absent, matching the
+        // Catalyst side where extra-key fires only on non-null.
+        val closedOk = !closed ||
+          m.forall { case (k, x) => x == null || entries.exists(_.key == k) }
+        entriesOk && closedOk
+    }
+    case SMapOf(k, vv, mn, mx) => v match {
+      case m: scala.collection.Map[_, _] =>
+        mn.forall(m.size >= _) && mx.forall(m.size <= _) &&
+          m.forall { case (mk, mv) => validate(k, mk) && validate(vv, mv) }
+      case _ => false
+    }
+    case SVector(c, mn, mx) => asSeq(v).exists(xs =>
+      mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
+        xs.forall(validate(c, _)))
+    case SSet(c, mn, mx) => asSeq(v).exists(xs =>
+      mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
+        xs.distinct.size == xs.size && xs.forall(validate(c, _)))
+    case SEvery(c, mn, mx, limit) => asSeq(v).exists(xs =>
+      mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
+        xs.take(limit).forall(validate(c, _)))
+    case STuple(cs) => asSeq(v).exists(xs =>
+      xs.size == cs.size && cs.zip(xs).forall { case (c, x) => validate(c, x) })
+    case SMulti(dk, bs, default) => asMap(v) match {
+      case None => false
+      case Some(m) =>
+        val dv = m.get(dk).map(String.valueOf).orNull
+        bs.find(_._1 == dv) match {
+          case Some((_, c)) => validate(c, v)
+          case None => default.exists(validate(_, v))
+        }
+    }
+    case SRef(name) =>
+      if (depth <= 0) true
+      else validate(reg(name), v)(reg, depth - 1)
+    // standalone :alt over a single value behaves like :or (bounded-form
+    // deviation, same as the Catalyst compilation — SURVEY §2.9)
+    case SAlt(cs) => cs.exists(validate(_, v))
+    case r @ (_: SCat | _: SCatn | _: SStar | _: SPlus | _: SOpt |
+              _: SRepeat) =>
+      asSeq(v).exists(xs => reMatch(r, xs, 0).contains(xs.length))
+  }
+
+  /** Backtracking sequence-regex matcher (semantics of impl/regex.cljc; the
+    * reference uses CPS+packrat — row-local inputs here are small, so plain
+    * lazy backtracking suffices). Returns reachable end positions. */
+  private def reMatch(ir: SchemaIR, xs: Seq[Any], i: Int)(
+      implicit reg: Registry, depth: Int): LazyList[Int] = ir match {
+    case SCat(cs) =>
+      cs.foldLeft(LazyList(i)) { (ps, c) => ps.flatMap(p => reMatch(c, xs, p)) }
+    case SCatn(es) =>
+      es.foldLeft(LazyList(i)) { (ps, e) => ps.flatMap(p => reMatch(e._2, xs, p)) }
+    case SAlt(cs) => cs.to(LazyList).flatMap(c => reMatch(c, xs, i))
+    case SStar(c) =>
+      i #:: reMatch(c, xs, i).filter(_ > i).flatMap(p => reMatch(SStar(c), xs, p))
+    case SPlus(c) => reMatch(c, xs, i).flatMap(p => reMatch(SStar(c), xs, p))
+    case SOpt(c) => i #:: reMatch(c, xs, i)
+    case SRepeat(c, mn, mx) =>
+      def go(pos: Int, n: Int): LazyList[Int] = {
+        val more =
+          if (n >= mx) LazyList.empty
+          else reMatch(c, xs, pos).filter(_ > pos).flatMap(p => go(p, n + 1))
+        if (n >= mn) pos #:: more else more
+      }
+      go(i, 0)
+    case plain =>
+      if (i < xs.length && validate(plain, xs(i))) LazyList(i + 1)
+      else LazyList.empty
+  }
+
+  /** Explain: same error shape the Catalyst side produces
+    * (path/in/error_key), for duality assertions. */
+  def explain(ir: SchemaIR, v: Any,
+              path: Vector[String] = Vector.empty,
+              in: Vector[String] = Vector.empty)(
+      implicit reg: Registry = Registry.empty, depth: Int = 8): Vector[Err] =
+    ir match {
+      case SAny => Vector.empty
+      case SMaybe(c) =>
+        if (v == null) Vector.empty else explain(c, v, path :+ "0", in)
+      case SAnd(cs) => cs.zipWithIndex.toVector.flatMap { case (c, i) =>
+        explain(c, v, path :+ i.toString, in)
+      }
+      case SOr(cs) =>
+        if (validate(ir, v)) Vector.empty
+        else cs.zipWithIndex.toVector.flatMap { case (c, i) =>
+          explain(c, v, path :+ i.toString, in)
+        }
+      case SOrn(bs) =>
+        if (validate(ir, v)) Vector.empty
+        else bs.toVector.flatMap { case (t, c) => explain(c, v, path :+ t, in) }
+      case SNot(c) =>
+        if (validate(c, v)) Vector(Err(path, in, ":not", v)) else Vector.empty
+      case SMap(entries, closed) => asMap(v) match {
+        case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+        case Some(m) =>
+          val entryErrs = entries.toVector.flatMap { e =>
+            m.get(e.key) match {
+              case None | Some(null) =>
+                if (e.optional) Vector.empty
+                else Vector(Err(path :+ e.key, in :+ e.key, ErrorKeys.MissingKey, null))
+              case Some(x) => explain(e.child, x, path :+ e.key, in :+ e.key)
+            }
+          }
+          val extraErrs =
+            if (!closed) Vector.empty
+            else m.toVector.collect {
+              case (k, x) if !entries.exists(_.key == k) && x != null =>
+                Err(path :+ k, in :+ k, ErrorKeys.ExtraKey, x)
+            }
+          entryErrs ++ extraErrs
+      }
+      case SVector(c, mn, mx) => collExplain(c, v, mn, mx, path, in, unique = false)
+      case SSet(c, mn, mx) => collExplain(c, v, mn, mx, path, in, unique = true)
+      case SEvery(c, mn, mx, limit) => asSeq(v) match {
+        case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+        case Some(xs) =>
+          val lim = if (mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
+            Vector.empty
+          else Vector(Err(path, in, ErrorKeys.Limits, xs.size))
+          lim ++ xs.take(limit).zipWithIndex.toVector.flatMap { case (x, i) =>
+            explain(c, x, path :+ "0", in :+ i.toString)
+          }
+      }
+      case STuple(cs) => asSeq(v) match {
+        case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+        case Some(xs) =>
+          if (xs.size != cs.size)
+            Vector(Err(path, in, ErrorKeys.TupleSize, xs.size))
+          else cs.zip(xs).zipWithIndex.toVector.flatMap { case ((c, x), i) =>
+            explain(c, x, path :+ i.toString, in :+ i.toString)
+          }
+      }
+      case SMulti(dk, bs, default) => asMap(v) match {
+        case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+        case Some(m) =>
+          val dv = m.get(dk).map(String.valueOf).orNull
+          bs.find(_._1 == dv) match {
+            case Some((tag, c)) => explain(c, v, path :+ tag, in)
+            case None => default match {
+              case Some(d) => explain(d, v, path :+ "malli.core/default", in)
+              case None => Vector(Err(path, in, ErrorKeys.InvalidDispatch, dv))
+            }
+          }
+      }
+      case SMapOf(k, vv, mn, mx) => v match {
+        case m: scala.collection.Map[_, _] =>
+          val lim = if (mn.forall(m.size >= _) && mx.forall(m.size <= _))
+            Vector.empty
+          else Vector(Err(path, in, ErrorKeys.Limits, m.size))
+          lim ++ m.toVector.flatMap { case (mk, mv) =>
+            explain(k, mk, path :+ "0", in :+ String.valueOf(mk)) ++
+              explain(vv, mv, path :+ "1", in :+ String.valueOf(mk))
+          }
+        case _ => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+      }
+      case SRef(name) =>
+        if (depth <= 0) Vector.empty
+        else explain(reg(name), v, path, in)(reg, depth - 1)
+      // bounded-form regex explains — mirror the Catalyst compilation
+      case SCat(cs) =>
+        catExplain(cs.zipWithIndex.map { case (c, i) => (i.toString, c) },
+          v, path, in)
+      case SCatn(es) => catExplain(es, v, path, in)
+      case SAlt(cs) =>
+        if (validate(ir, v)) Vector.empty
+        else cs.zipWithIndex.toVector.flatMap { case (c, i) =>
+          explain(c, v, path :+ i.toString, in)
+        }
+      case SStar(c) => regexCollExplain(c, v, None, None, path, in)
+      case SPlus(c) => regexCollExplain(c, v, Some(1), None, path, in)
+      case SOpt(c) => regexCollExplain(c, v, None, Some(1), path, in)
+      case SRepeat(c, mn, mx) =>
+        regexCollExplain(c, v, Some(mn), Some(mx), path, in)
+      case leaf =>
+        if (validate(leaf, v)) Vector.empty
+        else Vector(Err(path, in, leafKey(leaf), v))
+    }
+
+  private def collExplain(c: SchemaIR, v: Any, mn: Option[Int], mx: Option[Int],
+                          path: Vector[String], in: Vector[String],
+                          unique: Boolean)(
+      implicit reg: Registry, depth: Int): Vector[Err] = asSeq(v) match {
+    case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+    case Some(xs) =>
+      val lim = if (mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
+        Vector.empty
+      else Vector(Err(path, in, ErrorKeys.Limits, xs.size))
+      val dup = if (unique && xs.distinct.size != xs.size)
+        Vector(Err(path, in, ErrorKeys.DuplicateKey, v))
+      else Vector.empty
+      lim ++ dup ++ xs.zipWithIndex.toVector.flatMap { case (x, i) =>
+        explain(c, x, path :+ "0", in :+ i.toString)
+      }
+  }
+
+  private def catExplain(es: Seq[(String, SchemaIR)], v: Any,
+                         path: Vector[String], in: Vector[String])(
+      implicit reg: Registry, depth: Int): Vector[Err] = asSeq(v) match {
+    case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+    case Some(xs) =>
+      if (xs.size < es.size) Vector(Err(path, in, ErrorKeys.EndOfInput, xs.size))
+      else if (xs.size > es.size)
+        Vector(Err(path, in, ErrorKeys.InputRemaining, xs.size))
+      else es.zip(xs).zipWithIndex.toVector.flatMap { case (((tag, c), x), i) =>
+        elemExplain(c, x, path :+ tag, in :+ i.toString)
+      }
+  }
+
+  private def regexCollExplain(c: SchemaIR, v: Any, mn: Option[Int],
+                               mx: Option[Int], path: Vector[String],
+                               in: Vector[String])(
+      implicit reg: Registry, depth: Int): Vector[Err] = asSeq(v) match {
+    case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+    case Some(xs) =>
+      val lim = if (mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
+        Vector.empty
+      else Vector(Err(path, in, ErrorKeys.Limits, xs.size))
+      lim ++ xs.zipWithIndex.toVector.flatMap { case (x, i) =>
+        elemExplain(c, x, path :+ "0", in :+ i.toString)
+      }
+  }
+
+  private def elemExplain(c: SchemaIR, x: Any, path: Vector[String],
+                          in: Vector[String])(
+      implicit reg: Registry, depth: Int): Vector[Err] = c match {
+    case SAlt(cs) =>
+      if (cs.exists(validate(_, x))) Vector.empty
+      else cs.zipWithIndex.toVector.flatMap { case (cc, i) =>
+        explain(cc, x, path :+ i.toString, in)
+      }
+    case other => explain(other, x, path, in)
+  }
+
+  private def leafKey(ir: SchemaIR): String = ir match {
+    case SNil => ":nil"
+    case SSome => ":some"
+    case _: SString => ":string"
+    case _: SInt => ":int"
+    case _: SDouble => ":double"
+    case SBoolean => ":boolean"
+    case SBinary => ":bytes"
+    case SUuid => ":uuid"
+    case _: STimestamp => ":time/instant"
+    case _: SDate => ":time/local-date"
+    case _: SEnum => ":enum"
+    case _: SRegex => ":re"
+    case SCompare(op, _) => s":$op"
+    case SFn(n, _) => s":fn/$n"
+    case other => SchemaIR.form(other)
+  }
+
+  private def asD(v: Any): Option[Double] = v match {
+    case n: Long => Some(n.toDouble)
+    case n: Int => Some(n.toDouble)
+    case n: Short => Some(n.toDouble)
+    case n: Byte => Some(n.toDouble)
+    case n: Double => Some(n)
+    case n: Float => Some(n.toDouble)
+    case _ => None
+  }
+
+  private def num(v: Any): Any = v match {
+    case i: Int => i.toLong
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case f: Float => f.toDouble
+    case x => x
+  }
+
+  private def asMap(v: Any): Option[Map[String, Any]] = v match {
+    case m: Map[_, _] => Some(m.map { case (k, x) => String.valueOf(k) -> (x: Any) })
+    case r: org.apache.spark.sql.Row if r.schema != null =>
+      Some(r.schema.fieldNames.zip(r.toSeq).toMap)
+    case _ => None
+  }
+
+  private def asSeq(v: Any): Option[Seq[Any]] = v match {
+    case s: Seq[_] => Some(s)
+    case a: Array[_] => Some(a.toSeq)
+    case s: Set[_] => Some(s.toSeq)
+    case _ => None
+  }
+}

@@ -1,0 +1,105 @@
+package mallispark.ir
+
+import java.time.Instant
+import SchemaIR._
+
+/** Schema DSL — the Scala analogue of malli's vector syntax
+  * (`[:map [:x int?] ...]`, parsed by m/schema core.cljc:2567-2589).
+  *
+  * {{{
+  * import mallispark.ir.S._
+  * val page = map(closed = true)(
+  *   "url"     -> re("^https?://[^\\s]+$"),
+  *   "warc_ts" -> instant(min = Some(t0), max = Some(t1)),
+  *   "html"    -> bytes,
+  *   "text"    -> string(min = 1),
+  *   "lang"    -> enum_("en", "de", "fr"))
+  * }}}
+  */
+object S {
+  val any: SchemaIR = SAny
+  val nil: SchemaIR = SNil
+  val some: SchemaIR = SSome
+  val boolean: SchemaIR = SBoolean
+  val bytes: SchemaIR = SBinary
+  val uuid: SchemaIR = SUuid
+
+  def string: SchemaIR = SString()
+  def string(min: Int = -1, max: Int = -1): SchemaIR =
+    SString(if (min >= 0) Some(min) else None, if (max >= 0) Some(max) else None)
+
+  def int: SchemaIR = SInt()
+  def int(min: Long, max: Long): SchemaIR = SInt(Some(min), Some(max))
+  def intMin(min: Long): SchemaIR = SInt(Some(min), None)
+  def intMax(max: Long): SchemaIR = SInt(None, Some(max))
+  /** pos-int? (core.cljc:2936). */
+  def posInt: SchemaIR = SInt(Some(1L), None)
+  /** neg-int? */
+  def negInt: SchemaIR = SInt(None, Some(-1L))
+  /** nat-int? */
+  def natInt: SchemaIR = SInt(Some(0L), None)
+
+  def double: SchemaIR = SDouble()
+  def double(min: Double, max: Double): SchemaIR = SDouble(Some(min), Some(max))
+
+  def instant(min: Option[Instant] = None, max: Option[Instant] = None): SchemaIR =
+    STimestamp(min, max)
+  def date(min: Option[String] = None, max: Option[String] = None): SchemaIR =
+    SDate(min, max)
+
+  def enum_(values: Any*): SchemaIR = SEnum(values)
+  def re(pattern: String): SchemaIR = SRegex(pattern)
+
+  def gt(v: Any): SchemaIR = SCompare(">", v)
+  def gte(v: Any): SchemaIR = SCompare(">=", v)
+  def lt(v: Any): SchemaIR = SCompare("<", v)
+  def lte(v: Any): SchemaIR = SCompare("<=", v)
+  def eq_(v: Any): SchemaIR = SCompare("=", v)
+  def neq(v: Any): SchemaIR = SCompare("not=", v)
+
+  def fn(name: String)(f: Any => Boolean): SchemaIR = SFn(name, f)
+
+  def maybe(c: SchemaIR): SchemaIR = SMaybe(c)
+  def and(cs: SchemaIR*): SchemaIR = SAnd(cs)
+  def or(cs: SchemaIR*): SchemaIR = SOr(cs)
+  def orn(branches: (String, SchemaIR)*): SchemaIR = SOrn(branches)
+  def not(c: SchemaIR): SchemaIR = SNot(c)
+
+  /** Map entry helpers. */
+  def req(key: String, child: SchemaIR): Entry = Entry(key, child)
+  def opt(key: String, child: SchemaIR): Entry =
+    Entry(key, child, optional = true)
+  def withDefault(key: String, child: SchemaIR, default: Any): Entry =
+    Entry(key, child, optional = true, default = Some(default))
+
+  def map(entries: (String, SchemaIR)*): SchemaIR =
+    SMap(entries.map { case (k, c) => Entry(k, c) })
+  def map(closed: Boolean)(entries: (String, SchemaIR)*): SchemaIR =
+    SMap(entries.map { case (k, c) => Entry(k, c) }, closed)
+  def mapE(closed: Boolean, entries: Entry*): SchemaIR = SMap(entries, closed)
+
+  def mapOf(k: SchemaIR, v: SchemaIR, min: Option[Int] = None,
+            max: Option[Int] = None): SchemaIR = SMapOf(k, v, min, max)
+
+  def vector(c: SchemaIR, min: Option[Int] = None,
+             max: Option[Int] = None): SchemaIR = SVector(c, min, max)
+  def set(c: SchemaIR, min: Option[Int] = None,
+          max: Option[Int] = None): SchemaIR = SSet(c, min, max)
+  def every(c: SchemaIR, min: Option[Int] = None, max: Option[Int] = None,
+            limit: Int = 101): SchemaIR = SEvery(c, min, max, limit)
+  def tuple(cs: SchemaIR*): SchemaIR = STuple(cs)
+
+  def multi(dispatchKey: String, default: Option[SchemaIR] = None)(
+      branches: (String, SchemaIR)*): SchemaIR =
+    SMulti(dispatchKey, branches, default)
+
+  def ref(name: String): SchemaIR = SRef(name)
+
+  def cat(cs: SchemaIR*): SchemaIR = SCat(cs)
+  def catn(es: (String, SchemaIR)*): SchemaIR = SCatn(es)
+  def alt(cs: SchemaIR*): SchemaIR = SAlt(cs)
+  def star(c: SchemaIR): SchemaIR = SStar(c)
+  def plus(c: SchemaIR): SchemaIR = SPlus(c)
+  def optional(c: SchemaIR): SchemaIR = SOpt(c)
+  def repeat(c: SchemaIR, min: Int, max: Int): SchemaIR = SRepeat(c, min, max)
+}

@@ -1,0 +1,299 @@
+package mallispark.ir
+
+import java.time.Instant
+
+/** Schema intermediate representation.
+  *
+  * Mirrors the *semantics* of malli's schema types (reference:
+  * /root/reference/src/malli/core.cljc — vector syntax parsed at 2567-2589,
+  * type table at 820-832 and 2934-3038) as a Scala ADT. This is NOT a port:
+  * malli compiles schemas to row-at-a-time Clojure closures; we compile this
+  * IR to Catalyst `Column` expression trees (see mallispark.compile).
+  *
+  * Naming note: error keys follow malli's qualified keywords
+  * (e.g. `::m/missing-key`, core.cljc:1306-1307) so explain output is
+  * fixture-comparable with the reference test suite.
+  */
+sealed trait SchemaIR extends Serializable
+
+object SchemaIR {
+
+  // ---- leaves ------------------------------------------------------------
+
+  /** `:any` — always valid (core.cljc:821). */
+  case object SAny extends SchemaIR
+
+  /** `:nil` — value must be null (core.cljc:820). */
+  case object SNil extends SchemaIR
+
+  /** `:some` — value must be non-null (core.cljc:822). */
+  case object SSome extends SchemaIR
+
+  /** `:string` with optional `:min`/`:max` LENGTH bounds
+    * (core.cljc:823, -min-max-pred 726-736). */
+  final case class SString(min: Option[Int] = None, max: Option[Int] = None)
+      extends SchemaIR
+
+  /** `:int` / `int?` / `pos-int?` etc. with optional value bounds
+    * (core.cljc:824, 2934-2939). 64-bit. */
+  final case class SInt(min: Option[Long] = None, max: Option[Long] = None)
+      extends SchemaIR
+
+  /** `:double`/`:float`/`number?` with optional value bounds (core.cljc:825-826). */
+  final case class SDouble(min: Option[Double] = None, max: Option[Double] = None)
+      extends SchemaIR
+
+  /** `:boolean` (core.cljc:827). */
+  case object SBoolean extends SchemaIR
+
+  /** `bytes?` predicate schema (core.cljc:2939) → BinaryType. */
+  case object SBinary extends SchemaIR
+
+  /** `:uuid` (core.cljc:832) — string + canonical UUID regex
+    * (regex from transform.cljc:115-116). */
+  case object SUuid extends SchemaIR
+
+  /** `:time/instant` with `:min`/`:max` range
+    * (experimental/time.cljc:85-94, range compare 48-66). */
+  final case class STimestamp(min: Option[Instant] = None,
+                              max: Option[Instant] = None) extends SchemaIR
+
+  /** `:time/local-date` (experimental/time.cljc). */
+  final case class SDate(min: Option[String] = None, max: Option[String] = None)
+      extends SchemaIR
+
+  /** `:enum` — value ∈ literal set (core.cljc:1669-1714, membership 1688-1689). */
+  final case class SEnum(values: Seq[Any]) extends SchemaIR
+
+  /** `:re` — regex on strings. malli uses `re-find`, i.e. PARTIAL match
+    * (core.cljc:1730-1731): the pattern is NOT auto-anchored. */
+  final case class SRegex(pattern: String) extends SchemaIR
+
+  /** Comparator schemas `:>` `:>=` `:<` `:<=` `:=` `:not=` against a literal
+    * child (core.cljc:2947-2951). */
+  final case class SCompare(op: String, value: Any) extends SchemaIR
+
+  /** `:fn` — arbitrary predicate; exceptions → false (-safe-pred,
+    * core.cljc:209, 1770-1817). Escape hatch: compiles to a Scala UDF
+    * (non-codegen, flagged). `name` keys the violation. */
+  final case class SFn(name: String, f: Any => Boolean) extends SchemaIR
+
+  // ---- combinators -------------------------------------------------------
+
+  /** `:maybe` — null or child (core.cljc:1819-1868). */
+  final case class SMaybe(child: SchemaIR) extends SchemaIR
+
+  /** `:and` (core.cljc:834-928). Explain reports every failing child with
+    * its branch index in the schema path. */
+  final case class SAnd(children: Seq[SchemaIR]) extends SchemaIR
+
+  /** `:or` (core.cljc:1005-1051). Explain reports errors from ALL branches
+    * when none match (see validation-test core_test.cljc:239-250). */
+  final case class SOr(children: Seq[SchemaIR]) extends SchemaIR
+
+  /** `:orn` — tagged union; parse emits Tag(name, value)
+    * (core.cljc:1053-1114, tags 164-183). */
+  final case class SOrn(branches: Seq[(String, SchemaIR)]) extends SchemaIR
+
+  /** `:not` (core.cljc:1116-1160). */
+  final case class SNot(child: SchemaIR) extends SchemaIR
+
+  /** One `:map` entry: key, optionality (`{:optional true}`), default
+    * (`:default` prop, transform.cljc:492-528), child schema. */
+  final case class Entry(key: String, child: SchemaIR,
+                         optional: Boolean = false,
+                         default: Option[Any] = None) extends Serializable
+
+  /** `:map` — record; open by default, `{:closed true}` rejects extra keys
+    * (core.cljc:1219-1363; closed 1264-1268/1315-1322). */
+  final case class SMap(entries: Seq[Entry], closed: Boolean = false)
+      extends SchemaIR
+
+  /** `:map-of` with optional entry-count bounds (core.cljc:1365-1459, 1384). */
+  final case class SMapOf(key: SchemaIR, value: SchemaIR,
+                          min: Option[Int] = None, max: Option[Int] = None)
+      extends SchemaIR
+
+  /** `:vector`/`:sequential` with count bounds
+    * (core.cljc:3034-3036, -collection-schema 1478-1591, limits 743). */
+  final case class SVector(child: SchemaIR, min: Option[Int] = None,
+                           max: Option[Int] = None) extends SchemaIR
+
+  /** `:set` — unique elements (core.cljc:3038); on ArrayType payloads
+    * uniqueness is part of the check. */
+  final case class SSet(child: SchemaIR, min: Option[Int] = None,
+                        max: Option[Int] = None) extends SchemaIR
+
+  /** `:every` — bounded check: only the first
+    * max(min, max+1, coll-check-limit=101) elements are examined
+    * (core.cljc:745-751, 1499-1522). */
+  final case class SEvery(child: SchemaIR, min: Option[Int] = None,
+                          max: Option[Int] = None, limit: Int = 101)
+      extends SchemaIR
+
+  /** `:tuple` — fixed-arity heterogeneous vector; size mismatch →
+    * `::tuple-size` (core.cljc:1593-1667, 1626-1630). */
+  final case class STuple(children: Seq[SchemaIR]) extends SchemaIR
+
+  /** `:multi` — keyword dispatch on a map key; missing branch →
+    * `::invalid-dispatch-value` (core.cljc:1870-1947, 1908-1914).
+    * `default` is the `::m/default` branch (1890). */
+  final case class SMulti(dispatchKey: String,
+                          branches: Seq[(String, SchemaIR)],
+                          default: Option[SchemaIR] = None) extends SchemaIR
+
+  /** `:ref` — named reference into a registry (core.cljc:1963-2064).
+    * Compiled by depth-bounded inline expansion (SURVEY §7 hard-part 1). */
+  final case class SRef(name: String) extends SchemaIR
+
+  // ---- sequence-regex (bounded forms; impl/regex.cljc) --------------------
+
+  /** `:cat` — positional sequence (core.cljc:2968-3024). Bounded form:
+    * size + element_at checks (SURVEY §2.9 tier 1). */
+  final case class SCat(children: Seq[SchemaIR]) extends SchemaIR
+
+  /** `:catn` — named positional sequence; parse → named struct. */
+  final case class SCatn(entries: Seq[(String, SchemaIR)]) extends SchemaIR
+
+  /** `:alt` over single elements (bounded form). */
+  final case class SAlt(children: Seq[SchemaIR]) extends SchemaIR
+
+  /** `:*` of a single child → forall (SURVEY §2.9 tier 2). */
+  final case class SStar(child: SchemaIR) extends SchemaIR
+
+  /** `:+` — one or more. */
+  final case class SPlus(child: SchemaIR) extends SchemaIR
+
+  /** `:?` — zero or one. */
+  final case class SOpt(child: SchemaIR) extends SchemaIR
+
+  /** `:repeat` with {:min :max} of a single child (impl/regex.cljc:348-458
+    * general; here the bounded single-child form). */
+  final case class SRepeat(child: SchemaIR, min: Int, max: Int) extends SchemaIR
+
+  // ---- registry -----------------------------------------------------------
+
+  /** Immutable registry of named schemas (malli.registry fast/composite
+    * registries, registry.cljc:17-59). Recursive refs unroll to `maxDepth`. */
+  final case class Registry(schemas: Map[String, SchemaIR], maxDepth: Int = 8)
+      extends Serializable {
+    def apply(name: String): SchemaIR =
+      schemas.getOrElse(name,
+        throw new IllegalArgumentException(s"unknown schema ref: $name"))
+    def +(kv: (String, SchemaIR)): Registry = copy(schemas = schemas + kv)
+  }
+  object Registry { val empty: Registry = Registry(Map.empty) }
+
+  // ---- error keys (malli parity) ------------------------------------------
+
+  object ErrorKeys {
+    val MissingKey = "malli.core/missing-key"            // core.cljc:1306-1307
+    val ExtraKey = "malli.core/extra-key"                // core.cljc:1315-1322
+    val InvalidType = "malli.core/invalid-type"          // error.cljc defaults
+    val Limits = "malli.core/limits"                     // count/length bounds
+    val TupleSize = "malli.core/tuple-size"              // core.cljc:1636
+    val InvalidDispatch = "malli.core/invalid-dispatch-value" // 1908-1914
+    val DuplicateKey = "malli.core/duplicate-keys"       // core.cljc:551-556
+    val EndOfInput = "malli.core/end-of-input"
+    val InputRemaining = "malli.core/input-remaining"
+  }
+
+  // ---- walking / lens (mu/get-in, m/walk; util.cljc:320-388, core 2628) ---
+
+  /** Children of a node paired with their schema-path segment (malli `:path`
+    * uses entry keys for maps and branch indices for and/or — see
+    * core_test.cljc:239-250 where `[:and int? [:or ...]]` errors at [1 0]). */
+  def childrenWithPath(ir: SchemaIR): Seq[(String, SchemaIR)] = ir match {
+    case SMaybe(c)      => Seq("0" -> c)
+    case SNot(c)        => Seq("0" -> c)
+    case SAnd(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
+    case SOr(cs)        => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
+    case SOrn(bs)       => bs.map { case (t, c) => t -> c }
+    case SMap(es, _)    => es.map(e => e.key -> e.child)
+    case SMapOf(k, v, _, _) => Seq("0" -> k, "1" -> v)
+    case SVector(c, _, _)   => Seq("0" -> c)
+    case SSet(c, _, _)      => Seq("0" -> c)
+    case SEvery(c, _, _, _) => Seq("0" -> c)
+    case STuple(cs)     => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
+    case SMulti(_, bs, d) =>
+      bs.map { case (t, c) => t -> c } ++ d.map("malli.core/default" -> _)
+    case SCat(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
+    case SCatn(es)      => es.map { case (t, c) => t -> c }
+    case SAlt(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
+    case SStar(c)       => Seq("0" -> c)
+    case SPlus(c)       => Seq("0" -> c)
+    case SOpt(c)        => Seq("0" -> c)
+    case SRepeat(c, _, _) => Seq("0" -> c)
+    case _              => Seq.empty
+  }
+
+  /** Postwalk fold (m/walk, core.cljc:2628-2641). */
+  def fold[A](ir: SchemaIR, z: A)(f: (A, SchemaIR) => A): A = {
+    val afterChildren = childrenWithPath(ir).foldLeft(z) {
+      case (acc, (_, c)) => fold(c, acc)(f)
+    }
+    f(afterChildren, ir)
+  }
+
+  /** Schema navigation by path segments (mu/get-in, util.cljc:331-340). */
+  def getIn(ir: SchemaIR, path: Seq[String]): Option[SchemaIR] =
+    path.foldLeft(Option(ir)) { (cur, seg) =>
+      cur.flatMap(s => childrenWithPath(s).collectFirst {
+        case (p, c) if p == seg => c
+      })
+    }
+
+  /** Human-readable form (m/form, core.cljc:2591-2596) — used in tests and
+    * schema export. */
+  def form(ir: SchemaIR): String = ir match {
+    case SAny => ":any"
+    case SNil => ":nil"
+    case SSome => ":some"
+    case SString(mn, mx) => s":string${bounds(mn, mx)}"
+    case SInt(mn, mx) => s":int${bounds(mn, mx)}"
+    case SDouble(mn, mx) => s":double${bounds(mn, mx)}"
+    case SBoolean => ":boolean"
+    case SBinary => ":bytes"
+    case SUuid => ":uuid"
+    case STimestamp(mn, mx) => s":time/instant${bounds(mn, mx)}"
+    case SDate(mn, mx) => s":time/local-date${bounds(mn, mx)}"
+    case SEnum(vs) => vs.mkString("[:enum ", " ", "]")
+    case SRegex(p) => s"[:re $p]"
+    case SCompare(op, v) => s"[:$op $v]"
+    case SFn(n, _) => s"[:fn $n]"
+    case SMaybe(c) => s"[:maybe ${form(c)}]"
+    case SAnd(cs) => cs.map(form).mkString("[:and ", " ", "]")
+    case SOr(cs) => cs.map(form).mkString("[:or ", " ", "]")
+    case SOrn(bs) => bs.map { case (t, c) => s"[:$t ${form(c)}]" }
+      .mkString("[:orn ", " ", "]")
+    case SNot(c) => s"[:not ${form(c)}]"
+    case SMap(es, closed) =>
+      val props = if (closed) " {:closed true}" else ""
+      es.map { e =>
+        val opt = if (e.optional) " {:optional true}" else ""
+        s"[:${e.key}$opt ${form(e.child)}]"
+      }.mkString(s"[:map$props ", " ", "]")
+    case SMapOf(k, v, _, _) => s"[:map-of ${form(k)} ${form(v)}]"
+    case SVector(c, mn, mx) => s"[:vector${bounds(mn, mx)} ${form(c)}]"
+    case SSet(c, mn, mx) => s"[:set${bounds(mn, mx)} ${form(c)}]"
+    case SEvery(c, mn, mx, _) => s"[:every${bounds(mn, mx)} ${form(c)}]"
+    case STuple(cs) => cs.map(form).mkString("[:tuple ", " ", "]")
+    case SMulti(d, bs, _) => bs.map { case (t, c) => s"[$t ${form(c)}]" }
+      .mkString(s"[:multi {:dispatch :$d} ", " ", "]")
+    case SRef(n) => s"[:ref $n]"
+    case SCat(cs) => cs.map(form).mkString("[:cat ", " ", "]")
+    case SCatn(es) => es.map { case (t, c) => s"[:$t ${form(c)}]" }
+      .mkString("[:catn ", " ", "]")
+    case SAlt(cs) => cs.map(form).mkString("[:alt ", " ", "]")
+    case SStar(c) => s"[:* ${form(c)}]"
+    case SPlus(c) => s"[:+ ${form(c)}]"
+    case SOpt(c) => s"[:? ${form(c)}]"
+    case SRepeat(c, mn, mx) => s"[:repeat {:min $mn :max $mx} ${form(c)}]"
+  }
+
+  private def bounds(mn: Option[_], mx: Option[_]): String =
+    if (mn.isEmpty && mx.isEmpty) ""
+    else s" {${mn.map(m => s":min $m").getOrElse("")}${
+      if (mn.nonEmpty && mx.nonEmpty) " " else ""}${
+      mx.map(m => s":max $m").getOrElse("")}}"
+}

@@ -1,0 +1,256 @@
+package mallispark
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.S
+import mallispark.ir.SchemaIR
+import mallispark.ir.SchemaIR._
+import mallispark.compile.SchemaCompiler
+import mallispark.eval.RowEval
+
+/** Fixture tables F1-F10 from FIXTURES.md — semantics hand-derived from the
+  * malli test suite (test/malli/core_test.cljc), asserted against BOTH the
+  * Catalyst compilation and the RowEval reference interpreter (duality,
+  * SURVEY §5.3). */
+class CoreValidationSpec extends SparkSuite {
+
+  implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+
+  private def dfOf(dt: DataType, values: Seq[Any]): DataFrame = {
+    val schema = StructType(Seq(StructField("v", dt, nullable = true)))
+    val rows = values.map(v => Row(v))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), schema)
+  }
+
+  /** Evaluate compiled valid+errors for each value; return
+    * (valid, Set[(path,in,key)]) per input. */
+  private def runCatalyst(ir: SchemaIR, dt: DataType, values: Seq[Any])
+      : Seq[(Boolean, Set[(String, String, String)])] = {
+    val df = dfOf(dt, values)
+    val out = df.select(
+      SchemaCompiler.valid(ir, F.col("v"), dt).as("ok"),
+      SchemaCompiler.errors(ir, F.col("v"), dt, "", F.lit("")).as("errs"))
+    out.collect().toSeq.map { r =>
+      val ok = r.getBoolean(0)
+      val errs = r.getSeq[Row](1).map(e =>
+        (e.getString(0), e.getString(1), e.getString(2))).toSet
+      (ok, errs)
+    }
+  }
+
+  private def rowEvalErrs(ir: SchemaIR, v: Any): Set[(String, String, String)] =
+    RowEval.explain(ir, v).map(e =>
+      (e.path.mkString("/"), e.in.mkString("/"), e.key)).toSet
+
+  /** Test fixtures use schemaless GenericRow — attach the declared
+    * StructType so RowEval sees a map-like value. */
+  private def toScala(v: Any, dt: DataType): Any = (v, dt) match {
+    case (r: Row, st: StructType) =>
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        r.toSeq.toArray, st)
+    case _ => v
+  }
+
+  /** Assert Catalyst and RowEval agree AND match the expected fixtures. */
+  private def check(ir: SchemaIR, dt: DataType,
+                    fixtures: Seq[(Any, Boolean, Set[(String, String, String)])])
+      : Unit = {
+    val catalyst = runCatalyst(ir, dt, fixtures.map(_._1))
+    fixtures.zip(catalyst).foreach {
+      case ((v, expValid, expErrs), (gotValid, gotErrs)) =>
+        assert(gotValid === expValid,
+          s"catalyst valid mismatch for $v (schema ${SchemaIR.form(ir)})")
+        assert(gotErrs === expErrs,
+          s"catalyst errors mismatch for $v (schema ${SchemaIR.form(ir)})")
+        assert(RowEval.validate(ir, toScala(v, dt)) === expValid,
+          s"roweval valid mismatch for $v")
+        assert(rowEvalErrs(ir, toScala(v, dt)) === expErrs,
+          s"roweval errors mismatch for $v")
+        assert((gotErrs.isEmpty) === gotValid,
+          s"valid/errors disagreement for $v")
+    }
+  }
+
+  // F1: [:and int? [:or pos-int? neg-int?]] — core_test.cljc:228-250
+  test("F1 and/or composite: errors carry branch-index paths") {
+    val s = S.and(S.int, S.or(S.posInt, S.negInt))
+    check(s, LongType, Seq(
+      (1L, true, Set.empty),
+      (-1L, true, Set.empty),
+      (0L, false, Set(("1/0", "", ":int"), ("1/1", "", ":int"))),
+      (null, false, Set(("0", "", ":int"), ("1/0", "", ":int"), ("1/1", "", ":int")))))
+  }
+
+  // F2: [:orn [:pos pos-int?] [:neg neg-int?]] — tagged branches in path
+  test("F2 orn: tagged branch paths") {
+    val s = S.orn("pos" -> S.posInt, "neg" -> S.negInt)
+    check(s, LongType, Seq(
+      (1L, true, Set.empty),
+      (-3L, true, Set.empty),
+      (0L, false, Set(("pos", "", ":int"), ("neg", "", ":int")))))
+  }
+
+  // F3: [:map [:x boolean?] [:y {:optional true} int?] [:z string?]]
+  test("F3 map: required/optional keys, missing-key") {
+    val s = S.mapE(false,
+      S.req("x", S.boolean), S.opt("y", S.int), S.req("z", S.string))
+    val dt = StructType(Seq(
+      StructField("x", BooleanType), StructField("y", LongType),
+      StructField("z", StringType)))
+    check(s, dt, Seq(
+      (Row(true, 1L, "kikka"), true, Set.empty),
+      (Row(true, null, "kikka"), true, Set.empty), // :y optional
+      (Row(true, 1L, null), false,
+        Set(("z", "z", ErrorKeys.MissingKey))),
+      (null, false, Set(("", "", ErrorKeys.InvalidType)))))
+  }
+
+  // F4: closed map + extra key → ::extra-key
+  test("F4 closed map: extra-key") {
+    val s = S.map(closed = true)("x" -> S.boolean)
+    val dt = StructType(Seq(
+      StructField("x", BooleanType), StructField("extra", StringType)))
+    // physical column `extra` present and non-null → ::m/extra-key
+    check(s, dt, Seq(
+      (Row(true, null), true, Set.empty),
+      (Row(true, "boom"), false, Set(("extra", "extra", ErrorKeys.ExtraKey)))))
+  }
+
+  // F5: [:map-of :string :int] with :min/:max → ::limits
+  test("F5 map-of: key/value schemas + entry-count limits") {
+    val s = S.mapOf(S.string, S.int, min = Some(1), max = Some(2))
+    val dt = MapType(StringType, LongType)
+    check(s, dt, Seq(
+      (Map("a" -> 1L), true, Set.empty),
+      (Map.empty[String, Long], false, Set(("", "", ErrorKeys.Limits))),
+      (Map("a" -> 1L, "b" -> 2L, "c" -> 3L), false,
+        Set(("", "", ErrorKeys.Limits)))))
+  }
+
+  // F6: [:vector {:max 3} [:and int? [:or pos-int? neg-int?]]]
+  test("F6 vector: element errors carry runtime indices; limits") {
+    val s = S.vector(S.and(S.int, S.or(S.posInt, S.negInt)), max = Some(3))
+    val dt = ArrayType(LongType)
+    check(s, dt, Seq(
+      (Seq(-1L), true, Set.empty),
+      (Seq(-1L, 1L, 2L), true, Set.empty),
+      (Seq(-1L, 0L, 2L), false,
+        Set(("0/1/0", "1", ":int"), ("0/1/1", "1", ":int"))),
+      (Seq(-1L, -1L, -1L, -1L), false, Set(("", "", ErrorKeys.Limits)))))
+  }
+
+  // F7: [:tuple :keyword :string number?] wrong size → ::tuple-size
+  test("F7 tuple: size + positional checks") {
+    val s = S.tuple(S.string, S.string)
+    val dt = ArrayType(StringType)
+    check(s, dt, Seq(
+      (Seq("a", "b"), true, Set.empty),
+      (Seq("a"), false, Set(("", "", ErrorKeys.TupleSize)))))
+  }
+
+  // F8: enum membership; maybe nil
+  test("F8 enum + maybe") {
+    val e = S.enum_("en", "de", "fr")
+    check(e, StringType, Seq(
+      ("en", true, Set.empty),
+      ("xx", false, Set(("", "", ":enum"))),
+      (null, false, Set(("", "", ":enum")))))
+    val m = S.maybe(S.enum_("en", "de"))
+    check(m, StringType, Seq(
+      (null, true, Set.empty),
+      ("en", true, Set.empty),
+      ("xx", false, Set(("0", "", ":enum")))))
+  }
+
+  // F9: :re partial-match (re-find) semantics — NOT anchored
+  test("F9 regex: partial match like malli re-find") {
+    val s = S.re("ab+c")
+    check(s, StringType, Seq(
+      ("xxabbcyy", true, Set.empty), // partial match suffices
+      ("abc", true, Set.empty),
+      ("ac", false, Set(("", "", ":re")))))
+    // anchored pattern stays anchored
+    val anchored = S.re("^https?://[^\\s]+$")
+    check(anchored, StringType, Seq(
+      ("https://example.com/x", true, Set.empty),
+      ("ftp://example.com", false, Set(("", "", ":re"))),
+      ("https://bad url", false, Set(("", "", ":re")))))
+  }
+
+  // F10: :multi dispatch
+  test("F10 multi: dispatch + invalid-dispatch-value") {
+    val s = S.multi("type")(
+      "a" -> S.mapE(false, S.req("type", S.string), S.req("n", S.posInt)),
+      "b" -> S.mapE(false, S.req("type", S.string), S.req("s", S.string)))
+    val dt = StructType(Seq(
+      StructField("type", StringType), StructField("n", LongType),
+      StructField("s", StringType)))
+    check(s, dt, Seq(
+      (Row("a", 5L, null), true, Set.empty),
+      (Row("b", null, "hi"), true, Set.empty),
+      (Row("a", 0L, null), false, Set(("a/n", "n", ":int"))),
+      (Row("zz", 1L, "x"), false, Set(("", "", ErrorKeys.InvalidDispatch)))))
+  }
+
+  test("not / compare / some / nil / uuid leaves") {
+    check(S.not(S.posInt), LongType, Seq(
+      (0L, true, Set.empty),
+      (5L, false, Set(("", "", ":not")))))
+    check(S.gt(3L), LongType, Seq(
+      (4L, true, Set.empty), (3L, false, Set(("", "", ":>")))))
+    check(S.uuid, StringType, Seq(
+      ("123e4567-e89b-12d3-a456-426614174000", true, Set.empty),
+      ("nope", false, Set(("", "", ":uuid")))))
+  }
+
+  test("set uniqueness; every bounded checks") {
+    check(S.set(S.int), ArrayType(LongType), Seq(
+      (Seq(1L, 2L), true, Set.empty),
+      (Seq(1L, 1L), false, Set(("", "", ErrorKeys.DuplicateKey)))))
+    // :every with limit 2 checks only the first 2 elements
+    check(S.every(S.posInt, limit = 2), ArrayType(LongType), Seq(
+      (Seq(1L, 2L, -5L), true, Set.empty), // -5 beyond bounded window
+      (Seq(-1L, 2L, 3L), false, Set(("0", "0", ":int")))))
+  }
+
+  // F13 (bounded tier): seq-regex over arrays
+  test("F13 seq-regex bounded: star/cat/catn/alt/repeat") {
+    check(S.star(S.int), ArrayType(LongType), Seq(
+      (Seq(1L, 2L, 3L), true, Set.empty),
+      (Seq.empty[Long], true, Set.empty),
+      (Seq(1L, null, 3L), false, Set(("0", "1", ":int")))))
+    check(S.cat(S.string, S.string), ArrayType(StringType), Seq(
+      (Seq("a", "b"), true, Set.empty),
+      (Seq("a"), false, Set(("", "", ErrorKeys.EndOfInput))),
+      (Seq("a", "b", "c"), false, Set(("", "", ErrorKeys.InputRemaining)))))
+    check(S.catn("prop" -> S.string, "val" -> S.alt(S.string, S.boolean)),
+      ArrayType(StringType), Seq(
+        (Seq("-p", "x"), true, Set.empty)))
+    check(S.repeat(S.int, 1, 2), ArrayType(LongType), Seq(
+      (Seq(1L), true, Set.empty),
+      (Seq(1L, 2L, 3L), false, Set(("", "", ErrorKeys.Limits)))))
+    check(S.plus(S.int), ArrayType(LongType), Seq(
+      (Seq.empty[Long], false, Set(("", "", ErrorKeys.Limits)))))
+  }
+
+  test("RowEval general seq-regex: [:* [:catn [:prop string?] [:val ...]]]") {
+    // perf_test.cljc:345-349 — the general backtracking case (tier 3):
+    // evaluated by the RowEval escape hatch, not the bounded compiler.
+    val s = S.star(S.catn("prop" -> S.re("^-"),
+      "val" -> S.alt(S.re("^[^-]"), S.boolean)))
+    assert(RowEval.validate(s, Seq("-p", "x", "-q", "y")))
+    assert(!RowEval.validate(s, Seq("-p", "x", "-q")))
+    assert(RowEval.validate(s, Seq.empty[String]))
+  }
+
+  test("schema form + getIn + fold") {
+    val s = S.map(closed = true)("x" -> S.int, "ys" -> S.vector(S.string))
+    assert(SchemaIR.form(s).startsWith("[:map {:closed true}"))
+    assert(SchemaIR.getIn(s, Seq("ys", "0")) === Some(SString(None, None)))
+    val leafCount = SchemaIR.fold(s, 0) { (n, _) => n + 1 }
+    assert(leafCount === 4) // map, int, vector, string
+  }
+}

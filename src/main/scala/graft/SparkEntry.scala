@@ -1,13 +1,660 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.S
+import mallispark.ir.SchemaIR
+import mallispark.compile.{SchemaCompiler, Transform}
+import mallispark.checks.TableChecks
+import mallispark.run.{ValidationJob, WebPages}
+import mallispark.text.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §4.
+  *
+  * Every SQL-expressible operator gets BOTH a `queries` entry (the engine)
+  * and an `oracleSql` entry (DuckDB ground truth on the same parquet).
+  * Cross-engine determinism rules used throughout:
+  *  - hashes are md5-derived (never engine-private hash functions)
+  *  - aggregates are exact integers, or doubles rounded to 4-6 dp
+  *  - every output is ORDER BY'd on non-null keys
+  *  - timestamps never appear in outputs (only in predicates)
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def pages(s: SparkSession, dir: String): DataFrame =
+    WebPages.derive(t(s, dir, "documents"))
+
+  /** Portable logical partition: md5-derived hash of url, mod 32. */
+  private def partId(url: Column): Column = TextOps.h32(url) % 32
+
+  implicit private val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+
+  /** Flagship: per-partition pass/fail verdicts of the web-pages
+    * validation on sf=0.001. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("web_verdicts")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------
+  // dirty variants with deterministic violation injections (identical
+  // CASE logic lives in the oracle SQL)
+  // ------------------------------------------------------------------
+
+  private def dirtyLineitem(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+    val k = F.col("l_orderkey")
+    li.withColumn("l_quantity",
+        F.when(k % 97 === 5, -F.col("l_quantity")).otherwise(F.col("l_quantity")))
+      .withColumn("l_returnflag",
+        F.when(k % 89 === 7, F.lit("X")).otherwise(F.col("l_returnflag")))
+      .withColumn("l_shipdate",
+        F.when(k % 101 === 11, F.lit(java.sql.Timestamp.valueOf("2031-01-01 00:00:00")))
+          .otherwise(F.col("l_shipdate")))
+  }
+
+  private val lineitemSchema: SchemaIR = S.map(
+    "l_orderkey" -> S.intMin(1L),
+    "l_quantity" -> S.double(1.0, 50.0),
+    "l_returnflag" -> S.enum_("A", "N", "R"),
+    "l_linestatus" -> S.enum_("O", "F"),
+    "l_shipdate" -> S.instant(
+      min = Some(java.time.Instant.parse("1990-01-01T00:00:00Z")),
+      max = Some(java.time.Instant.parse("2010-01-01T00:00:00Z"))))
+
+  private def dirtyEvents(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val k = F.col("event_id")
+    ev.withColumn("event_type",
+        F.when(k % 101 === 13, F.lit("bogus")).otherwise(F.col("event_type")))
+      .withColumn("value",
+        F.when(k % 103 === 17, F.lit(-1.0)).otherwise(F.col("value")))
+      .withColumn("ts",
+        F.when(k % 107 === 19, F.lit(java.sql.Timestamp.valueOf("2030-01-01 00:00:00")))
+          .otherwise(F.col("ts")))
+  }
+
+  private val eventsSchema: SchemaIR = S.map(
+    "event_id" -> S.intMin(0L),
+    "ts" -> S.instant(
+      min = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")),
+      max = Some(java.time.Instant.parse("2024-02-01T00:00:00Z"))),
+    "event_type" -> S.enum_("view", "click", "signup", "purchase", "error"),
+    "value" -> S.double(0.0, 1e9))
+
+  // ------------------------------------------------------------------
+  // queries
+  // ------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- web-pages validation core (malli validate/explain) ----
+    "web_verdicts" -> ((s, dir) => {
+      val p = SchemaCompiler.validateDF(WebPages.schema, pages(s, dir), "valid")
+        .withColumn("part_id", partId(F.col("url")))
+      p.groupBy("part_id").agg(
+          F.count(F.lit(1)).as("n_rows"),
+          F.sum(F.when(F.col("valid"), 1L).otherwise(0L)).as("valid_rows"))
+        .withColumn("pass", F.col("n_rows") === F.col("valid_rows"))
+        .orderBy("part_id")
+    }),
+
+    "web_violations" -> ((s, dir) =>
+      SchemaCompiler.violationsDF(WebPages.schema, pages(s, dir),
+          Seq("doc_id", "url"))
+        .select("doc_id", "url", "schema_path", "error_key")
+        .orderBy("doc_id", "schema_path")),
+
+    "web_unique_url" -> ((s, dir) =>
+      TableChecks.duplicates(pages(s, dir), "url").orderBy("url")),
+
+    "web_dup_rows" -> ((s, dir) =>
+      TableChecks.duplicateRows(pages(s, dir), "url", "warc_ts")
+        .select("doc_id", "url").orderBy("doc_id")),
+
+    "web_ref_orphans" -> ((s, dir) => {
+      val p = pages(s, dir)
+      val prev = p.where(F.col("doc_id") % 97 =!= 3)
+      TableChecks.orphans(p, "url", prev, "url")
+        .select("doc_id", "url").orderBy("doc_id")
+    }),
+
+    "web_byte_identity" -> ((s, dir) => {
+      val p = pages(s, dir)
+      val prev = p.withColumn("text",
+        F.when(F.col("doc_id") % 97 === 5, F.concat(F.col("text"), F.lit("X")))
+          .otherwise(F.col("text")))
+      TableChecks.byteIdentityViolations(p, prev, "doc_id", "text")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- row validation over driver tables ----
+    "v_lineitem_violations" -> ((s, dir) =>
+      SchemaCompiler.violationsDF(lineitemSchema, dirtyLineitem(s, dir),
+          Seq("l_orderkey", "l_linenumber"))
+        .select("l_orderkey", "l_linenumber", "schema_path", "error_key")
+        .orderBy("l_orderkey", "l_linenumber", "schema_path")),
+
+    "v_events_violations" -> ((s, dir) =>
+      SchemaCompiler.violationsDF(eventsSchema, dirtyEvents(s, dir),
+          Seq("event_id"))
+        .select("event_id", "schema_path", "error_key")
+        .orderBy("event_id", "schema_path")),
+
+    // ---- column stats / uniqueness / referential on driver tables ----
+    "stats_orders" -> ((s, dir) =>
+      TableChecks.columnStats(t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey"))
+        .select("column_name", "cnt", "null_cnt", "min_val", "max_val")
+        .orderBy("column_name")),
+
+    "nulls_lineitem" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      TableChecks.nullCounts(li, li.columns.toSeq).orderBy("column_name")
+    }),
+
+    "unique_orders" -> ((s, dir) =>
+      TableChecks.duplicates(t(s, dir, "orders"), "o_orderkey")
+        .orderBy("o_orderkey")),
+
+    "ref_lineitem_orders" -> ((s, dir) =>
+      TableChecks.orphans(t(s, dir, "lineitem"), "l_orderkey",
+          t(s, dir, "orders"), "o_orderkey", broadcastParent = true)
+        .groupBy("l_orderkey").agg(F.count(F.lit(1)).as("orphan_rows"))
+        .orderBy("l_orderkey")),
+
+    // ---- aggregation / join plumbing ----
+    "q1_agg" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").as("sum_qty"),
+          F.count(F.lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "join_priority_counts" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(F.broadcast(t(s, dir, "orders")),
+          F.col("l_orderkey") === F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("o_orderpriority")),
+
+    // ---- distribution drift ----
+    "drift_lang_freqs" -> ((s, dir) =>
+      t(s, dir, "documents").groupBy("lang").agg(
+          F.sum(F.when(F.col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ra"),
+          F.sum(F.when(F.col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("rb"))
+        .orderBy("lang")),
+
+    "drift_chisq_lang" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      TableChecks.chiSquare(
+          d.where(F.col("doc_id") % 2 === 0),
+          d.where(F.col("doc_id") % 2 === 1), "lang")
+        .select(F.round(F.col("statistic"), 4).as("statistic"),
+          F.col("dof"), F.col("n_a"), F.col("n_b"))
+    }),
+
+    "drift_ks_value" -> ((s, dir) =>
+      TableChecks.ksExact(t(s, dir, "events"), "value",
+        F.col("event_id") % 2 === 0)),
+
+    // ---- transformers (decode / coerce) ----
+    "decode_strings" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR.{SInt, SBoolean}
+      val id = F.col("doc_id")
+      val src = t(s, dir, "documents").select(
+        id,
+        F.when(id % 10 === 0, F.concat(F.lit("x"), id.cast(StringType)))
+          .otherwise(id.cast(StringType)).as("s_int"),
+        F.when(id % 7 === 0, F.lit("true")).when(id % 7 === 1, F.lit("false"))
+          .otherwise(F.lit("maybe")).as("s_bool"),
+        F.when(id % 5 === 0, F.lit("")).otherwise(F.lit("v")).as("s_str"))
+      src.select(id,
+          Transform.decode(SInt(), F.col("s_int"), StringType,
+            Transform.StringMode).as("d_int"),
+          Transform.decode(SBoolean, F.col("s_bool"), StringType,
+            Transform.StringMode).as("d_bool"),
+          Transform.emptyStringToNull(F.col("s_str")).as("d_str"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- dedup family over pages ----
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDupGroups(pages(s, dir), "doc_id", "text")
+        .select("text_hash", "dup_cnt").orderBy("text_hash")),
+
+    "dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLSH(pages(s, dir).where(F.length(F.col("text")) > 0),
+          "doc_id", "text", k = 8, bands = 4, n = 3)
+        .select(F.col("band").cast(LongType).as("band"),
+          F.col("band_key"), F.col("dup_cnt"))
+        .orderBy("band", "band_key")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashCandidates(
+          pages(s, dir).where(F.length(F.col("text")) > 0), "doc_id", "text")
+        .select("half", "half_key", "dup_cnt")
+        .orderBy("half", "half_key")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(pages(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.9)
+        .select("id_a", "id_b", "inter", "sz_a", "sz_b")
+        .orderBy("id_a", "id_b")),
+
+    // ---- similarity search over embeddings ----
+    "ann_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(F.col("vec_id") >= 10)
+      val qs = emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
+      Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+          qs, "query_id", "qe", k = 5)
+        .select(F.col("query_id"), F.col("vec_id"),
+          F.col("rank").cast(LongType).as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed ANN — scale path; rows-only check (no oracle)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(F.col("vec_id") >= 10)
+      val qs = emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
+      Similarity.annTopK(corpus, "vec_id", "embedding",
+          qs, "query_id", "qe", k = 5, planes = 4)
+        .select(F.col("query_id"), F.col("vec_id"),
+          F.col("rank").cast(LongType).as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- text analysis over documents ----
+    "lang_id" -> ((s, dir) =>
+      t(s, dir, "documents").select(F.col("doc_id"),
+          TextOps.langId(F.col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      t(s, dir, "documents").select(F.col("doc_id"),
+          TextOps.qualityFeatures(F.col("text")).as("q"))
+        .select(F.col("doc_id"), F.col("q.n_chars").as("n_chars"),
+          F.col("q.n_tokens").as("n_tokens"),
+          F.col("q.punct_cnt").as("punct_cnt"),
+          F.col("q.stop_cnt").as("stop_cnt"),
+          F.col("q.mean_tok_len_x1000").as("mean_tok_len_x1000"))
+        .orderBy("doc_id")),
+
+    "token_counts" -> ((s, dir) =>
+      t(s, dir, "documents").select(F.col("doc_id"),
+          TextOps.tokenCount(F.col("text")).cast(LongType).as("ws_tokens"),
+          TextOps.bpeTokenCount(F.col("text")).cast(LongType).as("bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(F.col("doc_id"),
+          TextOps.fingerprint(F.col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ---- multimodal plumbing (STUB decode; rows-only check) ----
+    "multimodal_features" -> ((s, dir) => {
+      val p = pages(s, dir)
+      val meta = p.select(F.col("doc_id"),
+        Multimodal.mediaMetadata(F.col("html")).as("m"))
+        .select(F.col("doc_id"), F.col("m.n_bytes").as("n_bytes"),
+          F.col("m.kind").as("kind"))
+      val feats = Multimodal.extractFeatures(p, "doc_id", "html", dims = 4)
+        .toDF().select(F.col("doc_id"),
+          F.col("features").getItem(0).as("f0"))
+      meta.join(feats, "doc_id").orderBy("doc_id")
+    }),
+
+    // HLL distinct + sketch stats — rows-only (approx algorithms differ
+    // from DuckDB's; exactness asserted separately in unit tests)
+    "stats_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+          F.approx_count_distinct(F.col("l_orderkey")).as("approx_orders"),
+          F.approx_count_distinct(F.col("l_partkey")).as("approx_parts"))
+        .select(F.col("approx_orders"), F.col("approx_parts")))
+  )
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles
+  // ------------------------------------------------------------------
+
+  private val P = WebPages.OracleCte // WITH base AS (...), pages AS (...)
+
+  /** Portable hash in DuckDB. */
+  private def dh32(e: String) = s"('0x' || substring(md5($e),1,8))::BIGINT"
+
+  private val validSql =
+    """regexp_matches(url, '^https?://[^\s]+$')
+      | AND warc_ts >= TIMESTAMP '2025-01-01 00:00:00'
+      | AND warc_ts <= TIMESTAMP '2026-05-01 00:00:00'
+      | AND length(text) >= 1
+      | AND lang IN ('en','de','fr','es','zh')""".stripMargin.replace("\n", "")
+
+  private val shinglesCte =
+    """toks AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      |  FROM pages WHERE length(text) > 0),
+      |sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    range(0, greatest(len(w)-2, 0)),
+      |    i -> array_to_string(w[(i+1):(i+3)], ' ')))) AS s
+      |  FROM toks)""".stripMargin
+
+  private def langIdSql: String = {
+    val scores = TextOps.Markers.map { case (lang, ws) =>
+      val inList = ws.map(w => s"'$w'").mkString(", ")
+      s"len(list_filter(w, t -> t IN ($inList))) AS s_$lang"
+    }.mkString(",\n    ")
+    val maxE = TextOps.Markers.map(m => s"s_${m._1}")
+      .reduce((a, b) => s"greatest($a, $b)")
+    val cases = TextOps.Markers.map { case (lang, _) =>
+      s"WHEN s_$lang = m AND m > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $scores
+       |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+       |        FROM documents)),
+       |m AS (SELECT doc_id, $maxE AS m, * FROM scored)
+       |SELECT doc_id, CASE $cases ELSE 'und' END AS lang_pred
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+
+    "web_verdicts" ->
+      s"""$P
+         |SELECT ${dh32("url")} % 32 AS part_id,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+         |  count(*) = sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS pass
+         |FROM pages GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "web_violations" ->
+      s"""$P
+         |SELECT doc_id, url, 'url' AS schema_path, ':re' AS error_key
+         |  FROM pages WHERE NOT regexp_matches(url, '^https?://[^\\s]+$$')
+         |UNION ALL
+         |SELECT doc_id, url, 'warc_ts', ':time/instant' FROM pages
+         |  WHERE warc_ts < TIMESTAMP '2025-01-01 00:00:00'
+         |     OR warc_ts > TIMESTAMP '2026-05-01 00:00:00'
+         |UNION ALL
+         |SELECT doc_id, url, 'text', ':string' FROM pages WHERE length(text) < 1
+         |UNION ALL
+         |SELECT doc_id, url, 'lang', ':enum' FROM pages
+         |  WHERE lang NOT IN ('en','de','fr','es','zh')
+         |ORDER BY doc_id, schema_path""".stripMargin,
+
+    "web_unique_url" ->
+      s"""$P
+         |SELECT url, CAST(count(*) AS BIGINT) AS dup_cnt FROM pages
+         |GROUP BY url HAVING count(*) > 1 ORDER BY url""".stripMargin,
+
+    "web_dup_rows" ->
+      s"""$P,
+         |r AS (SELECT doc_id, url,
+         |  row_number() OVER (PARTITION BY url ORDER BY warc_ts) AS rn
+         |  FROM pages)
+         |SELECT doc_id, url FROM r WHERE rn > 1 ORDER BY doc_id""".stripMargin,
+
+    "web_ref_orphans" ->
+      s"""$P,
+         |prev AS (SELECT * FROM pages WHERE doc_id % 97 <> 3)
+         |SELECT p.doc_id, p.url FROM pages p
+         |WHERE NOT EXISTS (SELECT 1 FROM prev WHERE prev.url = p.url)
+         |ORDER BY p.doc_id""".stripMargin,
+
+    "web_byte_identity" ->
+      s"""$P,
+         |prev AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 97 = 5 THEN text || 'X' ELSE text END AS text
+         |  FROM pages)
+         |SELECT p.doc_id FROM pages p JOIN prev ON p.doc_id = prev.doc_id
+         |WHERE md5(p.text) <> md5(prev.text) ORDER BY p.doc_id""".stripMargin,
+
+    "v_lineitem_violations" ->
+      s"""WITH dirty AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CASE WHEN l_orderkey % 97 = 5 THEN -l_quantity ELSE l_quantity END AS q,
+         |    CASE WHEN l_orderkey % 89 = 7 THEN 'X' ELSE l_returnflag END AS rf,
+         |    l_linestatus AS ls,
+         |    CASE WHEN l_orderkey % 101 = 11 THEN TIMESTAMP '2031-01-01 00:00:00'
+         |         ELSE l_shipdate END AS sd
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, 'l_orderkey' AS schema_path,
+         |       ':int' AS error_key FROM dirty WHERE l_orderkey < 1
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, 'l_quantity', ':double'
+         |  FROM dirty WHERE q < 1.0 OR q > 50.0
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, 'l_returnflag', ':enum' FROM dirty
+         |  WHERE rf NOT IN ('A','N','R')
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, 'l_linestatus', ':enum' FROM dirty
+         |  WHERE ls NOT IN ('O','F')
+         |UNION ALL
+         |SELECT l_orderkey, l_linenumber, 'l_shipdate', ':time/instant' FROM dirty
+         |  WHERE sd < TIMESTAMP '1990-01-01 00:00:00'
+         |     OR sd > TIMESTAMP '2010-01-01 00:00:00'
+         |ORDER BY l_orderkey, l_linenumber, schema_path""".stripMargin,
+
+    "v_events_violations" ->
+      s"""WITH dirty AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 101 = 13 THEN 'bogus' ELSE event_type END AS et,
+         |    CASE WHEN event_id % 103 = 17 THEN -1.0 ELSE value END AS v,
+         |    CASE WHEN event_id % 107 = 19 THEN TIMESTAMP '2030-01-01 00:00:00'
+         |         ELSE ts END AS tts
+         |  FROM events)
+         |SELECT event_id, 'event_type' AS schema_path, ':enum' AS error_key
+         |  FROM dirty WHERE et NOT IN ('view','click','signup','purchase','error')
+         |UNION ALL
+         |SELECT event_id, 'value', ':double' FROM dirty
+         |  WHERE v < 0.0 OR v > 1000000000.0
+         |UNION ALL
+         |SELECT event_id, 'ts', ':time/instant' FROM dirty
+         |  WHERE tts < TIMESTAMP '2024-01-01 00:00:00'
+         |     OR tts > TIMESTAMP '2024-02-01 00:00:00'
+         |ORDER BY event_id, schema_path""".stripMargin,
+
+    "stats_orders" -> Seq("o_custkey", "o_orderkey").map { c =>
+      s"""SELECT '$c' AS column_name, CAST(count($c) AS BIGINT) AS cnt,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+         |  CAST(min($c) AS VARCHAR) AS min_val, CAST(max($c) AS VARCHAR) AS max_val
+         |FROM orders""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "nulls_lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey",
+      "l_linenumber", "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+      "l_returnflag", "l_linestatus", "l_shipdate").map { c =>
+      s"""SELECT '$c' AS column_name,
+         |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_cnt,
+         |  CAST(count(*) AS BIGINT) AS total FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name"),
+
+    "unique_orders" ->
+      """SELECT o_orderkey, CAST(count(*) AS BIGINT) AS dup_cnt FROM orders
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "ref_lineitem_orders" ->
+      """SELECT l_orderkey, CAST(count(*) AS BIGINT) AS orphan_rows
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "join_priority_counts" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "drift_lang_freqs" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS rb
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "drift_chisq_lang" ->
+      """WITH fa AS (SELECT lang, count(*) AS ra FROM documents
+        |            WHERE doc_id % 2 = 0 GROUP BY 1),
+        |fb AS (SELECT lang, count(*) AS rb FROM documents
+        |       WHERE doc_id % 2 = 1 GROUP BY 1),
+        |cells AS (SELECT COALESCE(ra, 0) AS ra, COALESCE(rb, 0) AS rb
+        |          FROM fa FULL OUTER JOIN fb USING(lang)),
+        |tots AS (SELECT CAST(sum(ra) AS BIGINT) AS na,
+        |                CAST(sum(rb) AS BIGINT) AS nb,
+        |                CAST(count(*) AS BIGINT) AS k FROM cells)
+        |SELECT round(sum(pow(sqrt(nb * 1.0 / na) * ra
+        |                   - sqrt(na * 1.0 / nb) * rb, 2) / (ra + rb)), 4)
+        |         AS statistic,
+        |  max(k) - 1 AS dof, max(na) AS n_a, max(nb) AS n_b
+        |FROM cells, tots""".stripMargin,
+
+    "drift_ks_value" ->
+      """WITH g AS (SELECT value AS v,
+        |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS db
+        |  FROM events GROUP BY value),
+        |tot AS (SELECT CAST(sum(da) AS BIGINT) AS na,
+        |               CAST(sum(db) AS BIGINT) AS nb FROM g),
+        |cum AS (SELECT sum(da) OVER (ORDER BY v) AS ca,
+        |               sum(db) OVER (ORDER BY v) AS cb FROM g)
+        |SELECT round(max(abs(ca * 1.0 / (SELECT na FROM tot)
+        |                   - cb * 1.0 / (SELECT nb FROM tot))), 6) AS ks_stat,
+        |  (SELECT na FROM tot) AS n_a, (SELECT nb FROM tot) AS n_b
+        |FROM cum""".stripMargin,
+
+    "decode_strings" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+        |       ELSE CAST(doc_id AS VARCHAR) END AS s_int,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'true'
+        |       WHEN doc_id % 7 = 1 THEN 'false' ELSE 'maybe' END AS s_bool,
+        |  CASE WHEN doc_id % 5 = 0 THEN '' ELSE 'v' END AS s_str
+        |  FROM documents)
+        |SELECT doc_id, TRY_CAST(s_int AS BIGINT) AS d_int,
+        |  CASE WHEN s_bool = 'true' THEN true
+        |       WHEN s_bool = 'false' THEN false ELSE NULL END AS d_bool,
+        |  NULLIF(s_str, '') AS d_str
+        |FROM src ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      s"""$P
+         |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_cnt
+         |FROM pages GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "dedup_minhash_lsh" ->
+      s"""$P,
+         |$shinglesCte,
+         |mins AS (
+         |  SELECT doc_id, seed,
+         |    min(${dh32("CAST(seed AS VARCHAR) || ':' || s")}) AS mh
+         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |sigs AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed) AS band_key
+         |  FROM mins GROUP BY doc_id, seed // 2)
+         |SELECT band, band_key, CAST(count(*) AS BIGINT) AS dup_cnt
+         |FROM sigs GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""".stripMargin,
+
+    "dedup_simhash" ->
+      s"""$P,
+         |toks AS (SELECT doc_id,
+         |    unnest(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS t
+         |  FROM pages WHERE length(text) > 0),
+         |bits AS (SELECT doc_id, b.bit,
+         |   sum(CASE WHEN CAST(floor(${dh32("'hi:' || t")} / pow(2, b.bit)) AS BIGINT) % 2 = 1
+         |            THEN 1 ELSE -1 END) AS v_hi,
+         |   sum(CASE WHEN CAST(floor(${dh32("'lo:' || t")} / pow(2, b.bit)) AS BIGINT) % 2 = 1
+         |            THEN 1 ELSE -1 END) AS v_lo
+         |  FROM toks CROSS JOIN (SELECT unnest(range(32)) AS bit) b GROUP BY 1, 2),
+         |packed AS (SELECT doc_id,
+         |    CAST(sum(CASE WHEN v_hi > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS hi,
+         |    CAST(sum(CASE WHEN v_lo > 0 THEN CAST(pow(2, bit) AS BIGINT) ELSE 0 END) AS BIGINT) AS lo
+         |  FROM bits GROUP BY 1),
+         |cands AS (
+         |  SELECT 'hi' AS half, hi AS half_key, CAST(count(*) AS BIGINT) AS dup_cnt
+         |    FROM packed GROUP BY 2 HAVING count(*) > 1
+         |  UNION ALL
+         |  SELECT 'lo', lo, CAST(count(*) AS BIGINT) FROM packed
+         |    GROUP BY 2 HAVING count(*) > 1)
+         |SELECT half, half_key, dup_cnt FROM cands ORDER BY half, half_key""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""$P,
+         |$shinglesCte,
+         |sizes AS (SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS sz
+         |          FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
+         |FROM pairs JOIN sizes sa ON sa.doc = id_a JOIN sizes sb ON sb.doc = id_b
+         |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.9
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "ann_cosine_topk" ->
+      """WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        |      WHERE vec_id < 10),
+        |scored AS (SELECT query_id, vec_id,
+        |  list_sum(list_transform(list_zip(embedding, qe),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+        |  / (sqrt(list_sum(list_transform(embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |   * sqrt(list_sum(list_transform(qe,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM corpus, q),
+        |ranked AS (SELECT query_id, vec_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+        |    AS rank FROM scored)
+        |SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "lang_id" -> langIdSql,
+
+    "text_quality" -> {
+      val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(length(regexp_replace(text, '[^.,!?;:]', '', 'g')) AS BIGINT)
+         |    AS punct_cnt,
+         |  CAST(len(list_filter(w, t -> t IN ($stopList))) AS BIGINT) AS stop_cnt,
+         |  CAST(CAST(list_sum(list_transform(w, t -> length(t))) AS BIGINT)
+         |       * 1000 // len(w) AS BIGINT) AS mean_tok_len_x1000
+         |FROM toks ORDER BY doc_id""".stripMargin
+    },
+
+    "token_counts" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS BIGINT)
+         |    AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextOps.BpePattern}')) AS BIGINT)
+         |    AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "fingerprint" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    regexp_split_to_array(lower(text), '\\s+') AS w FROM documents)
+         |SELECT doc_id,
+         |  CAST(sum(o * ${dh32("t")}) AS BIGINT) AS fp
+         |FROM (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS o
+         |      FROM toks)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  )
 }

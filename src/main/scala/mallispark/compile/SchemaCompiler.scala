@@ -665,31 +665,39 @@ object SchemaCompiler {
     * uniformly; Catalyst's SimplifyExtractValueOps collapses
     * GetStructField(CreateStruct(...)) back to the raw column, so this
     * costs nothing in the physical plan. */
-  private def rowStruct(df: DataFrame): (Column, StructType) = {
-    val cols = df.columns.map(n => F.col(n).as(n))
-    (F.struct(cols.toIndexedSeq: _*), df.schema)
+  private def rowStruct(df: DataFrame,
+                        exclude: Set[String]): (Column, StructType) = {
+    val fields = df.schema.fields.filterNot(f => exclude(f.name))
+    val cols = fields.map(f => F.col(f.name).as(f.name))
+    (F.struct(cols.toIndexedSeq: _*), StructType(fields))
   }
 
-  /** `m/validate` over a DataFrame: adds a boolean `valid` column. */
-  def validateDF(ir: SchemaIR, df: DataFrame, outCol: String = "valid")(
+  /** `m/validate` over a DataFrame: adds a boolean `valid` column.
+    * `exclude` names engine-added bookkeeping columns (e.g. part_id) that
+    * a closed map must not see as extra keys. */
+  def validateDF(ir: SchemaIR, df: DataFrame, outCol: String = "valid",
+                 exclude: Set[String] = Set.empty)(
       implicit ctx: Ctx = Ctx()): DataFrame = {
-    val (row, st) = rowStruct(df)
+    val (row, st) = rowStruct(df, exclude + outCol)
     df.withColumn(outCol, valid(ir, row, st))
   }
 
   /** `m/explain` over a DataFrame: adds an `errors` array column
     * (empty ⇔ valid). */
-  def explainDF(ir: SchemaIR, df: DataFrame, outCol: String = "errors")(
+  def explainDF(ir: SchemaIR, df: DataFrame, outCol: String = "errors",
+                exclude: Set[String] = Set.empty)(
       implicit ctx: Ctx = Ctx()): DataFrame = {
-    val (row, st) = rowStruct(df)
+    val (row, st) = rowStruct(df, exclude + outCol)
     df.withColumn(outCol, errors(ir, row, st, "", F.lit("")))
   }
 
   /** Violation rows: one output row per error, keyed by `keyCols`
-    * (the explode/"UDTF" shape of SURVEY §2.12). */
-  def violationsDF(ir: SchemaIR, df: DataFrame, keyCols: Seq[String])(
+    * (the explode/"UDTF" shape of SURVEY §2.12). Key columns are excluded
+    * from the validated row. */
+  def violationsDF(ir: SchemaIR, df: DataFrame, keyCols: Seq[String],
+                   exclude: Set[String] = Set.empty)(
       implicit ctx: Ctx = Ctx()): DataFrame = {
-    val withErrs = explainDF(ir, df, "__errs")
+    val withErrs = explainDF(ir, df, "__errs", exclude)
     val exploded = withErrs
       .where(F.size(F.col("__errs")) > 0)
       .select(keyCols.map(F.col) :+ F.explode(F.col("__errs")).as("e"): _*)

@@ -1,0 +1,182 @@
+package mallispark.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.SchemaIR
+import mallispark.ir.SchemaIR._
+
+/** Transformer layer — malli's decode/encode
+  * (reference: /root/reference/src/malli/transform.cljc).
+  *
+  * malli transformers are per-schema-node value interceptors composed into
+  * closures (transform.cljc:16-52, 411-426); ours are `Column → Column`
+  * rewrites composed into one projection, so the whole decode is a single
+  * codegen'd `select`.
+  *
+  * Failure semantics: malli returns the INPUT unchanged when a coercion
+  * fails (e.g. -string->long, transform.cljc:60-69). A Spark column has one
+  * static type, so a failed cast cannot keep the original string in a long
+  * column: failures become null, and `coerce` (decode → validate) routes
+  * those rows to violations — the composition has the same accept/reject
+  * behavior as malli's coerce (core.cljc:2750-2774). Where source and target
+  * types already match, the transformer is elided (no-op decode costs
+  * nothing — malli protocol doc core.cljc:35-37).
+  */
+object Transform {
+
+  sealed trait Mode
+  /** `string-transformer` — decode strings into schema types
+    * (transform.cljc:428-443). */
+  case object StringMode extends Mode
+  /** `json-transformer` — JSON-native values stay; only non-JSON types
+    * (timestamps, uuids) decode from strings (transform.cljc:445-458). */
+  case object JsonMode extends Mode
+
+  /** ISO-8601 patterns accepted by -string->date (transform.cljc:137-159). */
+  private def toTs(c: Column): Column =
+    F.coalesce(
+      F.try_to_timestamp(c),
+      F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")),
+      F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+      F.try_to_timestamp(c, F.lit("yyyy-MM-dd")))
+
+  /** Decode one column to the schema's natural type.
+    * Elision: if `dt` already matches, return the column untouched. */
+  def decode(ir: SchemaIR, col: Column, dt: DataType, mode: Mode): Column =
+    ir match {
+      case SMaybe(c) => decode(c, col, dt, mode)
+      case SAnd(cs) if cs.nonEmpty => decode(cs.head, col, dt, mode)
+      case _: SInt =>
+        dt match {
+          case StringType if mode == StringMode =>
+            // -string->long (transform.cljc:60-69): failure → null (see note)
+            col.try_cast(LongType)
+          case ByteType | ShortType | IntegerType => col.cast(LongType)
+          case FloatType | DoubleType =>
+            // -number->long: only exact integrals (transform.cljc:99-103)
+            F.when(col === col.cast(LongType).cast(dt), col.cast(LongType))
+          case _ => col
+        }
+      case _: SDouble =>
+        dt match {
+          case StringType if mode == StringMode => col.try_cast(DoubleType)
+          case ByteType | ShortType | IntegerType | LongType | FloatType =>
+            col.cast(DoubleType)
+          case _ => col
+        }
+      case SBoolean =>
+        dt match {
+          case StringType if mode == StringMode =>
+            // -string->boolean: "true"/"false" ONLY (transform.cljc:108-113)
+            F.when(col === "true", true).when(col === "false", false)
+              .otherwise(F.lit(null).cast(BooleanType))
+          case _ => col
+        }
+      case _: STimestamp =>
+        dt match {
+          case StringType => toTs(col) // JSON carries dates as strings too
+          case _ => col
+        }
+      case _: SDate =>
+        dt match {
+          case StringType => F.try_to_timestamp(col).cast(DateType)
+          case TimestampType => col.cast(DateType)
+          case _ => col
+        }
+      case SUuid =>
+        dt match {
+          case StringType =>
+            // -string->uuid is regex-gated (transform.cljc:115-124)
+            F.when(col.rlike(
+              "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
+              col)
+          case _ => col
+        }
+      case _: SString =>
+        dt match {
+          case StringType => col
+          case _ if mode == StringMode => col.cast(StringType) // encode dir
+          case _ => col
+        }
+      case SSet(c, _, _) =>
+        // -sequential->set (transform.cljc:211-233) on ArrayType payloads
+        dt match {
+          case ArrayType(et, _) =>
+            F.array_distinct(F.transform(col, x => decode(c, x, et, mode)))
+          case _ => col
+        }
+      case SVector(c, _, _) =>
+        dt match {
+          case ArrayType(et, _) => F.transform(col, x => decode(c, x, et, mode))
+          case _ => col
+        }
+      case _ => col
+    }
+
+  /** "" → nil (-string->nil, transform.cljc:171-172); opt-in piece of the
+    * string transformer. */
+  def emptyStringToNull(col: Column): Column = F.nullif(col, F.lit(""))
+
+  /** Encode: schema type → string (transform.cljc date→string at 183-193). */
+  def encode(ir: SchemaIR, col: Column, dt: DataType): Column = ir match {
+    case _: STimestamp =>
+      F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    case _: SDate => F.date_format(col, "yyyy-MM-dd")
+    case SBinary => F.base64(col)
+    case _ if dt == StringType => col
+    case _ => col.cast(StringType)
+  }
+
+  /** Decode a whole DataFrame against a top-level :map schema. Unmatched
+    * (extra) columns pass through untouched — use stripExtraKeys to drop. */
+  def decodeDF(ir: SMap, df: DataFrame, mode: Mode): DataFrame = {
+    val bySchema = ir.entries.map(e => e.key -> e).toMap
+    val cols = df.schema.fields.toSeq.map { f =>
+      bySchema.get(f.name) match {
+        case Some(e) =>
+          val decoded = decode(e.child, F.col(f.name), f.dataType, mode)
+          // default-value-transformer (:default prop,
+          // transform.cljc:492-528): fill nulls with the declared default
+          val withDefault = e.default match {
+            case Some(d) => F.coalesce(decoded, F.lit(d))
+            case None => decoded
+          }
+          withDefault.as(f.name)
+        case None => F.col(f.name)
+      }
+    }
+    df.select(cols: _*)
+  }
+
+  /** strip-extra-keys-transformer (transform.cljc:460-483):
+    * keep only schema-declared columns. */
+  def stripExtraKeys(ir: SMap, df: DataFrame): DataFrame = {
+    val known = ir.entries.map(_.key).toSet
+    df.select(df.columns.filter(known).map(F.col).toIndexedSeq: _*)
+  }
+
+  /** key-transformer (transform.cljc:485-490): rename columns. */
+  def renameKeys(df: DataFrame, renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+
+  /** default-value-transformer over a whole frame. */
+  def fillDefaults(ir: SMap, df: DataFrame): DataFrame = {
+    val withDefaults = ir.entries.filter(_.default.nonEmpty)
+    withDefaults.foldLeft(df) { (d, e) =>
+      if (!d.columns.contains(e.key)) d
+      else d.withColumn(e.key, F.coalesce(F.col(e.key), F.lit(e.default.get)))
+    }
+  }
+
+  /** coerce = decode → validate → split (core.cljc:2750-2774): returns
+    * (accepted, rejected) without double-scanning logic at the caller. */
+  def coerce(ir: SMap, df: DataFrame, mode: Mode)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx())
+      : (DataFrame, DataFrame) = {
+    val decoded = decodeDF(ir, df, mode)
+    val flagged = SchemaCompiler.validateDF(ir, decoded, "__valid")
+    (flagged.where(F.col("__valid")).drop("__valid"),
+      flagged.where(!F.col("__valid")).drop("__valid"))
+  }
+}

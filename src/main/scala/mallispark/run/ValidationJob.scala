@@ -1,0 +1,107 @@
+package mallispark.run
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.SchemaIR
+import mallispark.compile.SchemaCompiler
+
+/** The validation job: per-row verdicts + violation rows + per-partition
+  * pass/fail manifest with resume (north rule, SURVEY §7 M4).
+  *
+  * Partitioning for resume: Spark's physical partition ids are not stable
+  * across runs/cluster sizes, so the manifest is keyed by a LOGICAL
+  * partition `part_id = pmod(xxhash64(key), nParts)` — stable, data-derived,
+  * identical at any parallelism. Resume anti-joins the input against the
+  * manifest's completed partitions (the manifest is tiny — broadcast).
+  *
+  * Scale: the verdict aggregation is a map-side-combined hash agg on
+  * `part_id` (one shuffle of nParts rows per executor); violations explode
+  * only from failing rows (typically a tiny fraction).
+  */
+object ValidationJob {
+
+  final case class Result(flagged: DataFrame, verdicts: DataFrame,
+                          violations: DataFrame)
+
+  /** Validate `df` against `schema`; key columns identify rows in the
+    * violation sink. */
+  def run(df: DataFrame, schema: SchemaIR, keyCols: Seq[String],
+          nParts: Int = 256)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): Result = {
+    val withPart = df.withColumn("part_id",
+      F.pmod(F.xxhash64(F.col(keyCols.head)), F.lit(nParts.toLong)))
+    val flagged = SchemaCompiler.validateDF(schema, withPart, "valid",
+      exclude = Set("part_id"))
+    val verdicts = flagged.groupBy("part_id").agg(
+      F.count(F.lit(1)).as("rows"),
+      F.sum(F.when(F.col("valid"), 1L).otherwise(0L)).as("valid_rows"),
+      F.min(F.col("valid")).as("pass"))
+    val violations = SchemaCompiler
+      .violationsDF(schema, withPart, keyCols :+ "part_id",
+        exclude = Set("part_id"))
+    Result(flagged, verdicts, violations)
+  }
+
+  private def manifestPath(dir: String) = s"$dir/manifest"
+  private def violationsPath(dir: String) = s"$dir/violations"
+
+  /** Completed part_ids for a run (empty frame when no manifest yet). */
+  def completedPartitions(spark: SparkSession, dir: String,
+                          runId: String): DataFrame = {
+    val p = manifestPath(dir)
+    try {
+      spark.read.parquet(p).where(F.col("run_id") === runId)
+        .select("part_id").distinct()
+    } catch {
+      case _: Throwable =>
+        spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](),
+          StructType(Seq(StructField("part_id", LongType))))
+    }
+  }
+
+  /** One resumable pass: skip partitions already in the manifest, validate
+    * the rest, append per-partition verdicts (lineage + metrics) and
+    * violation rows. Restart-safe: rerunning after a partial failure
+    * validates only the remaining partitions; union of manifest rows over
+    * all attempts equals the single-run result. */
+  def runResumable(spark: SparkSession, df: DataFrame, schema: SchemaIR,
+                   keyCols: Seq[String], dir: String, runId: String,
+                   nParts: Int = 256)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): DataFrame = {
+    val withPart = df.withColumn("part_id",
+      F.pmod(F.xxhash64(F.col(keyCols.head)), F.lit(nParts.toLong)))
+    val done = completedPartitions(spark, dir, runId)
+    val todo = withPart.join(F.broadcast(done), Seq("part_id"), "left_anti")
+
+    val flagged = SchemaCompiler.validateDF(schema, todo, "valid",
+      exclude = Set("part_id"))
+    val verdicts = flagged.groupBy("part_id").agg(
+      F.count(F.lit(1)).as("rows"),
+      F.sum(F.when(F.col("valid"), 1L).otherwise(0L)).as("valid_rows"),
+      F.min(F.col("valid")).as("pass"))
+      .withColumn("run_id", F.lit(runId))
+      .withColumn("committed_at", F.current_timestamp())
+
+    val violations = SchemaCompiler
+      .violationsDF(schema, todo, keyCols :+ "part_id",
+        exclude = Set("part_id"))
+      .withColumn("run_id", F.lit(runId))
+
+    violations.write.mode(SaveMode.Append).parquet(violationsPath(dir))
+    verdicts.write.mode(SaveMode.Append).parquet(manifestPath(dir))
+    spark.read.parquet(manifestPath(dir)).where(F.col("run_id") === runId)
+  }
+
+  /** Salted per-key aggregation for skewed keys (lang/host — SURVEY §4):
+    * two-phase count with a salt on the hot dimension so no single reducer
+    * owns a hot key. At 10^12 rows the first phase fans a hot lang across
+    * `salt` reducers; the second phase merges `salt` rows per key. */
+  def saltedCounts(df: DataFrame, key: String, salt: Int = 32): DataFrame =
+    df.groupBy(F.col(key),
+        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id()),
+          F.lit(salt.toLong)).as("__salt"))
+      .agg(F.count(F.lit(1)).as("__c"))
+      .groupBy(F.col(key)).agg(F.sum("__c").as("cnt"))
+}

@@ -556,10 +556,12 @@ object SparkEntry {
     "dedup_minhash_lsh" ->
       s"""$P,
          |$shinglesCte,
+         |hs AS (SELECT doc_id, ${dh32("s")} AS h FROM sh),
          |mins AS (
          |  SELECT doc_id, seed,
-         |    min(${dh32("CAST(seed AS VARCHAR) || ':' || s")}) AS mh
-         |  FROM sh CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+         |    min((h * (2 * seed + 1) + 99991 * seed)
+         |        % ${Dedup.MinhashP}) AS mh
+         |  FROM hs CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
          |  GROUP BY doc_id, seed),
          |sigs AS (
          |  SELECT doc_id, seed // 2 AS band,

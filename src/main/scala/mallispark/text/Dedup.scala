@@ -26,25 +26,38 @@ object Dedup {
         F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
 
-  /** MinHash signature: k seeded min-hashes over word `n`-gram shingles.
-    * Null/short docs → empty shingles → hash of empty set = max long. */
-  def minhashSignature(text: Column, k: Int, n: Int = 3): Column = {
-    val sh = F.array_distinct(shingles(text, n))
-    F.transform(F.sequence(F.lit(0), F.lit(k - 1)), seed =>
-      F.coalesce(
-        F.array_min(F.transform(sh, s => h32(seed, s))),
-        F.lit(Long.MaxValue)))
-  }
+  /** Modulus for the affine MinHash family: 2^61 - 1 (Mersenne prime).
+    * Base hashes are < 2^32 and multipliers < 2^8, so products never
+    * overflow a signed 64-bit long. */
+  val MinhashP: Long = 2305843009213693951L
+
+  /** Affine mix for seed s over a base hash column (universal-hash
+    * family): (h * (2s+1) + 99991 s) mod P. ONE md5 per shingle total;
+    * the k per-seed hashes are integer arithmetic. */
+  private def mix(h: Column, seed: Int): Column =
+    (h * F.lit(2L * seed + 1) + F.lit(99991L * seed)) % MinhashP
+
+  /** MinHash signature from a materialized array of base shingle hashes.
+    * Empty docs → min of empty = max long sentinel. */
+  private def signatureFromHashes(hs: Column, k: Int): Column =
+    F.array((0 until k).map(seed =>
+      F.coalesce(F.array_min(F.transform(hs, h => mix(h, seed))),
+        F.lit(Long.MaxValue))): _*)
 
   /** MinHash+LSH candidate pairs: signature → `bands` bands of `k/bands`
     * rows each → band bucket key → ids sharing a bucket.
     * Returns (band, band_key, dup_cnt, doc_ids) for buckets with >1 doc.
-    * One shuffle of (band_key, id); text never moves. */
+    * One shuffle of (band_key, id); text never moves. The base hashes are
+    * materialized in their own projection so Catalyst cannot inline the
+    * md5 work into each of the k seed lambdas. */
   def minhashLSH(df: DataFrame, id: String, text: String,
                  k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
     val rows = k / bands
-    val sig = df.select(F.col(id),
-      minhashSignature(F.col(text), k, n).as("sig"))
+    val hashed = df.select(F.col(id),
+      F.transform(F.array_distinct(shingles(F.col(text), n)),
+        s => h32(s)).as("hs"))
+    val sig = hashed.select(F.col(id),
+      signatureFromHashes(F.col("hs"), k).as("sig"))
     val banded = sig.select(F.col(id), F.explode(
       F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
         F.struct(b.as("band"),
@@ -59,41 +72,48 @@ object Dedup {
       .where(F.col("dup_cnt") > 1)
   }
 
-  /** 64-bit SimHash as two portable 32-bit halves (hi, lo). Each token
-    * votes ±1 on 32 bits of each half; bit i set iff the vote sum > 0. */
-  def simhash(text: Column): Column = {
-    val toks = F.array_distinct(tokens(text))
-    def half(tag: String): Column = {
-      // per-bit vote sums folded over tokens; bit extraction via
-      // floor(h / 2^i) % 2 (shift functions need static shift amounts,
-      // but i is a lambda variable — 2^i ≤ 2^31 is exact in double)
-      val votes = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0L), 32),
-        (acc, t) => {
-          val h = h32(F.lit(tag), t)
-          F.zip_with(acc, F.sequence(F.lit(0), F.lit(31)), (a, i) =>
-            a + F.when(
-              F.floor(h.cast(DoubleType) /
-                F.pow(F.lit(2.0), i.cast(DoubleType))).cast(LongType) % 2 === 1,
-              1L).otherwise(-1L))
-        })
-      F.aggregate(
-        F.zip_with(votes, F.sequence(F.lit(0), F.lit(31)), (v, i) =>
-          F.when(v > 0,
-            F.pow(F.lit(2.0), i.cast(DoubleType)).cast(LongType))
-            .otherwise(F.lit(0L))),
-        F.lit(0L), (acc, x) => acc + x)
-    }
-    F.struct(half("hi").as("hi"), half("lo").as("lo"))
+  /** Pack per-bit votes (array of 32 longs) into a 32-bit key: bit i set
+    * iff votes[i] > 0. Bit weights via 2^i in double (exact ≤ 2^31;
+    * shift functions need static amounts but i is a lambda variable). */
+  private def packBits(votes: Column): Column =
+    F.aggregate(
+      F.zip_with(votes, F.sequence(F.lit(0), F.lit(31)), (v, i) =>
+        F.when(v > 0,
+          F.pow(F.lit(2.0), i.cast(DoubleType)).cast(LongType))
+          .otherwise(F.lit(0L))),
+      F.lit(0L), (acc, x) => acc + x)
+
+  /** Per-bit ±1 vote sums folded over an array of base hashes. Bit
+    * extraction via floor(h / 2^i) % 2. */
+  private def voteBits(hs: Column): Column =
+    F.aggregate(
+      hs,
+      F.array_repeat(F.lit(0L), 32),
+      (acc, h) =>
+        F.zip_with(acc, F.sequence(F.lit(0), F.lit(31)), (a, i) =>
+          a + F.when(
+            F.floor(h.cast(DoubleType) /
+              F.pow(F.lit(2.0), i.cast(DoubleType))).cast(LongType) % 2 === 1,
+            1L).otherwise(-1L)))
+
+  /** 64-bit SimHash (two portable 32-bit halves) per document. Token
+    * hashes are materialized once per half (one md5 per token, not one
+    * per token×bit), then the 32 bit-votes are integer arithmetic. */
+  def simhashDF(df: DataFrame, id: String, text: String): DataFrame = {
+    val toks = F.array_distinct(tokens(F.col(text)))
+    val hashed = df.select(F.col(id),
+      F.transform(toks, t => h32(F.lit("hi"), t)).as("hhi"),
+      F.transform(toks, t => h32(F.lit("lo"), t)).as("hlo"))
+    hashed.select(F.col(id),
+      packBits(voteBits(F.col("hhi"))).as("hi"),
+      packBits(voteBits(F.col("hlo"))).as("lo"))
   }
 
   /** SimHash near-dup candidates: exact match on either 32-bit half
     * (standard block-permutation trick — a ≤32-bit-different pair shares a
     * half with high probability for small hamming distances). */
   def simhashCandidates(df: DataFrame, id: String, text: String): DataFrame = {
-    val withSig = df.select(F.col(id), simhash(F.col(text)).as("sh"))
-      .select(F.col(id), F.col("sh.hi").as("hi"), F.col("sh.lo").as("lo"))
+    val withSig = simhashDF(df, id, text)
     val byHalf = (half: String) => withSig.groupBy(F.col(half).as("half_key"))
       .agg(F.count(F.lit(1)).as("dup_cnt"),
         F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))

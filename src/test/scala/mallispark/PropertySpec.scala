@@ -1,0 +1,107 @@
+package mallispark
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import mallispark.ir.S
+import mallispark.ir.SchemaIR
+import mallispark.ir.SchemaIR._
+import mallispark.compile.SchemaCompiler
+import mallispark.eval.RowEval
+
+/** Property tests mirroring malli's generator laws
+  * (test/malli/generator_test.cljc): schema-conforming rows validate;
+  * a single mutated field produces exactly one violation at that path;
+  * Catalyst and RowEval agree on arbitrary values. */
+class PropertySpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+
+  private val rowSchema = S.mapE(false,
+    S.req("a", S.int(0, 1000)),
+    S.req("b", S.string(min = 1, max = 20)),
+    S.opt("c", S.enum_("x", "y", "z")),
+    S.req("d", S.vector(S.int(-5, 5), max = Some(6))))
+
+  private val dt = StructType(Seq(
+    StructField("a", LongType), StructField("b", StringType),
+    StructField("c", StringType),
+    StructField("d", ArrayType(LongType))))
+
+  private val genConforming: Gen[Row] = for {
+    a <- Gen.chooseNum(0L, 1000L)
+    b <- Gen.chooseNum(1, 20).flatMap(n => Gen.stringOfN(n, Gen.alphaChar))
+    c <- Gen.oneOf("x", "y", "z", null)
+    d <- Gen.chooseNum(0, 6)
+      .flatMap(n => Gen.listOfN(n, Gen.chooseNum(-5L, 5L)))
+  } yield Row(a, b, c, d)
+
+  private def catalystErrs(rows: Seq[Row]): Seq[(Boolean, Set[(String, String, String)])] = {
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType(Seq(StructField("v", dt))))
+    df.select(
+      SchemaCompiler.valid(rowSchema, F.col("v"), dt).as("ok"),
+      SchemaCompiler.errors(rowSchema, F.col("v"), dt, "", F.lit("")).as("e"))
+      .collect().toSeq.map { r =>
+        (r.getBoolean(0), r.getSeq[Row](1).map(e =>
+          (e.getString(0), e.getString(1), e.getString(2))).toSet)
+      }
+  }
+
+  test("conforming rows always validate (Catalyst and RowEval agree)") {
+    val rows = Gen.listOfN(200, genConforming).sample.get
+    val got = catalystErrs(rows.map(r => Row(r)))
+    got.foreach { case (ok, errs) =>
+      assert(ok, s"conforming row flagged invalid: $errs")
+      assert(errs.isEmpty)
+    }
+  }
+
+  /** Mutations that break exactly one field. */
+  private val mutations: Seq[(String, Row => Row)] = Seq(
+    "a" -> (r => Row(-1L, r.get(1), r.get(2), r.get(3))),
+    "b" -> (r => Row(r.get(0), "", r.get(2), r.get(3))),
+    "c" -> (r => Row(r.get(0), r.get(1), "BAD", r.get(3))),
+    "d" -> (r => Row(r.get(0), r.get(1), r.get(2),
+      List(99L))))
+
+  test("single-field mutation -> violation(s) exactly at that field's path") {
+    val base = Gen.listOfN(50, genConforming).sample.get
+    mutations.foreach { case (field, mutate) =>
+      val got = catalystErrs(base.map(r => Row(mutate(r))))
+      got.foreach { case (ok, errs) =>
+        assert(!ok, s"mutated $field still valid")
+        assert(errs.nonEmpty)
+        val roots = errs.map(_._1.split("/").head)
+        assert(roots === Set(field),
+          s"mutating $field produced errors at $roots")
+      }
+    }
+  }
+
+  test("duality: Catalyst and RowEval agree on random (possibly invalid) rows") {
+    val genAny: Gen[Row] = for {
+      a <- Gen.oneOf(Gen.chooseNum(-100L, 2000L), Gen.const(null))
+      b <- Gen.oneOf(Gen.alphaStr.map(_.take(30)), Gen.const(null))
+      c <- Gen.oneOf("x", "bad", null)
+      d <- Gen.oneOf(
+        Gen.listOfN(3, Gen.chooseNum(-10L, 10L)),
+        Gen.listOfN(8, Gen.chooseNum(-5L, 5L)),
+        Gen.const(null))
+    } yield Row(a, b, c, d)
+    val rows = Gen.listOfN(300, genAny).sample.get
+    val catalyst = catalystErrs(rows.map(r => Row(r)))
+    rows.zip(catalyst).foreach { case (r, (ok, errs)) =>
+      val asValue = new org.apache.spark.sql.catalyst.expressions
+        .GenericRowWithSchema(r.toSeq.toArray, dt)
+      assert(RowEval.validate(rowSchema, asValue) === ok,
+        s"valid mismatch on $r")
+      val re = RowEval.explain(rowSchema, asValue).map(e =>
+        (e.path.mkString("/"), e.in.mkString("/"), e.key)).toSet
+      assert(re === errs, s"errors mismatch on $r")
+    }
+  }
+}

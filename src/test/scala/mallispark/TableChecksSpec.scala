@@ -1,0 +1,93 @@
+package mallispark
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.checks.TableChecks
+
+/** Table-check fixtures (FIXTURES.md §3): known injected anomalies →
+  * exact expected outputs. */
+class TableChecksSpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+
+  private val kv = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  test("columnStats: exact counts, native-type min/max, HLL within 5%") {
+    val rows = (1L to 100L).map(i =>
+      Row(i, if (i % 10 == 0) null else s"s$i"))
+    val stats = TableChecks.columnStats(df(rows, kv), Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(stats("k").getLong(1) === 100L) // cnt
+    assert(stats("k").getLong(2) === 0L)   // nulls
+    assert(stats("k").getString(3) === "1" && stats("k").getString(4) === "100")
+    assert(stats("v").getLong(2) === 10L)  // injected nulls
+    val approx = stats("k").getLong(5)
+    assert(math.abs(approx - 100L) <= 5, s"HLL too far: $approx")
+  }
+
+  test("duplicates + duplicateRows: exactly k injected dup rows flagged") {
+    val rows = (1L to 50L).map(i => Row(i, s"v$i")) ++
+      Seq(Row(7L, "dup1"), Row(7L, "dup2"), Row(13L, "dup3"))
+    val d = df(rows, kv)
+    val dups = TableChecks.duplicates(d, "k").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dups === Map(7L -> 3L, 13L -> 2L))
+    val extra = TableChecks.duplicateRows(d, "k", "v").collect()
+    assert(extra.length === 3) // rows beyond first occurrence: 2 for k=7, 1 for k=13
+    assert(extra.forall(_.getString(2) === "malli.core/duplicate-keys"))
+  }
+
+  test("orphans: m dropped parents -> m orphan children") {
+    val child = df((1L to 20L).map(i => Row(i, s"c$i")), kv)
+    val parent = df((1L to 20L).filterNot(i => i == 3 || i == 17)
+      .map(i => Row(i, s"p$i")), kv)
+    val orphans = TableChecks.orphans(child, "k", parent, "k",
+      broadcastParent = true).collect().map(_.getLong(0)).sorted
+    assert(orphans.toSeq === Seq(3L, 17L))
+  }
+
+  test("byteIdentity: j perturbed texts -> j hash mismatches") {
+    val a = df((1L to 30L).map(i => Row(i, s"text$i")), kv)
+    val b = df((1L to 30L).map(i =>
+      Row(i, if (i % 11 == 0) s"text${i}X" else s"text$i")), kv)
+    val bad = TableChecks.byteIdentityViolations(a, b, "k", "v")
+      .collect().map(_.getLong(0)).sorted
+    assert(bad.toSeq === Seq(11L, 22L))
+  }
+
+  test("chiSquare: shifted distribution flags, identical passes") {
+    val a = df((1L to 300L).map(i => Row(i, if (i % 3 == 0) "x" else "y")), kv)
+    val same = df((1L to 300L).map(i => Row(i, if (i % 3 == 0) "x" else "y")), kv)
+    val shifted = df((1L to 300L).map(i => Row(i, if (i % 3 == 0) "y" else "x")), kv)
+    val statSame = TableChecks.chiSquare(a, same, "v").collect()(0).getDouble(0)
+    val statShift = TableChecks.chiSquare(a, shifted, "v").collect()(0).getDouble(0)
+    assert(statSame < 0.001)
+    assert(statShift > 50.0) // massive shift
+  }
+
+  test("ksExact: identical samples D=0; disjoint ranges D=1") {
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("grp", LongType)))
+    // value depends on i/2 so both parity groups see identical samples
+    val same = df((1 to 200).map(i => Row((i / 2).toDouble % 50, i.toLong)), schema)
+    val d0 = TableChecks.ksExact(same, "x", F.col("grp") % 2 === 0)
+      .collect()(0).getDouble(0)
+    assert(d0 < 0.02)
+    val disjoint = df((1 to 200).map(i =>
+      Row(if (i % 2 == 0) i.toDouble else i + 10000.0, i.toLong)), schema)
+    val d1 = TableChecks.ksExact(disjoint, "x", F.col("grp") % 2 === 0)
+      .collect()(0).getDouble(0)
+    assert(d1 === 1.0)
+  }
+
+  test("nullCounts exact") {
+    val rows = (1L to 40L).map(i => Row(i, if (i <= 8) null else "x"))
+    val out = TableChecks.nullCounts(df(rows, kv), Seq("k", "v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("k" -> 0L, "v" -> 8L))
+  }
+}

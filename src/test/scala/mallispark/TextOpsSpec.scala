@@ -1,0 +1,145 @@
+package mallispark
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.text.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-data ops: dedup families, similarity, text analysis,
+  * multimodal stub plumbing. */
+class TextOpsSpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+
+  private val docSchema = StructType(Seq(
+    StructField("id", LongType), StructField("text", StringType)))
+
+  private val corpus = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog today"),
+    (2L, "the quick brown fox jumps over the lazy dog today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat today"), // near dup
+    (4L, "completely different words about spark and data engineering"),
+    (5L, "der hund und die katze sind nicht das problem heute"))
+
+  private lazy val d = df(corpus.map(c => Row(c._1, c._2)), docSchema)
+
+  test("exact dedup finds the identical pair only") {
+    val groups = Dedup.exactDupGroups(d, "id", "text").collect()
+    assert(groups.length === 1)
+    assert(groups(0).getSeq[Long](2).sorted === Seq(1L, 2L))
+  }
+
+  test("minhash LSH: exact dups collide in every band; near-dups in some") {
+    val cand = Dedup.minhashLSH(d, "id", "text", k = 16, bands = 8, n = 2)
+      .collect()
+    val pairs = cand.map(_.getSeq[Long](3).toSet)
+    // exact dups have identical signatures: co-bucketed in ALL 8 bands
+    // (the near-dup doc 3 may legitimately join some of those buckets)
+    assert(pairs.count(p => p.contains(1L) && p.contains(2L)) === 8)
+    assert(pairs.forall(p => p.contains(1L) == p.contains(2L)))
+    // doc 4/5 share no shingles with 1-3: never bucketed together
+    assert(!pairs.exists(p => p.contains(4L) && p.contains(1L)))
+  }
+
+  test("simhash: identical texts share both halves; distinct texts differ") {
+    val sigs = Dedup.simhashDF(d, "id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sigs(1L) === sigs(2L))
+    assert(sigs(1L) !== sigs(4L))
+    // near-dup: hamming distance of hi halves is small
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(sigs(1L)._1, sigs(3L)._1) +
+      hamming(sigs(1L)._2, sigs(3L)._2) < 20)
+    assert(sigs.values.forall { case (hi, lo) =>
+      hi >= 0 && hi < (1L << 32) && lo >= 0 && lo < (1L << 32) })
+  }
+
+  test("ngram jaccard: dup pair = 1.0; near pair high; cross pair absent") {
+    val pairs = Dedup.ngramJaccardPairs(d, "id", "text", n = 2, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(pairs((1L, 2L)) === 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.5)
+    assert(!pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
+  test("brute-force cosine top-k: self-match ranks first") {
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = (0L to 19L).map { i =>
+      Row(i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 10 + 1).toFloat))
+    }
+    val emb = df(vecs, embSchema)
+    // queries = copies of corpus vectors 0..2 (shifted ids)
+    val qs = emb.where(F.col("vec_id") < 3)
+      .select((F.col("vec_id") + 100L).as("query_id"),
+        F.col("embedding").as("qe"))
+    val top = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      qs, "query_id", "qe", k = 3).collect()
+    val rank1 = top.filter(_.getInt(3) === 1)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // identical vector => cosine 1.0 => must rank first
+    assert(rank1(100L) === 0L && rank1(101L) === 1L && rank1(102L) === 2L)
+  }
+
+  test("ANN LSH top-k: identical vector lands in the same bucket, rank 1") {
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = (0L to 49L).map { i =>
+      Row(i, Array.tabulate(8)(j =>
+        (((i * 13 + j * 5) % 19).toFloat - 9f)))
+    }
+    val emb = df(vecs, embSchema)
+    val qs = emb.where(F.col("vec_id") === 7L)
+      .select((F.col("vec_id") + 100L).as("query_id"),
+        F.col("embedding").as("qe"))
+    val top = Similarity.annTopK(emb, "vec_id", "embedding",
+      qs, "query_id", "qe", k = 3, planes = 4).collect()
+    assert(top.exists(r => r.getLong(1) === 7L && r.getInt(3) === 1))
+  }
+
+  test("langId picks marker language; 'und' without markers") {
+    val texts = df(Seq(
+      Row(1L, "the cat and the dog of a house"),
+      Row(2L, "der hund und die katze ist nicht"),
+      Row(3L, "le chien et la maison est une"),
+      Row(4L, "xyzzy qwerty plugh")), docSchema)
+    val out = texts.select(F.col("id"), TextOps.langId(F.col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "und"))
+  }
+
+  test("token counts + fingerprint: order-sensitive") {
+    val t = df(Seq(Row(1L, "a b c!"), Row(2L, "c b a!")), docSchema)
+    val fp = t.select(TextOps.fingerprint(F.col("text"))).collect()
+    assert(fp(0).getLong(0) !== fp(1).getLong(0)) // order matters
+    val counts = t.select(TextOps.tokenCount(F.col("text")),
+      TextOps.bpeTokenCount(F.col("text"))).collect()(0)
+    assert(counts.getInt(0) === 3 && counts.getInt(1) === 4) // a,b,c,!
+  }
+
+  test("multimodal: metadata sniffs magic bytes; stub features deterministic") {
+    val binSchema = StructType(Seq(StructField("id", LongType),
+      StructField("bin", BinaryType)))
+    val jpeg = Array(0xFF, 0xD8, 0x01, 0x02).map(_.toByte)
+    val png = Array(0x89, 0x50, 0x4E, 0x47, 0x01).map(_.toByte)
+    val b = df(Seq(Row(1L, jpeg), Row(2L, png)), binSchema)
+    val meta = b.select(Multimodal.mediaMetadata(F.col("bin")).as("m"))
+      .select(F.col("m.kind"), F.col("m.n_bytes")).collect()
+    assert(meta.map(_.getString(0)).toSeq === Seq("jpeg", "png"))
+    val f1 = Multimodal.extractFeatures(b, "id", "bin", dims = 4).collect()
+    val f2 = Multimodal.extractFeatures(b, "id", "bin", dims = 4).collect()
+    assert(f1.map(_.features.toSeq).toSeq === f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.features.length === 4))
+    val windows = b.select(Multimodal.sampleWindows(F.col("bin"), 2, 2))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(windows.length === 2)
+  }
+
+  test("portable h32 matches the DuckDB formula on a known value") {
+    // DuckDB: ('0x' || substring(md5('abc'),1,8))::BIGINT = 2416005272
+    val one = spark.range(1).select(TextOps.h32(F.lit("abc"))).collect()(0)
+    assert(one.getLong(0) === 2416005272L)
+  }
+}

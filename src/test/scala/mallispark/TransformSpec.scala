@@ -1,0 +1,91 @@
+package mallispark
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.S
+import mallispark.ir.SchemaIR._
+import mallispark.compile.Transform
+
+/** Transformer fixtures F11/F12 (FIXTURES.md) — semantics from
+  * /root/reference/src/malli/transform.cljc and
+  * test/malli/transform_test.cljc:29-139, 540, 958. */
+class TransformSpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+
+  test("F11 string->long: parse or null-on-failure (malli: input unchanged)") {
+    val d = df(Seq(Row("1"), Row("abc"), Row("-42"), Row(null)),
+      StructType(Seq(StructField("v", StringType))))
+    val out = d.select(Transform.decode(SInt(), F.col("v"), StringType,
+      Transform.StringMode).as("d")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getLong(0))
+    assert(out.toSeq === Seq(1L, null, -42L, null))
+  }
+
+  test("F11 json mode does NOT coerce strings to numbers") {
+    val d = df(Seq(Row("1")), StructType(Seq(StructField("v", StringType))))
+    val out = d.select(Transform.decode(SInt(), F.col("v"), StringType,
+      Transform.JsonMode).as("d")).schema
+    assert(out.head.dataType === StringType) // elided — stays a string
+  }
+
+  test("F11 string->boolean: only 'true'/'false' (transform.cljc:108-113)") {
+    val d = df(Seq(Row("true"), Row("false"), Row("TRUE"), Row("1")),
+      StructType(Seq(StructField("v", StringType))))
+    val out = d.select(Transform.decode(SBoolean, F.col("v"), StringType,
+      Transform.StringMode).as("d")).collect().map(r =>
+        if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(out.toSeq === Seq(true, false, null, null))
+  }
+
+  test("F11 empty-string->nil; number->long only for exact integrals") {
+    val d = df(Seq(Row("", 1.0), Row("x", 1.5)),
+      StructType(Seq(StructField("s", StringType), StructField("n", DoubleType))))
+    val out = d.select(
+      Transform.emptyStringToNull(F.col("s")).as("s2"),
+      Transform.decode(SInt(), F.col("n"), DoubleType,
+        Transform.StringMode).as("n2")).collect()
+    assert(out(0).isNullAt(0) && out(0).getLong(1) === 1L)
+    assert(out(1).getString(0) === "x" && out(1).isNullAt(1))
+  }
+
+  test("F11 string->timestamp ISO-8601; encode date->string round-trip") {
+    val d = df(Seq(Row("2024-03-01T10:00:00.000+00:00"), Row("2024-03-01"),
+      Row("garbage")), StructType(Seq(StructField("v", StringType))))
+    val decoded = d.select(Transform.decode(STimestamp(), F.col("v"),
+      StringType, Transform.StringMode).as("ts"))
+    val vals = decoded.collect()
+    assert(!vals(0).isNullAt(0) && !vals(1).isNullAt(0) && vals(2).isNullAt(0))
+    val enc = decoded.where(F.col("ts").isNotNull).select(
+      Transform.encode(STimestamp(), F.col("ts"), TimestampType).as("s"))
+      .collect().map(_.getString(0))
+    assert(enc(0).startsWith("2024-03-01T10:00:00.000"))
+  }
+
+  test("F12 defaults + strip-extra-keys (transform.cljc:460-528)") {
+    val schema = SMap(Seq(
+      Entry("a", SInt(), optional = true, default = Some(7L)),
+      Entry("b", SString())))
+    val d = df(Seq(Row(null, "x", "junk"), Row(3L, "y", "junk2")),
+      StructType(Seq(StructField("a", LongType), StructField("b", StringType),
+        StructField("extra", StringType))))
+    val filled = Transform.decodeDF(schema, d, Transform.StringMode)
+    assert(filled.collect().map(_.getLong(0)).toSeq === Seq(7L, 3L))
+    val stripped = Transform.stripExtraKeys(schema, d)
+    assert(stripped.columns.toSeq === Seq("a", "b"))
+    val renamed = Transform.renameKeys(d, Map("extra" -> "meta"))
+    assert(renamed.columns.contains("meta"))
+  }
+
+  test("coerce = decode then validate, splitting accepted/rejected") {
+    val schema = SMap(Seq(Entry("n", SInt(Some(1L), None))))
+    val d = df(Seq(Row("5"), Row("0"), Row("junk")),
+      StructType(Seq(StructField("n", StringType))))
+    val (ok, bad) = Transform.coerce(schema, d, Transform.StringMode)
+    assert(ok.collect().map(_.getLong(0)).toSeq === Seq(5L))
+    assert(bad.count() === 2) // 0 fails min, junk fails cast
+  }
+}

@@ -1,0 +1,87 @@
+package mallispark
+
+import org.apache.spark.sql.{functions => F}
+import mallispark.run.{ValidationJob, WebPages}
+
+/** ValidationJob: verdicts, violations, manifest resume (FIXTURES.md §3
+  * resume row: kill after p of P partitions → rerun validates only the
+  * rest; final verdicts identical to a single run). */
+class ValidationJobSpec extends SparkSuite {
+
+  private lazy val pages =
+    WebPages.derive(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+
+  test("run: per-partition verdicts sum to the table; violations keyed") {
+    val res = ValidationJob.run(pages, WebPages.schema, Seq("url"), nParts = 16)
+    val verdicts = res.verdicts.collect()
+    assert(verdicts.map(_.getLong(1)).sum === pages.count())
+    assert(verdicts.length === 16)
+    val nInvalid = res.flagged.where(!F.col("valid")).count()
+    assert(nInvalid > 0) // injections present
+    val distinctViolUrls = res.violations.select("url").distinct().count()
+    assert(distinctViolUrls === nInvalid) // ≤1 violation per injected row
+  }
+
+  test("resume: partial manifest -> second pass completes; equals single run") {
+    val dir = java.nio.file.Files.createTempDirectory("msresume").toString
+    val runId = "r1"
+    // simulate a killed run: validate only partitions 0-7 of 16 and commit
+    // their manifest rows
+    val withPart = pages.withColumn("part_id",
+      F.pmod(F.xxhash64(F.col("url")), F.lit(16L)))
+    val firstHalf = withPart.where(F.col("part_id") < 8).drop("part_id")
+    ValidationJob.runResumable(spark, firstHalf, WebPages.schema,
+      Seq("url"), dir, runId, nParts = 16)
+    val afterPartial = ValidationJob.completedPartitions(spark, dir, runId)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterPartial === (0L to 7L).toSet)
+
+    // resume over the FULL input: only partitions 8-15 get validated
+    val manifest = ValidationJob.runResumable(spark, pages, WebPages.schema,
+      Seq("url"), dir, runId, nParts = 16)
+    val byPart = manifest.collect()
+      .map(r => r.getLong(r.fieldIndex("part_id")) ->
+        r.getLong(r.fieldIndex("rows"))).toMap
+    assert(byPart.keySet === (0L to 15L).toSet)
+
+    // identical to a single, non-resumed run
+    val single = ValidationJob.run(pages, WebPages.schema, Seq("url"),
+      nParts = 16).verdicts.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val resumed = manifest.collect().map(r =>
+      r.getLong(r.fieldIndex("part_id")) ->
+        (r.getLong(r.fieldIndex("rows")),
+          r.getLong(r.fieldIndex("valid_rows")))).toMap
+    assert(resumed === single)
+
+    // idempotent: a third pass finds nothing to do (no new manifest rows)
+    val again = ValidationJob.runResumable(spark, pages, WebPages.schema,
+      Seq("url"), dir, runId, nParts = 16)
+    assert(again.count() === 16)
+  }
+
+  test("saltedCounts matches plain counts on skewed keys") {
+    val salted = ValidationJob.saltedCounts(pages, "lang", salt = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val plain = pages.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+
+  test("synthesize: deterministic, injection rates as declared") {
+    val p = WebPages.synthesize(spark, 20000, partitions = 4)
+    val n = p.count()
+    assert(n === 20000L)
+    val badUrl = p.where(!F.col("url").rlike("^https?://[^\\s]+$")).count()
+    assert(badUrl === 10L) // id % 2000 == 13
+    val badLang = p.where(!F.col("lang").isin(WebPages.Langs: _*)).count()
+    assert(badLang === 50L) // id % 400 == 31
+    // determinism: same seed arithmetic -> same content hash
+    val h1 = p.agg(F.sum(F.pmod(F.xxhash64(F.col("url"), F.col("text")),
+      F.lit(1000003L)))).collect()(0).getLong(0)
+    val h2 = WebPages.synthesize(spark, 20000, partitions = 8)
+      .agg(F.sum(F.pmod(F.xxhash64(F.col("url"), F.col("text")),
+        F.lit(1000003L)))).collect()(0).getLong(0)
+    assert(h1 === h2) // partitioning does not change content
+  }
+}

@@ -1,0 +1,84 @@
+package mallispark.msg
+
+import mallispark.ir.SchemaIR.ErrorKeys
+
+/** Error humanization — malli's `malli.error` namespace
+  * (reference: /root/reference/src/malli/error.cljc).
+  *
+  * Violation rows store the error KEY (cheap, groupable at scale);
+  * humanization happens at report time on the driver — the same split
+  * malli makes between `explain` (data) and `me/humanize` (strings).
+  * English strings match `default-errors` (error.cljc:44-172) so
+  * humanized fixtures are comparable with the reference. */
+object Messages {
+
+  /** error key → English message (error.cljc defaults). */
+  val defaults: Map[String, String] = Map(
+    ErrorKeys.MissingKey -> "missing required key", // error.cljc:46
+    ErrorKeys.ExtraKey -> "disallowed key", // error.cljc:57
+    ErrorKeys.InvalidType -> "invalid type", // error.cljc:56
+    ErrorKeys.InvalidDispatch -> "invalid dispatch value", // error.cljc:58
+    ErrorKeys.InputRemaining -> "input remaining", // error.cljc:65
+    ErrorKeys.EndOfInput -> "end of input", // error.cljc:66
+    ErrorKeys.Limits -> "invalid count", // ::m/limits shape (error.cljc:47-52)
+    ErrorKeys.DuplicateKey -> "duplicate key",
+    ":string" -> "should be a string", // error.cljc:80
+    ":int" -> "should be an int", // error.cljc:71
+    ":double" -> "should be a double", // error.cljc:78
+    ":boolean" -> "should be a boolean", // error.cljc:79
+    ":bytes" -> "should be bytes",
+    ":uuid" -> "should be a uuid",
+    ":enum" -> "should be one of the allowed values",
+    ":re" -> "should match the pattern",
+    ":some" -> "should be some", // error.cljc:68
+    ":nil" -> "should be nil",
+    ":not" -> "should not match",
+    ":time/instant" -> "should be a timestamp in range",
+    ":time/local-date" -> "should be a date in range")
+
+  /** Message lookup chain (error.cljc:293-310): explicit property
+    * override → key table → unknown. */
+  def message(errorKey: String,
+              overrides: Map[String, String] = Map.empty): String =
+    overrides.getOrElse(errorKey,
+      defaults.getOrElse(errorKey, "unknown error")) // ::unknown, error.cljc:45
+
+  /** One humanized violation: (in-path, message). */
+  final case class Humanized(in: Seq[String], message: String)
+
+  /** `me/humanize` (error.cljc:379-395): errors → value-shaped nested map
+    * of messages, keyed by the value path (`-push-in` semantics: messages
+    * accumulate per path). Driver-side, for explain fixtures and report
+    * rendering — NOT part of the distributed plan. */
+  def humanize(errors: Seq[(String, String)],
+               overrides: Map[String, String] = Map.empty)
+      : Map[Seq[String], Seq[String]] =
+    errors
+      .map { case (in, key) =>
+        (if (in.isEmpty) Seq.empty[String] else in.split("/").toSeq) ->
+          message(key, overrides)
+      }
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+
+  /** Spell-check suggestion for `::m/extra-key` (error.cljc:249-281):
+    * closest known key by Levenshtein distance, if within tolerance
+    * max(length/3, 1) like the reference's `-most-similar-to`. */
+  def spellCheck(unknownKey: String, knownKeys: Set[String]): Option[String] = {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val tolerance = math.max(unknownKey.length / 3, 1)
+    knownKeys.toSeq
+      .map(k => k -> lev(unknownKey, k))
+      .filter(_._2 <= tolerance)
+      .sortBy(_._2)
+      .headOption.map(_._1)
+  }
+}

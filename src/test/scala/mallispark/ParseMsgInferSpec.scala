@@ -1,0 +1,134 @@
+package mallispark
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.S
+import mallispark.ir.SchemaIR._
+import mallispark.compile.{Parse, SchemaCompiler}
+import mallispark.msg.Messages
+import mallispark.infer.Infer
+import mallispark.eval.RowEval
+
+class ParseMsgInferSpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+
+  private def df(rows: Seq[Row], schema: StructType) =
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), schema)
+
+  // F2: parse [:orn [:pos pos-int?] [:neg neg-int?]] — core_test.cljc:257-261
+  test("parse orn: Tag(pos,1); invalid -> null (::m/invalid)") {
+    val s = S.orn("pos" -> S.posInt, "neg" -> S.negInt)
+    val d = df(Seq(Row(1L), Row(-3L), Row(0L)),
+      StructType(Seq(StructField("v", LongType))))
+    val out = d.select(Parse.parse(s, F.col("v"), LongType).as("p"))
+      .select(F.col("p.tag"), F.col("p.value")).collect()
+    assert(out(0).getString(0) === "pos" && out(0).getLong(1) === 1L)
+    assert(out(1).getString(0) === "neg" && out(1).getLong(1) === -3L)
+    assert(out(2).isNullAt(0))
+    // round-trip: unparse(parse(x)) == x for valid values
+    val rt = d.where(F.col("v") =!= 0)
+      .select(F.col("v"), Parse.unparse(s,
+        Parse.parse(s, F.col("v"), LongType), LongType).as("u"))
+      .collect()
+    assert(rt.forall(r => r.getLong(0) === r.getLong(1)))
+  }
+
+  test("parse catn: named struct from positions; unparse restores array") {
+    val s = S.catn("prop" -> S.string, "val" -> S.string)
+    val d = df(Seq(Row(Seq("-p", "x")), Row(Seq("only-one"))),
+      StructType(Seq(StructField("v", ArrayType(StringType)))))
+    val out = d.select(Parse.parse(s, F.col("v"), ArrayType(StringType)).as("p"))
+      .select(F.col("p.prop"), F.col("p.val")).collect()
+    assert(out(0).getString(0) === "-p" && out(0).getString(1) === "x")
+    assert(out(1).isNullAt(0)) // wrong arity -> invalid
+    val rt = d.limit(1).select(Parse.unparse(s,
+      Parse.parse(s, F.col("v"), ArrayType(StringType)),
+      ArrayType(StringType)).as("u")).collect()(0).getSeq[String](0)
+    assert(rt === Seq("-p", "x"))
+  }
+
+  test("parse multi: dispatch tag") {
+    val s = S.multi("kind")(
+      "a" -> S.mapE(false, S.req("kind", S.string)),
+      "b" -> S.mapE(false, S.req("kind", S.string)))
+    val dt = StructType(Seq(StructField("kind", StringType)))
+    val d = df(Seq(Row(Row("a")), Row(Row("zz"))),
+      StructType(Seq(StructField("v", dt))))
+    val out = d.select(Parse.parse(s, F.col("v"), dt).as("p"))
+      .select(F.col("p.tag")).collect()
+    assert(out(0).getString(0) === "a")
+    assert(out(1).isNullAt(0))
+  }
+
+  test("humanize: error.cljc default strings, path-keyed") {
+    val h = Messages.humanize(Seq(
+      ("z", ErrorKeys.MissingKey),
+      ("xs/1", ":int"),
+      ("", ErrorKeys.InvalidType)))
+    assert(h(Seq("z")) === Seq("missing required key"))
+    assert(h(Seq("xs", "1")) === Seq("should be an int"))
+    assert(h(Seq.empty) === Seq("invalid type"))
+    assert(Messages.message("nope") === "unknown error")
+    // :error/message property override (error.cljc:312-329)
+    assert(Messages.message(":int", Map(":int" -> "custom")) === "custom")
+  }
+
+  test("spell-check: closest known key within tolerance (error.cljc:249-281)") {
+    assert(Messages.spellCheck("typpe", Set("type", "name")) === Some("type"))
+    assert(Messages.spellCheck("zzz", Set("type", "name")) === None)
+  }
+
+  test("infer: provider-style schema from a DataFrame") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("lang", StringType),
+      StructField("score", DoubleType), StructField("note", StringType)))
+    val rows = (1L to 200L).map { i =>
+      Row(i, Seq("en", "de", "fr")((i % 3).toInt),
+        i / 10.0, if (i % 4 == 0) null else s"note-$i")
+    }
+    val inferred = Infer.infer(df(rows, schema))
+    val byKey = inferred.entries.map(e => e.key -> e).toMap
+    assert(byKey("id").child === SInt())
+    assert(byKey("id").optional === false)
+    assert(byKey("lang").child === SEnum(Seq("de", "en", "fr")))
+    assert(byKey("score").child === SDouble())
+    assert(byKey("note").optional === true) // nulls observed
+    assert(byKey("note").child === SString()) // high cardinality: no enum
+    // inferred schema validates its own data (provider law)
+    val d2 = df(rows, schema)
+    val invalid = SchemaCompiler.validateDF(inferred, d2, "ok")
+      .where(!F.col("ok")).count()
+    assert(invalid === 0L)
+    // withBounds: observed duals of :min/:max
+    val bounded = Infer.infer(df(rows, schema), Infer.Options(withBounds = true))
+    assert(bounded.entries.find(_.key == "id").get.child ===
+      SInt(Some(1L), Some(200L)))
+  }
+
+  test("recursive ref: depth-bounded compile + RowEval agreement") {
+    // [:ref "node"] where node = [:map [:v int?] [:kids {:optional true} [:vector [:ref node]]]]
+    val reg = Registry(Map("node" -> S.mapE(false,
+      S.req("v", S.int),
+      S.opt("kids", S.vector(S.ref("node"))))), maxDepth = 4)
+    val rctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx(reg, depth = 4)
+    val leafT = StructType(Seq(StructField("v", LongType)))
+    val dt = StructType(Seq(StructField("v", LongType),
+      StructField("kids", ArrayType(leafT))))
+    val d = df(Seq(
+      Row(Row(1L, Seq(Row(2L), Row(3L)))),
+      Row(Row(1L, Seq(Row(null), Row(3L))))),
+      StructType(Seq(StructField("t", dt))))
+    val out = d.select(SchemaCompiler.valid(S.ref("node"), F.col("t"), dt)(rctx)
+      .as("ok")).collect().map(_.getBoolean(0))
+    assert(out.toSeq === Seq(true, false))
+    // RowEval agrees
+    implicit val reg2: Registry = reg
+    assert(RowEval.validate(S.ref("node"),
+      Map("v" -> 1L, "kids" -> Seq(Map("v" -> 2L)))))
+    assert(!RowEval.validate(S.ref("node"),
+      Map("v" -> 1L, "kids" -> Seq(Map("x" -> 2L)))))
+  }
+}

@@ -1,0 +1,31 @@
+package mallispark.compile
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.{functions => F}
+import mallispark.ir.SchemaIR
+import mallispark.eval.RowEval
+
+/** Tier-3 sequence-regex escape hatch (SURVEY §2.9).
+  *
+  * Bounded forms compile to pure Columns in SchemaCompiler; GENERAL forms
+  * (nested/backtracking, e.g. `[:* [:catn ...]]`,
+  * reference perf_test.cljc:345-349) run the RowEval backtracking matcher
+  * as a row-local scalar UDF. Non-codegen — use only when the bounded
+  * compilation can't express the schema. The UDF captures the IR
+  * (Serializable ADT), so executors evaluate without driver round-trips. */
+object GeneralRegex {
+
+  /** Validator over an array<string> column. */
+  def validStringSeq(ir: SchemaIR): Column => Column = {
+    val f = F.udf((xs: Seq[String]) =>
+      if (xs == null) false else RowEval.validate(ir, xs))
+    col => f(col)
+  }
+
+  /** Validator over an array<long> column. */
+  def validLongSeq(ir: SchemaIR): Column => Column = {
+    val f = F.udf((xs: Seq[Long]) =>
+      if (xs == null) false else RowEval.validate(ir, xs))
+    col => f(col)
+  }
+}

@@ -1,0 +1,135 @@
+package mallispark.ir
+
+import SchemaIR._
+
+/** Schema algebra — `malli.util` parity
+  * (reference: /root/reference/src/malli/util.cljc).
+  *
+  * These are IR-level rewrites (schemas are data); the DataFrame-level
+  * duals (df.select / drop / withColumnRenamed) live in
+  * mallispark.compile.Transform. */
+object SchemaOps {
+
+  /** mu/merge (util.cljc:53-101): right-biased map-entry merge; optionality
+    * of the right entry wins; non-map schemas → right wins (like malli's
+    * last-child-wins for non-merge-able shapes). */
+  def merge(a: SchemaIR, b: SchemaIR): SchemaIR = (a, b) match {
+    case (SMap(ea, ca), SMap(eb, cb)) =>
+      val byKey = eb.map(e => e.key -> e).toMap
+      val merged = ea.map { e =>
+        byKey.get(e.key) match {
+          case Some(r) => r.copy(child = mergeChild(e.child, r.child))
+          case None => e
+        }
+      } ++ eb.filterNot(e => ea.exists(_.key == e.key))
+      SMap(merged, ca || cb)
+    case (SAnd(cs), other) => SAnd(cs.map(merge(_, other))) // :and head merge
+    case (_, r) => r
+  }
+
+  private def mergeChild(l: SchemaIR, r: SchemaIR): SchemaIR = (l, r) match {
+    case (_: SMap, _: SMap) => merge(l, r) // deep merge nested maps
+    case _ => r
+  }
+
+  /** mu/union (util.cljc:103-112): colliding entries become `:or`. */
+  def union(a: SchemaIR, b: SchemaIR): SchemaIR = (a, b) match {
+    case (SMap(ea, ca), SMap(eb, cb)) =>
+      val byKey = eb.map(e => e.key -> e).toMap
+      val unioned = ea.map { e =>
+        byKey.get(e.key) match {
+          case Some(r) if r.child != e.child =>
+            e.copy(child = SOr(Seq(e.child, r.child)),
+              optional = e.optional && r.optional)
+          case Some(r) => e.copy(optional = e.optional && r.optional)
+          case None => e
+        }
+      } ++ eb.filterNot(e => ea.exists(_.key == e.key))
+      SMap(unioned, ca && cb)
+    case _ => SOr(Seq(a, b))
+  }
+
+  /** mu/select-keys (util.cljc:271-281). */
+  def selectKeys(m: SMap, keys: Set[String]): SMap =
+    m.copy(entries = m.entries.filter(e => keys(e.key)))
+
+  /** mu/dissoc (util.cljc:283-289). */
+  def dissoc(m: SMap, key: String): SMap =
+    m.copy(entries = m.entries.filterNot(_.key == key))
+
+  /** mu/rename-keys (util.cljc:291-299). */
+  def renameKeys(m: SMap, renames: Map[String, String]): SMap =
+    m.copy(entries = m.entries.map(e =>
+      renames.get(e.key).map(n => e.copy(key = n)).getOrElse(e)))
+
+  /** mu/assoc (util.cljc:344-352): add or replace an entry. */
+  def assoc(m: SMap, entry: Entry): SMap =
+    if (m.entries.exists(_.key == entry.key))
+      m.copy(entries = m.entries.map(e =>
+        if (e.key == entry.key) entry else e))
+    else m.copy(entries = m.entries :+ entry)
+
+  /** mu/optional-keys / required-keys (util.cljc:246-269). */
+  def optionalKeys(m: SMap, keys: Option[Set[String]] = None): SMap =
+    m.copy(entries = m.entries.map(e =>
+      if (keys.forall(_(e.key))) e.copy(optional = true) else e))
+  def requiredKeys(m: SMap, keys: Option[Set[String]] = None): SMap =
+    m.copy(entries = m.entries.map(e =>
+      if (keys.forall(_(e.key))) e.copy(optional = false) else e))
+
+  /** mu/closed-schema / open-schema — recursive walk toggling closedness
+    * (util.cljc:128-166). */
+  def closedSchema(ir: SchemaIR): SchemaIR = mapMaps(ir)(_.copy(closed = true))
+  def openSchema(ir: SchemaIR): SchemaIR = mapMaps(ir)(_.copy(closed = false))
+
+  private def mapMaps(ir: SchemaIR)(f: SMap => SMap): SchemaIR = ir match {
+    case m: SMap =>
+      f(m.copy(entries = m.entries.map(e =>
+        e.copy(child = mapMaps(e.child)(f)))))
+    case SMaybe(c) => SMaybe(mapMaps(c)(f))
+    case SAnd(cs) => SAnd(cs.map(mapMaps(_)(f)))
+    case SOr(cs) => SOr(cs.map(mapMaps(_)(f)))
+    case SOrn(bs) => SOrn(bs.map { case (t, c) => t -> mapMaps(c)(f) })
+    case SNot(c) => SNot(mapMaps(c)(f))
+    case SVector(c, mn, mx) => SVector(mapMaps(c)(f), mn, mx)
+    case SSet(c, mn, mx) => SSet(mapMaps(c)(f), mn, mx)
+    case SEvery(c, mn, mx, l) => SEvery(mapMaps(c)(f), mn, mx, l)
+    case STuple(cs) => STuple(cs.map(mapMaps(_)(f)))
+    case SMapOf(k, v, mn, mx) => SMapOf(mapMaps(k)(f), mapMaps(v)(f), mn, mx)
+    case SMulti(d, bs, df) => SMulti(d,
+      bs.map { case (t, c) => t -> mapMaps(c)(f) }, df.map(mapMaps(_)(f)))
+    case other => other
+  }
+
+  /** mu/subschemas (util.cljc:168-187): every (path, schema) pair. */
+  def subschemas(ir: SchemaIR): Seq[(Seq[String], SchemaIR)] = {
+    def go(s: SchemaIR, path: Seq[String]): Seq[(Seq[String], SchemaIR)] =
+      (path, s) +: SchemaIR.childrenWithPath(s).flatMap { case (seg, c) =>
+        go(c, path :+ seg)
+      }
+    go(ir, Seq.empty)
+  }
+
+  /** mu/path->in (util.cljc:189-194): schema path → value path. Branch
+    * indices of and/or/orn/maybe/multi vanish (they address schema
+    * structure, not value structure); map keys and collection element
+    * markers survive. */
+  def pathToIn(ir: SchemaIR, path: Seq[String]): Seq[String] = {
+    def go(s: SchemaIR, p: Seq[String]): Seq[String] = p match {
+      case Nil => Nil
+      case seg +: rest =>
+        val child = SchemaIR.childrenWithPath(s).collectFirst {
+          case (ps, c) if ps == seg => c
+        }
+        val keep = s match {
+          case _: SMap => Seq(seg) // map key addresses the value
+          case _: SVector | _: SSet | _: SEvery | _: STuple |
+               _: SCat | _: SCatn => Seq(seg)
+          case _: SMapOf => Seq(seg)
+          case _ => Seq.empty // and/or/orn/not/maybe/multi: schema-only
+        }
+        keep ++ child.map(go(_, rest)).getOrElse(Nil)
+    }
+    go(ir, path)
+  }
+}

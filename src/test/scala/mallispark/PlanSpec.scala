@@ -1,0 +1,75 @@
+package mallispark
+
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import mallispark.ir.S
+import mallispark.compile.SchemaCompiler
+import mallispark.run.WebPages
+
+/** Physical-plan quality gates (the 100-TB questions): column pruning to
+  * the scan, filter pushdown, broadcast joins for small dims, whole-stage
+  * codegen over the validation expressions, map-side partial aggregation.
+  * These assert the plan SHAPE, not timings — shape survives scale-up. */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.01"
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String = {
+    df.queryExecution.executedPlan.toString()
+  }
+
+  test("column pruning: validating one column reads ONLY that column") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val schema = S.map("l_returnflag" -> S.enum_("A", "N", "R"))
+    val validated = SchemaCompiler.validateDF(schema, li, "valid")
+      .select("valid")
+    val scans = validated.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    val readCols = scans.head.requiredSchema.fieldNames.toSet
+    assert(readCols === Set("l_returnflag"),
+      s"scan reads $readCols — pruning failed")
+  }
+
+  test("filter pushdown: violation predicate reaches the parquet scan") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where(F.col("l_quantity") > 49.0)
+    val scans = li.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(l_quantity,49.0)"),
+      s"not pushed: $pushed")
+  }
+
+  test("broadcast join chosen for the small dimension side") {
+    val plan = planOf(graft.SparkEntry.queries("join_priority_counts")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")
+  }
+
+  test("whole-stage codegen covers the validation expressions") {
+    val pages = WebPages.derive(spark.read.parquet(s"$sf/documents.parquet"))
+    val validated = SchemaCompiler.validateDF(WebPages.schema, pages, "valid")
+    val plan = planOf(validated)
+    // `*(n)` marks WholeStageCodegen stage n in the compact plan string
+    assert(plan.contains("*(1)"), s"no codegen span:\n$plan")
+    // no UDFs / interpreted escapes in the core validation path
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
+  test("verdict aggregation is partial+final (map-side combine)") {
+    val pages = WebPages.derive(spark.read.parquet(s"$sf/documents.parquet"))
+    val res = mallispark.run.ValidationJob.run(pages, WebPages.schema,
+      Seq("url"), nParts = 16)
+    val plan = planOf(res.verdicts)
+    // two HashAggregates around one exchange: partial then final
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("Exchange hashpartitioning(part_id"))
+  }
+
+  test("anti-join referential check uses a join, not a subquery per row") {
+    val plan = planOf(graft.SparkEntry.queries("ref_lineitem_orders")(spark, sf))
+    assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
+  }
+}

@@ -1,0 +1,92 @@
+package mallispark
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.{S, SchemaOps}
+import mallispark.ir.SchemaIR._
+import mallispark.compile.{GeneralRegex, SchemaCompiler}
+
+/** malli.util schema algebra + tier-3 general seq-regex UDF. */
+class SchemaOpsSpec extends SparkSuite {
+  import scala.jdk.CollectionConverters._
+
+  private val A = S.mapE(false,
+    S.req("x", S.int), S.opt("y", S.string)).asInstanceOf[SMap]
+  private val B = S.mapE(true,
+    S.req("y", S.int), S.req("z", S.boolean)).asInstanceOf[SMap]
+
+  test("merge: right-biased entries, closedness ORs (util.cljc:53-101)") {
+    val m = SchemaOps.merge(A, B).asInstanceOf[SMap]
+    assert(m.closed)
+    assert(m.entries.map(_.key) === Seq("x", "y", "z"))
+    assert(m.entries.find(_.key == "y").get.child === SInt()) // right wins
+    assert(!m.entries.find(_.key == "y").get.optional) // right's requiredness
+  }
+
+  test("union: colliding entries become :or (util.cljc:103-112)") {
+    val u = SchemaOps.union(A, B).asInstanceOf[SMap]
+    assert(u.entries.find(_.key == "y").get.child ===
+      SOr(Seq(SString(None, None), SInt())))
+    assert(!u.closed) // closed only if both closed
+  }
+
+  test("selectKeys/dissoc/renameKeys/assoc/optional-required toggles") {
+    assert(SchemaOps.selectKeys(A, Set("x")).entries.map(_.key) === Seq("x"))
+    assert(SchemaOps.dissoc(A, "y").entries.map(_.key) === Seq("x"))
+    assert(SchemaOps.renameKeys(A, Map("x" -> "xx")).entries.head.key === "xx")
+    assert(SchemaOps.assoc(A, Entry("w", SBoolean)).entries.map(_.key) ===
+      Seq("x", "y", "w"))
+    assert(SchemaOps.optionalKeys(A).entries.forall(_.optional))
+    assert(SchemaOps.requiredKeys(A).entries.forall(!_.optional))
+  }
+
+  test("closedSchema/openSchema walk nested maps (util.cljc:128-166)") {
+    val nested = S.mapE(false, S.req("inner", A)).asInstanceOf[SMap]
+    val closed = SchemaOps.closedSchema(nested).asInstanceOf[SMap]
+    assert(closed.closed)
+    assert(closed.entries.head.child.asInstanceOf[SMap].closed)
+    val reopened = SchemaOps.openSchema(closed).asInstanceOf[SMap]
+    assert(!reopened.closed &&
+      !reopened.entries.head.child.asInstanceOf[SMap].closed)
+  }
+
+  test("subschemas + path->in duality (util.cljc:168-207)") {
+    val s = S.mapE(false,
+      S.req("xs", S.vector(S.and(S.int, S.posInt))))
+    val subs = SchemaOps.subschemas(s)
+    assert(subs.map(_._1).contains(Seq("xs", "0", "1")))
+    // schema path xs/0/1 (vector child, :and branch 1) → value path xs/<idx>
+    assert(SchemaOps.pathToIn(s, Seq("xs", "0", "1")) === Seq("xs", "0"))
+    // map-only path: branch indices vanish
+    val s2 = S.mapE(false, S.req("a", S.or(S.int, S.string)))
+    assert(SchemaOps.pathToIn(s2, Seq("a", "1")) === Seq("a"))
+  }
+
+  test("general seq-regex via RowEval UDF: [:* [:catn ...]] (tier 3)") {
+    val schema = S.star(S.catn("prop" -> S.re("^-"),
+      "val" -> S.alt(S.re("^[^-]"), S.boolean)))
+    val rows = Seq(Row(Seq("-p", "x", "-q", "y")), Row(Seq("-p", "x", "-q")),
+      Row(Seq.empty[String]), Row(null))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType(Seq(StructField("v", ArrayType(StringType)))))
+    val out = df.select(GeneralRegex.validStringSeq(schema)(F.col("v")))
+      .collect().map(_.getBoolean(0))
+    assert(out.toSeq === Seq(true, false, true, false))
+  }
+
+  test(":fn escape hatch: exceptions -> false (core.cljc:209)") {
+    implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+    val schema = S.fn("even-half") { v =>
+      100 / v.asInstanceOf[Long].toInt >= 0 && v.asInstanceOf[Long] % 2 == 0
+    }
+    val rows = Seq(Row(4L), Row(3L), Row(0L)) // 0 -> div by zero -> false
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava),
+      StructType(Seq(StructField("v", LongType))))
+    val out = df.select(SchemaCompiler.valid(schema, F.col("v"), LongType))
+      .collect().map(_.getBoolean(0))
+    assert(out.toSeq === Seq(true, false, false))
+  }
+}

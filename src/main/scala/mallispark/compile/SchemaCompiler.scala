@@ -240,8 +240,13 @@ object SchemaCompiler {
                   if (e.optional) F.lit(true) else F.lit(false) // static missing
                 case Some(f) =>
                   val fc = col.getField(e.key)
-                  if (e.optional) fc.isNull || valid(e.child, fc, f.dataType)
-                  else fc.isNotNull && valid(e.child, fc, f.dataType)
+                  if (e.optional) {
+                    // peephole: a boundless leaf only asserts non-null, so
+                    // `isNull || isNotNull` is a tautology — elide it
+                    // (malli's no-op elision spirit, core.cljc:35-37)
+                    if (onlyNullCheck(e.child, f.dataType)) F.lit(true)
+                    else fc.isNull || valid(e.child, fc, f.dataType)
+                  } else fc.isNotNull && valid(e.child, fc, f.dataType)
               }
             }
             // closed map: any extra PHYSICAL field must be absent (null) —
@@ -375,6 +380,20 @@ object SchemaCompiler {
         F.coalesce(F.forall(col, x => valid(c, x, et)), F.lit(true))
       if (unique) base && F.size(F.array_distinct(col)) === F.size(col) else base
     case _ => F.lit(false)
+  }
+
+  /** True iff the schema's only possible failure on this physical type is
+    * null-ness (boundless leaf of a matching type). */
+  private def onlyNullCheck(ir: SchemaIR, dt: DataType): Boolean = ir match {
+    case SAny => true
+    case SSome => true
+    case SString(None, None) => dt == StringType
+    case SInt(None, None) => isIntegral(dt)
+    case SDouble(None, None) => isFloating(dt)
+    case SBoolean => dt == BooleanType
+    case SBinary => dt == BinaryType
+    case STimestamp(None, None) => dt == TimestampType
+    case _ => false
   }
 
   private def between(c: Column, mn: Option[Any], mx: Option[Any]): Column =

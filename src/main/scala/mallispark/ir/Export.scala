@@ -1,0 +1,281 @@
+package mallispark.ir
+
+import SchemaIR._
+
+/** Schema serialization — the reference's export surface (SURVEY §2.2):
+  * `m/ast`/`from-ast` (core.cljc:2865-2892) as a JSON round-trip, and
+  * JSON-Schema export (src/malli/json_schema.cljc:210-225). The DDL dual
+  * lives in SchemaCompiler.toStructType. */
+object Export {
+
+  // ---- AST: JSON round-trip (m/ast / m/from-ast) --------------------------
+
+  private def esc(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+
+  private def obj(kvs: (String, String)*): String =
+    kvs.map { case (k, v) => s"${esc(k)}: $v" }.mkString("{", ", ", "}")
+
+  private def arr(xs: Seq[String]): String = xs.mkString("[", ", ", "]")
+
+  private def optNum(name: String, v: Option[_]): Seq[(String, String)] =
+    v.map(x => name -> x.toString).toSeq
+
+  /** Serialize to a JSON AST (type + props + children — the map-form of
+    * malli's vector syntax). */
+  def toJson(ir: SchemaIR): String = ir match {
+    case SAny => obj("type" -> esc("any"))
+    case SNil => obj("type" -> esc("nil"))
+    case SSome => obj("type" -> esc("some"))
+    case SBoolean => obj("type" -> esc("boolean"))
+    case SBinary => obj("type" -> esc("bytes"))
+    case SUuid => obj("type" -> esc("uuid"))
+    case SString(mn, mx) =>
+      obj(Seq("type" -> esc("string")) ++ optNum("min", mn) ++ optNum("max", mx): _*)
+    case SInt(mn, mx) =>
+      obj(Seq("type" -> esc("int")) ++ optNum("min", mn) ++ optNum("max", mx): _*)
+    case SDouble(mn, mx) =>
+      obj(Seq("type" -> esc("double")) ++ optNum("min", mn) ++ optNum("max", mx): _*)
+    case STimestamp(mn, mx) =>
+      obj(Seq("type" -> esc("instant")) ++
+        mn.map(i => "min" -> esc(i.toString)) ++
+        mx.map(i => "max" -> esc(i.toString)): _*)
+    case SDate(mn, mx) =>
+      obj(Seq("type" -> esc("date")) ++
+        mn.map(i => "min" -> esc(i)) ++ mx.map(i => "max" -> esc(i)): _*)
+    case SEnum(vs) =>
+      obj("type" -> esc("enum"), "values" -> arr(vs.map(v => esc(v.toString))))
+    case SRegex(p) => obj("type" -> esc("re"), "pattern" -> esc(p))
+    case SCompare(op, v) =>
+      obj("type" -> esc("compare"), "op" -> esc(op), "value" -> esc(v.toString))
+    case SFn(n, _) => obj("type" -> esc("fn"), "name" -> esc(n))
+    case SMaybe(c) => obj("type" -> esc("maybe"), "child" -> toJson(c))
+    case SNot(c) => obj("type" -> esc("not"), "child" -> toJson(c))
+    case SAnd(cs) => obj("type" -> esc("and"), "children" -> arr(cs.map(toJson)))
+    case SOr(cs) => obj("type" -> esc("or"), "children" -> arr(cs.map(toJson)))
+    case SOrn(bs) => obj("type" -> esc("orn"), "branches" -> arr(bs.map {
+      case (t, c) => obj("tag" -> esc(t), "schema" -> toJson(c)) }))
+    case SMap(es, closed) =>
+      obj("type" -> esc("map"), "closed" -> closed.toString,
+        "entries" -> arr(es.map(e => obj(
+          Seq("key" -> esc(e.key), "optional" -> e.optional.toString,
+            "schema" -> toJson(e.child)) ++
+            e.default.map(d => "default" -> esc(d.toString)): _*))))
+    case SMapOf(k, v, mn, mx) =>
+      obj(Seq("type" -> esc("map-of"), "key" -> toJson(k),
+        "value" -> toJson(v)) ++ optNum("min", mn) ++ optNum("max", mx): _*)
+    case SVector(c, mn, mx) =>
+      obj(Seq("type" -> esc("vector"), "child" -> toJson(c)) ++
+        optNum("min", mn) ++ optNum("max", mx): _*)
+    case SSet(c, mn, mx) =>
+      obj(Seq("type" -> esc("set"), "child" -> toJson(c)) ++
+        optNum("min", mn) ++ optNum("max", mx): _*)
+    case SEvery(c, mn, mx, l) =>
+      obj(Seq("type" -> esc("every"), "child" -> toJson(c), "limit" -> l.toString) ++
+        optNum("min", mn) ++ optNum("max", mx): _*)
+    case STuple(cs) => obj("type" -> esc("tuple"), "children" -> arr(cs.map(toJson)))
+    case SMulti(d, bs, df) =>
+      obj(Seq("type" -> esc("multi"), "dispatch" -> esc(d),
+        "branches" -> arr(bs.map { case (t, c) =>
+          obj("tag" -> esc(t), "schema" -> toJson(c)) })) ++
+        df.map(x => "default" -> toJson(x)): _*)
+    case SRef(n) => obj("type" -> esc("ref"), "name" -> esc(n))
+    case SCat(cs) => obj("type" -> esc("cat"), "children" -> arr(cs.map(toJson)))
+    case SCatn(es) => obj("type" -> esc("catn"), "entries" -> arr(es.map {
+      case (t, c) => obj("tag" -> esc(t), "schema" -> toJson(c)) }))
+    case SAlt(cs) => obj("type" -> esc("alt"), "children" -> arr(cs.map(toJson)))
+    case SStar(c) => obj("type" -> esc("star"), "child" -> toJson(c))
+    case SPlus(c) => obj("type" -> esc("plus"), "child" -> toJson(c))
+    case SOpt(c) => obj("type" -> esc("opt"), "child" -> toJson(c))
+    case SRepeat(c, mn, mx) =>
+      obj("type" -> esc("repeat"), "child" -> toJson(c),
+        "min" -> mn.toString, "max" -> mx.toString)
+  }
+
+  // ---- from-ast: parse the JSON back -------------------------------------
+
+  /** Minimal JSON reader (objects/arrays/strings/numbers/bools) — no
+    * external deps (zero-egress build). */
+  private final class P(s: String) {
+    var i = 0
+    def ws(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = { ws(); require(s(i) == c, s"want $c at $i"); i += 1 }
+    def value(): Any = { ws(); s(i) match {
+      case '{' => objv()
+      case '[' => arrv()
+      case '"' => str()
+      case 't' => i += 4; true
+      case 'f' => i += 5; false
+      case 'n' => i += 4; null
+      case _ =>
+        val st = i
+        while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+        val t = s.substring(st, i)
+        if (t.contains('.') || t.contains('e') || t.contains('E')) t.toDouble
+        else t.toLong
+    } }
+    def objv(): Map[String, Any] = {
+      expect('{'); ws()
+      if (s(i) == '}') { i += 1; return Map.empty }
+      val b = Map.newBuilder[String, Any]
+      var done = false
+      while (!done) {
+        ws(); val k = str(); expect(':'); b += k -> value(); ws()
+        if (s(i) == ',') i += 1 else { expect('}'); done = true }
+      }
+      b.result()
+    }
+    def arrv(): Seq[Any] = {
+      expect('['); ws()
+      if (s(i) == ']') { i += 1; return Seq.empty }
+      val b = Seq.newBuilder[Any]
+      var done = false
+      while (!done) {
+        b += value(); ws()
+        if (s(i) == ',') i += 1 else { expect(']'); done = true }
+      }
+      b.result()
+    }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s(i) != '"') {
+        if (s(i) == '\\') {
+          i += 1
+          s(i) match {
+            case 'n' => sb += '\n'
+            case 'u' => sb += Integer.parseInt(s.substring(i + 1, i + 5), 16).toChar; i += 4
+            case c => sb += c
+          }
+        } else sb += s(i)
+        i += 1
+      }
+      i += 1
+      sb.toString
+    }
+  }
+
+  def fromJson(json: String): SchemaIR = fromAst(new P(json).objv())
+
+  private def fromAst(m: Map[String, Any]): SchemaIR = {
+    def child = fromAst(m("child").asInstanceOf[Map[String, Any]])
+    def children = m("children").asInstanceOf[Seq[Any]]
+      .map(x => fromAst(x.asInstanceOf[Map[String, Any]]))
+    def tagged(field: String) = m(field).asInstanceOf[Seq[Any]].map { x =>
+      val b = x.asInstanceOf[Map[String, Any]]
+      b("tag").toString -> fromAst(b("schema").asInstanceOf[Map[String, Any]])
+    }
+    def num(k: String): Option[Long] = m.get(k).map {
+      case l: Long => l; case d: Double => d.toLong; case s => s.toString.toLong
+    }
+    def dbl(k: String): Option[Double] = m.get(k).map {
+      case l: Long => l.toDouble; case d: Double => d; case s => s.toString.toDouble
+    }
+    m("type").toString match {
+      case "any" => SAny
+      case "nil" => SNil
+      case "some" => SSome
+      case "boolean" => SBoolean
+      case "bytes" => SBinary
+      case "uuid" => SUuid
+      case "string" => SString(num("min").map(_.toInt), num("max").map(_.toInt))
+      case "int" => SInt(num("min"), num("max"))
+      case "double" => SDouble(dbl("min"), dbl("max"))
+      case "instant" => STimestamp(
+        m.get("min").map(s => java.time.Instant.parse(s.toString)),
+        m.get("max").map(s => java.time.Instant.parse(s.toString)))
+      case "date" => SDate(m.get("min").map(_.toString), m.get("max").map(_.toString))
+      case "enum" => SEnum(m("values").asInstanceOf[Seq[Any]].map(_.toString))
+      case "re" => SRegex(m("pattern").toString)
+      case "compare" => SCompare(m("op").toString, m("value").toString)
+      case "fn" => SFn(m("name").toString, _ => true) // fns don't serialize
+      case "maybe" => SMaybe(child)
+      case "not" => SNot(child)
+      case "and" => SAnd(children)
+      case "or" => SOr(children)
+      case "orn" => SOrn(tagged("branches"))
+      case "map" => SMap(
+        m("entries").asInstanceOf[Seq[Any]].map { x =>
+          val e = x.asInstanceOf[Map[String, Any]]
+          Entry(e("key").toString,
+            fromAst(e("schema").asInstanceOf[Map[String, Any]]),
+            optional = e.get("optional").exists(_ == true),
+            default = e.get("default"))
+        },
+        closed = m.get("closed").exists(_ == true))
+      case "map-of" => SMapOf(
+        fromAst(m("key").asInstanceOf[Map[String, Any]]),
+        fromAst(m("value").asInstanceOf[Map[String, Any]]),
+        num("min").map(_.toInt), num("max").map(_.toInt))
+      case "vector" => SVector(child, num("min").map(_.toInt), num("max").map(_.toInt))
+      case "set" => SSet(child, num("min").map(_.toInt), num("max").map(_.toInt))
+      case "every" => SEvery(child, num("min").map(_.toInt),
+        num("max").map(_.toInt), num("limit").map(_.toInt).getOrElse(101))
+      case "tuple" => STuple(children)
+      case "multi" => SMulti(m("dispatch").toString, tagged("branches"),
+        m.get("default").map(x => fromAst(x.asInstanceOf[Map[String, Any]])))
+      case "ref" => SRef(m("name").toString)
+      case "cat" => SCat(children)
+      case "catn" => SCatn(tagged("entries"))
+      case "alt" => SAlt(children)
+      case "star" => SStar(child)
+      case "plus" => SPlus(child)
+      case "opt" => SOpt(child)
+      case "repeat" => SRepeat(child, num("min").get.toInt, num("max").get.toInt)
+      case t => throw new IllegalArgumentException(s"unknown ast type $t")
+    }
+  }
+
+  // ---- JSON-Schema export (json_schema.cljc:210-225) ----------------------
+
+  def toJsonSchema(ir: SchemaIR): String = ir match {
+    case SAny | SSome => "{}"
+    case SNil => obj("type" -> esc("null"))
+    case SString(mn, mx) => obj(Seq("type" -> esc("string")) ++
+      mn.map(m => "minLength" -> m.toString) ++
+      mx.map(m => "maxLength" -> m.toString): _*)
+    case SInt(mn, mx) => obj(Seq("type" -> esc("integer")) ++
+      optNum("minimum", mn) ++ optNum("maximum", mx): _*)
+    case SDouble(mn, mx) => obj(Seq("type" -> esc("number")) ++
+      optNum("minimum", mn) ++ optNum("maximum", mx): _*)
+    case SBoolean => obj("type" -> esc("boolean"))
+    case SBinary => obj("type" -> esc("string"),
+      "contentEncoding" -> esc("base64"))
+    case SUuid => obj("type" -> esc("string"), "format" -> esc("uuid"))
+    case STimestamp(_, _) => obj("type" -> esc("string"),
+      "format" -> esc("date-time"))
+    case SDate(_, _) => obj("type" -> esc("string"), "format" -> esc("date"))
+    case SEnum(vs) => obj("enum" -> arr(vs.map(v => esc(v.toString))))
+    case SRegex(p) => obj("type" -> esc("string"), "pattern" -> esc(p))
+    case SMaybe(c) => obj("oneOf" ->
+      arr(Seq(toJsonSchema(c), obj("type" -> esc("null")))))
+    case SAnd(cs) => obj("allOf" -> arr(cs.map(toJsonSchema)))
+    case SOr(cs) => obj("anyOf" -> arr(cs.map(toJsonSchema)))
+    case SOrn(bs) => obj("anyOf" -> arr(bs.map(b => toJsonSchema(b._2))))
+    case SNot(c) => obj("not" -> toJsonSchema(c))
+    case SMap(es, closed) =>
+      obj("type" -> esc("object"),
+        "properties" -> obj(es.map(e => e.key -> toJsonSchema(e.child)): _*),
+        "required" -> arr(es.filterNot(_.optional).map(e => esc(e.key))),
+        "additionalProperties" -> (!closed).toString)
+    case SMapOf(_, v, _, _) =>
+      obj("type" -> esc("object"), "additionalProperties" -> toJsonSchema(v))
+    case SVector(c, mn, mx) => obj(Seq("type" -> esc("array"),
+      "items" -> toJsonSchema(c)) ++
+      optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
+    case SSet(c, mn, mx) => obj(Seq("type" -> esc("array"),
+      "items" -> toJsonSchema(c), "uniqueItems" -> "true") ++
+      optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
+    case SEvery(c, mn, mx, _) => toJsonSchema(SVector(c, mn, mx))
+    case STuple(cs) => obj("type" -> esc("array"),
+      "prefixItems" -> arr(cs.map(toJsonSchema)),
+      "minItems" -> cs.length.toString, "maxItems" -> cs.length.toString)
+    case other => obj("$comment" -> esc(s"unmapped: ${SchemaIR.form(other)}"))
+  }
+}

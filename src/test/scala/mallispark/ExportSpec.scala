@@ -1,0 +1,53 @@
+package mallispark
+
+import org.scalatest.funsuite.AnyFunSuite
+import mallispark.ir.{Export, S, SchemaIR}
+import mallispark.ir.SchemaIR._
+import mallispark.run.WebPages
+
+/** m/ast round-trip + JSON-Schema export (SURVEY §2.2). Pure-JVM. */
+class ExportSpec extends AnyFunSuite {
+
+  private val samples: Seq[(String, mallispark.ir.SchemaIR)] = Seq(
+    "flagship" -> WebPages.schema,
+    "composite" -> S.and(S.int, S.or(S.posInt, S.negInt)),
+    "orn" -> S.orn("pos" -> S.posInt, "neg" -> S.negInt),
+    "nested" -> S.mapE(true,
+      S.req("xs", S.vector(S.maybe(S.enum_("a", "b")), max = Some(3))),
+      S.opt("t", S.tuple(S.string, S.int)),
+      S.req("kv", S.mapOf(S.string, S.double, min = Some(1)))),
+    "regex-ops" -> S.star(S.catn("p" -> S.re("^-"),
+      "v" -> S.alt(S.string, S.boolean))),
+    "multi" -> S.multi("kind", default = Some(S.any))(
+      "a" -> S.mapE(false, S.req("kind", S.string))),
+    "every-repeat" -> S.cat(S.every(S.int, limit = 7),
+      S.repeat(S.string, 1, 3), S.ref("other")))
+
+  test("ast JSON round-trips structurally (m/ast / m/from-ast)") {
+    samples.foreach { case (name, s) =>
+      val json = Export.toJson(s)
+      val back = Export.fromJson(json)
+      assert(SchemaIR.form(back) === SchemaIR.form(s), s"round-trip $name")
+      // second round-trip is a fixpoint
+      assert(Export.toJson(back) === json, s"fixpoint $name")
+    }
+  }
+
+  test("json-schema export: object shape for the flagship schema") {
+    val js = Export.toJsonSchema(WebPages.schema)
+    assert(js.contains("\"type\": \"object\""))
+    assert(js.contains("\"required\": [\"url\", \"warc_ts\", \"html\", \"text\", \"lang\"]"))
+    assert(js.contains("\"additionalProperties\": false")) // closed map
+    assert(js.contains("\"pattern\": \"^https?://[^\\\\s]+$\"") ||
+      js.contains("pattern"))
+    assert(js.contains("\"enum\": [\"en\", \"de\", \"fr\", \"es\", \"zh\"]"))
+  }
+
+  test("structtype DDL dual") {
+    val st = mallispark.compile.SchemaCompiler.toStructType(
+      WebPages.schema.asInstanceOf[SMap])
+    assert(st.fieldNames.toSeq ===
+      Seq("doc_id", "url", "warc_ts", "html", "text", "lang"))
+    assert(st("html").dataType.typeName === "binary")
+  }
+}

@@ -182,7 +182,13 @@ object SchemaIR {
         throw new IllegalArgumentException(s"unknown schema ref: $name"))
     def +(kv: (String, SchemaIR)): Registry = copy(schemas = schemas + kv)
   }
-  object Registry { val empty: Registry = Registry(Map.empty) }
+  object Registry {
+    val empty: Registry = Registry(Map.empty)
+    /** composite-registry (registry.cljc:54-59): later registries win. */
+    def composite(regs: Registry*): Registry =
+      Registry(regs.map(_.schemas).reduceOption(_ ++ _).getOrElse(Map.empty),
+        regs.map(_.maxDepth).maxOption.getOrElse(8))
+  }
 
   // ---- error keys (malli parity) ------------------------------------------
 

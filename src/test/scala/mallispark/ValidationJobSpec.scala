@@ -68,6 +68,29 @@ class ValidationJobSpec extends SparkSuite {
     assert(salted === plain)
   }
 
+  test("skew: salting spreads the hot lang across reducers (SURVEY §7.5)") {
+    // synthesized pages have Zipf lang skew: 'en' ~55% of rows
+    val p = WebPages.synthesize(spark, 50000, partitions = 8)
+    val langs = p.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(langs("en").toDouble / 50000 > 0.4, s"skew missing: $langs")
+    // unsalted groupBy(lang): the hot key lands on ONE reducer task.
+    // salted first phase: per-(lang, salt) groups are bounded by
+    // hot/salt — verify the first-phase group sizes are balanced.
+    val salt = 16
+    val firstPhase = p.groupBy(F.col("lang"),
+        F.pmod(F.xxhash64(F.col("url")), F.lit(salt.toLong)).as("s"))
+      .agg(F.count(F.lit(1)).as("c"))
+    val sizes = firstPhase.collect().map(_.getLong(2))
+    val maxGroup = sizes.max
+    assert(maxGroup < langs("en") / (salt / 2),
+      s"salting ineffective: max group $maxGroup vs hot ${langs("en")}")
+    // and the salted aggregate still reduces to exact counts
+    val merged = firstPhase.groupBy("lang").agg(F.sum("c").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === langs)
+  }
+
   test("synthesize: deterministic, injection rates as declared") {
     val p = WebPages.synthesize(spark, 20000, partitions = 4)
     val n = p.count()

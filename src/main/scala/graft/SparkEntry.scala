@@ -311,6 +311,15 @@ object SparkEntry {
       meta.join(feats, "doc_id").orderBy("doc_id")
     }),
 
+    // native-Expression MinHash (codegen xxhash64) — scale path,
+    // rows-only check (hashes are engine-native, not DuckDB-portable)
+    "dedup_minhash_fast" -> ((s, dir) =>
+      Dedup.minhashLSHFast(pages(s, dir).where(F.length(F.col("text")) > 0),
+          "doc_id", "text", k = 64, bands = 16, n = 3)
+        .select(F.col("band").cast(LongType).as("band"),
+          F.col("band_key"), F.col("dup_cnt"))
+        .orderBy("band", "band_key")),
+
     // HLL distinct + sketch stats — rows-only (approx algorithms differ
     // from DuckDB's; exactness asserted separately in unit tests)
     "stats_approx_distinct" -> ((s, dir) =>

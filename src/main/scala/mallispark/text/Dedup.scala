@@ -96,6 +96,31 @@ object Dedup {
               F.pow(F.lit(2.0), i.cast(DoubleType))).cast(LongType) % 2 === 1,
             1L).otherwise(-1L)))
 
+  /** Scale-path MinHash+LSH using the native codegen'd
+    * `MinHashSignature` expression (one xxhash64 state per shingle×seed in
+    * a tight generated loop — no md5, no interpreted HOFs). Same banding
+    * and bucket-join downstream; NOT DuckDB-portable (use `minhashLSH`
+    * for the oracle-checked path). */
+  def minhashLSHFast(df: DataFrame, id: String, text: String,
+                     k: Int = 64, bands: Int = 16, n: Int = 3): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(F.col(id),
+      mallispark.expressions.MinHashSignature(
+        F.array_distinct(shingles(F.col(text), n)), k).as("sig"))
+    val banded = sig.select(F.col(id), F.explode(
+      F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
+        F.struct(b.as("band"),
+          F.array_join(F.transform(
+            F.slice(F.col("sig"), b * rows + 1, F.lit(rows)),
+            x => x.cast(StringType)), "_").as("band_key")))).as("bk"))
+      .select(F.col(id), F.col("bk.band").as("band"),
+        F.col("bk.band_key").as("band_key"))
+    banded.groupBy("band", "band_key")
+      .agg(F.count(F.lit(1)).as("dup_cnt"),
+        F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
+      .where(F.col("dup_cnt") > 1)
+  }
+
   /** 64-bit SimHash (two portable 32-bit halves) per document. Token
     * hashes are materialized once per half (one md5 per token, not one
     * per token×bit), then the 32 bit-votes are integer arithmetic. */

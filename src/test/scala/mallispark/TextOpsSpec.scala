@@ -43,6 +43,28 @@ class TextOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p.contains(4L) && p.contains(1L)))
   }
 
+  test("native MinHashSignature: codegen == interpreted; dups collide") {
+    import mallispark.expressions.MinHashSignature
+    // interpreted eval (via a non-codegen path: eval on literal rows
+    // through collect with codegen off) vs whole-stage codegen
+    val sigDf = d.select(F.col("id"),
+      MinHashSignature(TextOps.shingles(F.col("text"), 2), 16).as("sig"))
+    val withCodegen = sigDf.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try sigDf.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Long](1)).toMap
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withCodegen === interpreted)
+    assert(withCodegen(1L) === withCodegen(2L)) // exact dups: same signature
+    assert(withCodegen(1L) !== withCodegen(4L))
+    assert(withCodegen(1L).length === 16)
+    // end-to-end fast LSH: dup pair co-bucketed in all bands
+    val cand = Dedup.minhashLSHFast(d, "id", "text", k = 16, bands = 8, n = 2)
+      .collect().map(_.getSeq[Long](3).toSet)
+    assert(cand.count(p => p.contains(1L) && p.contains(2L)) === 8)
+  }
+
   test("simhash: identical texts share both halves; distinct texts differ") {
     val sigs = Dedup.simhashDF(d, "id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

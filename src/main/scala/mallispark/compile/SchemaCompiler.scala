@@ -246,7 +246,11 @@ object SchemaCompiler {
                     // (malli's no-op elision spirit, core.cljc:35-37)
                     if (onlyNullCheck(e.child, f.dataType)) F.lit(true)
                     else fc.isNull || valid(e.child, fc, f.dataType)
-                  } else fc.isNotNull && valid(e.child, fc, f.dataType)
+                  } else if (acceptsNull(e.child))
+                    // required key whose child accepts nil (:maybe/:nil/:any)
+                    // — null is a VALUE here, not a missing key
+                    valid(e.child, fc, f.dataType)
+                  else fc.isNotNull && valid(e.child, fc, f.dataType)
               }
             }
             // closed map: any extra PHYSICAL field must be absent (null) —
@@ -382,6 +386,15 @@ object SchemaCompiler {
     case _ => F.lit(false)
   }
 
+  /** Does the schema accept a null VALUE (vs null meaning missing-key)? */
+  private def acceptsNull(ir: SchemaIR): Boolean = ir match {
+    case SAny | SNil | _: SMaybe => true
+    case SOr(cs) => cs.exists(acceptsNull)
+    case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
+    case SAnd(cs) => cs.forall(acceptsNull)
+    case _ => false
+  }
+
   /** True iff the schema's only possible failure on this physical type is
     * null-ness (boundless leaf of a matching type). */
   private def onlyNullCheck(ir: SchemaIR, dt: DataType): Boolean = ir match {
@@ -476,6 +489,8 @@ object SchemaCompiler {
                   val fc = col.getField(e.key)
                   val childErrs = errors(e.child, fc, f.dataType, p, i2)
                   if (e.optional) F.when(fc.isNull, emptyViols).otherwise(childErrs)
+                  // required key whose child accepts nil: null is a value
+                  else if (acceptsNull(e.child)) childErrs
                   // Parquet conflates missing-key and null value (SURVEY §7.4):
                   // a null required field reports ::missing-key.
                   else F.when(fc.isNull,

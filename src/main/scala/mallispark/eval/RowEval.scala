@@ -95,7 +95,8 @@ object RowEval {
       case Some(m) =>
         val entriesOk = entries.forall { e =>
           m.get(e.key) match {
-            case None | Some(null) => e.optional
+            case None | Some(null) =>
+              e.optional || acceptsNull(e.child) // null value vs missing key
             case Some(x) => validate(e.child, x)
           }
         }
@@ -199,7 +200,7 @@ object RowEval {
           val entryErrs = entries.toVector.flatMap { e =>
             m.get(e.key) match {
               case None | Some(null) =>
-                if (e.optional) Vector.empty
+                if (e.optional || acceptsNull(e.child)) Vector.empty
                 else Vector(Err(path :+ e.key, in :+ e.key, ErrorKeys.MissingKey, null))
               case Some(x) => explain(e.child, x, path :+ e.key, in :+ e.key)
             }
@@ -350,6 +351,15 @@ object RowEval {
     case SCompare(op, _) => s":$op"
     case SFn(n, _) => s":fn/$n"
     case other => SchemaIR.form(other)
+  }
+
+  /** Does the schema accept a null VALUE (mirror of the compiler's rule). */
+  private def acceptsNull(ir: SchemaIR): Boolean = ir match {
+    case SAny | SNil | _: SMaybe => true
+    case SOr(cs) => cs.exists(acceptsNull)
+    case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
+    case SAnd(cs) => cs.forall(acceptsNull)
+    case _ => false
   }
 
   private def asD(v: Any): Option[Double] = v match {

@@ -1,0 +1,176 @@
+package mallispark.gen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types._
+import mallispark.ir.SchemaIR
+import mallispark.ir.SchemaIR._
+
+/** Schema-driven data generation — the `malli.generator` analogue
+  * (reference: /root/reference/src/malli/generator.cljc; the
+  * validate∘generate law is the backbone of the reference's property
+  * suite, test/malli/generator_test.cljc).
+  *
+  * malli wraps test.check generators; ours are deterministic Column
+  * expressions over `spark.range` (xxhash64-seeded, no Random, no wall
+  * clock) so generation is distributed, reproducible, and scales linearly
+  * with parallelism. `validate(generate(schema))` must hold for every
+  * supported schema — asserted in GenerateSpec.
+  *
+  * Unsupported for generation (throw): `:re` with arbitrary patterns
+  * (regex→string synthesis needs a regex solver; malli needs test.chuck
+  * for the same reason), `:not`, `:fn`, `:ref` beyond depth. */
+object Generate {
+
+  /** Deterministic uniform in [0, bound) keyed by (row id, path salt). */
+  private def rnd(id: Column, salt: Int, bound: Long): Column =
+    F.pmod(F.xxhash64(id, F.lit(salt)), F.lit(bound))
+
+  def gen(ir: SchemaIR, id: Column, salt: Int = 1): Column = ir match {
+    case SAny => genString(id, salt, 1, 12)
+    case SString(mn, mx) =>
+      genString(id, salt, mn.getOrElse(0), mx.getOrElse(mn.getOrElse(0) + 12))
+    case SNil => F.lit(null).cast(StringType)
+    case SSome => genString(id, salt, 1, 8)
+    case SInt(mn, mx) =>
+      val lo = mn.getOrElse(-1000000L)
+      val hi = mx.getOrElse(lo + 2000000L)
+      F.lit(lo) + rnd(id, salt, hi - lo + 1)
+    case SDouble(mn, mx) =>
+      val lo = mn.getOrElse(-1e6)
+      val hi = mx.getOrElse(lo + 2e6)
+      F.lit(lo) + rnd(id, salt, 1000000L).cast(DoubleType) / 1e6 * (hi - lo)
+    case SBoolean => rnd(id, salt, 2) === 1
+    case SBinary => F.unbase64(F.base64(F.encode(
+      genString(id, salt, 4, 16), "UTF-8")))
+    case SUuid =>
+      // canonical v4-shaped uuid from two hashes
+      val h1 = F.lpad(F.hex(F.abs(F.xxhash64(id, F.lit(salt)))), 16, "0")
+      val h2 = F.lpad(F.hex(F.abs(F.xxhash64(id, F.lit(salt + 7)))), 16, "0")
+      F.lower(F.concat(
+        F.substring(h1, 1, 8), F.lit("-"), F.substring(h1, 9, 4),
+        F.lit("-4"), F.substring(h1, 13, 3), F.lit("-a"),
+        F.substring(h2, 1, 3), F.lit("-"), F.substring(h2, 4, 12)))
+    case STimestamp(mn, mx) =>
+      val lo = mn.map(_.getEpochSecond).getOrElse(1577836800L) // 2020-01-01
+      val hi = mx.map(_.getEpochSecond).getOrElse(lo + 157766400L)
+      F.timestamp_seconds(F.lit(lo) + rnd(id, salt, hi - lo + 1))
+    case SDate(mn, mx) =>
+      val lo = mn.map(java.time.LocalDate.parse(_).toEpochDay)
+        .getOrElse(18262L)
+      val hi = mx.map(java.time.LocalDate.parse(_).toEpochDay)
+        .getOrElse(lo + 1825)
+      F.date_add(F.lit(java.sql.Date.valueOf("1970-01-01")),
+        (F.lit(lo) + rnd(id, salt, hi - lo + 1)).cast(IntegerType))
+    case SEnum(vs) =>
+      F.element_at(F.array(vs.map(v => F.lit(v)): _*),
+        (rnd(id, salt, vs.size) + 1).cast(IntegerType))
+    case SCompare(op, v) => op match {
+      case ">" | ">=" => F.lit(v) + rnd(id, salt, 100) + lit1(op == ">")
+      case "<" | "<=" => F.lit(v) - rnd(id, salt, 100) - lit1(op == "<")
+      case "=" => F.lit(v)
+      case "not=" => F.lit(v) + rnd(id, salt, 100) + F.lit(1)
+    }
+    case SMaybe(c) =>
+      F.when(rnd(id, salt, 4) === 0, F.lit(null).cast(dataTypeFor(c)))
+        .otherwise(gen(c, id, salt + 1))
+    case SAnd(cs) => gen(cs.head, id, salt) // first child governs (malli's
+      // such-that filter is replaced by: author puts the generative child
+      // first — document)
+    case SOr(cs) =>
+      // pick a branch per row — types must unify; use first branch's type
+      val n = cs.size
+      cs.zipWithIndex.tail.foldLeft(gen(cs.head, id, salt)) {
+        case (acc, (c, i)) =>
+          F.when(rnd(id, salt + 31 * i, n) === i, gen(c, id, salt + i)).otherwise(acc)
+      }
+    case SOrn(bs) => gen(SOr(bs.map(_._2)), id, salt)
+    case SMap(entries, _) =>
+      F.struct(entries.zipWithIndex.map { case (e, i) =>
+        val v = gen(e.child, id, salt + 13 * (i + 1))
+        (if (e.optional)
+          F.when(rnd(id, salt + 17 * (i + 1), 4) === 0,
+            F.lit(null).cast(dataTypeFor(e.child))).otherwise(v)
+        else v).as(e.key)
+      }: _*)
+    case SMapOf(k, v, mn, mx) =>
+      val n = sizeIn(id, salt, mn, mx)
+      F.map_from_arrays(
+        // distinct keys: index-salted generation
+        F.transform(F.sequence(F.lit(1), n), i =>
+          F.concat(gen(k, id, salt + 3).cast(StringType), i.cast(StringType))),
+        F.transform(F.sequence(F.lit(1), n), i => gen(v, F.xxhash64(id, i), salt + 5)))
+    case SVector(c, mn, mx) => genColl(c, id, salt, mn, mx)
+    case SEvery(c, mn, mx, _) => genColl(c, id, salt, mn, mx)
+    case SSet(c, mn, mx) =>
+      F.array_distinct(genColl(c, id, salt, mn, mx))
+    case STuple(cs) =>
+      // homogeneous → array; heterogeneous → struct (ANSI would otherwise
+      // coerce array(string, bigint) to array<bigint> with runtime casts;
+      // the validator handles tuples over StructType positionally)
+      if (cs.map(dataTypeFor).distinct.size == 1)
+        F.array(cs.zipWithIndex.map { case (c, i) => gen(c, id, salt + i + 1) }: _*)
+      else
+        F.struct(cs.zipWithIndex.map { case (c, i) =>
+          gen(c, id, salt + i + 1).as(s"_${i + 1}")
+        }: _*)
+    case SMulti(dk, bs, _) =>
+      // generate per branch, pick one; branches must share physical type
+      val n = bs.size
+      bs.zipWithIndex.tail.foldLeft(gen(bs.head._2, id, salt)) {
+        case (acc, ((_, c), i)) =>
+          F.when(rnd(id, salt + 41 * i, n) === i, gen(c, id, salt + i)).otherwise(acc)
+      }
+    case SCat(cs) =>
+      F.array(cs.zipWithIndex.map { case (c, i) => gen(c, id, salt + i + 1) }: _*)
+    case SCatn(es) => gen(SCat(es.map(_._2)), id, salt)
+    case SStar(c) => genColl(c, id, salt, None, Some(8))
+    case SPlus(c) => genColl(c, id, salt, Some(1), Some(8))
+    case SOpt(c) => genColl(c, id, salt, None, Some(1))
+    case SRepeat(c, mn, mx) => genColl(c, id, salt, Some(mn), Some(mx))
+    case SAlt(cs) => gen(SOr(cs), id, salt)
+    case other => throw new IllegalArgumentException(
+      s"cannot generate from ${SchemaIR.form(other)} (needs a custom generator)")
+  }
+
+  private def lit1(b: Boolean): Column = if (b) F.lit(1) else F.lit(0)
+
+  private def sizeIn(id: Column, salt: Int, mn: Option[Int],
+                     mx: Option[Int]): Column = {
+    val lo = mn.getOrElse(0)
+    val hi = mx.getOrElse(lo + 6)
+    (F.lit(lo) + rnd(id, salt + 99, (hi - lo + 1).toLong)).cast(IntegerType)
+  }
+
+  private def genColl(c: SchemaIR, id: Column, salt: Int, mn: Option[Int],
+                      mx: Option[Int]): Column = {
+    val n = sizeIn(id, salt, mn, mx)
+    F.when(n === 0, F.array().cast(ArrayType(dataTypeFor(c))))
+      .otherwise(F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        i => gen(c, F.xxhash64(id, i), salt + 2)))
+  }
+
+  private def genString(id: Column, salt: Int, mn: Int, mx: Int): Column = {
+    val words = F.array(Seq("alpha", "beta", "gamma", "delta", "omega",
+      "kappa", "sigma", "theta").map(F.lit): _*)
+    val base = F.element_at(words, (rnd(id, salt, 8) + 1).cast(IntegerType))
+    val len = F.lit(mn) + rnd(id, salt + 1, (mx - mn + 1).toLong)
+    // repeat to at least len then cut — min/max respected
+    F.substring(F.concat(base, F.repeat(F.lit("x"), 64)), F.lit(1),
+      F.greatest(len, F.lit(mn)).cast(IntegerType))
+  }
+
+  private def dataTypeFor(ir: SchemaIR): DataType =
+    mallispark.compile.SchemaCompiler.dataTypeOf(ir)
+
+  /** Generate an n-row DataFrame from a top-level `:map` schema.
+    * Deterministic in (schema, n, seed); linear in parallelism. */
+  def dfFromSchema(spark: SparkSession, ir: SMap, n: Long, seed: Long = 42L,
+                   partitions: Int = 0): DataFrame = {
+    val base = if (partitions > 0) spark.range(0, n, 1, partitions)
+               else spark.range(n)
+    val id = F.xxhash64(F.col("id"), F.lit(seed))
+    val row = gen(ir, id, 1)
+    base.select(ir.entries.map(e => row.getField(e.key).as(e.key)): _*)
+  }
+}

@@ -1,0 +1,66 @@
+package mallispark
+
+import org.apache.spark.sql.{functions => F}
+import mallispark.ir.S
+import mallispark.ir.SchemaIR._
+import mallispark.compile.SchemaCompiler
+import mallispark.gen.Generate
+
+/** The malli generator law (generator_test.cljc):
+  * every generated row validates against its schema. */
+class GenerateSpec extends SparkSuite {
+
+  implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+
+  private val schemas: Seq[(String, SMap)] = Seq(
+    "flat" -> S.mapE(false,
+      S.req("a", S.int(0, 100)),
+      S.req("b", S.string(min = 2, max = 10)),
+      S.opt("c", S.enum_("x", "y", "z")),
+      S.req("d", S.boolean)).asInstanceOf[SMap],
+    "nested" -> S.mapE(false,
+      S.req("xs", S.vector(S.int(-5, 5), min = Some(1), max = Some(4))),
+      S.req("t", S.tuple(S.string, S.int(0, 9))),
+      S.req("m", S.maybe(S.double(0.0, 1.0))),
+      S.req("ts", S.instant(
+        min = Some(java.time.Instant.parse("2024-01-01T00:00:00Z")),
+        max = Some(java.time.Instant.parse("2024-12-31T00:00:00Z")))),
+      S.req("u", S.uuid),
+      S.req("set", S.set(S.int(0, 1000000)))).asInstanceOf[SMap],
+    "unions" -> S.mapE(false,
+      S.req("o", S.or(S.int(0, 10), S.int(50, 60))),
+      S.req("orn", S.orn("lo" -> S.intMax(-1L), "hi" -> S.intMin(1L))),
+      S.req("cat", S.cat(S.int(0, 5), S.int(10, 15))),
+      S.req("star", S.star(S.enum_("a", "b")))).asInstanceOf[SMap])
+
+  test("validate(generate(schema)) holds for every schema") {
+    schemas.foreach { case (name, s) =>
+      val df = Generate.dfFromSchema(spark, s, 2000, seed = 7)
+      val flagged = SchemaCompiler.validateDF(s, df, "ok")
+      val bad = flagged.where(!F.col("ok"))
+      val badCount = bad.count()
+      if (badCount > 0) bad.show(5, truncate = false)
+      assert(badCount === 0L, s"schema $name generated invalid rows")
+    }
+  }
+
+  test("generation is deterministic in seed and independent of partitioning") {
+    val s = schemas.head._2
+    def fingerprint(parts: Int) =
+      Generate.dfFromSchema(spark, s, 5000, seed = 11, partitions = parts)
+        .agg(F.sum(F.pmod(F.xxhash64(F.col("a"), F.col("b")),
+          F.lit(1000003L)))).collect()(0).getLong(0)
+    assert(fingerprint(2) === fingerprint(16))
+    val other = Generate.dfFromSchema(spark, s, 5000, seed = 12)
+      .agg(F.sum(F.pmod(F.xxhash64(F.col("a"), F.col("b")),
+        F.lit(1000003L)))).collect()(0).getLong(0)
+    assert(other !== fingerprint(2)) // different seed → different data
+  }
+
+  test("optional fields actually vary (nulls present but not universal)") {
+    val s = schemas.head._2
+    val df = Generate.dfFromSchema(spark, s, 2000, seed = 3)
+    val nulls = df.where(F.col("c").isNull).count()
+    assert(nulls > 0 && nulls < 2000)
+  }
+}

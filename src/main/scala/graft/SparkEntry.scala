@@ -221,6 +221,48 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- parse (tagged unions) as a gated query ----
+    "parse_orn" -> ((s, dir) => {
+      val sch = S.orn("neg" -> S.intMax(-1L), "zero" -> S.eq_(0L),
+        "pos" -> S.intMin(1L))
+      val src = t(s, dir, "documents").select(F.col("doc_id"),
+        (F.col("doc_id") % 7 - 3).as("v"))
+      src.select(F.col("doc_id"),
+          mallispark.compile.Parse.parse(sch, F.col("v"), LongType).as("p"))
+        .select(F.col("doc_id"), F.col("p.tag").as("tag"),
+          F.col("p.value").as("value"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- humanized violations (error.cljc message table) ----
+    "violations_humanized" -> ((s, dir) => {
+      val viols = SchemaCompiler.violationsDF(WebPages.schema, pages(s, dir),
+        Seq("doc_id", "url"))
+      val msgs = mallispark.msg.Messages.defaults.toSeq.sortBy(_._1)
+      val msgCol = msgs.foldRight(F.lit("unknown error")) {
+        case ((k, m), acc) =>
+          F.when(F.col("error_key") === k, F.lit(m)).otherwise(acc)
+      }
+      viols.select(F.col("doc_id"), F.col("error_key"),
+        msgCol.as("message")).orderBy("doc_id", "error_key")
+    }),
+
+    // ---- top-k window over hosts ----
+    "top_hosts" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val byHost = pages(s, dir)
+        .select(F.regexp_extract(F.col("url"), "^https?://([^/]+)/", 1)
+          .as("host"))
+        .where(F.col("host") =!= "")
+        .groupBy("host").agg(F.count(F.lit(1)).as("cnt"))
+      val w = Window.orderBy(F.col("cnt").desc, F.col("host").asc)
+      byHost.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(F.col("host"), F.col("cnt"),
+          F.col("rank").cast(LongType).as("rank"))
+        .orderBy("rank")
+    }),
+
     // ---- dedup family over pages ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDupGroups(pages(s, dir), "doc_id", "text")
@@ -556,6 +598,50 @@ object SparkEntry {
         |       WHEN s_bool = 'false' THEN false ELSE NULL END AS d_bool,
         |  NULLIF(s_str, '') AS d_str
         |FROM src ORDER BY doc_id""".stripMargin,
+
+    "parse_orn" ->
+      """SELECT doc_id,
+        |  CASE WHEN v <= -1 THEN 'neg' WHEN v = 0 THEN 'zero'
+        |       WHEN v >= 1 THEN 'pos' END AS tag,
+        |  v AS value
+        |FROM (SELECT doc_id, doc_id % 7 - 3 AS v FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "violations_humanized" -> {
+      val cases = mallispark.msg.Messages.defaults.toSeq.sortBy(_._1)
+        .map { case (k, m) => s"WHEN error_key = '$k' THEN '$m'" }
+        .mkString(" ")
+      s"""$P,
+         |viols AS (
+         |  SELECT doc_id, ':re' AS error_key FROM pages
+         |    WHERE NOT regexp_matches(url, '^https?://[^\\s]+$$')
+         |  UNION ALL
+         |  SELECT doc_id, ':time/instant' FROM pages
+         |    WHERE warc_ts < TIMESTAMP '2025-01-01 00:00:00'
+         |       OR warc_ts > TIMESTAMP '2026-05-01 00:00:00'
+         |  UNION ALL
+         |  SELECT doc_id, ':string' FROM pages WHERE length(text) < 1
+         |  UNION ALL
+         |  SELECT doc_id, ':enum' FROM pages
+         |    WHERE lang NOT IN ('en','de','fr','es','zh'))
+         |SELECT doc_id, error_key,
+         |  CASE $cases ELSE 'unknown error' END AS message
+         |FROM viols ORDER BY doc_id, error_key""".stripMargin
+    },
+
+    "top_hosts" ->
+      s"""$P,
+         |byhost AS (
+         |  SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pages
+         |  WHERE regexp_extract(url, '^https?://([^/]+)/', 1) <> ''
+         |  GROUP BY 1),
+         |ranked AS (SELECT host, cnt,
+         |  row_number() OVER (ORDER BY cnt DESC, host ASC) AS rank
+         |  FROM byhost)
+         |SELECT host, cnt, CAST(rank AS BIGINT) AS rank FROM ranked
+         |WHERE rank <= 5 ORDER BY rank""".stripMargin,
 
     "dedup_exact" ->
       s"""$P

@@ -323,6 +323,18 @@ object SchemaCompiler {
         if (ctx.depth <= 0) F.lit(true) // depth-bounded unroll (SURVEY §7.1)
         else valid(ctx.registry(name), col, dt)(ctx.copy(depth = ctx.depth - 1))
 
+      // ---- seq-regex: general (nested) forms -> RowEval UDF (tier 3) ----
+      case r if isGeneralRegex(r) =>
+        dt match {
+          case ArrayType(StringType, _) =>
+            mallispark.compile.GeneralRegex.validStringSeq(r)(col)
+          case ArrayType(LongType, _) =>
+            mallispark.compile.GeneralRegex.validLongSeq(r)(col)
+          case other => throw new IllegalArgumentException(
+            s"general seq-regex ${SchemaIR.form(r)} needs array<string|long>, " +
+              s"got ${other.simpleString}")
+        }
+
       // ---- seq-regex bounded forms (SURVEY §2.9 tiers 1-2) ----
       case SCat(cs) =>
         dt match {
@@ -365,6 +377,31 @@ object SchemaCompiler {
           case _ => F.lit(false)
         }
     }
+
+  /** A regex op whose children are THEMSELVES regex ops (other than a
+    * single-element :alt) needs backtracking — the bounded Column
+    * compilation cannot express it (SURVEY §2.9 tier 3). */
+  private def isRegexOp(ir: SchemaIR): Boolean = ir match {
+    case _: SCat | _: SCatn | _: SStar | _: SPlus | _: SOpt | _: SRepeat => true
+    case _ => false
+  }
+  private def isGeneralRegex(ir: SchemaIR): Boolean = {
+    def nestedChildren(s: SchemaIR): Seq[SchemaIR] = s match {
+      case SCat(cs) => cs
+      case SCatn(es) => es.map(_._2)
+      case SAlt(cs) => cs
+      case SStar(c) => Seq(c)
+      case SPlus(c) => Seq(c)
+      case SOpt(c) => Seq(c)
+      case SRepeat(c, _, _) => Seq(c)
+      case _ => Seq.empty
+    }
+    isRegexOp(ir) && nestedChildren(ir).exists(c =>
+      isRegexOp(c) || (c match {
+        case SAlt(cs) => cs.exists(isRegexOp)
+        case _ => false
+      }))
+  }
 
   /** Element check inside a regex op: an SAlt among plain schemas matches
     * one element (bounded form); nested regex ops would need the general
@@ -596,6 +633,12 @@ object SchemaCompiler {
         if (ctx.depth <= 0) emptyViols
         else errors(ctx.registry(name), col, dt, path, in)(
           ctx.copy(depth = ctx.depth - 1))
+
+      // general (nested) seq-regex: one opaque violation from the UDF
+      // matcher — per-position attribution needs the full parser (tier 3)
+      case r if isGeneralRegex(r) =>
+        F.when(valid(r, col, dt), emptyViols)
+          .otherwise(one(path, in, ":seq-regex", valueStr(col, dt)))
 
       // seq-regex bounded errors — ::end-of-input / ::input-remaining parity
       case SCat(cs) => catErrors(cs.zipWithIndex.map { case (c, i) => (i.toString, c) },

@@ -236,6 +236,22 @@ class CoreValidationSpec extends SparkSuite {
       (Seq.empty[Long], false, Set(("", "", ErrorKeys.Limits)))))
   }
 
+  test("nested seq-regex auto-falls back to the general matcher") {
+    // [:cat [:* int?] int?] — backtracking: star must leave one element
+    val s = S.cat(S.star(S.int), S.int)
+    val df = dfOf(ArrayType(LongType),
+      Seq(Seq(1L, 2L, 3L), Seq(7L), Seq.empty[Long]))
+    val got = df.select(
+      SchemaCompiler.valid(s, F.col("v"), ArrayType(LongType)).as("ok"),
+      F.size(SchemaCompiler.errors(s, F.col("v"), ArrayType(LongType), "",
+        F.lit(""))).as("ne")).collect()
+    assert(got.map(_.getBoolean(0)).toSeq === Seq(true, true, false))
+    assert(got.map(_.getInt(1)).toSeq === Seq(0, 0, 1))
+    // RowEval agrees
+    assert(RowEval.validate(s, Seq(1L, 2L, 3L)))
+    assert(!RowEval.validate(s, Seq.empty[Long]))
+  }
+
   test("RowEval general seq-regex: [:* [:catn [:prop string?] [:val ...]]]") {
     // perf_test.cljc:345-349 — the general backtracking case (tier 3):
     // evaluated by the RowEval escape hatch, not the bounded compiler.

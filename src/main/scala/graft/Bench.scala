@@ -161,9 +161,11 @@ object Bench {
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
 
-    // doubled leading pipe: stripMargin below consumes one
-    val rowsTable = levels.map { l =>
-      f"|| local[${l.cores}] | ${l.pqSec}%.2f / ${l.pqRate}%.0f | ${l.memSec}%.2f / ${l.memRate}%.0f | ${l.ceilingRate / 1e6}%.0f M/s |"
+    // stripMargin consumes one leading pipe on each line AFTER the first
+    // (the first row rides on the template's own margin pipe)
+    val rowsTable = levels.zipWithIndex.map { case (l, i) =>
+      (if (i == 0) "" else "|") +
+        f"| local[${l.cores}] | ${l.pqSec}%.2f / ${l.pqRate}%.0f | ${l.memSec}%.2f / ${l.memRate}%.0f | ${l.ceilingRate / 1e6}%.0f M/s |"
     }.mkString("\n")
     val md =
       f"""# BENCH — measured (this round)

@@ -149,6 +149,16 @@ object SchemaCompiler {
     case SBinary => dt == BinaryType
     case _: STimestamp => dt == TimestampType
     case _: SDate => dt == DateType || dt == TimestampType
+    case SEnum(vs) => vs.isEmpty || (litType(vs.head) match {
+      // an enum of strings against a numeric column (or vice versa) must
+      // degrade to statically-false like every other leaf — ANSI would
+      // otherwise cast the literals and throw at runtime
+      case StringType => dt == StringType
+      case LongType => isIntegral(dt) || isFloating(dt)
+      case DoubleType => isFloating(dt) || isIntegral(dt)
+      case BooleanType => dt == BooleanType
+      case _ => true
+    })
     case _ => true
   }
 
@@ -199,6 +209,7 @@ object SchemaCompiler {
         col.isNotNull && between(col.cast(DateType),
           mn.map(java.sql.Date.valueOf), mx.map(java.sql.Date.valueOf))
 
+      case s: SEnum if !typeOk(s, dt) => F.lit(false)
       case SEnum(vs) => col.isNotNull && col.isin(vs: _*)
 
       // malli :re uses re-find ⇒ PARTIAL match: do NOT anchor
@@ -284,8 +295,10 @@ object SchemaCompiler {
       case SEvery(c, mn, mx, limit) =>
         dt match {
           case ArrayType(et, _) =>
-            // bounded element checks (core.cljc:745-751): first `limit` only
-            val bounded = F.slice(col, 1, limit)
+            // bounded element checks: first max(min, max+1, limit)
+            // elements (core.cljc:745-751)
+            val eff = effectiveEveryLimit(mn, mx, limit)
+            val bounded = F.slice(col, 1, eff)
             col.isNotNull &&
               between(F.size(col), mn.map(_.toLong), mx.map(_.toLong)) &&
               F.coalesce(F.forall(bounded, x => valid(c, x, et)), F.lit(true))
@@ -422,6 +435,12 @@ object SchemaCompiler {
       if (unique) base && F.size(F.array_distinct(col)) === F.size(col) else base
     case _ => F.lit(false)
   }
+
+  /** malli's :every bounded-check window: max(min, max+1, limit)
+    * (core.cljc:745-751). */
+  private def effectiveEveryLimit(mn: Option[Int], mx: Option[Int],
+                                  limit: Int): Int =
+    Seq(Some(limit), mn, mx.map(_ + 1)).flatten.max
 
   /** Does the schema accept a null VALUE (vs null meaning missing-key)? */
   private def acceptsNull(ir: SchemaIR): Boolean = ir match {
@@ -579,7 +598,7 @@ object SchemaCompiler {
             val limitsOk = between(F.size(col), mn.map(_.toLong), mx.map(_.toLong))
             val limitsErr = F.when(limitsOk, emptyViols)
               .otherwise(one(path, in, ErrorKeys.Limits, F.size(col).cast(StringType)))
-            val bounded = F.slice(col, 1, limit)
+            val bounded = F.slice(col, 1, effectiveEveryLimit(mn, mx, limit))
             val elemErrs = F.flatten(F.transform(bounded, (x, i) =>
               errors(c, x, et, j(path, "0"), jin(in, i))))
             F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
@@ -769,8 +788,10 @@ object SchemaCompiler {
   }
 
   /** Violation rows: one output row per error, keyed by `keyCols`
-    * (the explode/"UDTF" shape of SURVEY §2.12). Key columns are excluded
-    * from the validated row. */
+    * (the explode/"UDTF" shape of SURVEY §2.12). `keyCols` select the
+    * OUTPUT identity columns; they are still validated like any other
+    * column (declare them in the schema or list them in `exclude` when a
+    * closed map must not see them). */
   def violationsDF(ir: SchemaIR, df: DataFrame, keyCols: Seq[String],
                    exclude: Set[String] = Set.empty)(
       implicit ctx: Ctx = Ctx()): DataFrame = {

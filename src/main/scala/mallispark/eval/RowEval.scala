@@ -121,7 +121,7 @@ object RowEval {
         xs.distinct.size == xs.size && xs.forall(validate(c, _)))
     case SEvery(c, mn, mx, limit) => asSeq(v).exists(xs =>
       mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
-        xs.take(limit).forall(validate(c, _)))
+        xs.take(everyLimit(mn, mx, limit)).forall(validate(c, _)))
     case STuple(cs) => asSeq(v).exists(xs =>
       xs.size == cs.size && cs.zip(xs).forall { case (c, x) => validate(c, x) })
     case SMulti(dk, bs, default) => asMap(v) match {
@@ -221,9 +221,10 @@ object RowEval {
           val lim = if (mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
             Vector.empty
           else Vector(Err(path, in, ErrorKeys.Limits, xs.size))
-          lim ++ xs.take(limit).zipWithIndex.toVector.flatMap { case (x, i) =>
-            explain(c, x, path :+ "0", in :+ i.toString)
-          }
+          lim ++ xs.take(everyLimit(mn, mx, limit)).zipWithIndex.toVector
+            .flatMap { case (x, i) =>
+              explain(c, x, path :+ "0", in :+ i.toString)
+            }
       }
       case STuple(cs) => asSeq(v) match {
         case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
@@ -352,6 +353,10 @@ object RowEval {
     case SFn(n, _) => s":fn/$n"
     case other => SchemaIR.form(other)
   }
+
+  /** malli's :every window: max(min, max+1, limit) — core.cljc:745-751. */
+  private def everyLimit(mn: Option[Int], mx: Option[Int], limit: Int): Int =
+    Seq(Some(limit), mn, mx.map(_ + 1)).flatten.max
 
   /** Does the schema accept a null VALUE (mirror of the compiler's rule). */
   private def acceptsNull(ir: SchemaIR): Boolean = ir match {

@@ -95,10 +95,21 @@ object Generate {
       }: _*)
     case SMapOf(k, v, mn, mx) =>
       val n = sizeIn(id, salt, mn, mx)
-      F.map_from_arrays(
-        // distinct keys: index-salted generation
-        F.transform(F.sequence(F.lit(1), n), i =>
-          F.concat(gen(k, id, salt + 3).cast(StringType), i.cast(StringType))),
+      // keys must be DISTINCT (ANSI rejects duplicate map keys) and typed
+      // per the key schema
+      val keys = k match {
+        case SInt(kmn, _) =>
+          val base = kmn.getOrElse(0L)
+          F.transform(F.sequence(F.lit(1), n), i =>
+            F.lit(base) + i.cast(LongType))
+        case _: SString | SAny =>
+          F.transform(F.sequence(F.lit(1), n), i =>
+            F.concat(gen(k, id, salt + 3).cast(StringType),
+              i.cast(StringType)))
+        case other => throw new IllegalArgumentException(
+          s"cannot generate map keys from ${SchemaIR.form(other)}")
+      }
+      F.map_from_arrays(keys,
         F.transform(F.sequence(F.lit(1), n), i => gen(v, F.xxhash64(id, i), salt + 5)))
     case SVector(c, mn, mx) => genColl(c, id, salt, mn, mx)
     case SEvery(c, mn, mx, _) => genColl(c, id, salt, mn, mx)

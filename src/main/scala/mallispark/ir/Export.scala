@@ -66,7 +66,10 @@ object Export {
         "entries" -> arr(es.map(e => obj(
           Seq("key" -> esc(e.key), "optional" -> e.optional.toString,
             "schema" -> toJson(e.child)) ++
-            e.default.map(d => "default" -> esc(d.toString)): _*))))
+            // defaults carry a type tag so round-trips restore the
+            // original type, not a stringified copy
+            e.default.map(d => "default" -> obj(
+              "t" -> esc(defaultTag(d)), "v" -> esc(d.toString))): _*))))
     case SMapOf(k, v, mn, mx) =>
       obj(Seq("type" -> esc("map-of"), "key" -> toJson(k),
         "value" -> toJson(v)) ++ optNum("min", mn) ++ optNum("max", mx): _*)
@@ -96,6 +99,26 @@ object Export {
     case SRepeat(c, mn, mx) =>
       obj("type" -> esc("repeat"), "child" -> toJson(c),
         "min" -> mn.toString, "max" -> mx.toString)
+  }
+
+  private def defaultTag(d: Any): String = d match {
+    case _: Long | _: Int => "long"
+    case _: Double | _: Float => "double"
+    case _: Boolean => "boolean"
+    case _ => "string"
+  }
+
+  private def readDefault(x: Any): Any = x match {
+    case m: Map[_, _] =>
+      val mm = m.asInstanceOf[Map[String, Any]]
+      val v = mm("v").toString
+      mm("t").toString match {
+        case "long" => v.toLong
+        case "double" => v.toDouble
+        case "boolean" => v.toBoolean
+        case _ => v
+      }
+    case other => other
   }
 
   // ---- from-ast: parse the JSON back -------------------------------------
@@ -206,7 +229,7 @@ object Export {
           Entry(e("key").toString,
             fromAst(e("schema").asInstanceOf[Map[String, Any]]),
             optional = e.get("optional").exists(_ == true),
-            default = e.get("default"))
+            default = e.get("default").map(readDefault))
         },
         closed = m.get("closed").exists(_ == true))
       case "map-of" => SMapOf(

@@ -89,9 +89,28 @@ object ValidationJob {
         exclude = Set("part_id"))
       .withColumn("run_id", F.lit(runId))
 
+    // violations first, manifest second: the manifest row is the COMMIT
+    // point. A crash between the two leaves orphaned violation rows for
+    // uncommitted partitions; `readViolations` filters them out by joining
+    // against the manifest, and the retry re-appends them under a now-
+    // committed partition — exactly-once as observed through the reader.
     violations.write.mode(SaveMode.Append).parquet(violationsPath(dir))
     verdicts.write.mode(SaveMode.Append).parquet(manifestPath(dir))
     spark.read.parquet(manifestPath(dir)).where(F.col("run_id") === runId)
+  }
+
+  /** Committed violation rows for a run: only partitions present in the
+    * manifest count, and rows re-appended by a crash-retry collapse via
+    * dropDuplicates (violation rows are deterministic per partition, so
+    * duplicates are bit-identical). */
+  def readViolations(spark: SparkSession, dir: String,
+                     runId: String): DataFrame = {
+    val committed = spark.read.parquet(manifestPath(dir))
+      .where(F.col("run_id") === runId).select("part_id").distinct()
+    spark.read.parquet(violationsPath(dir))
+      .where(F.col("run_id") === runId)
+      .join(F.broadcast(committed), Seq("part_id"), "left_semi")
+      .dropDuplicates()
   }
 
   /** Salted per-key aggregation for skewed keys (lang/host — SURVEY §4):

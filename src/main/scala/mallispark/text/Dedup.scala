@@ -56,6 +56,11 @@ object Dedup {
     val hashed = df.select(F.col(id),
       F.transform(F.array_distinct(shingles(F.col(text), n)),
         s => h32(s)).as("hs"))
+      // docs with no shingles (under n tokens) cannot be shingle-deduped;
+      // drop them HERE so Spark and the DuckDB oracle (whose unnest drops
+      // them implicitly) agree — a sentinel signature would bucket all
+      // short docs together on one engine only
+      .where(F.size(F.col("hs")) > 0)
     val sig = hashed.select(F.col(id),
       signatureFromHashes(F.col("hs"), k).as("sig"))
     val banded = sig.select(F.col(id), F.explode(
@@ -107,6 +112,7 @@ object Dedup {
     val sig = df.select(F.col(id),
       mallispark.expressions.MinHashSignature(
         F.array_distinct(shingles(F.col(text), n)), k).as("sig"))
+      .where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue) // no shingles
     val banded = sig.select(F.col(id), F.explode(
       F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
         F.struct(b.as("band"),

@@ -28,12 +28,14 @@ object Multimodal {
   /** "Frame sampling" on the binary payload: n evenly-spaced fixed-width
     * byte windows (what a video frame sampler produces per keyframe).
     * Pure Column: array of binary slices. */
-  def sampleWindows(bin: Column, n: Int, width: Int): Column =
+  def sampleWindows(bin: Column, n: Int, width: Int): Column = {
+    val strideDen = math.max(n - 1, 1) // n=1: single window at offset 0
     F.transform(F.sequence(F.lit(0), F.lit(n - 1)), i =>
       F.substring(bin,
-        (i * F.greatest((F.length(bin) - width) / (n - 1), F.lit(1)) + 1)
+        (i * F.greatest((F.length(bin) - width) / strideDen, F.lit(1)) + 1)
           .cast(IntegerType),
         F.lit(width)))
+  }
 
   final case class MediaRow(doc_id: Long, media: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Long,

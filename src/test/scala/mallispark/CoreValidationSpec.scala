@@ -214,6 +214,19 @@ class CoreValidationSpec extends SparkSuite {
     check(S.every(S.posInt, limit = 2), ArrayType(LongType), Seq(
       (Seq(1L, 2L, -5L), true, Set.empty), // -5 beyond bounded window
       (Seq(-1L, 2L, 3L), false, Set(("0", "0", ":int")))))
+    // window widens to max(min, max+1, limit) — core.cljc:745-751:
+    // min=4 with limit=2 must still examine the 3rd element
+    check(S.every(S.posInt, min = Some(4), limit = 2), ArrayType(LongType), Seq(
+      (Seq(1L, 2L, -5L, 3L), false, Set(("0", "2", ":int")))))
+  }
+
+  test("enum against a mismatched column type degrades to false, not a throw") {
+    // ANSI would cast the string literals to long and explode at runtime;
+    // the :or must simply take the :int branch
+    val s = S.or(S.posInt, S.enum_("a", "b"))
+    check(s, LongType, Seq(
+      (5L, true, Set.empty),
+      (-1L, false, Set(("0", "", ":int"), ("1", "", ":enum")))))
   }
 
   // F13 (bounded tier): seq-regex over arrays

@@ -33,6 +33,17 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("typed defaults survive the ast round-trip") {
+    val s = SMap(Seq(
+      Entry("a", SInt(), optional = true, default = Some(7L)),
+      Entry("b", SDouble(), optional = true, default = Some(0.5)),
+      Entry("c", SBoolean, optional = true, default = Some(true)),
+      Entry("d", SString(), optional = true, default = Some("x"))))
+    val back = Export.fromJson(Export.toJson(s)).asInstanceOf[SMap]
+    assert(back.entries.map(_.default) ===
+      Seq(Some(7L), Some(0.5), Some(true), Some("x")))
+  }
+
   test("json-schema export: object shape for the flagship schema") {
     val js = Export.toJsonSchema(WebPages.schema)
     assert(js.contains("\"type\": \"object\""))

@@ -27,6 +27,9 @@ class GenerateSpec extends SparkSuite {
         max = Some(java.time.Instant.parse("2024-12-31T00:00:00Z")))),
       S.req("u", S.uuid),
       S.req("set", S.set(S.int(0, 1000000)))).asInstanceOf[SMap],
+    "map-of" -> S.mapE(false,
+      S.req("kvs", S.mapOf(S.int, S.string, min = Some(1), max = Some(4))),
+      S.req("kvs2", S.mapOf(S.string, S.int(0, 9)))).asInstanceOf[SMap],
     "unions" -> S.mapE(false,
       S.req("o", S.or(S.int(0, 10), S.int(50, 60))),
       S.req("orn", S.orn("lo" -> S.intMax(-1L), "hi" -> S.intMin(1L))),

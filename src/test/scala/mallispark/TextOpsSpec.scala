@@ -159,6 +159,23 @@ class TextOpsSpec extends SparkSuite {
     assert(windows.length === 2)
   }
 
+  test("minhash drops shingle-less docs (cross-engine parity) — both paths") {
+    val short = df(Seq(Row(1L, "a b"), Row(2L, "c d"), Row(3L, "x y")),
+      docSchema) // all under n=3 tokens → no shingles
+    assert(Dedup.minhashLSH(short, "id", "text", k = 8, bands = 4, n = 3)
+      .count() === 0) // no sentinel mega-bucket
+    assert(Dedup.minhashLSHFast(short, "id", "text", k = 8, bands = 4, n = 3)
+      .count() === 0)
+  }
+
+  test("sampleWindows n=1 yields one window (no zero stride)") {
+    val b = df(Seq(Row(1L, Array.fill(64)(7.toByte))),
+      StructType(Seq(StructField("id", LongType), StructField("bin", BinaryType))))
+    val w = b.select(Multimodal.sampleWindows(F.col("bin"), 1, 16))
+      .collect()(0).getSeq[Array[Byte]](0)
+    assert(w.length === 1 && w.head.length === 16)
+  }
+
   test("portable h32 matches the DuckDB formula on a known value") {
     // DuckDB: ('0x' || substring(md5('abc'),1,8))::BIGINT = 2416005272
     val one = spark.range(1).select(TextOps.h32(F.lit("abc"))).collect()(0)

@@ -247,6 +247,13 @@ object SparkEntry {
         msgCol.as("message")).orderBy("doc_id", "error_key")
     }),
 
+    // ---- violation summary (explode -> aggregate) ----
+    "violation_counts" -> ((s, dir) =>
+      SchemaCompiler.violationsDF(WebPages.schema, pages(s, dir),
+          Seq("doc_id"))
+        .groupBy("error_key").agg(F.count(F.lit(1)).as("cnt"))
+        .orderBy("error_key")),
+
     // ---- top-k window over hosts ----
     "top_hosts" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -628,6 +635,24 @@ object SparkEntry {
          |  CASE $cases ELSE 'unknown error' END AS message
          |FROM viols ORDER BY doc_id, error_key""".stripMargin
     },
+
+    "violation_counts" ->
+      s"""$P,
+         |counts AS (
+         |  SELECT ':enum' AS error_key, CAST(count(*) AS BIGINT) AS cnt
+         |    FROM pages WHERE lang NOT IN ('en','de','fr','es','zh')
+         |  UNION ALL
+         |  SELECT ':re', CAST(count(*) AS BIGINT) FROM pages
+         |    WHERE NOT regexp_matches(url, '^https?://[^\\s]+$$')
+         |  UNION ALL
+         |  SELECT ':string', CAST(count(*) AS BIGINT) FROM pages
+         |    WHERE length(text) < 1
+         |  UNION ALL
+         |  SELECT ':time/instant', CAST(count(*) AS BIGINT) FROM pages
+         |    WHERE warc_ts < TIMESTAMP '2025-01-01 00:00:00'
+         |       OR warc_ts > TIMESTAMP '2026-05-01 00:00:00')
+         |SELECT error_key, cnt FROM counts WHERE cnt > 0
+         |ORDER BY error_key""".stripMargin,
 
     "top_hosts" ->
       s"""$P,

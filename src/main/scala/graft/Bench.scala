@@ -64,11 +64,16 @@ object Bench {
     // ---- phase 1: query suite ----
     val spark = session(cpus)
     val benchOnly = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
+    var failed = List.empty[String]
     val results =
       if (benchOnly) Map.empty[String, Double]
       else SparkEntry.queries.map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            failed ::= name
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
 
@@ -158,8 +163,9 @@ object Bench {
     // io-inclusive rates are reported alongside at 4N/full
     val scaling =
       f"""{"rows":$rowsN,"cores_n":${l0.cores},"sec_n":${l0.memSec}%.3f,"docs_per_sec_n":${l0.memRate}%.0f,"cores_4n":${l1.cores},"sec_4n":${l1.memSec}%.3f,"docs_per_sec_4n":${l1.memRate}%.0f,"scaling_efficiency":${eff(l0, l1, _.memRate)}%.3f,"io_docs_per_sec_4n":${l1.pqRate}%.0f,"io_docs_per_sec_full":${l2.pqRate}%.0f,"io_eff_4n_full":${eff(l1, l2, _.pqRate)}%.3f,"full_cores":${l2.cores},"docs_per_sec_full":${l2.memRate}%.0f,"machine_ceiling_eff_n_4n":${eff(l0, l1, _.ceilingRate)}%.3f,"machine_ceiling_eff_4n_full":${eff(l1, l2, _.ceilingRate)}%.3f,"eff_4n_full":${eff(l1, l2, _.memRate)}%.3f}"""
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scaling":$scaling}""")
 
     // stripMargin consumes one leading pipe on each line AFTER the first
     // (the first row rides on the template's own margin pipe)

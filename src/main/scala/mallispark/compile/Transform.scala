@@ -54,8 +54,11 @@ object Transform {
             col.try_cast(LongType)
           case ByteType | ShortType | IntegerType => col.cast(LongType)
           case FloatType | DoubleType =>
-            // -number->long: only exact integrals (transform.cljc:99-103)
-            F.when(col === col.cast(LongType).cast(dt), col.cast(LongType))
+            // -number->long: only exact integrals (transform.cljc:99-103).
+            // try_cast, not cast: ANSI mode throws on NaN/overflow doubles
+            // (repo invariant — never the throwing variants)
+            val asLong = col.try_cast(LongType)
+            F.when(asLong.isNotNull && col === asLong.cast(dt), asLong)
           case _ => col
         }
       case _: SDouble =>

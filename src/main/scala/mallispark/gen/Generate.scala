@@ -114,7 +114,29 @@ object Generate {
     case SVector(c, mn, mx) => genColl(c, id, salt, mn, mx)
     case SEvery(c, mn, mx, _) => genColl(c, id, salt, mn, mx)
     case SSet(c, mn, mx) =>
-      F.array_distinct(genColl(c, id, salt, mn, mx))
+      // element distinctness must be BY CONSTRUCTION where possible:
+      // array_distinct over random draws can drop below :min count
+      val n = sizeIn(id, salt, mn, mx)
+      c match {
+        case SInt(imn, imx) =>
+          val lo = imn.getOrElse(-1000000L)
+          val hi = imx.getOrElse(lo + 2000000L)
+          val span = hi - lo + 1
+          val off = rnd(id, salt + 7, span)
+          // lo + (off + i) mod span: pairwise distinct while n ≤ span
+          F.when(n === 0, F.array().cast(ArrayType(LongType)))
+            .otherwise(F.transform(
+              F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+              i => F.lit(lo) + F.pmod(off + i.cast(LongType), F.lit(span))))
+        case _ =>
+          // oversample ×4, dedupe, cut to n — :min holds unless the child
+          // domain itself is smaller than n (unsatisfiable set schema)
+          val cand = F.array_distinct(F.transform(
+            F.sequence(F.lit(1), F.greatest(n * 4, F.lit(1))),
+            i => gen(c, F.xxhash64(id, i), salt + 2)))
+          F.when(n === 0, F.array().cast(ArrayType(dataTypeFor(c))))
+            .otherwise(F.slice(cand, F.lit(1), n))
+      }
     case STuple(cs) =>
       // homogeneous → array; heterogeneous → struct (ANSI would otherwise
       // coerce array(string, bigint) to array<bigint> with runtime casts;
@@ -166,9 +188,11 @@ object Generate {
       "kappa", "sigma", "theta").map(F.lit): _*)
     val base = F.element_at(words, (rnd(id, salt, 8) + 1).cast(IntegerType))
     val len = F.lit(mn) + rnd(id, salt + 1, (mx - mn + 1).toLong)
-    // repeat to at least len then cut — min/max respected
-    F.substring(F.concat(base, F.repeat(F.lit("x"), 64)), F.lit(1),
-      F.greatest(len, F.lit(mn)).cast(IntegerType))
+    // pad to the requested MAX (not a fixed 64) then cut — :min beyond the
+    // pad length would otherwise generate too-short strings and break the
+    // validate∘generate law
+    F.substring(F.concat(base, F.repeat(F.lit("x"), math.max(mx, 1))),
+      F.lit(1), F.greatest(len, F.lit(mn)).cast(IntegerType))
   }
 
   private def dataTypeFor(ir: SchemaIR): DataType =

@@ -50,10 +50,15 @@ object Export {
       obj(Seq("type" -> esc("date")) ++
         mn.map(i => "min" -> esc(i)) ++ mx.map(i => "max" -> esc(i)): _*)
     case SEnum(vs) =>
-      obj("type" -> esc("enum"), "values" -> arr(vs.map(v => esc(v.toString))))
+      // literal values carry a type tag so round-trips restore Long/Double/
+      // Boolean enums, not stringified copies (a reloaded numeric enum
+      // would otherwise statically fail every row via typeOk)
+      obj("type" -> esc("enum"), "values" -> arr(vs.map(v =>
+        obj("t" -> esc(defaultTag(v)), "v" -> esc(v.toString)))))
     case SRegex(p) => obj("type" -> esc("re"), "pattern" -> esc(p))
     case SCompare(op, v) =>
-      obj("type" -> esc("compare"), "op" -> esc(op), "value" -> esc(v.toString))
+      obj("type" -> esc("compare"), "op" -> esc(op),
+        "value" -> obj("t" -> esc(defaultTag(v)), "v" -> esc(v.toString)))
     case SFn(n, _) => obj("type" -> esc("fn"), "name" -> esc(n))
     case SMaybe(c) => obj("type" -> esc("maybe"), "child" -> toJson(c))
     case SNot(c) => obj("type" -> esc("not"), "child" -> toJson(c))
@@ -214,9 +219,9 @@ object Export {
         m.get("min").map(s => java.time.Instant.parse(s.toString)),
         m.get("max").map(s => java.time.Instant.parse(s.toString)))
       case "date" => SDate(m.get("min").map(_.toString), m.get("max").map(_.toString))
-      case "enum" => SEnum(m("values").asInstanceOf[Seq[Any]].map(_.toString))
+      case "enum" => SEnum(m("values").asInstanceOf[Seq[Any]].map(readDefault))
       case "re" => SRegex(m("pattern").toString)
-      case "compare" => SCompare(m("op").toString, m("value").toString)
+      case "compare" => SCompare(m("op").toString, readDefault(m("value")))
       case "fn" => SFn(m("name").toString, _ => true) // fns don't serialize
       case "maybe" => SMaybe(child)
       case "not" => SNot(child)

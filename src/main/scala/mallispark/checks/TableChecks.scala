@@ -87,6 +87,18 @@ object TableChecks {
       .withColumn("error_key", F.lit("malli.core/duplicate-keys"))
   }
 
+  /** Distributed top-k with dense 1..k ranks: `orderBy().limit(k)` compiles
+    * to TakeOrderedAndProject — per-partition top-k, then a merge of
+    * k×partitions rows — instead of an unpartitioned global Window sort
+    * (which collapses the whole table into ONE task at web scale). The
+    * row_number window that assigns ranks runs over exactly k rows. */
+  def topK(df: DataFrame, k: Int, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val top = df.orderBy(order: _*).limit(k)
+    top.withColumn("rank",
+      F.row_number().over(Window.orderBy(order: _*)).cast(LongType))
+  }
+
   // ---- referential --------------------------------------------------------
 
   /** Child keys with no parent (FK orphan detection): left_anti join.

@@ -50,8 +50,11 @@ object Dedup {
     * One shuffle of (band_key, id); text never moves. The base hashes are
     * materialized in their own projection so Catalyst cannot inline the
     * md5 work into each of the k seed lambdas. */
-  def minhashLSH(df: DataFrame, id: String, text: String,
-                 k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame = {
+  /** Per-doc (band, band_key) rows from the portable MinHash family —
+    * the candidate-generation substrate shared by `minhashLSH` (bucket
+    * groups) and `ngramJaccardWithinBuckets` (in-bucket refinement). */
+  def minhashBands(df: DataFrame, id: String, text: String,
+                   k: Int, bands: Int, n: Int): DataFrame = {
     val rows = k / bands
     val hashed = df.select(F.col(id),
       F.transform(F.array_distinct(shingles(F.col(text), n)),
@@ -63,7 +66,7 @@ object Dedup {
       .where(F.size(F.col("hs")) > 0)
     val sig = hashed.select(F.col(id),
       signatureFromHashes(F.col("hs"), k).as("sig"))
-    val banded = sig.select(F.col(id), F.explode(
+    sig.select(F.col(id), F.explode(
       F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
         F.struct(b.as("band"),
           F.array_join(F.transform(
@@ -71,11 +74,15 @@ object Dedup {
             x => x.cast(StringType)), "_").as("band_key")))).as("bk"))
       .select(F.col(id), F.col("bk.band").as("band"),
         F.col("bk.band_key").as("band_key"))
-    banded.groupBy("band", "band_key")
+  }
+
+  def minhashLSH(df: DataFrame, id: String, text: String,
+                 k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame =
+    minhashBands(df, id, text, k, bands, n)
+      .groupBy("band", "band_key")
       .agg(F.count(F.lit(1)).as("dup_cnt"),
         F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
-  }
 
   /** Pack per-bit votes (array of 32 longs) into a 32-bit key: bit i set
     * iff votes[i] > 0. Bit weights via 2^i in double (exact ≤ 2^31;
@@ -159,16 +166,28 @@ object Dedup {
     * inter / (|A|+|B|-inter). Quadratic within shingle buckets — use after
     * LSH at scale; exact and oracle-checkable at test scale.
     * Returns pairs with jaccard ≥ threshold (id_a < id_b). */
-  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
-                        n: Int = 3, threshold: Double = 0.8): DataFrame = {
+  /** Distinct shingles exploded per doc, optionally frequency-capped:
+    * shingles appearing in more than `maxShingleDf` docs are dropped —
+    * a ubiquitous shingle ("click here to") cannot discriminate near-dups
+    * but turns the shingle self-join into a cartesian bomb (bucket cost is
+    * O(df²)). The cap bounds per-shingle join fan-out to maxShingleDf².
+    * Jaccard is then defined over the DISCRIMINATIVE shingle space — the
+    * DuckDB oracle applies the identical cap. */
+  private def shingleSet(df: DataFrame, id: String, text: String, n: Int,
+                         maxShingleDf: Int): DataFrame = {
     val sh = df.select(F.col(id).as("doc"),
       F.explode(F.array_distinct(shingles(F.col(text), n))).as("shingle"))
-    val sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).as("sz"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        F.col("a.shingle") === F.col("b.shingle") &&
-          F.col("a.doc") < F.col("b.doc"))
-      .groupBy(F.col("a.doc").as("id_a"), F.col("b.doc").as("id_b"))
-      .agg(F.count(F.lit(1)).as("inter"))
+    if (maxShingleDf <= 0) sh
+    else {
+      // hot-shingle set is tiny by construction → broadcast anti-join
+      val hot = sh.groupBy("shingle").agg(F.count(F.lit(1)).as("df"))
+        .where(F.col("df") > maxShingleDf).select("shingle")
+      sh.join(F.broadcast(hot), Seq("shingle"), "left_anti")
+    }
+  }
+
+  private def jaccardFilter(pairs: DataFrame, sizes: DataFrame,
+                            threshold: Double): DataFrame =
     pairs
       .join(sizes.withColumnRenamed("doc", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
       .join(sizes.withColumnRenamed("doc", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
@@ -177,5 +196,49 @@ object Dedup {
           (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
       .where(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
+
+  /** Exact n-gram (word) Jaccard for ALL pairs sharing a shingle: the
+    * self-join is O(Σ df²) over shingle buckets — ONLY safe with a
+    * frequency cap or at small scale. At 100 TB use
+    * `ngramJaccardWithinBuckets` (LSH-gated refinement) instead. */
+  def ngramJaccardPairs(df: DataFrame, id: String, text: String,
+                        n: Int = 3, threshold: Double = 0.8,
+                        maxShingleDf: Int = 0): DataFrame = {
+    val sh = shingleSet(df, id, text, n, maxShingleDf)
+    val sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).as("sz"))
+    val pairs = sh.as("a").join(sh.as("b"),
+        F.col("a.shingle") === F.col("b.shingle") &&
+          F.col("a.doc") < F.col("b.doc"))
+      .groupBy(F.col("a.doc").as("id_a"), F.col("b.doc").as("id_b"))
+      .agg(F.count(F.lit(1)).as("inter"))
+    jaccardFilter(pairs, sizes, threshold)
+  }
+
+  /** Scale path: exact Jaccard REFINEMENT of MinHash-LSH candidates —
+    * the quadratic pair expansion runs only inside LSH buckets (candidate
+    * pairs ≪ corpus²), then true Jaccard is verified with one
+    * (doc,shingle)-keyed join per pair side. Same semantics as the
+    * full self-join for any pair the LSH recalls; DuckDB-portable. */
+  def ngramJaccardWithinBuckets(df: DataFrame, id: String, text: String,
+                                n: Int = 3, threshold: Double = 0.8,
+                                k: Int = 8, bands: Int = 4,
+                                maxShingleDf: Int = 0): DataFrame = {
+    val bd = minhashBands(df, id, text, k, bands, n)
+      .select(F.col(id).as("doc"), F.col("band"), F.col("band_key"))
+    val cand = bd.as("x").join(bd.as("y"),
+        F.col("x.band") === F.col("y.band") &&
+          F.col("x.band_key") === F.col("y.band_key") &&
+          F.col("x.doc") < F.col("y.doc"))
+      .select(F.col("x.doc").as("id_a"), F.col("y.doc").as("id_b"))
+      .distinct()
+    val sh = shingleSet(df, id, text, n, maxShingleDf)
+    val sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).as("sz"))
+    val pairs = cand
+      .join(sh.as("a"), F.col("a.doc") === F.col("id_a"))
+      .join(sh.as("b"),
+        F.col("b.doc") === F.col("id_b") &&
+          F.col("b.shingle") === F.col("a.shingle"))
+      .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("inter"))
+    jaccardFilter(pairs, sizes, threshold)
   }
 }

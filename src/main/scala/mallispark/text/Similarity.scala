@@ -45,38 +45,74 @@ object Similarity {
       .select(F.col(queryId), F.col(corpusId), F.col("cos"), F.col("rank"))
   }
 
-  /** Deterministic pseudo-random hyperplane sign for (plane p, dim i):
-    * ±1 from the portable hash parity. */
-  private def planeSign(p: Column, i: Column): Column =
-    F.when(h32(F.concat(p.cast(StringType), F.lit("_"), i.cast(StringType)))
-      % 2 === 0, 1.0).otherwise(-1.0)
-
-  /** Random-hyperplane LSH signature: `planes` sign bits packed into one
-    * BIGINT bucket key. sign(dot(v, r_p)) with r_p ∈ {±1}^d. */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    val bits = F.transform(F.sequence(F.lit(0), F.lit(planes - 1)), p => {
-      val dot = F.aggregate(
-        F.zip_with(vec,
-          F.sequence(F.lit(0), F.size(vec) - 1),
-          (x, i) => x.cast(DoubleType) * planeSign(p, i)),
-        F.lit(0.0), (acc, x) => acc + x)
-      F.when(dot >= 0, F.pow(F.lit(2.0), p.cast(DoubleType)).cast(LongType))
-        .otherwise(F.lit(0L))
-    })
-    F.aggregate(bits, F.lit(0L), (acc, x) => acc + x)
+  /** Portable md5-derived 32-bit hash of a STRING, computed driver-side —
+    * byte-identical to `TextOps.h32` / the DuckDB formula. Used to derive
+    * the hyperplane sign constants once at plan build. */
+  private def h32Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16)
   }
 
-  /** ANN top-k via LSH buckets: corpus and queries bucketed by the same
-    * hyperplanes; candidates = same-bucket pairs; exact cosine + window
-    * top-k within candidates. Recall grows with fewer planes (bigger
-    * buckets); `planes`=8 → 256 buckets. */
+  /** Deterministic ±1 hyperplane signs for LSH table `table`:
+    * planes × dims constants from md5 parity of "table_plane_dim".
+    * Computed ONCE and inlined as literals into the plan (and into the
+    * DuckDB oracle SQL) — zero per-row hash work, unlike a per-element
+    * hash which costs planes×dims md5 calls per vector. */
+  def planeSigns(table: Int, planes: Int, dims: Int): Seq[Seq[Double]] =
+    Seq.tabulate(planes)(p => Seq.tabulate(dims)(i =>
+      if (h32Scala(s"${table}_${p}_${i}") % 2 == 0) 1.0 else -1.0))
+
+  /** Random-hyperplane LSH bucket for one table: `planes` sign bits of
+    * dot(v, r_p), r_p ∈ {±1}^d, packed into one BIGINT. The sign is taken
+    * on round(dot, 4): both engines sum doubles in element order with
+    * ≤1e-12 discrepancy, so the rounded comparison cannot disagree. */
+  def lshBucket(vec: Column, planes: Int, dims: Int,
+                table: Int = 0): Column = {
+    val signs = planeSigns(table, planes, dims)
+    signs.zipWithIndex.map { case (sv, p) =>
+      val arr = F.array(sv.map(F.lit): _*)
+      val dot = F.aggregate(
+        F.zip_with(vec, arr, (x, s) => x.cast(DoubleType) * s),
+        F.lit(0.0), (acc, x) => acc + x)
+      F.when(F.round(dot, 4) >= 0, F.lit(1L << p)).otherwise(F.lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** (id, tbl, bucket) rows — one corpus scan computes every table's
+    * bucket, then explodes. */
+  private def bucketed(df: DataFrame, idCol: String, vecCol: String,
+                       planes: Int, tables: Int, dims: Int): DataFrame =
+    df.select(F.col(idCol), F.explode(F.array(
+      (0 until tables).map(t => F.struct(
+        F.lit(t).as("tbl"),
+        lshBucket(F.col(vecCol), planes, dims, t).as("bucket"))): _*)).as("tb"))
+      .select(F.col(idCol), F.col("tb.tbl").as("tbl"),
+        F.col("tb.bucket").as("bucket"))
+
+  /** ANN top-k via multi-table (OR-banded) hyperplane LSH: `tables`
+    * independent sign tables; a candidate is any (query, corpus) pair
+    * co-bucketed in AT LEAST ONE table — recall grows with tables while
+    * per-table buckets stay selective. Exact cosine + per-query top-k runs
+    * only on the candidate set.
+    *
+    * Scale: candidates shuffle as (tbl, bucket) pairs; embeddings move
+    * only for the candidate re-join. Size planes to the corpus
+    * (planes ≈ log2(N / wanted_bucket_size)) and add tables for recall. */
   def annTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, planes: Int = 8): DataFrame = {
+              k: Int, planes: Int = 16, tables: Int = 4,
+              dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = corpus.withColumn("bucket", lshBucket(F.col(corpusVec), planes))
-    val qb = queries.withColumn("bucket", lshBucket(F.col(queryVec), planes))
-    val cand = cb.join(F.broadcast(qb), "bucket")
+    val pairs = bucketed(corpus, corpusId, corpusVec, planes, tables, dims)
+      .join(F.broadcast(
+        bucketed(queries, queryId, queryVec, planes, tables, dims)),
+        Seq("tbl", "bucket"))
+      .select(F.col(queryId), F.col(corpusId)).distinct()
+    val cand = pairs
+      .join(corpus, corpusId)
+      .join(F.broadcast(queries), queryId)
       .withColumn("cos", cosine(F.col(corpusVec), F.col(queryVec)))
     val w = Window.partitionBy(F.col(queryId))
       .orderBy(F.col("cos").desc, F.col(corpusId).asc)

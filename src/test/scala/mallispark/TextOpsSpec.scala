@@ -86,6 +86,36 @@ class TextOpsSpec extends SparkSuite {
     assert(!pairs.keySet.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
+  test("LSH-gated jaccard recalls the full self-join pairs (scale path)") {
+    // the within-buckets refinement must find every pair the standalone
+    // quadratic join finds at a high threshold (near-dups co-bucket)
+    val full = Dedup.ngramJaccardPairs(d, "id", "text", n = 2,
+        threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val gated = Dedup.ngramJaccardWithinBuckets(d, "id", "text", n = 2,
+        threshold = 0.5, k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gated === full)
+  }
+
+  test("shingle frequency cap drops ubiquitous shingles from the join") {
+    // every doc shares the hot bigram "x x"; cap 2 removes it so the
+    // only surviving intersections are the discriminative shingles
+    val rows = Seq(
+      Row(1L, "x x a b c"), Row(2L, "x x a b c"),
+      Row(3L, "x x p q r"), Row(4L, "x x s t u"))
+    val hot = df(rows, StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))))
+    val uncapped = Dedup.ngramJaccardPairs(hot, "id", "text", n = 2,
+      threshold = 0.1).count()
+    val capped = Dedup.ngramJaccardPairs(hot, "id", "text", n = 2,
+      threshold = 0.1, maxShingleDf = 2).collect()
+    assert(uncapped === 6) // all pairs share "x x" → full quadratic blowup
+    // capped: only (1,2) survive — they share real content shingles
+    assert(capped.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      Set((1L, 2L)))
+  }
+
   test("brute-force cosine top-k: self-match ranks first") {
     val embSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))
@@ -117,8 +147,32 @@ class TextOpsSpec extends SparkSuite {
       .select((F.col("vec_id") + 100L).as("query_id"),
         F.col("embedding").as("qe"))
     val top = Similarity.annTopK(emb, "vec_id", "embedding",
-      qs, "query_id", "qe", k = 3, planes = 4).collect()
+      qs, "query_id", "qe", k = 3, planes = 4, tables = 2, dims = 8).collect()
     assert(top.exists(r => r.getLong(1) === 7L && r.getInt(3) === 1))
+  }
+
+  test("ANN LSH recall ≥ 0.9 vs brute force (multi-table OR-banding)") {
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = (0L to 199L).map { i =>
+      Row(i, Array.tabulate(16)(j =>
+        (((i * 13 + j * 5) % 19).toFloat - 9f) +
+          ((i * 7 + j * 11) % 23).toFloat / 23f))
+    }
+    val emb = df(vecs, embSchema)
+    val corpus = emb.where(F.col("vec_id") >= 10L)
+    val qs = emb.where(F.col("vec_id") < 10L)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      qs, "query_id", "qe", k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.annTopK(corpus, "vec_id", "embedding",
+      qs, "query_id", "qe", k = 5, planes = 5, tables = 4, dims = 16)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect lsh).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
   test("langId picks marker language; 'und' without markers") {

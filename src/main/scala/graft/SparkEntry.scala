@@ -201,6 +201,43 @@ object SparkEntry {
         .orderBy("doc_id", "schema_path")
     }),
 
+    // ---- :time/* family over derived interval/NTZ/ISO-string columns ----
+    "v_time_violations" -> ((s, dir) => {
+      val id = F.col("doc_id")
+      val lt = F.when(id % 61 === 22, F.lit("25:99:00")).otherwise(F.concat(
+        F.lpad(((id * 7) % 24).cast(StringType), 2, "0"), F.lit(":"),
+        F.lpad((id % 60).cast(StringType), 2, "0"), F.lit(":"),
+        F.lpad((id % 60).cast(StringType), 2, "0")))
+      val zids = F.array(Seq("Europe/Paris", "America/New_York",
+        "Asia/Tokyo", "UTC").map(F.lit): _*)
+      val zoffs = F.array(Seq("+05:30", "Z", "-08:00").map(F.lit): _*)
+      val src = t(s, dir, "documents").select(id,
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+          ((id * 11) % 5000).cast(DecimalType(18, 6))).as("dur"),
+        F.make_ym_interval(F.lit(0), (id % 40).cast(IntegerType)).as("per"),
+        F.timestamp_seconds(F.lit(1704067200L) + (id * 50021L) % 5000000L)
+          .cast(TimestampNTZType).as("ldt"),
+        lt.as("lt"),
+        F.when(id % 67 === 30, F.lit("not a zone"))
+          .otherwise(F.element_at(zids, (id % 4 + 1).cast(IntegerType)))
+          .as("zid"),
+        F.when(id % 71 === 33, F.lit("+19:00"))
+          .otherwise(F.element_at(zoffs, (id % 3 + 1).cast(IntegerType)))
+          .as("zoff"))
+      val sch = S.mapE(false,
+        S.req("doc_id", S.int),
+        S.req("dur", S.duration(Some("PT100S"), Some("PT4000S"))),
+        S.req("per", S.period(Some("P2M"), Some("P30M"))),
+        S.req("ldt", S.localDateTime(Some("2024-01-05T00:00:00"),
+          Some("2024-02-20T00:00:00"))),
+        S.req("lt", S.localTime(Some("06:00:00"), Some("18:00:00"))),
+        S.req("zid", S.zoneId),
+        S.req("zoff", S.zoneOffset))
+      SchemaCompiler.violationsDF(sch, src, Seq("doc_id"))
+        .select("doc_id", "schema_path", "error_key")
+        .orderBy("doc_id", "schema_path")
+    }),
+
     // ---- row validation over driver tables ----
     "v_lineitem_violations" -> ((s, dir) =>
       SchemaCompiler.violationsDF(lineitemSchema, dirtyLineitem(s, dir),
@@ -631,6 +668,34 @@ object SparkEntry {
          |  FROM pages)
          |SELECT p.doc_id FROM pages p JOIN prev ON p.doc_id = prev.doc_id
          |WHERE md5(p.text) <> md5(prev.text) ORDER BY p.doc_id""".stripMargin,
+
+    "v_time_violations" ->
+      """WITH src AS (SELECT doc_id,
+        |  (doc_id * 11) % 5000 AS dur_s,
+        |  doc_id % 40 AS per_m,
+        |  (doc_id * 50021) % 5000000 AS ldt_s,
+        |  CASE WHEN doc_id % 61 = 22 THEN '25:99:00'
+        |       ELSE lpad(CAST((doc_id * 7) % 24 AS VARCHAR), 2, '0') || ':'
+        |         || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':'
+        |         || lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') END AS lt
+        |  FROM documents)
+        |SELECT doc_id, 'dur' AS schema_path, ':time/duration' AS error_key
+        |  FROM src WHERE dur_s < 100 OR dur_s > 4000
+        |UNION ALL
+        |SELECT doc_id, 'per', ':time/period' FROM src
+        |  WHERE per_m < 2 OR per_m > 30
+        |UNION ALL
+        |SELECT doc_id, 'ldt', ':time/local-date-time' FROM src
+        |  WHERE ldt_s < 345600 OR ldt_s > 4320000
+        |UNION ALL
+        |SELECT doc_id, 'lt', ':time/local-time' FROM src
+        |  WHERE doc_id % 61 = 22 OR lt < '06:00:00' OR lt > '18:00:00'
+        |UNION ALL
+        |SELECT doc_id, 'zid', ':time/zone-id' FROM src WHERE doc_id % 67 = 30
+        |UNION ALL
+        |SELECT doc_id, 'zoff', ':time/zone-offset' FROM src
+        |  WHERE doc_id % 71 = 33
+        |ORDER BY doc_id, schema_path""".stripMargin,
 
     "v_nested_violations" -> {
       val NP = NestedDocs.OracleCte

@@ -85,6 +85,12 @@ object SchemaCompiler {
     case SBinary => BinaryType
     case _: STimestamp => TimestampType
     case _: SDate => DateType
+    case STime(kind, _, _) => kind match {
+      case "duration" => DayTimeIntervalType()
+      case "period" => YearMonthIntervalType()
+      case "local-date-time" => TimestampNTZType
+      case _ => StringType // local-time / offset-* / zoned / zone-id / zone-offset
+    }
     case SEnum(vs) => vs.headOption.map(litType).getOrElse(StringType)
     case SCompare(_, v) => litType(v)
     case _: SFn => StringType
@@ -168,6 +174,22 @@ object SchemaCompiler {
 
   final case class Ctx(registry: Registry = Registry.empty, depth: Int = 8)
 
+  /** Canonical ISO-8601 string forms for the :time/... kinds that have no
+    * Spark physical type (anchored; `java.time` toString/parse shapes). */
+  object TimeRes {
+    private val off = "([+-](0\\d|1[0-8]):[0-5]\\d|Z)"
+    val localTime = "^([01]\\d|2[0-3]):[0-5]\\d:[0-5]\\d(\\.\\d{1,9})?$"
+    val offsetDateTime =
+      "^\\d{4}-\\d{2}-\\d{2}T([01]\\d|2[0-3]):[0-5]\\d(:[0-5]\\d(\\.\\d{1,9})?)?" + off + "$"
+    val offsetTime = "^([01]\\d|2[0-3]):[0-5]\\d(:[0-5]\\d(\\.\\d{1,9})?)?" + off + "$"
+    val zonedDateTime =
+      "^\\d{4}-\\d{2}-\\d{2}T([01]\\d|2[0-3]):[0-5]\\d(:[0-5]\\d(\\.\\d{1,9})?)?" +
+        off + "(\\[[A-Za-z_]+(/[A-Za-z0-9_+\\-]+)+\\])?$"
+    val zoneId =
+      "^([A-Za-z_]+(/[A-Za-z0-9_+\\-]+)+|UTC|GMT|UT|Z|[+-]\\d{2}(:\\d{2})?)$"
+    val zoneOffset = "^([+-](0\\d|1[0-8]):[0-5]\\d(:[0-5]\\d)?|Z)$"
+  }
+
   private val uuidRe =
     // canonical UUID regex — reference: /root/reference/src/malli/transform.cljc:115-116
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
@@ -208,6 +230,63 @@ object SchemaCompiler {
       case SDate(mn, mx) =>
         col.isNotNull && between(col.cast(DateType),
           mn.map(java.sql.Date.valueOf), mx.map(java.sql.Date.valueOf))
+
+      // :time/* family (experimental/time.cljc:85-100) — native interval /
+      // NTZ types where Spark has them, canonical ISO-8601 strings elsewhere
+      case STime(kind, mn, mx) => kind match {
+        case "duration" => dt match {
+          case _: DayTimeIntervalType =>
+            col.isNotNull && between(col,
+              mn.map(java.time.Duration.parse), mx.map(java.time.Duration.parse))
+          case _ => F.lit(false)
+        }
+        case "period" => dt match {
+          case _: YearMonthIntervalType =>
+            col.isNotNull && between(col,
+              mn.map(java.time.Period.parse), mx.map(java.time.Period.parse))
+          case _ => F.lit(false)
+        }
+        case "local-date-time" => dt match {
+          case TimestampNTZType =>
+            col.isNotNull && between(col,
+              mn.map(java.time.LocalDateTime.parse),
+              mx.map(java.time.LocalDateTime.parse))
+          case _ => F.lit(false)
+        }
+        case "local-time" =>
+          // fixed-width HH:mm:ss form ⇒ lexicographic compare IS time order
+          if (dt != StringType) F.lit(false)
+          else col.isNotNull && col.rlike(TimeRes.localTime) &&
+            between(col, mn, mx)
+        case "offset-date-time" =>
+          if (dt != StringType) F.lit(false)
+          else {
+            val parsed = F.coalesce(
+              F.try_to_timestamp(col),
+              F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
+              F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+            col.isNotNull && col.rlike(TimeRes.offsetDateTime) &&
+              between(parsed,
+                mn.map(s => java.sql.Timestamp.from(
+                  java.time.OffsetDateTime.parse(s).toInstant)),
+                mx.map(s => java.sql.Timestamp.from(
+                  java.time.OffsetDateTime.parse(s).toInstant)))
+          }
+        case "offset-time" =>
+          if (dt != StringType) F.lit(false)
+          else col.isNotNull && col.rlike(TimeRes.offsetTime)
+        case "zoned-date-time" =>
+          if (dt != StringType) F.lit(false)
+          else col.isNotNull && col.rlike(TimeRes.zonedDateTime)
+        case "zone-id" =>
+          if (dt != StringType) F.lit(false)
+          else col.isNotNull && col.rlike(TimeRes.zoneId)
+        case "zone-offset" =>
+          if (dt != StringType) F.lit(false)
+          else col.isNotNull && col.rlike(TimeRes.zoneOffset)
+        case other => throw new IllegalArgumentException(
+          s"unknown :time kind $other")
+      }
 
       case s: SEnum if !typeOk(s, dt) => F.lit(false)
       case SEnum(vs) => col.isNotNull && col.isin(vs: _*)
@@ -462,6 +541,9 @@ object SchemaCompiler {
     case SBoolean => dt == BooleanType
     case SBinary => dt == BinaryType
     case STimestamp(None, None) => dt == TimestampType
+    case STime("duration", None, None) => dt.isInstanceOf[DayTimeIntervalType]
+    case STime("period", None, None) => dt.isInstanceOf[YearMonthIntervalType]
+    case STime("local-date-time", None, None) => dt == TimestampNTZType
     case _ => false
   }
 
@@ -496,6 +578,7 @@ object SchemaCompiler {
       case SUuid => leaf(":uuid")
       case _: STimestamp => leaf(":time/instant")
       case _: SDate => leaf(":time/local-date")
+      case STime(kind, _, _) => leaf(s":time/$kind")
       case _: SEnum => leaf(":enum")
       case _: SRegex => leaf(":re")
       case SCompare(op, _) => leaf(s":$op")

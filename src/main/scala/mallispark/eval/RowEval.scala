@@ -66,6 +66,50 @@ object RowEval {
       }
       d.exists(ld => mn.forall(m => !ld.isBefore(java.time.LocalDate.parse(m))) &&
         mx.forall(m => !ld.isAfter(java.time.LocalDate.parse(m))))
+    case STime(kind, mn, mx) =>
+      import java.time._
+      import mallispark.compile.SchemaCompiler.TimeRes
+      def re(p: String, s: Any): Boolean =
+        s.isInstanceOf[String] && s.asInstanceOf[String].matches(p.drop(1).dropRight(1))
+      kind match {
+        case "duration" => v match {
+          case d: Duration =>
+            mn.forall(m => d.compareTo(Duration.parse(m)) >= 0) &&
+              mx.forall(m => d.compareTo(Duration.parse(m)) <= 0)
+          case _ => false
+        }
+        case "period" => v match {
+          // YearMonthIntervalType order = total months (Spark parity;
+          // the reference compares Y, M, D lexicographically —
+          // time.cljc:33-46; day-carrying Periods are out of scope here)
+          case p: Period =>
+            mn.forall(m => p.toTotalMonths >= Period.parse(m).toTotalMonths) &&
+              mx.forall(m => p.toTotalMonths <= Period.parse(m).toTotalMonths)
+          case _ => false
+        }
+        case "local-date-time" => v match {
+          case t: LocalDateTime =>
+            mn.forall(m => !t.isBefore(LocalDateTime.parse(m))) &&
+              mx.forall(m => !t.isAfter(LocalDateTime.parse(m)))
+          case _ => false
+        }
+        case "local-time" =>
+          re(TimeRes.localTime, v) && {
+            val s = v.asInstanceOf[String]
+            mn.forall(s >= _) && mx.forall(s <= _) // fixed-width lexicographic
+          }
+        case "offset-date-time" =>
+          re(TimeRes.offsetDateTime, v) && {
+            val t = OffsetDateTime.parse(v.asInstanceOf[String]).toInstant
+            mn.forall(m => !t.isBefore(OffsetDateTime.parse(m).toInstant)) &&
+              mx.forall(m => !t.isAfter(OffsetDateTime.parse(m).toInstant))
+          }
+        case "offset-time" => re(TimeRes.offsetTime, v)
+        case "zoned-date-time" => re(TimeRes.zonedDateTime, v)
+        case "zone-id" => re(TimeRes.zoneId, v)
+        case "zone-offset" => re(TimeRes.zoneOffset, v)
+        case _ => false
+      }
     case SEnum(vs) => v != null && vs.exists(x => num(x) == num(v))
     case SRegex(p) => v match {
       // malli :re = re-find ⇒ partial match (core.cljc:1730-1731)
@@ -347,6 +391,7 @@ object RowEval {
     case SUuid => ":uuid"
     case _: STimestamp => ":time/instant"
     case _: SDate => ":time/local-date"
+    case STime(kind, _, _) => s":time/$kind"
     case _: SEnum => ":enum"
     case _: SRegex => ":re"
     case SCompare(op, _) => s":$op"

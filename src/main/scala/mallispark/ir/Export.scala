@@ -49,6 +49,9 @@ object Export {
     case SDate(mn, mx) =>
       obj(Seq("type" -> esc("date")) ++
         mn.map(i => "min" -> esc(i)) ++ mx.map(i => "max" -> esc(i)): _*)
+    case STime(kind, mn, mx) =>
+      obj(Seq("type" -> esc("time"), "kind" -> esc(kind)) ++
+        mn.map(i => "min" -> esc(i)) ++ mx.map(i => "max" -> esc(i)): _*)
     case SEnum(vs) =>
       // literal values carry a type tag so round-trips restore Long/Double/
       // Boolean enums, not stringified copies (a reloaded numeric enum
@@ -219,6 +222,8 @@ object Export {
         m.get("min").map(s => java.time.Instant.parse(s.toString)),
         m.get("max").map(s => java.time.Instant.parse(s.toString)))
       case "date" => SDate(m.get("min").map(_.toString), m.get("max").map(_.toString))
+      case "time" => STime(m("kind").toString,
+        m.get("min").map(_.toString), m.get("max").map(_.toString))
       case "enum" => SEnum(m("values").asInstanceOf[Seq[Any]].map(readDefault))
       case "re" => SRegex(m("pattern").toString)
       case "compare" => SCompare(m("op").toString, readDefault(m("value")))
@@ -279,6 +284,13 @@ object Export {
     case STimestamp(_, _) => obj("type" -> esc("string"),
       "format" -> esc("date-time"))
     case SDate(_, _) => obj("type" -> esc("string"), "format" -> esc("date"))
+    case STime(kind, _, _) =>
+      val fmt = kind match {
+        case "duration" | "period" => "duration"
+        case "local-time" | "offset-time" => "time"
+        case _ => "date-time"
+      }
+      obj("type" -> esc("string"), "format" -> esc(fmt))
     case SEnum(vs) => obj("enum" -> arr(vs.map(v => esc(v.toString))))
     case SRegex(p) => obj("type" -> esc("string"), "pattern" -> esc(p))
     case SMaybe(c) => obj("oneOf" ->

@@ -47,6 +47,23 @@ object S {
   def date(min: Option[String] = None, max: Option[String] = None): SchemaIR =
     SDate(min, max)
 
+  /** :time/... family (experimental/time.cljc:85-100); bounds are ISO-8601
+    * strings of the kind. */
+  def duration(min: Option[String] = None, max: Option[String] = None): SchemaIR =
+    STime("duration", min, max)
+  def period(min: Option[String] = None, max: Option[String] = None): SchemaIR =
+    STime("period", min, max)
+  def localTime(min: Option[String] = None, max: Option[String] = None): SchemaIR =
+    STime("local-time", min, max)
+  def localDateTime(min: Option[String] = None, max: Option[String] = None): SchemaIR =
+    STime("local-date-time", min, max)
+  def offsetDateTime(min: Option[String] = None, max: Option[String] = None): SchemaIR =
+    STime("offset-date-time", min, max)
+  val offsetTime: SchemaIR = STime("offset-time")
+  val zonedDateTime: SchemaIR = STime("zoned-date-time")
+  val zoneId: SchemaIR = STime("zone-id")
+  val zoneOffset: SchemaIR = STime("zone-offset")
+
   def enum_(values: Any*): SchemaIR = SEnum(values)
   def re(pattern: String): SchemaIR = SRegex(pattern)
 

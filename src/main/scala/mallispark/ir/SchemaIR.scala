@@ -62,6 +62,20 @@ object SchemaIR {
   final case class SDate(min: Option[String] = None, max: Option[String] = None)
       extends SchemaIR
 
+  /** The rest of the `:time/...` family (experimental/time.cljc:85-100):
+    * `kind` ∈ duration | period | local-time | local-date-time |
+    * offset-date-time | offset-time | zoned-date-time | zone-id |
+    * zone-offset. Physical mapping (Spark-idiomatic): duration →
+    * DayTimeIntervalType, period → YearMonthIntervalType (year/month
+    * Periods only — Spark has no Y-M-D interval), local-date-time →
+    * TimestampNTZType; the zoned/offset/id kinds validate canonical
+    * ISO-8601 STRING forms (Spark has no physical type for them).
+    * `min`/`max` are ISO-8601 strings of the kind ("PT10S", "P1Y2M",
+    * "06:00:00", "2024-01-01T00:00:00"); range compare mirrors the
+    * reference's -min-max-pred (time.cljc:48-66). */
+  final case class STime(kind: String, min: Option[String] = None,
+                         max: Option[String] = None) extends SchemaIR
+
   /** `:enum` — value ∈ literal set (core.cljc:1669-1714, membership 1688-1689). */
   final case class SEnum(values: Seq[Any]) extends SchemaIR
 
@@ -263,6 +277,7 @@ object SchemaIR {
     case SUuid => ":uuid"
     case STimestamp(mn, mx) => s":time/instant${bounds(mn, mx)}"
     case SDate(mn, mx) => s":time/local-date${bounds(mn, mx)}"
+    case STime(kind, mn, mx) => s":time/$kind${bounds(mn, mx)}"
     case SEnum(vs) => vs.mkString("[:enum ", " ", "]")
     case SRegex(p) => s"[:re $p]"
     case SCompare(op, v) => s"[:$op $v]"

@@ -34,7 +34,16 @@ object Messages {
     ":nil" -> "should be nil",
     ":not" -> "should not match",
     ":time/instant" -> "should be a timestamp in range",
-    ":time/local-date" -> "should be a date in range")
+    ":time/local-date" -> "should be a date in range",
+    ":time/duration" -> "should be a duration in range",
+    ":time/period" -> "should be a period in range",
+    ":time/local-time" -> "should be a local time in range",
+    ":time/local-date-time" -> "should be a local date-time in range",
+    ":time/offset-date-time" -> "should be an offset date-time in range",
+    ":time/offset-time" -> "should be an offset time",
+    ":time/zoned-date-time" -> "should be a zoned date-time",
+    ":time/zone-id" -> "should be a zone id",
+    ":time/zone-offset" -> "should be a zone offset")
 
   /** Message lookup chain (error.cljc:293-310): explicit property
     * override → key table → unknown. */

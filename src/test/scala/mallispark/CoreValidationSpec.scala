@@ -249,6 +249,49 @@ class CoreValidationSpec extends SparkSuite {
       (Seq.empty[Long], false, Set(("", "", ErrorKeys.Limits)))))
   }
 
+  test(":time/* family: duration/period/ldt intervals + ISO string kinds") {
+    import java.time.{Duration, LocalDateTime, Period}
+    // native interval / NTZ types (experimental/time.cljc:85-100)
+    check(S.duration(Some("PT10S"), Some("PT100S")), DayTimeIntervalType(),
+      Seq(
+        (Duration.ofSeconds(50), true, Set.empty),
+        (Duration.ofSeconds(5), false, Set(("", "", ":time/duration"))),
+        (null, false, Set(("", "", ":time/duration")))))
+    check(S.period(Some("P2M"), Some("P2Y")), YearMonthIntervalType(), Seq(
+      (Period.ofMonths(13), true, Set.empty),
+      (Period.ofMonths(1), false, Set(("", "", ":time/period")))))
+    check(S.localDateTime(Some("2024-01-01T00:00:00"), None), TimestampNTZType,
+      Seq(
+        (LocalDateTime.parse("2024-06-01T12:00:00"), true, Set.empty),
+        (LocalDateTime.parse("2023-06-01T12:00:00"), false,
+          Set(("", "", ":time/local-date-time")))))
+    // canonical ISO string kinds
+    check(S.localTime(Some("06:00:00"), Some("18:00:00")), StringType, Seq(
+      ("12:30:00", true, Set.empty),
+      ("05:59:59", false, Set(("", "", ":time/local-time"))),
+      ("25:00:00", false, Set(("", "", ":time/local-time")))))
+    check(S.offsetDateTime(Some("2024-01-01T00:00:00Z"), None), StringType,
+      Seq(
+        ("2024-06-01T12:00:00+02:00", true, Set.empty),
+        ("2023-06-01T12:00:00Z", false,
+          Set(("", "", ":time/offset-date-time"))),
+        ("not a time", false, Set(("", "", ":time/offset-date-time")))))
+    check(S.zonedDateTime, StringType, Seq(
+      ("2024-06-01T12:00:00+02:00[Europe/Paris]", true, Set.empty),
+      ("bogus", false, Set(("", "", ":time/zoned-date-time")))))
+    check(S.zoneId, StringType, Seq(
+      ("Europe/Paris", true, Set.empty),
+      ("UTC", true, Set.empty),
+      ("not a zone", false, Set(("", "", ":time/zone-id")))))
+    check(S.zoneOffset, StringType, Seq(
+      ("+05:30", true, Set.empty),
+      ("Z", true, Set.empty),
+      ("+19:00", false, Set(("", "", ":time/zone-offset")))))
+    check(S.offsetTime, StringType, Seq(
+      ("10:15:30+01:00", true, Set.empty),
+      ("10:15:30", false, Set(("", "", ":time/offset-time")))))
+  }
+
   test("seq-regex rejects nil: reference parity (sequential? gate)") {
     // malli's regex validator wraps the matcher in `(sequential? coll)`
     // (reference /root/reference/src/malli/impl/regex.cljc:571-583) and

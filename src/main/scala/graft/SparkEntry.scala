@@ -201,6 +201,39 @@ object SparkEntry {
         .orderBy("doc_id", "schema_path")
     }),
 
+    // ---- :multi with expression dispatch (codegen'd, no UDF) ----
+    "multi_expr_dispatch" -> ((s, dir) => {
+      val src = t(s, dir, "documents").select(F.col("doc_id"),
+        F.col("n_chars").as("n"), F.col("lang"))
+      val sch = S.multiExpr("len_band",
+        c => F.when(c.getField("n") < 200L, F.lit("short"))
+          .otherwise(F.lit("long")),
+        { case r: org.apache.spark.sql.Row =>
+            if (r.getAs[Long]("n") < 200L) "short" else "long"
+          case _ => null })(
+        "short" -> S.mapE(false, S.req("doc_id", S.int),
+          S.req("n", S.int(0L, 199L)), S.req("lang", S.enum_("en", "de"))),
+        "long" -> S.mapE(false, S.req("doc_id", S.int),
+          S.req("n", S.intMin(200L)),
+          S.req("lang", S.enum_(WebPages.Langs: _*))))
+      src.select(F.col("doc_id"),
+          SchemaCompiler.valid(sch,
+            F.struct(src.columns.toIndexedSeq.map(F.col): _*),
+            src.schema).as("ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- ::m/default rest-entry schema for open maps ----
+    "map_rest_verdicts" -> ((s, dir) => {
+      val id = F.col("doc_id")
+      val src = t(s, dir, "documents").select(id,
+        F.when(id % 33 === 4, F.lit("")).otherwise(F.col("lang")).as("lang"),
+        F.col("source"))
+      val sch = S.mapRest(S.string(min = 1), S.req("doc_id", S.int))
+      SchemaCompiler.validateDF(sch, src, "ok")
+        .select("doc_id", "ok").orderBy("doc_id")
+    }),
+
     // ---- :time/* family over derived interval/NTZ/ISO-string columns ----
     "v_time_violations" -> ((s, dir) => {
       val id = F.col("doc_id")
@@ -668,6 +701,20 @@ object SparkEntry {
          |  FROM pages)
          |SELECT p.doc_id FROM pages p JOIN prev ON p.doc_id = prev.doc_id
          |WHERE md5(p.text) <> md5(prev.text) ORDER BY p.doc_id""".stripMargin,
+
+    "multi_expr_dispatch" ->
+      """SELECT doc_id,
+        |  CASE WHEN n_chars < 200
+        |       THEN n_chars BETWEEN 0 AND 199 AND lang IN ('en','de')
+        |       ELSE n_chars >= 200
+        |        AND lang IN ('en','de','fr','es','zh') END AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "map_rest_verdicts" ->
+      """SELECT doc_id,
+        |  length(CASE WHEN doc_id % 33 = 4 THEN '' ELSE lang END) >= 1
+        |  AND length(source) >= 1 AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "v_time_violations" ->
       """WITH src AS (SELECT doc_id,

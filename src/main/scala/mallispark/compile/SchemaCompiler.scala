@@ -99,8 +99,10 @@ object SchemaCompiler {
     case SOr(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
     case SOrn(bs) => bs.headOption.map(b => dataTypeOf(b._2)).getOrElse(StringType)
     case SNot(c) => dataTypeOf(c)
-    case SMap(entries, _) => StructType(entries.map(e =>
+    case SMap(entries, _, _) => StructType(entries.map(e =>
       StructField(e.key, dataTypeOf(e.child), nullable = e.optional)))
+    case SMultiExpr(_, _, _, bs, d) =>
+      (bs.map(_._2) ++ d).headOption.map(dataTypeOf).getOrElse(StringType)
     case SMapOf(k, v, _, _) => MapType(dataTypeOf(k), dataTypeOf(v))
     case SVector(c, _, _) => ArrayType(dataTypeOf(c))
     case SSet(c, _, _) => ArrayType(dataTypeOf(c))
@@ -321,7 +323,7 @@ object SchemaCompiler {
       case SOrn(bs) => bs.map(b => valid(b._2, col, dt)).reduce(_ || _)
       case SNot(c) => !valid(c, col, dt)
 
-      case SMap(entries, closed) =>
+      case SMap(entries, closed, rest) =>
         dt match {
           case st: StructType =>
             val checks = entries.map { e =>
@@ -343,17 +345,25 @@ object SchemaCompiler {
                   else fc.isNotNull && valid(e.child, fc, f.dataType)
               }
             }
+            val known = entries.map(_.key).toSet
+            val undeclared = st.fields.filterNot(f => known(f.name)).toSeq
             // closed map: any extra PHYSICAL field must be absent (null) —
             // the non-null case is ::m/extra-key (core.cljc:1315-1322)
             val closedChecks =
               if (!closed) Seq.empty
-              else {
-                val known = entries.map(_.key).toSet
-                st.fields.filterNot(f => known(f.name)).toSeq
-                  .map(f => col.getField(f.name).isNull)
+              else undeclared.map(f => col.getField(f.name).isNull)
+            // ::m/default rest-entry (core.cljc:586-587, 1237): every
+            // PRESENT undeclared field must satisfy the rest schema
+            val restChecks = rest match {
+              case None => Seq.empty
+              case Some(r) => undeclared.map { f =>
+                val fc = col.getField(f.name)
+                fc.isNull || valid(r, fc, f.dataType)
               }
+            }
             col.isNotNull &&
-              (checks ++ closedChecks).foldLeft(F.lit(true))(_ && _)
+              (checks ++ closedChecks ++ restChecks)
+                .foldLeft(F.lit(true))(_ && _)
           case _ => F.lit(false)
         }
 
@@ -409,6 +419,16 @@ object SchemaCompiler {
               F.when(dv === F.lit(tag), valid(c, col, dt)).otherwise(acc)
             }
           case _ => F.lit(false)
+        }
+
+      // :multi with an arbitrary dispatch — the dispatch builds a Column
+      // expression over the value, so the whole chain stays codegen'd
+      // (core.cljc:1876-1890 accepts any :dispatch fn)
+      case SMultiExpr(_, disp, _, bs, default) =>
+        val dv = disp(col)
+        val fallback = default.map(valid(_, col, dt)).getOrElse(F.lit(false))
+        col.isNotNull && bs.foldRight(fallback) { case ((tag, c), acc) =>
+          F.when(dv === F.lit(tag), valid(c, col, dt)).otherwise(acc)
         }
 
       case SRef(name) =>
@@ -612,7 +632,7 @@ object SchemaCompiler {
         F.when(valid(c, col, dt), one(path, in, ":not", valueStr(col, dt)))
           .otherwise(emptyViols)
 
-      case SMap(entries, closed) =>
+      case SMap(entries, closed, rest) =>
         dt match {
           case st: StructType =>
             val nullErr = one(path, in, ErrorKeys.InvalidType,
@@ -637,19 +657,32 @@ object SchemaCompiler {
                     .otherwise(childErrs)
               }
             }
+            val known = entries.map(_.key).toSet
+            val undeclared = st.fields.filterNot(f => known(f.name)).toSeq
             val extras: Seq[Column] =
               if (!closed) Seq.empty
-              else {
-                val known = entries.map(_.key).toSet
-                st.fields.filterNot(f => known(f.name)).toSeq.map { f =>
-                  // ::m/extra-key fires only when the stray field is present
-                  F.when(col.getField(f.name).isNotNull,
-                    one(j(path, f.name), jin(in, f.name), ErrorKeys.ExtraKey,
-                      valueStr(col.getField(f.name), f.dataType)))
-                    .otherwise(emptyViols)
-                }
+              else undeclared.map { f =>
+                // ::m/extra-key fires only when the stray field is present
+                F.when(col.getField(f.name).isNotNull,
+                  one(j(path, f.name), jin(in, f.name), ErrorKeys.ExtraKey,
+                    valueStr(col.getField(f.name), f.dataType)))
+                  .otherwise(emptyViols)
               }
-            F.when(col.isNull, nullErr).otherwise(concatViols(perEntry ++ extras))
+            // ::m/default rest-entry errors: undeclared PRESENT fields
+            // validate against the rest schema, path segment ::m/default
+            // (mirror of the reference's default-branch explain)
+            val restErrs: Seq[Column] = rest match {
+              case None => Seq.empty
+              case Some(r) => undeclared.map { f =>
+                val fc = col.getField(f.name)
+                F.when(fc.isNotNull,
+                  errors(r, fc, f.dataType,
+                    j(j(path, "malli.core/default"), f.name), jin(in, f.name)))
+                  .otherwise(emptyViols)
+              }
+            }
+            F.when(col.isNull, nullErr)
+              .otherwise(concatViols(perEntry ++ extras ++ restErrs))
           case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
         }
 
@@ -730,6 +763,19 @@ object SchemaCompiler {
               F.lit(null).cast(StringType))).otherwise(chain)
           case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
         }
+
+      case SMultiExpr(_, disp, _, bs, default) =>
+        val dv = disp(col)
+        val fallback = default
+          .map(d => errors(d, col, dt, j(path, "malli.core/default"), in))
+          .getOrElse(one(path, in, ErrorKeys.InvalidDispatch,
+            dv.cast(StringType)))
+        val chain = bs.foldRight(fallback) { case ((tag, c), acc) =>
+          F.when(dv === F.lit(tag), errors(c, col, dt, j(path, tag), in))
+            .otherwise(acc)
+        }
+        F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
+          F.lit(null).cast(StringType))).otherwise(chain)
 
       case SRef(name) =>
         if (ctx.depth <= 0) emptyViols

@@ -134,7 +134,7 @@ object RowEval {
     case SOr(cs) => cs.exists(validate(_, v))
     case SOrn(bs) => bs.exists(b => validate(b._2, v))
     case SNot(c) => !validate(c, v)
-    case SMap(entries, closed) => asMap(v) match {
+    case SMap(entries, closed, rest) => asMap(v) match {
       case None => false
       case Some(m) =>
         val entriesOk = entries.forall { e =>
@@ -149,7 +149,11 @@ object RowEval {
         // Catalyst side where extra-key fires only on non-null.
         val closedOk = !closed ||
           m.forall { case (k, x) => x == null || entries.exists(_.key == k) }
-        entriesOk && closedOk
+        // ::m/default rest-entry: present undeclared values must satisfy it
+        val restOk = rest.forall(r => m.forall { case (k, x) =>
+          x == null || entries.exists(_.key == k) || validate(r, x)
+        })
+        entriesOk && closedOk && restOk
     }
     case SMapOf(k, vv, mn, mx) => v match {
       case m: scala.collection.Map[_, _] =>
@@ -177,6 +181,15 @@ object RowEval {
           case None => default.exists(validate(_, v))
         }
     }
+    case SMultiExpr(_, _, dispRow, bs, default) =>
+      if (v == null) false
+      else {
+        val dv = try dispRow(v) catch { case _: Throwable => null }
+        bs.find(_._1 == dv) match {
+          case Some((_, c)) => validate(c, v)
+          case None => default.exists(validate(_, v))
+        }
+      }
     case SRef(name) =>
       if (depth <= 0) true
       else validate(reg(name), v)(reg, depth - 1)
@@ -238,7 +251,7 @@ object RowEval {
         else bs.toVector.flatMap { case (t, c) => explain(c, v, path :+ t, in) }
       case SNot(c) =>
         if (validate(c, v)) Vector(Err(path, in, ":not", v)) else Vector.empty
-      case SMap(entries, closed) => asMap(v) match {
+      case SMap(entries, closed, rest) => asMap(v) match {
         case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
         case Some(m) =>
           val entryErrs = entries.toVector.flatMap { e =>
@@ -255,7 +268,14 @@ object RowEval {
               case (k, x) if !entries.exists(_.key == k) && x != null =>
                 Err(path :+ k, in :+ k, ErrorKeys.ExtraKey, x)
             }
-          entryErrs ++ extraErrs
+          val restErrs = rest match {
+            case None => Vector.empty
+            case Some(r) => m.toVector.collect {
+              case (k, x) if !entries.exists(_.key == k) && x != null =>
+                explain(r, x, path :+ "malli.core/default" :+ k, in :+ k)
+            }.flatten
+          }
+          entryErrs ++ extraErrs ++ restErrs
       }
       case SVector(c, mn, mx) => collExplain(c, v, mn, mx, path, in, unique = false)
       case SSet(c, mn, mx) => collExplain(c, v, mn, mx, path, in, unique = true)
@@ -291,6 +311,18 @@ object RowEval {
             }
           }
       }
+      case SMultiExpr(_, _, dispRow, bs, default) =>
+        if (v == null) Vector(Err(path, in, ErrorKeys.InvalidType, v))
+        else {
+          val dv = try dispRow(v) catch { case _: Throwable => null }
+          bs.find(_._1 == dv) match {
+            case Some((tag, c)) => explain(c, v, path :+ tag, in)
+            case None => default match {
+              case Some(d) => explain(d, v, path :+ "malli.core/default", in)
+              case None => Vector(Err(path, in, ErrorKeys.InvalidDispatch, dv))
+            }
+          }
+        }
       case SMapOf(k, vv, mn, mx) => v match {
         case m: scala.collection.Map[_, _] =>
           val lim = if (mn.forall(m.size >= _) && mx.forall(m.size <= _))

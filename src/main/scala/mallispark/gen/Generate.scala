@@ -85,7 +85,7 @@ object Generate {
           F.when(rnd(id, salt + 31 * i, n) === i, gen(c, id, salt + i)).otherwise(acc)
       }
     case SOrn(bs) => gen(SOr(bs.map(_._2)), id, salt)
-    case SMap(entries, _) =>
+    case SMap(entries, _, _) =>
       F.struct(entries.zipWithIndex.map { case (e, i) =>
         val v = gen(e.child, id, salt + 13 * (i + 1))
         (if (e.optional)

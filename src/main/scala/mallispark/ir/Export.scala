@@ -69,15 +69,16 @@ object Export {
     case SOr(cs) => obj("type" -> esc("or"), "children" -> arr(cs.map(toJson)))
     case SOrn(bs) => obj("type" -> esc("orn"), "branches" -> arr(bs.map {
       case (t, c) => obj("tag" -> esc(t), "schema" -> toJson(c)) }))
-    case SMap(es, closed) =>
-      obj("type" -> esc("map"), "closed" -> closed.toString,
+    case SMap(es, closed, rest) =>
+      obj(Seq("type" -> esc("map"), "closed" -> closed.toString,
         "entries" -> arr(es.map(e => obj(
           Seq("key" -> esc(e.key), "optional" -> e.optional.toString,
             "schema" -> toJson(e.child)) ++
             // defaults carry a type tag so round-trips restore the
             // original type, not a stringified copy
             e.default.map(d => "default" -> obj(
-              "t" -> esc(defaultTag(d)), "v" -> esc(d.toString))): _*))))
+              "t" -> esc(defaultTag(d)), "v" -> esc(d.toString))): _*)))) ++
+        rest.map(r => "rest" -> toJson(r)): _*)
     case SMapOf(k, v, mn, mx) =>
       obj(Seq("type" -> esc("map-of"), "key" -> toJson(k),
         "value" -> toJson(v)) ++ optNum("min", mn) ++ optNum("max", mx): _*)
@@ -93,6 +94,12 @@ object Export {
     case STuple(cs) => obj("type" -> esc("tuple"), "children" -> arr(cs.map(toJson)))
     case SMulti(d, bs, df) =>
       obj(Seq("type" -> esc("multi"), "dispatch" -> esc(d),
+        "branches" -> arr(bs.map { case (t, c) =>
+          obj("tag" -> esc(t), "schema" -> toJson(c)) })) ++
+        df.map(x => "default" -> toJson(x)): _*)
+    case SMultiExpr(n, _, _, bs, df) =>
+      // like :fn, the dispatch functions don't serialize — name only
+      obj(Seq("type" -> esc("multi-expr"), "name" -> esc(n),
         "branches" -> arr(bs.map { case (t, c) =>
           obj("tag" -> esc(t), "schema" -> toJson(c)) })) ++
         df.map(x => "default" -> toJson(x)): _*)
@@ -241,7 +248,8 @@ object Export {
             optional = e.get("optional").exists(_ == true),
             default = e.get("default").map(readDefault))
         },
-        closed = m.get("closed").exists(_ == true))
+        closed = m.get("closed").exists(_ == true),
+        rest = m.get("rest").map(x => fromAst(x.asInstanceOf[Map[String, Any]])))
       case "map-of" => SMapOf(
         fromAst(m("key").asInstanceOf[Map[String, Any]]),
         fromAst(m("value").asInstanceOf[Map[String, Any]]),
@@ -253,6 +261,12 @@ object Export {
       case "tuple" => STuple(children)
       case "multi" => SMulti(m("dispatch").toString, tagged("branches"),
         m.get("default").map(x => fromAst(x.asInstanceOf[Map[String, Any]])))
+      case "multi-expr" =>
+        // dispatch fns don't round-trip (like :fn) — a reloaded schema
+        // routes everything to the default branch / invalid-dispatch
+        SMultiExpr(m("name").toString, c => c, _ => null,
+          tagged("branches"),
+          m.get("default").map(x => fromAst(x.asInstanceOf[Map[String, Any]])))
       case "ref" => SRef(m("name").toString)
       case "cat" => SCat(children)
       case "catn" => SCatn(tagged("entries"))
@@ -299,11 +313,12 @@ object Export {
     case SOr(cs) => obj("anyOf" -> arr(cs.map(toJsonSchema)))
     case SOrn(bs) => obj("anyOf" -> arr(bs.map(b => toJsonSchema(b._2))))
     case SNot(c) => obj("not" -> toJsonSchema(c))
-    case SMap(es, closed) =>
+    case SMap(es, closed, rest) =>
       obj("type" -> esc("object"),
         "properties" -> obj(es.map(e => e.key -> toJsonSchema(e.child)): _*),
         "required" -> arr(es.filterNot(_.optional).map(e => esc(e.key))),
-        "additionalProperties" -> (!closed).toString)
+        "additionalProperties" ->
+          rest.map(toJsonSchema).getOrElse((!closed).toString))
     case SMapOf(_, v, _, _) =>
       obj("type" -> esc("object"), "additionalProperties" -> toJsonSchema(v))
     case SVector(c, mn, mx) => obj(Seq("type" -> esc("array"),

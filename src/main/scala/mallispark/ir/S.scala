@@ -110,6 +110,20 @@ object S {
       branches: (String, SchemaIR)*): SchemaIR =
     SMulti(dispatchKey, branches, default)
 
+  /** :multi with an arbitrary dispatch (core.cljc:1876-1890): `dispatch`
+    * builds a Column expression (codegen'd), `dispatchRow` is its
+    * row-level twin for RowEval duality. */
+  def multiExpr(name: String,
+                dispatch: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                dispatchRow: Any => String,
+                default: Option[SchemaIR] = None)(
+      branches: (String, SchemaIR)*): SchemaIR =
+    SMultiExpr(name, dispatch, dispatchRow, branches, default)
+
+  /** :map with a ::m/default rest-entry schema (core.cljc:586-587). */
+  def mapRest(rest: SchemaIR, entries: Entry*): SchemaIR =
+    SMap(entries, closed = false, rest = Some(rest))
+
   def ref(name: String): SchemaIR = SRef(name)
 
   def cat(cs: SchemaIR*): SchemaIR = SCat(cs)

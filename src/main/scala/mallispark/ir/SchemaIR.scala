@@ -119,9 +119,12 @@ object SchemaIR {
                          default: Option[Any] = None) extends Serializable
 
   /** `:map` — record; open by default, `{:closed true}` rejects extra keys
-    * (core.cljc:1219-1363; closed 1264-1268/1315-1322). */
-  final case class SMap(entries: Seq[Entry], closed: Boolean = false)
-      extends SchemaIR
+    * (core.cljc:1219-1363; closed 1264-1268/1315-1322). `rest` is the
+    * `::m/default` rest-entry schema (core.cljc:586-587, 1237): undeclared
+    * keys validate against it instead of being ignored (open) or rejected
+    * (closed); closed and rest are mutually exclusive like the reference. */
+  final case class SMap(entries: Seq[Entry], closed: Boolean = false,
+                        rest: Option[SchemaIR] = None) extends SchemaIR
 
   /** `:map-of` with optional entry-count bounds (core.cljc:1365-1459, 1384). */
   final case class SMapOf(key: SchemaIR, value: SchemaIR,
@@ -155,6 +158,19 @@ object SchemaIR {
   final case class SMulti(dispatchKey: String,
                           branches: Seq[(String, SchemaIR)],
                           default: Option[SchemaIR] = None) extends SchemaIR
+
+  /** `:multi` with an ARBITRARY dispatch function (core.cljc:1876-1890
+    * accepts any `:dispatch` fn, not just a keyword). Spark-first dual
+    * representation: `dispatch` builds a Column expression over the value
+    * (stays codegen'd — no UDF), `dispatchRow` is the row-level twin for
+    * the RowEval duality interpreter. Like `SFn`, the functions don't
+    * serialize — Export writes the name only. */
+  final case class SMultiExpr(
+      name: String,
+      dispatch: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      dispatchRow: Any => String,
+      branches: Seq[(String, SchemaIR)],
+      default: Option[SchemaIR] = None) extends SchemaIR
 
   /** `:ref` — named reference into a registry (core.cljc:1963-2064).
     * Compiled by depth-bounded inline expansion (SURVEY §7 hard-part 1). */
@@ -229,13 +245,16 @@ object SchemaIR {
     case SAnd(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
     case SOr(cs)        => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
     case SOrn(bs)       => bs.map { case (t, c) => t -> c }
-    case SMap(es, _)    => es.map(e => e.key -> e.child)
+    case SMap(es, _, rest) => es.map(e => e.key -> e.child) ++
+      rest.map("malli.core/default" -> _)
     case SMapOf(k, v, _, _) => Seq("0" -> k, "1" -> v)
     case SVector(c, _, _)   => Seq("0" -> c)
     case SSet(c, _, _)      => Seq("0" -> c)
     case SEvery(c, _, _, _) => Seq("0" -> c)
     case STuple(cs)     => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
     case SMulti(_, bs, d) =>
+      bs.map { case (t, c) => t -> c } ++ d.map("malli.core/default" -> _)
+    case SMultiExpr(_, _, _, bs, d) =>
       bs.map { case (t, c) => t -> c } ++ d.map("malli.core/default" -> _)
     case SCat(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
     case SCatn(es)      => es.map { case (t, c) => t -> c }
@@ -288,12 +307,13 @@ object SchemaIR {
     case SOrn(bs) => bs.map { case (t, c) => s"[:$t ${form(c)}]" }
       .mkString("[:orn ", " ", "]")
     case SNot(c) => s"[:not ${form(c)}]"
-    case SMap(es, closed) =>
+    case SMap(es, closed, rest) =>
       val props = if (closed) " {:closed true}" else ""
+      val restStr = rest.map(r => s" [::default ${form(r)}]").getOrElse("")
       es.map { e =>
         val opt = if (e.optional) " {:optional true}" else ""
         s"[:${e.key}$opt ${form(e.child)}]"
-      }.mkString(s"[:map$props ", " ", "]")
+      }.mkString(s"[:map$props ", " ", s"$restStr]")
     case SMapOf(k, v, _, _) => s"[:map-of ${form(k)} ${form(v)}]"
     case SVector(c, mn, mx) => s"[:vector${bounds(mn, mx)} ${form(c)}]"
     case SSet(c, mn, mx) => s"[:set${bounds(mn, mx)} ${form(c)}]"
@@ -301,6 +321,9 @@ object SchemaIR {
     case STuple(cs) => cs.map(form).mkString("[:tuple ", " ", "]")
     case SMulti(d, bs, _) => bs.map { case (t, c) => s"[$t ${form(c)}]" }
       .mkString(s"[:multi {:dispatch :$d} ", " ", "]")
+    case SMultiExpr(n, _, _, bs, _) =>
+      bs.map { case (t, c) => s"[$t ${form(c)}]" }
+        .mkString(s"[:multi {:dispatch $n} ", " ", "]")
     case SRef(n) => s"[:ref $n]"
     case SCat(cs) => cs.map(form).mkString("[:cat ", " ", "]")
     case SCatn(es) => es.map { case (t, c) => s"[:$t ${form(c)}]" }

@@ -14,7 +14,7 @@ object SchemaOps {
     * of the right entry wins; non-map schemas → right wins (like malli's
     * last-child-wins for non-merge-able shapes). */
   def merge(a: SchemaIR, b: SchemaIR): SchemaIR = (a, b) match {
-    case (SMap(ea, ca), SMap(eb, cb)) =>
+    case (SMap(ea, ca, ra), SMap(eb, cb, rb)) =>
       val byKey = eb.map(e => e.key -> e).toMap
       val merged = ea.map { e =>
         byKey.get(e.key) match {
@@ -22,7 +22,7 @@ object SchemaOps {
           case None => e
         }
       } ++ eb.filterNot(e => ea.exists(_.key == e.key))
-      SMap(merged, ca || cb)
+      SMap(merged, ca || cb, rb.orElse(ra)) // right-biased rest-entry
     case (SAnd(cs), other) => SAnd(cs.map(merge(_, other))) // :and head merge
     case (_, r) => r
   }
@@ -34,7 +34,7 @@ object SchemaOps {
 
   /** mu/union (util.cljc:103-112): colliding entries become `:or`. */
   def union(a: SchemaIR, b: SchemaIR): SchemaIR = (a, b) match {
-    case (SMap(ea, ca), SMap(eb, cb)) =>
+    case (SMap(ea, ca, ra), SMap(eb, cb, rb)) =>
       val byKey = eb.map(e => e.key -> e).toMap
       val unioned = ea.map { e =>
         byKey.get(e.key) match {
@@ -45,7 +45,7 @@ object SchemaOps {
           case None => e
         }
       } ++ eb.filterNot(e => ea.exists(_.key == e.key))
-      SMap(unioned, ca && cb)
+      SMap(unioned, ca && cb, rb.orElse(ra))
     case _ => SOr(Seq(a, b))
   }
 

@@ -249,6 +249,52 @@ class CoreValidationSpec extends SparkSuite {
       (Seq.empty[Long], false, Set(("", "", ErrorKeys.Limits)))))
   }
 
+  test(":multi with expression dispatch (arbitrary :dispatch fn parity)") {
+    // core.cljc:1876-1890 — dispatch can be ANY fn of the value; here a
+    // computed band over a struct field, kept codegen'd as a Column expr
+    val st = StructType(Seq(StructField("n", LongType),
+      StructField("tag", StringType)))
+    val sch = S.multiExpr("band",
+      c => F.when(c.getField("n") < 10L, F.lit("small"))
+        .otherwise(F.lit("big")),
+      { case r: Row => if (r.getAs[Long]("n") < 10L) "small" else "big"
+        case _ => null })(
+      "small" -> S.mapE(false, S.req("n", S.int),
+        S.req("tag", S.enum_("a", "b"))),
+      "big" -> S.mapE(false, S.req("n", S.intMin(10L)),
+        S.req("tag", S.enum_("z"))))
+    check(sch, st, Seq(
+      (Row(5L, "a"), true, Set.empty),
+      (Row(5L, "z"), false, Set(("small/tag", "tag", ":enum"))),
+      (Row(50L, "z"), true, Set.empty),
+      (Row(50L, "a"), false, Set(("big/tag", "tag", ":enum"))),
+      (null, false, Set(("", "", ErrorKeys.InvalidType)))))
+    // default branch on an unmatched dispatch value
+    val withDefault = S.multiExpr("band2",
+      c => c.getField("tag"),
+      { case r: Row => r.getAs[String]("tag"); case _ => null },
+      default = Some(S.mapE(false, S.req("n", S.intMin(100L)))))(
+      "a" -> S.mapE(false, S.req("n", S.int)))
+    check(withDefault, st, Seq(
+      (Row(1L, "a"), true, Set.empty),
+      (Row(500L, "q"), true, Set.empty),
+      (Row(1L, "q"), false,
+        Set(("malli.core/default/n", "n", ":int")))))
+  }
+
+  test("map with ::m/default rest-entry validates undeclared keys") {
+    // core.cljc:586-587, 1237 — open map whose undeclared keys must
+    // satisfy a default schema instead of being ignored
+    val st = StructType(Seq(StructField("id", LongType),
+      StructField("x", StringType), StructField("y", StringType)))
+    val sch = S.mapRest(S.string(min = 2), S.req("id", S.int))
+    check(sch, st, Seq(
+      (Row(1L, "ab", "cde"), true, Set.empty),
+      (Row(1L, "a", "cde"), false,
+        Set(("malli.core/default/x", "x", ":string"))),
+      (Row(1L, null, "cde"), true, Set.empty))) // absent key: no rest check
+  }
+
   test(":time/* family: duration/period/ldt intervals + ISO string kinds") {
     import java.time.{Duration, LocalDateTime, Period}
     // native interval / NTZ types (experimental/time.cljc:85-100)

@@ -201,6 +201,18 @@ object SparkEntry {
         .orderBy("doc_id", "schema_path")
     }),
 
+    // ---- declarative :merge schema validated end-to-end ----
+    "merge_schema_verdicts" -> ((s, dir) => {
+      val sch = S.mergeOf(
+        S.mapE(false, S.req("url", S.re("^https?://[^\\s]+$")),
+          S.req("lang", S.enum_("en", "de"))),
+        // right side widens lang and adds text — right bias must win
+        S.mapE(false, S.req("lang", S.enum_(WebPages.Langs: _*)),
+          S.req("text", S.string(min = 1))))
+      SchemaCompiler.validateDF(sch, pages(s, dir), "ok")
+        .select("doc_id", "ok").orderBy("doc_id")
+    }),
+
     // ---- :multi with expression dispatch (codegen'd, no UDF) ----
     "multi_expr_dispatch" -> ((s, dir) => {
       val src = t(s, dir, "documents").select(F.col("doc_id"),
@@ -701,6 +713,14 @@ object SparkEntry {
          |  FROM pages)
          |SELECT p.doc_id FROM pages p JOIN prev ON p.doc_id = prev.doc_id
          |WHERE md5(p.text) <> md5(prev.text) ORDER BY p.doc_id""".stripMargin,
+
+    "merge_schema_verdicts" ->
+      s"""$P
+         |SELECT doc_id,
+         |  regexp_matches(url, '^https?://[^\\s]+$$')
+         |  AND lang IN ('en','de','fr','es','zh')
+         |  AND length(text) >= 1 AS ok
+         |FROM pages ORDER BY doc_id""".stripMargin,
 
     "multi_expr_dispatch" ->
       """SELECT doc_id,

@@ -111,6 +111,8 @@ object SchemaCompiler {
     case SMulti(_, bs, d) =>
       (bs.map(_._2) ++ d).headOption.map(dataTypeOf).getOrElse(StringType)
     case _: SRef => StringType
+    case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+      dataTypeOf(mallispark.ir.SchemaOps.expand(alg))
     case SCat(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
     case SCatn(es) => ArrayType(es.headOption.map(e => dataTypeOf(e._2)).getOrElse(StringType))
     case SAlt(cs) => dataTypeOf(cs.head)
@@ -132,6 +134,8 @@ object SchemaCompiler {
     * physical schema of the table). */
   def toStructType(ir: SchemaIR): StructType = ir match {
     case m: SMap => dataTypeOf(m).asInstanceOf[StructType]
+    case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+      toStructType(mallispark.ir.SchemaOps.expand(alg))
     case other => throw new IllegalArgumentException(
       s"top-level schema must be :map, got ${SchemaIR.form(other)}")
   }
@@ -434,6 +438,11 @@ object SchemaCompiler {
       case SRef(name) =>
         if (ctx.depth <= 0) F.lit(true) // depth-bounded unroll (SURVEY §7.1)
         else valid(ctx.registry(name), col, dt)(ctx.copy(depth = ctx.depth - 1))
+
+      // declarative :merge/:union/:select-keys (util.cljc:394-418):
+      // structural expansion, then compile the result
+      case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+        valid(mallispark.ir.SchemaOps.expand(alg, ctx.registry), col, dt)
 
       // ---- seq-regex: general (nested) forms -> RowEval UDF (tier 3) ----
       case r if isGeneralRegex(r) =>
@@ -781,6 +790,10 @@ object SchemaCompiler {
         if (ctx.depth <= 0) emptyViols
         else errors(ctx.registry(name), col, dt, path, in)(
           ctx.copy(depth = ctx.depth - 1))
+
+      case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+        errors(mallispark.ir.SchemaOps.expand(alg, ctx.registry),
+          col, dt, path, in)
 
       // general (nested) seq-regex: one opaque violation from the UDF
       // matcher — per-position attribution needs the full parser (tier 3)

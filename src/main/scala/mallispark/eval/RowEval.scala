@@ -193,6 +193,8 @@ object RowEval {
     case SRef(name) =>
       if (depth <= 0) true
       else validate(reg(name), v)(reg, depth - 1)
+    case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+      validate(mallispark.ir.SchemaOps.expand(alg, reg), v)
     // standalone :alt over a single value behaves like :or (bounded-form
     // deviation, same as the Catalyst compilation — SURVEY §2.9)
     case SAlt(cs) => cs.exists(validate(_, v))
@@ -337,6 +339,8 @@ object RowEval {
       case SRef(name) =>
         if (depth <= 0) Vector.empty
         else explain(reg(name), v, path, in)(reg, depth - 1)
+      case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+        explain(mallispark.ir.SchemaOps.expand(alg, reg), v, path, in)
       // bounded-form regex explains — mirror the Catalyst compilation
       case SCat(cs) =>
         catExplain(cs.zipWithIndex.map { case (c, i) => (i.toString, c) },

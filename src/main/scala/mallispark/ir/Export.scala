@@ -104,6 +104,10 @@ object Export {
           obj("tag" -> esc(t), "schema" -> toJson(c)) })) ++
         df.map(x => "default" -> toJson(x)): _*)
     case SRef(n) => obj("type" -> esc("ref"), "name" -> esc(n))
+    case SMergeOf(cs) => obj("type" -> esc("merge"), "children" -> arr(cs.map(toJson)))
+    case SUnionOf(cs) => obj("type" -> esc("union"), "children" -> arr(cs.map(toJson)))
+    case SSelectKeysOf(c, ks) => obj("type" -> esc("select-keys"),
+      "child" -> toJson(c), "keys" -> arr(ks.map(esc)))
     case SCat(cs) => obj("type" -> esc("cat"), "children" -> arr(cs.map(toJson)))
     case SCatn(es) => obj("type" -> esc("catn"), "entries" -> arr(es.map {
       case (t, c) => obj("tag" -> esc(t), "schema" -> toJson(c)) }))
@@ -268,6 +272,10 @@ object Export {
           tagged("branches"),
           m.get("default").map(x => fromAst(x.asInstanceOf[Map[String, Any]])))
       case "ref" => SRef(m("name").toString)
+      case "merge" => SMergeOf(children)
+      case "union" => SUnionOf(children)
+      case "select-keys" => SSelectKeysOf(child,
+        m("keys").asInstanceOf[Seq[Any]].map(_.toString))
       case "cat" => SCat(children)
       case "catn" => SCatn(tagged("entries"))
       case "alt" => SAlt(children)

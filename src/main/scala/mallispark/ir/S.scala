@@ -126,6 +126,13 @@ object S {
 
   def ref(name: String): SchemaIR = SRef(name)
 
+  /** Declarative schema-algebra nodes (util.cljc:394-418) — serializable,
+    * expanded structurally at compile time. */
+  def mergeOf(cs: SchemaIR*): SchemaIR = SMergeOf(cs)
+  def unionOf(cs: SchemaIR*): SchemaIR = SUnionOf(cs)
+  def selectKeysOf(c: SchemaIR, keys: String*): SchemaIR =
+    SSelectKeysOf(c, keys)
+
   def cat(cs: SchemaIR*): SchemaIR = SCat(cs)
   def catn(es: (String, SchemaIR)*): SchemaIR = SCatn(es)
   def alt(cs: SchemaIR*): SchemaIR = SAlt(cs)

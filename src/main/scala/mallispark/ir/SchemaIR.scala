@@ -176,6 +176,20 @@ object SchemaIR {
     * Compiled by depth-bounded inline expansion (SURVEY §7 hard-part 1). */
   final case class SRef(name: String) extends SchemaIR
 
+  // ---- declarative schema-algebra nodes (malli.util proxy schemas,
+  //      util.cljc:394-418) — expand structurally before compilation, so
+  //      SERIALIZED schemas can carry merge/union/select-keys ----
+
+  /** `:merge` — right-biased entry merge of map schemas (util.cljc:394). */
+  final case class SMergeOf(children: Seq[SchemaIR]) extends SchemaIR
+
+  /** `:union` — colliding entries become `:or` (util.cljc:402). */
+  final case class SUnionOf(children: Seq[SchemaIR]) extends SchemaIR
+
+  /** `:select-keys` — projection of a map schema (util.cljc:410). */
+  final case class SSelectKeysOf(child: SchemaIR, keys: Seq[String])
+      extends SchemaIR
+
   // ---- sequence-regex (bounded forms; impl/regex.cljc) --------------------
 
   /** `:cat` — positional sequence (core.cljc:2968-3024). Bounded form:
@@ -220,6 +234,36 @@ object SchemaIR {
         regs.map(_.maxDepth).maxOption.getOrElse(8))
   }
 
+  /** mutable-registry (registry.cljc:61-69): thread-safe registration;
+    * `snapshot` yields the immutable view a compilation uses — plans are
+    * built against a POINT-IN-TIME registry (Catalyst plans are immutable
+    * once built, so the var/dynamic reference semantics of the Clojure
+    * original reduce to snapshot-at-compile here). */
+  final class MutableRegistry(initial: Map[String, SchemaIR] = Map.empty) {
+    private val ref =
+      new java.util.concurrent.atomic.AtomicReference(initial)
+    def register(name: String, s: SchemaIR): Unit = {
+      ref.updateAndGet(m => m + (name -> s)); ()
+    }
+    def snapshot: Registry = Registry(ref.get)
+  }
+
+  /** lazy-registry (registry.cljc:81-95): schemas provided on first
+    * reference, memoized; `force` materializes the requested names (plus
+    * anything already resolved) into an immutable Registry for compile. */
+  final class LazyRegistry(provider: String => Option[SchemaIR]) {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, SchemaIR]()
+    def resolve(name: String): SchemaIR =
+      cache.computeIfAbsent(name, n => provider(n).getOrElse(
+        throw new IllegalArgumentException(s"lazy registry misses: $n")))
+    def force(names: String*): Registry = {
+      names.foreach(resolve)
+      Registry(scala.jdk.CollectionConverters.MapHasAsScala(cache)
+        .asScala.toMap)
+    }
+  }
+
   // ---- error keys (malli parity) ------------------------------------------
 
   object ErrorKeys {
@@ -256,6 +300,9 @@ object SchemaIR {
       bs.map { case (t, c) => t -> c } ++ d.map("malli.core/default" -> _)
     case SMultiExpr(_, _, _, bs, d) =>
       bs.map { case (t, c) => t -> c } ++ d.map("malli.core/default" -> _)
+    case SMergeOf(cs)   => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
+    case SUnionOf(cs)   => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
+    case SSelectKeysOf(c, _) => Seq("0" -> c)
     case SCat(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
     case SCatn(es)      => es.map { case (t, c) => t -> c }
     case SAlt(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
@@ -325,6 +372,10 @@ object SchemaIR {
       bs.map { case (t, c) => s"[$t ${form(c)}]" }
         .mkString(s"[:multi {:dispatch $n} ", " ", "]")
     case SRef(n) => s"[:ref $n]"
+    case SMergeOf(cs) => cs.map(form).mkString("[:merge ", " ", "]")
+    case SUnionOf(cs) => cs.map(form).mkString("[:union ", " ", "]")
+    case SSelectKeysOf(c, ks) =>
+      s"[:select-keys ${form(c)} [${ks.mkString(" ")}]]"
     case SCat(cs) => cs.map(form).mkString("[:cat ", " ", "]")
     case SCatn(es) => es.map { case (t, c) => s"[:$t ${form(c)}]" }
       .mkString("[:catn ", " ", "]")

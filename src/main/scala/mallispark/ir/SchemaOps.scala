@@ -101,6 +101,56 @@ object SchemaOps {
     case other => other
   }
 
+  /** Structural expansion of the declarative schema-algebra nodes
+    * (`:merge`/`:union`/`:select-keys` proxy schemas, util.cljc:394-418):
+    * recursively rewrites them into plain schemas via the programmatic
+    * algebra above, dereferencing `:ref` children through `reg` (depth 8)
+    * where the algebra needs a concrete map. Runs once per schema before
+    * compilation — serialized schemas can therefore carry these nodes. */
+  def expand(ir: SchemaIR, reg: Registry = Registry.empty,
+             depth: Int = 8): SchemaIR = {
+    def deref(s: SchemaIR, d: Int): SchemaIR = s match {
+      case SRef(n) if d > 0 => deref(reg(n), d - 1)
+      case other => other
+    }
+    def go(s: SchemaIR, d: Int): SchemaIR = s match {
+      case SMergeOf(cs) =>
+        cs.map(c => deref(go(c, d), d)).reduceLeft(merge)
+      case SUnionOf(cs) =>
+        cs.map(c => deref(go(c, d), d)).reduceLeft(union)
+      case SSelectKeysOf(c, ks) => deref(go(c, d), d) match {
+        case m: SMap => selectKeys(m, ks.toSet)
+        case other => other
+      }
+      case m: SMap => m.copy(
+        entries = m.entries.map(e => e.copy(child = go(e.child, d))),
+        rest = m.rest.map(go(_, d)))
+      case SMaybe(c) => SMaybe(go(c, d))
+      case SAnd(cs) => SAnd(cs.map(go(_, d)))
+      case SOr(cs) => SOr(cs.map(go(_, d)))
+      case SOrn(bs) => SOrn(bs.map { case (t, c) => t -> go(c, d) })
+      case SNot(c) => SNot(go(c, d))
+      case SVector(c, mn, mx) => SVector(go(c, d), mn, mx)
+      case SSet(c, mn, mx) => SSet(go(c, d), mn, mx)
+      case SEvery(c, mn, mx, l) => SEvery(go(c, d), mn, mx, l)
+      case STuple(cs) => STuple(cs.map(go(_, d)))
+      case SMapOf(k, v, mn, mx) => SMapOf(go(k, d), go(v, d), mn, mx)
+      case SMulti(dk, bs, df) => SMulti(dk,
+        bs.map { case (t, c) => t -> go(c, d) }, df.map(go(_, d)))
+      case SMultiExpr(n, f, fr, bs, df) => SMultiExpr(n, f, fr,
+        bs.map { case (t, c) => t -> go(c, d) }, df.map(go(_, d)))
+      case SCat(cs) => SCat(cs.map(go(_, d)))
+      case SCatn(es) => SCatn(es.map { case (t, c) => t -> go(c, d) })
+      case SAlt(cs) => SAlt(cs.map(go(_, d)))
+      case SStar(c) => SStar(go(c, d))
+      case SPlus(c) => SPlus(go(c, d))
+      case SOpt(c) => SOpt(go(c, d))
+      case SRepeat(c, mn, mx) => SRepeat(go(c, d), mn, mx)
+      case other => other
+    }
+    go(ir, depth)
+  }
+
   /** mu/subschemas (util.cljc:168-187): every (path, schema) pair. */
   def subschemas(ir: SchemaIR): Seq[(Seq[String], SchemaIR)] = {
     def go(s: SchemaIR, path: Seq[String]): Seq[(Seq[String], SchemaIR)] =

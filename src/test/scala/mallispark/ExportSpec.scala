@@ -33,6 +33,47 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("declarative :merge/:union/:select-keys round-trip and expand") {
+    // util.cljc:394-418 proxy schemas: serializable AND compilable
+    val base = S.mapE(false, S.req("a", S.int), S.req("b", S.string))
+    val extra = S.mapE(false, S.req("b", S.string(min = 2)),
+      S.req("c", S.boolean))
+    val merged = SMergeOf(Seq(base, extra))
+    val back = Export.fromJson(Export.toJson(merged))
+    assert(SchemaIR.form(back) === SchemaIR.form(merged))
+    // expansion: right-biased entries
+    val expanded = mallispark.ir.SchemaOps.expand(back).asInstanceOf[SMap]
+    assert(expanded.entries.map(_.key) === Seq("a", "b", "c"))
+    assert(expanded.entries.find(_.key == "b").get.child === SString(Some(2)))
+    // select-keys + union also round-trip
+    val sel = SSelectKeysOf(merged, Seq("a", "c"))
+    val selBack = Export.fromJson(Export.toJson(sel))
+    assert(mallispark.ir.SchemaOps.expand(selBack).asInstanceOf[SMap]
+      .entries.map(_.key) === Seq("a", "c"))
+    val uni = SUnionOf(Seq(base, extra))
+    assert(SchemaIR.form(Export.fromJson(Export.toJson(uni))) ===
+      SchemaIR.form(uni))
+    // refs inside :merge deref through the registry at expand time
+    val reg = Registry(Map("base" -> base))
+    val withRef = SMergeOf(Seq(SRef("base"), extra))
+    val exp2 = mallispark.ir.SchemaOps.expand(withRef, reg).asInstanceOf[SMap]
+    assert(exp2.entries.map(_.key) === Seq("a", "b", "c"))
+  }
+
+  test("mutable and lazy registries resolve refs at compile time") {
+    val mut = new SchemaIR.MutableRegistry()
+    mut.register("page", S.mapE(false, S.req("x", S.int)))
+    assert(SchemaIR.form(mut.snapshot("page")) === "[:map [:x :int]]")
+    var calls = 0
+    val lz = new SchemaIR.LazyRegistry(n => { calls += 1
+      if (n == "lazy1") Some(S.int) else None })
+    val reg = lz.force("lazy1")
+    lz.force("lazy1") // memoized — provider not called again
+    assert(calls === 1)
+    assert(reg("lazy1") === SInt())
+    intercept[IllegalArgumentException](lz.resolve("missing"))
+  }
+
   test("typed defaults survive the ast round-trip") {
     val s = SMap(Seq(
       Entry("a", SInt(), optional = true, default = Some(7L)),

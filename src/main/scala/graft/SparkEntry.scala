@@ -545,6 +545,15 @@ object SparkEntry {
           F.col("band_key"), F.col("dup_cnt"))
         .orderBy("band", "band_key")),
 
+    // native-Expression SimHash (codegen xxhash64 votes) — scale path,
+    // rows-only check (engine-native hashes, not DuckDB-portable)
+    "dedup_simhash_fast" -> ((s, dir) =>
+      Dedup.simhashFastCandidates(
+          pages(s, dir).where(F.length(F.col("text")) > 0), "doc_id", "text")
+        .select(F.col("band").cast(LongType).as("band"),
+          F.col("band_key"), F.col("dup_cnt"))
+        .orderBy("band", "band_key")),
+
     // HLL distinct + sketch stats — rows-only (approx algorithms differ
     // from DuckDB's; exactness asserted separately in unit tests)
     "stats_approx_distinct" -> ((s, dir) =>

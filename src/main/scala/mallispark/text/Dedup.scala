@@ -197,6 +197,33 @@ object Dedup {
       .where(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
 
+  /** Scale-path SimHash: native codegen `SimHashSignature` (one xxhash64 +
+    * 64 branch-free vote adds per token, whole-stage codegen) instead of
+    * the interpreted HOF votes of `simhashDF`. NOT DuckDB-portable — use
+    * `simhashCandidates` for the oracle-checked path. */
+  def simhashFast(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(F.col(id),
+      mallispark.expressions.SimHashSignature(
+        F.array_distinct(tokens(F.col(text)))).as("sig"))
+
+  /** Candidates from the native signature: exact match on any of the four
+    * 16-bit bands (block permutation — pairs within hamming distance 3
+    * share at least one band). One shuffle of (band, band_key, id). */
+  def simhashFastCandidates(df: DataFrame, id: String,
+                            text: String): DataFrame = {
+    val withSig = simhashFast(df, id, text)
+    val banded = withSig.select(F.col(id), F.explode(F.array(
+      (0 until 4).map(b => F.struct(F.lit(b).as("band"),
+        F.shiftrightunsigned(F.col("sig"), b * 16)
+          .bitwiseAND(F.lit(0xFFFFL)).as("band_key"))): _*)).as("bk"))
+      .select(F.col(id), F.col("bk.band").as("band"),
+        F.col("bk.band_key").as("band_key"))
+    banded.groupBy("band", "band_key")
+      .agg(F.count(F.lit(1)).as("dup_cnt"),
+        F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
+      .where(F.col("dup_cnt") > 1)
+  }
+
   /** Exact n-gram (word) Jaccard for ALL pairs sharing a shingle: the
     * self-join is O(Σ df²) over shingle buckets — ONLY safe with a
     * frequency cap or at small scale. At 100 TB use

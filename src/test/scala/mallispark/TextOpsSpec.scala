@@ -65,6 +65,24 @@ class TextOpsSpec extends SparkSuite {
     assert(cand.count(p => p.contains(1L) && p.contains(2L)) === 8)
   }
 
+  test("native SimHashSignature: codegen == interpreted; dups collide") {
+    val sigDf = Dedup.simhashFast(d, "id", "text")
+    val withCodegen = sigDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try sigDf.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withCodegen === interpreted)
+    assert(withCodegen(1L) === withCodegen(2L)) // exact dups: same signature
+    assert(withCodegen(1L) !== withCodegen(4L))
+    // near-dup: small hamming distance → shares a 16-bit band
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(withCodegen(1L), withCodegen(3L)) < 16)
+    val cands = Dedup.simhashFastCandidates(d, "id", "text")
+      .collect().map(_.getSeq[Long](3).toSet)
+    assert(cands.count(p => p.contains(1L) && p.contains(2L)) === 4)
+  }
+
   test("simhash: identical texts share both halves; distinct texts differ") {
     val sigs = Dedup.simhashDF(d, "id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -28,4 +28,32 @@ object GeneralRegex {
       if (xs == null) false else RowEval.validate(ir, xs))
     col => f(col)
   }
+
+  /** Violation row produced by the explain UDFs — field names match
+    * SchemaCompiler.violStruct. */
+  final case class ViolRow(path: String, in: String, error_key: String,
+                           value: String)
+
+  private def toRows(errs: Vector[RowEval.Err]): Seq[ViolRow] =
+    errs.map(e => ViolRow(e.path.mkString("/"), e.in.mkString("/"), e.key,
+      if (e.value == null) null else String.valueOf(e.value)))
+
+  private val nullErr = Seq(ViolRow("", "",
+    mallispark.ir.SchemaIR.ErrorKeys.InvalidType, null))
+
+  /** Positional explainer over an array<string> column (tier-3 analogue
+    * of impl/regex.cljc:585-628): paths/ins are RELATIVE — the compiler
+    * prefixes the static schema path and runtime in path. */
+  def explainStringSeq(ir: SchemaIR): Column => Column = {
+    val f = F.udf((xs: Seq[String]) =>
+      if (xs == null) nullErr else toRows(RowEval.reExplain(ir, xs)))
+    col => f(col)
+  }
+
+  /** Positional explainer over an array<long> column. */
+  def explainLongSeq(ir: SchemaIR): Column => Column = {
+    val f = F.udf((xs: Seq[Long]) =>
+      if (xs == null) nullErr else toRows(RowEval.reExplain(ir, xs)))
+    col => f(col)
+  }
 }

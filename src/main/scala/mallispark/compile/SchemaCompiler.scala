@@ -499,30 +499,8 @@ object SchemaCompiler {
         }
     }
 
-  /** A regex op whose children are THEMSELVES regex ops (other than a
-    * single-element :alt) needs backtracking — the bounded Column
-    * compilation cannot express it (SURVEY §2.9 tier 3). */
-  private def isRegexOp(ir: SchemaIR): Boolean = ir match {
-    case _: SCat | _: SCatn | _: SStar | _: SPlus | _: SOpt | _: SRepeat => true
-    case _ => false
-  }
-  private def isGeneralRegex(ir: SchemaIR): Boolean = {
-    def nestedChildren(s: SchemaIR): Seq[SchemaIR] = s match {
-      case SCat(cs) => cs
-      case SCatn(es) => es.map(_._2)
-      case SAlt(cs) => cs
-      case SStar(c) => Seq(c)
-      case SPlus(c) => Seq(c)
-      case SOpt(c) => Seq(c)
-      case SRepeat(c, _, _) => Seq(c)
-      case _ => Seq.empty
-    }
-    isRegexOp(ir) && nestedChildren(ir).exists(c =>
-      isRegexOp(c) || (c match {
-        case SAlt(cs) => cs.exists(isRegexOp)
-        case _ => false
-      }))
-  }
+  private def isGeneralRegex(ir: SchemaIR): Boolean =
+    SchemaIR.isGeneralRegex(ir)
 
   /** Element check inside a regex op: an SAlt among plain schemas matches
     * one element (bounded form); nested regex ops would need the general
@@ -795,11 +773,36 @@ object SchemaCompiler {
         errors(mallispark.ir.SchemaOps.expand(alg, ctx.registry),
           col, dt, path, in)
 
-      // general (nested) seq-regex: one opaque violation from the UDF
-      // matcher — per-position attribution needs the full parser (tier 3)
+      // general (nested) seq-regex: positional error attribution from the
+      // RowEval backtracking explainer (impl/regex.cljc:585-628 analogue) —
+      // the UDF reports RELATIVE path/in; prefix the static schema path
+      // and the runtime in path here
       case r if isGeneralRegex(r) =>
-        F.when(valid(r, col, dt), emptyViols)
-          .otherwise(one(path, in, ":seq-regex", valueStr(col, dt)))
+        val rel = dt match {
+          case ArrayType(StringType, _) =>
+            mallispark.compile.GeneralRegex.explainStringSeq(r)(col)
+          case ArrayType(LongType, _) =>
+            mallispark.compile.GeneralRegex.explainLongSeq(r)(col)
+          case other => throw new IllegalArgumentException(
+            s"general seq-regex ${SchemaIR.form(r)} needs array<string|long>, " +
+              s"got ${other.simpleString}")
+        }
+        F.transform(rel, e => {
+          val rp = e.getField("path")
+          val ri = e.getField("in")
+          val pOut =
+            if (path.isEmpty) rp
+            else F.when(rp === "", F.lit(path))
+              .otherwise(F.concat(F.lit(path + "/"), rp))
+          val iOut = F.when(ri === "", F.coalesce(in, F.lit("")))
+            .otherwise(jin(in, ri))
+          // coalesce to non-null literals: violStruct fields are NOT NULL
+          // and a nullable struct field cannot cast into them
+          F.struct(F.coalesce(pOut, F.lit("")).as("path"),
+            F.coalesce(iOut, F.lit("")).as("in"),
+            F.coalesce(e.getField("error_key"), F.lit("")).as("error_key"),
+            e.getField("value").as("value"))
+        }).cast(violArrType)
 
       // seq-regex bounded errors — ::end-of-input / ::input-remaining parity
       case SCat(cs) => catErrors(cs.zipWithIndex.map { case (c, i) => (i.toString, c) },

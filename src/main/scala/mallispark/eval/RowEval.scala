@@ -203,6 +203,84 @@ object RowEval {
       asSeq(v).exists(xs => reMatch(r, xs, 0).contains(xs.length))
   }
 
+  /** Deepest-failure tracker for the regex EXPLAINER (the analogue of the
+    * reference's per-position error attribution, impl/regex.cljc:585-628):
+    * across all backtracking attempts, remember the furthest input
+    * position where a leaf check failed, and which leaf (with its schema
+    * path) failed there. */
+  private final class DeepestFail {
+    var pos: Int = -1
+    var leaf: SchemaIR = _
+    var path: Vector[String] = Vector.empty
+    def record(i: Int, s: SchemaIR, p: Vector[String]): Unit =
+      if (i > pos) { pos = i; leaf = s; path = p }
+  }
+
+  /** Positional explain for GENERAL (tier-3) sequence-regex forms: run the
+    * backtracking matcher with failure tracking; on mismatch report
+    *  - the deepest failing leaf against its element (`in` = element
+    *    index, `path` = nested schema path), or
+    *  - ::end-of-input when the deepest failure was past the last element,
+    *  - ::input-remaining when a prefix matched but input was left over.
+    * Empty result ⇔ the sequence matches. */
+  def reExplain(ir: SchemaIR, v: Any, path: Vector[String] = Vector.empty,
+                in: Vector[String] = Vector.empty)(
+      implicit reg: Registry = Registry.empty,
+      depth: Int = 8): Vector[Err] = asSeq(v) match {
+    case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
+    case Some(xs) =>
+      val df = new DeepestFail
+      val ends = reMatchT(ir, xs, 0, Vector.empty, df).toList
+      val maxEnd = if (ends.isEmpty) -1 else ends.max
+      if (ends.contains(xs.length)) Vector.empty
+      else if (df.pos >= xs.length)
+        // the match needed MORE input than the sequence has
+        Vector(Err(path, in, ErrorKeys.EndOfInput, xs.length))
+      else if (df.pos >= 0 && df.pos >= maxEnd)
+        // a leaf failed at the frontier: attribute positionally
+        explain(df.leaf, xs(df.pos), path ++ df.path, in :+ df.pos.toString)
+      else if (ends.nonEmpty)
+        // a prefix parses but input remains past the furthest end
+        Vector(Err(path, in, ErrorKeys.InputRemaining, xs.length - maxEnd))
+      else Vector(Err(path, in, ErrorKeys.EndOfInput, xs.length))
+  }
+
+  /** reMatch with schema-path + deepest-failure tracking. */
+  private def reMatchT(ir: SchemaIR, xs: Seq[Any], i: Int,
+                       path: Vector[String], df: DeepestFail)(
+      implicit reg: Registry, depth: Int): LazyList[Int] = ir match {
+    case SCat(cs) =>
+      cs.zipWithIndex.foldLeft(LazyList(i)) { case (ps, (c, idx)) =>
+        ps.flatMap(p => reMatchT(c, xs, p, path :+ idx.toString, df))
+      }
+    case SCatn(es) =>
+      es.foldLeft(LazyList(i)) { case (ps, (tag, c)) =>
+        ps.flatMap(p => reMatchT(c, xs, p, path :+ tag, df))
+      }
+    case SAlt(cs) => cs.zipWithIndex.to(LazyList).flatMap { case (c, idx) =>
+      reMatchT(c, xs, i, path :+ idx.toString, df)
+    }
+    case SStar(c) =>
+      i #:: reMatchT(c, xs, i, path :+ "0", df).filter(_ > i)
+        .flatMap(p => reMatchT(SStar(c), xs, p, path, df))
+    case SPlus(c) =>
+      reMatchT(c, xs, i, path :+ "0", df)
+        .flatMap(p => reMatchT(SStar(c), xs, p, path :+ "0", df))
+    case SOpt(c) => i #:: reMatchT(c, xs, i, path :+ "0", df)
+    case SRepeat(c, mn, mx) =>
+      def go(pos: Int, n: Int): LazyList[Int] = {
+        val more =
+          if (n >= mx) LazyList.empty
+          else reMatchT(c, xs, pos, path :+ "0", df).filter(_ > pos)
+            .flatMap(p => go(p, n + 1))
+        if (n >= mn) pos #:: more else more
+      }
+      go(i, 0)
+    case plain =>
+      if (i < xs.length && validate(plain, xs(i))) LazyList(i + 1)
+      else { df.record(i, plain, path); LazyList.empty }
+  }
+
   /** Backtracking sequence-regex matcher (semantics of impl/regex.cljc; the
     * reference uses CPS+packrat — row-local inputs here are small, so plain
     * lazy backtracking suffices). Returns reachable end positions. */
@@ -341,6 +419,9 @@ object RowEval {
         else explain(reg(name), v, path, in)(reg, depth - 1)
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
         explain(mallispark.ir.SchemaOps.expand(alg, reg), v, path, in)
+      // general (tier-3) forms: positional backtracking explainer —
+      // mirrors the compiled UDF path exactly (same code)
+      case r if SchemaIR.isGeneralRegex(r) => reExplain(r, v, path, in)
       // bounded-form regex explains — mirror the Catalyst compilation
       case SCat(cs) =>
         catExplain(cs.zipWithIndex.map { case (c, i) => (i.toString, c) },

@@ -278,6 +278,33 @@ object SchemaIR {
     val InputRemaining = "malli.core/input-remaining"
   }
 
+  /** Is this a sequence-regex operator node? */
+  def isRegexOp(ir: SchemaIR): Boolean = ir match {
+    case _: SCat | _: SCatn | _: SStar | _: SPlus | _: SOpt | _: SRepeat => true
+    case _ => false
+  }
+
+  /** A regex op whose children are THEMSELVES regex ops (other than a
+    * single-element :alt) needs backtracking — the bounded Column
+    * compilation cannot express it (SURVEY §2.9 tier 3). */
+  def isGeneralRegex(ir: SchemaIR): Boolean = {
+    def nestedChildren(s: SchemaIR): Seq[SchemaIR] = s match {
+      case SCat(cs) => cs
+      case SCatn(es) => es.map(_._2)
+      case SAlt(cs) => cs
+      case SStar(c) => Seq(c)
+      case SPlus(c) => Seq(c)
+      case SOpt(c) => Seq(c)
+      case SRepeat(c, _, _) => Seq(c)
+      case _ => Seq.empty
+    }
+    isRegexOp(ir) && nestedChildren(ir).exists(c =>
+      isRegexOp(c) || (c match {
+        case SAlt(cs) => cs.exists(isRegexOp)
+        case _ => false
+      }))
+  }
+
   // ---- walking / lens (mu/get-in, m/walk; util.cljc:320-388, core 2628) ---
 
   /** Children of a node paired with their schema-path segment (malli `:path`

@@ -370,6 +370,32 @@ class CoreValidationSpec extends SparkSuite {
     assert(!RowEval.validate(s, Seq.empty[Long]))
   }
 
+  test("tier-3 regex explain: positional error attribution") {
+    // [:* [:cat [:re ^k] [:re ^v]]] — mirror of perf_test.cljc:345-349
+    // shapes: the failing ELEMENT is named, not one opaque error
+    val s = S.star(S.cat(S.re("^k"), S.re("^v")))
+    val at = ArrayType(StringType)
+    check(s, at, Seq(
+      (Seq("k1", "v1", "k2", "v2"), true, Set.empty),
+      // element 3 should start with v: leaf error at in=3, path 0/1
+      (Seq("k1", "v1", "k2", "x2"), false, Set(("0/1", "3", ":re"))),
+      // odd length: the cat needs one more element
+      (Seq("k1", "v1", "k2"), false,
+        Set(("", "", ErrorKeys.EndOfInput))),
+      (null, false, Set(("", "", ErrorKeys.InvalidType)))))
+    // deepest-failure attribution through [:cat [:* [:int {:max 5}]] [:= 9]]
+    val s2 = S.cat(S.star(S.int(0L, 5L)), S.eq_(9L))
+    check(s2, ArrayType(LongType), Seq(
+      (Seq(1L, 2L, 9L), true, Set.empty),
+      // 7 stops the bounded star AND fails := → first leaf to fail at the
+      // deepest position (in=2) is the := (path 1): first-at-depth wins
+      (Seq(1L, 2L, 7L), false, Set(("1", "2", ":="))),
+      // all elements fit the star, so := runs out of input — the
+      // END-OF-INPUT attempt is the deepest parse and wins
+      (Seq(1L, 2L, 3L), false, Set(("", "", ErrorKeys.EndOfInput))),
+      (Seq.empty[Long], false, Set(("", "", ErrorKeys.EndOfInput)))))
+  }
+
   test("RowEval general seq-regex: [:* [:catn [:prop string?] [:val ...]]]") {
     // perf_test.cljc:345-349 — the general backtracking case (tier 3):
     // evaluated by the RowEval escape hatch, not the bounded compiler.

@@ -937,18 +937,29 @@ object SchemaCompiler {
     * OUTPUT identity columns; they are still validated like any other
     * column (declare them in the schema or list them in `exclude` when a
     * closed map must not see them). */
+  /** `maskValue`: replace the violation's captured value with a mask
+    * string — the engine-side dual of error.cljc's value masking
+    * (232-244): at web scale, violation sinks must not replicate document
+    * payloads (PII / storage blowup); keys + paths + error keys are
+    * enough to triage. */
   def violationsDF(ir: SchemaIR, df: DataFrame, keyCols: Seq[String],
-                   exclude: Set[String] = Set.empty)(
+                   exclude: Set[String] = Set.empty,
+                   maskValue: Option[String] = None)(
       implicit ctx: Ctx = Ctx()): DataFrame = {
     val withErrs = explainDF(ir, df, "__errs", exclude)
     val exploded = withErrs
       .where(F.size(F.col("__errs")) > 0)
       .select(keyCols.map(F.col) :+ F.explode(F.col("__errs")).as("e"): _*)
+    val valueCol = maskValue match {
+      case Some(m) => F.when(F.col("e.value").isNotNull, F.lit(m))
+        .otherwise(F.lit(null).cast(StringType))
+      case None => F.col("e.value")
+    }
     exploded.select(
       keyCols.map(F.col) ++ Seq(
         F.col("e.path").as("schema_path"),
         F.col("e.in").as("in_path"),
         F.col("e.error_key").as("error_key"),
-        F.col("e.value").as("value")): _*)
+        valueCol.as("value")): _*)
   }
 }

@@ -48,9 +48,13 @@ object Infer {
         case StringType
             if dist <= opts.enumMaxCard &&
               total > 0 && dist.toDouble / math.max(cnt, 1) <= opts.enumMaxRatio =>
+          // the HLL estimate gates this branch but can UNDERestimate —
+          // hard-limit the collect so a pathological column can never
+          // flood the driver, and fall back to :string on overflow
           val values = df.select(f.name).where(F.col(f.name).isNotNull)
-            .distinct().collect().map(_.getString(0)).sorted.toSeq
-          SEnum(values)
+            .distinct().limit(opts.enumMaxCard + 1)
+            .collect().map(_.getString(0)).sorted.toSeq
+          if (values.size > opts.enumMaxCard) SString() else SEnum(values)
         case other => leafFor(other, f.name, stats, opts)
       }
       Entry(f.name, child, optional = optional)

@@ -287,6 +287,237 @@ object Export {
     }
   }
 
+  // ---- EDN vector-syntax round-trip (malli.edn analogue) ------------------
+
+  /** Parse the vector-syntax string `SchemaIR.form` emits back into IR —
+    * the `malli.edn` read-string dual (reference src/malli/edn.cljc).
+    * Functions (`:fn`, expression dispatch) don't round-trip, mirroring
+    * the reference's behavior for non-serializable schemas. */
+  def fromForm(s: String): SchemaIR = {
+    val toks = tokenize(s)
+    val (node, rest) = parseNode(toks)
+    require(rest.isEmpty, s"trailing tokens: $rest")
+    convert(node)
+  }
+
+  private sealed trait Node
+  private final case class Kw(name: String) extends Node       // :int
+  private final case class Sym(name: String) extends Node      // bare name
+  private final case class SStr(v: String) extends Node
+  private final case class Num(v: Double, isInt: Boolean) extends Node
+  private final case class Bool(v: Boolean) extends Node
+  private final case class Vec(items: Seq[Node]) extends Node
+  private final case class Props(m: Map[String, Node]) extends Node
+
+  private def tokenize(s: String): List[String] = {
+    val out = List.newBuilder[String]
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case c if c.isWhitespace => i += 1
+        case c @ ('[' | ']' | '{' | '}') => out += c.toString; i += 1
+        case '"' =>
+          val sb = new StringBuilder("\"")
+          i += 1
+          while (s(i) != '"') {
+            if (s(i) == '\\') { sb += s(i); i += 1 }
+            sb += s(i); i += 1
+          }
+          sb += '"'; i += 1
+          out += sb.toString
+        case _ =>
+          val st = i
+          while (i < s.length && !s(i).isWhitespace &&
+                 !"[]{}".contains(s(i))) i += 1
+          out += s.substring(st, i)
+      }
+    }
+    out.result()
+  }
+
+  private def parseNode(toks: List[String]): (Node, List[String]) =
+    toks match {
+      case "[" :: rest =>
+        var r = rest
+        val items = Seq.newBuilder[Node]
+        while (r.head != "]") {
+          val (n, r2) = parseNode(r); items += n; r = r2
+        }
+        (Vec(items.result()), r.tail)
+      case "{" :: rest =>
+        var r = rest
+        val m = Map.newBuilder[String, Node]
+        while (r.head != "}") {
+          val (k, r2) = parseNode(r)
+          val (v, r3) = parseNode(r2)
+          m += k.asInstanceOf[Kw].name -> v
+          r = r3
+        }
+        (Props(m.result()), r.tail)
+      case t :: rest => (atom(t), rest)
+      case Nil => throw new IllegalArgumentException("unexpected end of form")
+    }
+
+  private def atom(t: String): Node =
+    if (t.startsWith("\"")) SStr(unq(t))
+    else if (t == "true") Bool(true)
+    else if (t == "false") Bool(false)
+    else if (t.startsWith(":")) Kw(t)
+    else if (t.matches("-?\\d+")) Num(t.toDouble, isInt = true)
+    else if (t.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?")) Num(t.toDouble, isInt = false)
+    else Sym(t)
+
+  private def unq(t: String): String = {
+    val sb = new StringBuilder
+    var i = 1
+    while (i < t.length - 1) {
+      if (t(i) == '\\') {
+        i += 1
+        t(i) match {
+          case 'n' => sb += '\n'
+          case c => sb += c
+        }
+      } else sb += t(i)
+      i += 1
+    }
+    sb.toString
+  }
+
+  private def pInt(p: Props, k: String): Option[Int] =
+    p.m.get(k).map { case Num(v, _) => v.toInt
+                     case other => other.toString.toInt }
+  private def pLong(p: Props, k: String): Option[Long] =
+    p.m.get(k).map { case Num(v, _) => v.toLong
+                     case other => other.toString.toLong }
+  private def pDbl(p: Props, k: String): Option[Double] =
+    p.m.get(k).map { case Num(v, _) => v
+                     case other => other.toString.toDouble }
+  private def pStr(p: Props, k: String): Option[String] =
+    p.m.get(k).map { case SStr(v) => v; case Kw(n) => n
+                     case other => other.toString }
+
+  private val emptyProps = Props(Map.empty)
+
+  private def litOf(n: Node): Any = n match {
+    case SStr(v) => v
+    case Num(v, true) => v.toLong
+    case Num(v, false) => v
+    case Bool(b) => b
+    case Kw(k) => k
+    case Sym(s) => s
+    case other => throw new IllegalArgumentException(s"not a literal: $other")
+  }
+
+  private def convert(n: Node): SchemaIR = n match {
+    case Kw(k) => leafKw(k, emptyProps)
+    case Vec(Kw(head) +: rest0) =>
+      val (props, rest) = rest0 match {
+        case (p: Props) +: r => (p, r)
+        case r => (emptyProps, r)
+      }
+      def child = convert(rest.head)
+      def children = rest.map(convert)
+      def branches = rest.map {
+        case Vec(tagNode +: more) =>
+          // orn/catn print keyword tags, multi prints bare dispatch values
+          val tag = tagNode match {
+            case Kw(k) => k.drop(1)
+            case Sym(s) => s
+            case SStr(s) => s
+            case o => o.toString
+          }
+          val c = more match {
+            case (_: Props) +: r2 => r2.head
+            case r2 => r2.head
+          }
+          tag -> convert(c)
+        case other => throw new IllegalArgumentException(s"bad branch $other")
+      }
+      head match {
+        case ":map" =>
+          var restSchema: Option[SchemaIR] = None
+          val entries = rest.flatMap {
+            case Vec(Kw("::default") +: more) =>
+              restSchema = Some(convert(more.head)); None
+            case Vec(Kw(key) +: more) =>
+              val (eProps, es) = more match {
+                case (p: Props) +: r2 => (p, r2)
+                case r2 => (emptyProps, r2)
+              }
+              Some(Entry(key.drop(1), convert(es.head),
+                optional = eProps.m.get(":optional").contains(Bool(true))))
+            case other =>
+              throw new IllegalArgumentException(s"bad map entry $other")
+          }
+          SMap(entries,
+            closed = props.m.get(":closed").contains(Bool(true)),
+            rest = restSchema)
+        case ":enum" => SEnum(rest.map(litOf))
+        case ":re" => SRegex(rest.head match {
+          case SStr(s) => s; case Sym(s) => s; case o => o.toString })
+        case ":>" | ":>=" | ":<" | ":<=" | ":=" | ":not=" =>
+          SCompare(head.drop(1), litOf(rest.head))
+        case ":fn" => SFn(rest.headOption.map {
+          case Sym(s) => s; case SStr(s) => s; case o => o.toString
+        }.getOrElse("fn"), _ => true)
+        case ":maybe" => SMaybe(child)
+        case ":not" => SNot(child)
+        case ":and" => SAnd(children)
+        case ":or" => SOr(children)
+        case ":orn" => SOrn(branches)
+        case ":map-of" =>
+          SMapOf(convert(rest(0)), convert(rest(1)),
+            pInt(props, ":min"), pInt(props, ":max"))
+        case ":vector" | ":sequential" =>
+          SVector(child, pInt(props, ":min"), pInt(props, ":max"))
+        case ":set" => SSet(child, pInt(props, ":min"), pInt(props, ":max"))
+        case ":every" => SEvery(child, pInt(props, ":min"),
+          pInt(props, ":max"), pInt(props, ":limit").getOrElse(101))
+        case ":tuple" => STuple(children)
+        case ":multi" => SMulti(
+          pStr(props, ":dispatch").map(_.stripPrefix(":")).getOrElse(""),
+          branches)
+        case ":ref" => SRef(rest.head match {
+          case Sym(s) => s; case SStr(s) => s; case o => o.toString })
+        case ":merge" => SMergeOf(children)
+        case ":union" => SUnionOf(children)
+        case ":select-keys" => SSelectKeysOf(convert(rest.head),
+          rest(1).asInstanceOf[Vec].items.map {
+            case Sym(s) => s; case Kw(k) => k.drop(1); case SStr(s) => s
+            case o => o.toString })
+        case ":cat" => SCat(children)
+        case ":catn" => SCatn(branches)
+        case ":alt" => SAlt(children)
+        case ":*" => SStar(child)
+        case ":+" => SPlus(child)
+        case ":?" => SOpt(child)
+        case ":repeat" => SRepeat(child,
+          pInt(props, ":min").getOrElse(0),
+          pInt(props, ":max").getOrElse(Int.MaxValue))
+        case leaf => leafKw(leaf, props)
+      }
+    case other => throw new IllegalArgumentException(s"cannot convert $other")
+  }
+
+  private def leafKw(k: String, props: Props): SchemaIR = k match {
+    case ":any" => SAny
+    case ":nil" => SNil
+    case ":some" => SSome
+    case ":boolean" => SBoolean
+    case ":bytes" => SBinary
+    case ":uuid" => SUuid
+    case ":string" => SString(pInt(props, ":min"), pInt(props, ":max"))
+    case ":int" => SInt(pLong(props, ":min"), pLong(props, ":max"))
+    case ":double" => SDouble(pDbl(props, ":min"), pDbl(props, ":max"))
+    case ":time/instant" => STimestamp(
+      pStr(props, ":min").map(java.time.Instant.parse),
+      pStr(props, ":max").map(java.time.Instant.parse))
+    case ":time/local-date" => SDate(pStr(props, ":min"), pStr(props, ":max"))
+    case t if t.startsWith(":time/") =>
+      STime(t.stripPrefix(":time/"), pStr(props, ":min"), pStr(props, ":max"))
+    case other => throw new IllegalArgumentException(s"unknown leaf $other")
+  }
+
   // ---- JSON-Schema export (json_schema.cljc:210-225) ----------------------
 
   def toJsonSchema(ir: SchemaIR): String = ir match {

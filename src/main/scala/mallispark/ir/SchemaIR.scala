@@ -356,24 +356,29 @@ object SchemaIR {
       })
     }
 
-  /** Human-readable form (m/form, core.cljc:2591-2596) — used in tests and
-    * schema export. */
+  /** Vector-syntax form (m/form, core.cljc:2591-2596) — EDN-shaped like
+    * the reference prints: bounded leaves wrap as `[:int {:min 1}]`,
+    * string literals are quoted, so `Export.fromForm` can parse it back
+    * (the edn.cljc round-trip dual). */
   def form(ir: SchemaIR): String = ir match {
     case SAny => ":any"
     case SNil => ":nil"
     case SSome => ":some"
-    case SString(mn, mx) => s":string${bounds(mn, mx)}"
-    case SInt(mn, mx) => s":int${bounds(mn, mx)}"
-    case SDouble(mn, mx) => s":double${bounds(mn, mx)}"
+    case SString(mn, mx) => leafForm(":string", bounds(mn, mx))
+    case SInt(mn, mx) => leafForm(":int", bounds(mn, mx))
+    case SDouble(mn, mx) => leafForm(":double", bounds(mn, mx))
     case SBoolean => ":boolean"
     case SBinary => ":bytes"
     case SUuid => ":uuid"
-    case STimestamp(mn, mx) => s":time/instant${bounds(mn, mx)}"
-    case SDate(mn, mx) => s":time/local-date${bounds(mn, mx)}"
-    case STime(kind, mn, mx) => s":time/$kind${bounds(mn, mx)}"
-    case SEnum(vs) => vs.mkString("[:enum ", " ", "]")
-    case SRegex(p) => s"[:re $p]"
-    case SCompare(op, v) => s"[:$op $v]"
+    case STimestamp(mn, mx) =>
+      leafForm(":time/instant",
+        bounds(mn.map(i => q(i.toString)), mx.map(i => q(i.toString))))
+    case SDate(mn, mx) => leafForm(":time/local-date", bounds(mn.map(q), mx.map(q)))
+    case STime(kind, mn, mx) =>
+      leafForm(s":time/$kind", bounds(mn.map(q), mx.map(q)))
+    case SEnum(vs) => vs.map(lit).mkString("[:enum ", " ", "]")
+    case SRegex(p) => s"[:re ${q(p)}]"
+    case SCompare(op, v) => s"[:$op ${lit(v)}]"
     case SFn(n, _) => s"[:fn $n]"
     case SMaybe(c) => s"[:maybe ${form(c)}]"
     case SAnd(cs) => cs.map(form).mkString("[:and ", " ", "]")
@@ -418,4 +423,24 @@ object SchemaIR {
     else s" {${mn.map(m => s":min $m").getOrElse("")}${
       if (mn.nonEmpty && mx.nonEmpty) " " else ""}${
       mx.map(m => s":max $m").getOrElse("")}}"
+
+  /** Bounded leaves print bracketed (`[:int {:min 1}]`) like the
+    * reference; boundless ones stay bare keywords. */
+  private def leafForm(t: String, b: String): String =
+    if (b.isEmpty) t else s"[$t$b]"
+
+  /** EDN string literal. */
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+
+  /** EDN literal: strings quoted, numbers/booleans bare. */
+  private def lit(v: Any): String = v match {
+    case s: String => q(s)
+    case other => String.valueOf(other)
+  }
 }

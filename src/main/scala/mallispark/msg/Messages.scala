@@ -70,6 +70,35 @@ object Messages {
       .groupBy(_._1)
       .view.mapValues(_.map(_._2)).toMap
 
+  /** `me/error-value` (error.cljc:397-408): the input reshaped to only its
+    * FAILING parts — leaves whose `in` path appears in `errIns` are kept;
+    * with `maskValid` set, valid leaves become the mask string instead of
+    * being dropped (the `::mask-valid-values` option, error.cljc:232-244).
+    * Driver-side, like humanize. */
+  def errorValue(value: Any, errIns: Set[Seq[String]],
+                 maskValid: Option[String] = None): Any = {
+    def go(v: Any, here: Seq[String]): Option[Any] = {
+      val failingHere = errIns.contains(here)
+      v match {
+        case m: Map[_, _] if !failingHere =>
+          val mm = m.asInstanceOf[Map[String, Any]]
+          val kept = mm.flatMap { case (k, x) =>
+            go(x, here :+ k).map(k -> _)
+          }
+          if (kept.nonEmpty) Some(kept) else None
+        case s: Seq[_] if !failingHere =>
+          val kept = s.zipWithIndex.flatMap { case (x, i) =>
+            go(x, here :+ i.toString).map(i -> _)
+          }
+          if (kept.nonEmpty) Some(kept.toMap) else None
+        case leaf =>
+          if (failingHere || errIns.exists(_.startsWith(here))) Some(leaf)
+          else maskValid.map(m => m)
+      }
+    }
+    go(value, Seq.empty).getOrElse(Map.empty)
+  }
+
   /** Spell-check suggestion for `::m/extra-key` (error.cljc:249-281):
     * closest known key by Levenshtein distance, if within tolerance
     * max(length/3, 1) like the reference's `-most-similar-to`. */

@@ -33,6 +33,38 @@ class ExportSpec extends AnyFunSuite {
     }
   }
 
+  test("vector-syntax form round-trips via fromForm (malli.edn dual)") {
+    samples.foreach { case (name, s) =>
+      val f = SchemaIR.form(s)
+      val back = Export.fromForm(f)
+      assert(SchemaIR.form(back) === f, s"form round-trip $name")
+    }
+    // literals keep their types through the text form
+    val e = Export.fromForm("[:enum 1 2 3]")
+    assert(e === SEnum(Seq(1L, 2L, 3L)))
+    assert(Export.fromForm("[:enum \"a b\" \"c]d\"]") ===
+      SEnum(Seq("a b", "c]d")))
+    assert(Export.fromForm("[:re \"^https?://[^\\\\s]+$\"]") ===
+      SRegex("^https?://[^\\s]+$"))
+    assert(Export.fromForm("[:int {:min 3}]") === SInt(Some(3L), None))
+    assert(Export.fromForm("[:time/duration {:min \"PT10S\"}]") ===
+      SchemaIR.STime("duration", Some("PT10S"), None))
+  }
+
+  test("error-value masking (error.cljc:232-244, 397-408)") {
+    import mallispark.msg.Messages
+    val row = Map("a" -> 1L, "b" -> "bad", "c" -> true)
+    // default: only failing parts survive
+    assert(Messages.errorValue(row, Set(Seq("b"))) === Map("b" -> "bad"))
+    // mask-valid-values: valid leaves become the mask
+    assert(Messages.errorValue(row, Set(Seq("b")), Some("...")) ===
+      Map("a" -> "...", "b" -> "bad", "c" -> "..."))
+    // nested in paths
+    val nested = Map("m" -> Map("x" -> 1L, "y" -> 2L))
+    assert(Messages.errorValue(nested, Set(Seq("m", "y"))) ===
+      Map("m" -> Map("y" -> 2L)))
+  }
+
   test("declarative :merge/:union/:select-keys round-trip and expand") {
     // util.cljc:394-418 proxy schemas: serializable AND compilable
     val base = S.mapE(false, S.req("a", S.int), S.req("b", S.string))

@@ -374,6 +374,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- full transformer pipeline: decodeDF → fillDefaults →
+    //      renameKeys → stripExtraKeys → encode (gated end-to-end) ----
+    "transform_pipeline" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR._
+      val id = F.col("doc_id")
+      val src = t(s, dir, "documents").select(id,
+        F.when(id % 9 === 2, F.lit("not-a-uuid")).otherwise(
+          F.concat(F.lit("00000000-0000-4000-a000-"),
+            F.lpad(id.cast(StringType), 12, "0"))).as("s_uuid"),
+        F.concat(F.lit("2024-01-"),
+          F.lpad((id % 28 + 1).cast(StringType), 2, "0")).as("s_date"),
+        F.when(id % 8 === 3, id.cast(DoubleType) + 0.5)
+          .otherwise(id.cast(DoubleType)).as("num"),
+        F.when(id % 6 === 1, F.lit(null).cast(StringType))
+          .otherwise(F.col("lang")).as("lang"))
+      val sch = SMap(Seq(
+        Entry("doc_id", SInt()),
+        Entry("s_uuid", SUuid),
+        Entry("s_date", SDate()),
+        Entry("num", SInt()),
+        Entry("lang", SString(), optional = true, default = Some("und"))))
+      val decoded = Transform.decodeDF(sch, src, Transform.StringMode)
+      val filled = Transform.fillDefaults(sch, decoded)
+      val renamed = Transform.renameKeys(filled, Map("s_uuid" -> "uuid"))
+      val target = SMap(Seq(Entry("doc_id", SInt()), Entry("uuid", SUuid),
+        Entry("s_date", SDate()), Entry("num", SInt()),
+        Entry("lang", SString())))
+      val stripped = Transform.stripExtraKeys(target,
+        renamed.withColumn("junk", F.lit(1)))
+      stripped.select(F.col("doc_id"), F.col("uuid"),
+          Transform.encode(SDate(), F.col("s_date"), DateType).as("d_date"),
+          F.col("num").as("d_long"), F.col("lang"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- coerce = decode → validate → split ----
+    "coerce_split" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR._
+      val id = F.col("doc_id")
+      val src = t(s, dir, "documents").select(id,
+        F.when(id % 10 === 0, F.concat(F.lit("x"), id.cast(StringType)))
+          .otherwise(id.cast(StringType)).as("s_int"))
+      val sch = SMap(Seq(Entry("doc_id", SInt()),
+        Entry("s_int", SInt(Some(0L), None))))
+      val (ok, bad) = Transform.coerce(sch, src, Transform.StringMode)
+      ok.agg(F.count(F.lit(1)).as("accepted"))
+        .crossJoin(bad.agg(F.count(F.lit(1)).as("rejected")))
+    }),
+
     // ---- parse (tagged unions) as a gated query ----
     "parse_orn" -> ((s, dir) => {
       val sch = S.orn("neg" -> S.intMax(-1L), "zero" -> S.eq_(0L),
@@ -983,6 +1032,38 @@ object SparkEntry {
         |       WHEN s_bool = 'false' THEN false ELSE NULL END AS d_bool,
         |  NULLIF(s_str, '') AS d_str
         |FROM src ORDER BY doc_id""".stripMargin,
+
+    "transform_pipeline" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 9 = 2 THEN 'not-a-uuid'
+        |       ELSE '00000000-0000-4000-a000-'
+        |         || lpad(CAST(doc_id AS VARCHAR), 12, '0') END AS s_uuid,
+        |  '2024-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') AS s_date,
+        |  CASE WHEN doc_id % 8 = 3 THEN doc_id + 0.5
+        |       ELSE CAST(doc_id AS DOUBLE) END AS num,
+        |  CASE WHEN doc_id % 6 = 1 THEN NULL ELSE lang END AS lang
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN regexp_matches(s_uuid,
+        |    '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$')
+        |    THEN s_uuid END AS uuid,
+        |  strftime(TRY_CAST(s_date AS DATE), '%Y-%m-%d') AS d_date,
+        |  CASE WHEN num = floor(num) THEN CAST(floor(num) AS BIGINT) END AS d_long,
+        |  COALESCE(lang, 'und') AS lang
+        |FROM src ORDER BY doc_id""".stripMargin,
+
+    "coerce_split" ->
+      """WITH src AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 10 = 0 THEN 'x' || CAST(doc_id AS VARCHAR)
+        |       ELSE CAST(doc_id AS VARCHAR) END AS s_int
+        |  FROM documents),
+        |d AS (SELECT doc_id, TRY_CAST(s_int AS BIGINT) AS v FROM src)
+        |SELECT
+        |  CAST(sum(CASE WHEN v IS NOT NULL AND v >= 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS accepted,
+        |  CAST(sum(CASE WHEN v IS NULL OR v < 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS rejected
+        |FROM d""".stripMargin,
 
     "parse_orn" ->
       """SELECT doc_id,

@@ -144,10 +144,11 @@ object Bench {
     }
 
     val small = math.max(cpus / 16, 1) // N for the headline N→4N pair
-    // only the smallest level gets the double-session treatment: its long
-    // GC-sensitive runs show the most interference
+    // BOTH headline levels (N and 4N) get the double-session treatment:
+    // the shared VM's interference hits either side of the ratio
     val levels = Seq(small, nSmall, cpus).distinct.map { c =>
       if (c == small) timedStable(c, withParquet = false)
+      else if (c == nSmall) timedStable(c, withParquet = true)
       else timed(c, withParquet = true)
     }
     def eff(a: Level, b: Level, rate: Level => Double): Double =

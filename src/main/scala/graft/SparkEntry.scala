@@ -487,12 +487,13 @@ object SparkEntry {
         .select("half", "half_key", "dup_cnt")
         .orderBy("half", "half_key")),
 
-    // scale-sane exact Jaccard: quadratic pair expansion gated to MinHash
-    // LSH buckets + ubiquitous-shingle frequency cap (both mirrored in the
-    // oracle); the unGated full self-join is not exposed as a query
+    // scale-sane exact Jaccard: quadratic pair expansion gated to NATIVE
+    // MinHash LSH buckets + ubiquitous-shingle frequency cap; the output
+    // keeps only exactly-verified pairs, so the oracle is the capped full
+    // self-join (LSH miss probability for a 0.9-pair: (1-.9²)^8 ≈ 2e-8)
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardWithinBuckets(pages(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.9, k = 8, bands = 4, maxShingleDf = 20)
+          n = 3, threshold = 0.9, k = 16, bands = 8, maxShingleDf = 20)
         .select("id_a", "id_b", "inter", "sz_a", "sz_b")
         .orderBy("id_a", "id_b")),
 
@@ -571,6 +572,26 @@ object SparkEntry {
       t(s, dir, "documents").select(F.col("doc_id"),
           TextOps.fingerprint(F.col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // ---- multimodal metadata: magic-byte sniffing IS oracle-checkable
+    //      (binary built with injected jpeg/png/riff prefixes) ----
+    "multimodal_meta" -> ((s, dir) => {
+      val id = F.col("doc_id")
+      val base = F.encode(F.col("text"), "UTF-8")
+      val jpeg = F.lit(Array(0xFF, 0xD8).map(_.toByte))
+      val png = F.lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte))
+      val riff = F.lit(Array(0x52, 0x49, 0x46, 0x46).map(_.toByte))
+      val bin = F.when(id % 4 === 0, F.concat(jpeg, base))
+        .when(id % 4 === 1, F.concat(png, base))
+        .when(id % 4 === 2, F.concat(riff, base))
+        .otherwise(base)
+      t(s, dir, "documents")
+        .select(id, Multimodal.mediaMetadata(bin).as("m"),
+          F.md5(F.hex(bin)).as("content_h"))
+        .select(id, F.col("m.n_bytes").as("n_bytes"),
+          F.col("m.kind").as("kind"), F.col("content_h"))
+        .orderBy("doc_id")
+    }),
 
     // ---- multimodal plumbing (STUB decode; rows-only check) ----
     "multimodal_features" -> ((s, dir) => {
@@ -1178,32 +1199,31 @@ object SparkEntry {
          |capped AS (SELECT sh.* FROM sh
          |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20) ok
          |    ON sh.s = ok.s),
-         |hs AS (SELECT doc_id, ${dh32("s")} AS h FROM sh),
-         |mins AS (
-         |  SELECT doc_id, seed,
-         |    min((h * (2 * seed + 1) + 99991 * seed)
-         |        % ${Dedup.MinhashP}) AS mh
-         |  FROM hs CROSS JOIN (SELECT unnest(range(8)) AS seed) seeds
-         |  GROUP BY doc_id, seed),
-         |sigs AS (
-         |  SELECT doc_id, seed // 2 AS band,
-         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed) AS band_key
-         |  FROM mins GROUP BY doc_id, seed // 2),
-         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM sigs a JOIN sigs b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id),
          |sizes AS (SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS sz
          |          FROM capped GROUP BY 1),
-         |pairs AS (SELECT id_a, id_b, CAST(count(*) AS BIGINT) AS inter
-         |  FROM cand
-         |  JOIN capped a ON a.doc_id = id_a
-         |  JOIN capped b ON b.doc_id = id_b AND b.s = a.s
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id_a, id_b, inter, sa.sz AS sz_a, sb.sz AS sz_b
          |FROM pairs JOIN sizes sa ON sa.doc = id_a JOIN sizes sb ON sb.doc = id_b
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "multimodal_meta" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN '\xFF\xD8'::BLOB || encode(text)
+        |       WHEN doc_id % 4 = 1 THEN '\x89PNG'::BLOB || encode(text)
+        |       WHEN doc_id % 4 = 2 THEN 'RIFF'::BLOB || encode(text)
+        |       ELSE encode(text) END AS bin
+        |  FROM documents)
+        |SELECT doc_id, CAST(octet_length(bin) AS BIGINT) AS n_bytes,
+        |  CASE WHEN substring(hex(bin), 1, 4) = 'FFD8' THEN 'jpeg'
+        |       WHEN substring(hex(bin), 1, 8) = '89504E47' THEN 'png'
+        |       WHEN substring(hex(bin), 1, 8) = '52494646' THEN 'riff'
+        |       ELSE 'unknown' END AS kind,
+        |  md5(hex(bin)) AS content_h
+        |FROM b ORDER BY doc_id""".stripMargin,
 
     "ann_cosine_topk" ->
       """WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),

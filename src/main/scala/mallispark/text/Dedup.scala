@@ -241,16 +241,46 @@ object Dedup {
     jaccardFilter(pairs, sizes, threshold)
   }
 
+  /** Native-signature (band, band_key) rows — same banding as
+    * `minhashBands` but over the codegen `MinHashSignature` (no md5, no
+    * interpreted HOFs). Candidate-generation only: band keys are
+    * engine-native, so anything CONSUMING them must re-verify exactly. */
+  def minhashBandsFast(df: DataFrame, id: String, text: String,
+                       k: Int, bands: Int, n: Int): DataFrame = {
+    val rows = k / bands
+    val sig = df.select(F.col(id),
+      mallispark.expressions.MinHashSignature(
+        F.array_distinct(shingles(F.col(text), n)), k).as("sig"))
+      .where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue)
+    sig.select(F.col(id), F.explode(
+      F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
+        F.struct(b.as("band"),
+          F.array_join(F.transform(
+            F.slice(F.col("sig"), b * rows + 1, F.lit(rows)),
+            x => x.cast(StringType)), "_").as("band_key")))).as("bk"))
+      .select(F.col(id), F.col("bk.band").as("band"),
+        F.col("bk.band_key").as("band_key"))
+  }
+
   /** Scale path: exact Jaccard REFINEMENT of MinHash-LSH candidates —
     * the quadratic pair expansion runs only inside LSH buckets (candidate
-    * pairs ≪ corpus²), then true Jaccard is verified with one
-    * (doc,shingle)-keyed join per pair side. Same semantics as the
-    * full self-join for any pair the LSH recalls; DuckDB-portable. */
+    * pairs ≪ corpus²), then TRUE Jaccard is verified with one
+    * (doc,shingle)-keyed join per pair side. Candidates come from the
+    * NATIVE codegen signature (cheap); because the output keeps only
+    * pairs whose exact Jaccard ≥ threshold, it equals the full self-join
+    * result whenever the LSH recalls every qualifying pair — at
+    * threshold t with k/bands rows per band, a qualifying pair misses
+    * every band with probability (1-t^(k/bands))^bands (≈2e-6 at t=0.8,
+    * k=16, bands=8), so the exact capped self-join IS the oracle.
+    * Set `portable = true` to generate candidates with the md5 family
+    * instead (bit-identical banding across engines, ~10× dearer). */
   def ngramJaccardWithinBuckets(df: DataFrame, id: String, text: String,
                                 n: Int = 3, threshold: Double = 0.8,
-                                k: Int = 8, bands: Int = 4,
-                                maxShingleDf: Int = 0): DataFrame = {
-    val bd = minhashBands(df, id, text, k, bands, n)
+                                k: Int = 16, bands: Int = 8,
+                                maxShingleDf: Int = 0,
+                                portable: Boolean = false): DataFrame = {
+    val bd = (if (portable) minhashBands(df, id, text, k, bands, n)
+              else minhashBandsFast(df, id, text, k, bands, n))
       .select(F.col(id).as("doc"), F.col("band"), F.col("band_key"))
     val cand = bd.as("x").join(bd.as("y"),
         F.col("x.band") === F.col("y.band") &&

@@ -279,23 +279,49 @@ object Dedup {
                                 k: Int = 16, bands: Int = 8,
                                 maxShingleDf: Int = 0,
                                 portable: Boolean = false): DataFrame = {
+    // candidate pairs from ONE pass over the banded signatures: group a
+    // band bucket, explode its id pairs (bucket sizes are LSH-bounded, so
+    // the per-bucket pair expansion is small by construction)
     val bd = (if (portable) minhashBands(df, id, text, k, bands, n)
               else minhashBandsFast(df, id, text, k, bands, n))
       .select(F.col(id).as("doc"), F.col("band"), F.col("band_key"))
-    val cand = bd.as("x").join(bd.as("y"),
-        F.col("x.band") === F.col("y.band") &&
-          F.col("x.band_key") === F.col("y.band_key") &&
-          F.col("x.doc") < F.col("y.doc"))
-      .select(F.col("x.doc").as("id_a"), F.col("y.doc").as("id_b"))
+    val buckets = bd.groupBy("band", "band_key")
+      .agg(F.sort_array(F.collect_list(F.col("doc"))).as("ids"))
+      .where(F.size(F.col("ids")) > 1)
+    val ids = F.col("ids")
+    val cand = buckets.select(F.explode(F.flatten(F.transform(ids, (x, i) =>
+        F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
+          y => F.struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
       .distinct()
+    // per-doc sorted 60-bit shingle-hash sets, built ONCE (collision odds
+    // 2^-60-scale — the DuckDB oracle counts the strings themselves);
+    // intersections are array_intersect on the candidate pair rows, so
+    // shingles are never exploded into a join
     val sh = shingleSet(df, id, text, n, maxShingleDf)
-    val sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).as("sz"))
+      .select(F.col("doc"), h60(F.col("shingle")).as("h"))
+    val docsets = sh.groupBy("doc").agg(
+      F.sort_array(F.collect_set(F.col("h"))).as("hs"))
     val pairs = cand
-      .join(sh.as("a"), F.col("a.doc") === F.col("id_a"))
-      .join(sh.as("b"),
-        F.col("b.doc") === F.col("id_b") &&
-          F.col("b.shingle") === F.col("a.shingle"))
-      .groupBy("id_a", "id_b").agg(F.count(F.lit(1)).as("inter"))
-    jaccardFilter(pairs, sizes, threshold)
+      .join(docsets.select(F.col("doc").as("id_a"), F.col("hs").as("hs_a")),
+        "id_a")
+      .join(docsets.select(F.col("doc").as("id_b"), F.col("hs").as("hs_b")),
+        "id_b")
+      .select(F.col("id_a"), F.col("id_b"),
+        F.size(F.array_intersect(F.col("hs_a"), F.col("hs_b")))
+          .cast(LongType).as("inter"),
+        F.size(F.col("hs_a")).cast(LongType).as("sz_a"),
+        F.size(F.col("hs_b")).cast(LongType).as("sz_b"))
+    pairs.withColumn("jaccard",
+        F.col("inter").cast(DoubleType) /
+          (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+      .where(F.col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
   }
+
+  /** Portable 60-bit hash (15 md5 hex chars — fits signed 64-bit on both
+    * engines). Collision-free for practical shingle-set sizes. */
+  private def h60(c: Column): Column =
+    F.conv(F.substring(F.md5(c.cast(StringType)), 1, 15), 16, 10)
+      .cast(LongType)
 }

@@ -436,6 +436,51 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- :catn tagged parse + unparse round-trip over derived arrays ----
+    "parse_catn_roundtrip" -> ((s, dir) => {
+      val at = ArrayType(StringType)
+      val sch = S.catn("a" -> S.re("^a"),
+        "pl" -> S.enum_(NestedDocs.Langs: _*), "z" -> S.eq_("z"))
+      val n = NestedDocs.derive(t(s, dir, "documents"))
+      val parsed = n.select(F.col("doc_id"), F.col("seq1"),
+        mallispark.compile.Parse.parse(sch, F.col("seq1"), at).as("p"))
+      parsed.select(F.col("doc_id"),
+          F.col("p.a").as("a"), F.col("p.pl").as("pl"), F.col("p.z").as("z"),
+          F.coalesce(F.col("p").isNotNull &&
+            mallispark.compile.Parse.unparse(sch, F.col("p"), at) ===
+              F.col("seq1"), F.lit(false)).as("rt_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- spell-check: closest known key by levenshtein (error.cljc
+    //      -most-similar-to), distributed via F.levenshtein ----
+    "spellcheck_suggestions" -> ((s, dir) => {
+      val keys = Seq("doc_id", "html", "lang", "text", "url", "warc_ts")
+      val id = F.col("doc_id")
+      val base = F.element_at(F.array(keys.map(F.lit): _*),
+        (id % 6 + 1).cast(IntegerType))
+      // two deterministic typo shapes: drop last char / swap first two
+      val src0 = t(s, dir, "documents").select(id, base.as("base_k"))
+      val src = src0.withColumn("typo",
+        F.when(id % 2 === 0,
+          F.col("base_k").substr(F.lit(1), F.length(F.col("base_k")) - 1))
+          .otherwise(F.concat(
+            F.substring(F.col("base_k"), 2, 1),
+            F.substring(F.col("base_k"), 1, 1),
+            F.col("base_k").substr(F.lit(3), F.length(F.col("base_k"))))))
+      val dists = keys.map(k => F.levenshtein(F.col("typo"), F.lit(k)))
+      val minD = dists.reduce((a, b) => F.least(a, b))
+      val suggestion = keys.zip(dists).foldRight(
+        F.lit(null).cast(StringType)) { case ((k, d), acc) =>
+        F.when(d === minD, F.lit(k)).otherwise(acc)
+      }
+      // reference tolerance: max(len/3, 1) (error.cljc:249-281)
+      val tol = F.greatest(F.floor(F.length(F.col("typo")) / 3), F.lit(1L))
+      src.select(id, F.col("typo"),
+          F.when(minD <= tol, suggestion).as("suggestion"))
+        .orderBy("doc_id")
+    }),
+
     // ---- humanized violations (error.cljc message table) ----
     "violations_humanized" -> ((s, dir) => {
       val viols = SchemaCompiler.violationsDF(WebPages.schema, pages(s, dir),
@@ -1093,6 +1138,44 @@ object SparkEntry {
         |  v AS value
         |FROM (SELECT doc_id, doc_id % 7 - 3 AS v FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "parse_catn_roundtrip" -> {
+      val NP = NestedDocs.OracleCte
+      s"""$NP
+         |SELECT doc_id,
+         |  CASE WHEN ok THEN seq1[1] END AS a,
+         |  CASE WHEN ok THEN seq1[2] END AS pl,
+         |  CASE WHEN ok THEN seq1[3] END AS z,
+         |  ok AS rt_ok
+         |FROM (SELECT doc_id, seq1,
+         |  COALESCE(len(seq1) = 3 AND regexp_matches(seq1[1], '^a')
+         |    AND seq1[2] IN ('en','de','fr','es','zh')
+         |    AND seq1[3] = 'z', FALSE) AS ok FROM nested)
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "spellcheck_suggestions" -> {
+      val keys = Seq("doc_id", "html", "lang", "text", "url", "warc_ts")
+      val arr = keys.map(k => s"'$k'").mkString("[", ", ", "]")
+      val dists = keys.map(k => s"levenshtein(typo, '$k')")
+      val minD = dists.reduce((a, b) => s"least($a, $b)")
+      val cases = keys.zip(dists)
+        .map { case (k, d) => s"WHEN $d = m THEN '$k'" }.mkString(" ")
+      s"""WITH src AS (SELECT doc_id,
+         |  ($arr)[CAST(doc_id % 6 + 1 AS INT)] AS base_k
+         |  FROM documents),
+         |typos AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 2 = 0
+         |       THEN substring(base_k, 1, length(base_k) - 1)
+         |       ELSE substring(base_k, 2, 1) || substring(base_k, 1, 1)
+         |         || substring(base_k, 3, length(base_k)) END AS typo
+         |  FROM src),
+         |scored AS (SELECT doc_id, typo, $minD AS m FROM typos)
+         |SELECT doc_id, typo,
+         |  CASE WHEN m <= greatest(length(typo) // 3, 1)
+         |       THEN CASE $cases END END AS suggestion
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
 
     "violations_humanized" -> {
       val cases = mallispark.msg.Messages.defaults.toSeq.sortBy(_._1)

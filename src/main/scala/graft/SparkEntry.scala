@@ -213,6 +213,42 @@ object SparkEntry {
         .select("doc_id", "ok").orderBy("doc_id")
     }),
 
+    // ---- :multi keyword dispatch with ::m/default branch ----
+    "multi_key_verdicts" -> ((s, dir) => {
+      val sch = S.multi("event_type",
+        default = Some(S.mapE(false, S.req("value", S.double(0.0, 1e9)))))(
+        "purchase" -> S.mapE(false, S.req("value", S.double(1.0, 1e9))),
+        "error" -> S.mapE(false, S.req("value", S.double(0.0, 0.0))))
+      val src = t(s, dir, "events").select("event_id", "event_type", "value")
+      SchemaCompiler.validateDF(sch, src, "ok")
+        .select("event_id", "ok").orderBy("event_id")
+    }),
+
+    // ---- streaming mode (AvailableNow): same compiled expressions over
+    //      readStream; checkpointed sink read back for the oracle ----
+    "streaming_violations" -> ((s, dir) => {
+      val srcSchema = t(s, dir, "documents").schema
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("lang", S.enum_("en", "de", "fr")),
+        S.req("n_chars", S.int(0L, 400L)))
+      val out = java.nio.file.Files
+        .createTempDirectory("stream_viol").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("stream_ckpt").toString
+      // the streaming file source wants a DIRECTORY; stage the single
+      // parquet file into one (testdata is read-only)
+      val srcStage = java.nio.file.Files.createTempDirectory("stream_src")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/documents.parquet"),
+        srcStage.resolve("documents.parquet"))
+      mallispark.streaming.StreamingValidator.runAvailableNow(
+        s, sch, srcStage.toString, srcSchema,
+        Seq("doc_id"), out, ckpt)
+      s.read.parquet(out)
+        .select("doc_id", "schema_path", "error_key")
+        .orderBy("doc_id", "schema_path")
+    }),
+
     // ---- :multi with expression dispatch (codegen'd, no UDF) ----
     "multi_expr_dispatch" -> ((s, dir) => {
       val src = t(s, dir, "documents").select(F.col("doc_id"),
@@ -845,6 +881,22 @@ object SparkEntry {
          |  AND lang IN ('en','de','fr','es','zh')
          |  AND length(text) >= 1 AS ok
          |FROM pages ORDER BY doc_id""".stripMargin,
+
+    "multi_key_verdicts" ->
+      """SELECT event_id,
+        |  CASE event_type
+        |    WHEN 'purchase' THEN value >= 1.0 AND value <= 1000000000.0
+        |    WHEN 'error' THEN value = 0.0
+        |    ELSE value >= 0.0 AND value <= 1000000000.0 END AS ok
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "streaming_violations" ->
+      """SELECT doc_id, 'lang' AS schema_path, ':enum' AS error_key
+        |  FROM documents WHERE lang NOT IN ('en','de','fr')
+        |UNION ALL
+        |SELECT doc_id, 'n_chars', ':int' FROM documents
+        |  WHERE n_chars < 0 OR n_chars > 400
+        |ORDER BY doc_id, schema_path""".stripMargin,
 
     "multi_expr_dispatch" ->
       """SELECT doc_id,

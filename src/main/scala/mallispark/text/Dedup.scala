@@ -114,25 +114,12 @@ object Dedup {
     * and bucket-join downstream; NOT DuckDB-portable (use `minhashLSH`
     * for the oracle-checked path). */
   def minhashLSHFast(df: DataFrame, id: String, text: String,
-                     k: Int = 64, bands: Int = 16, n: Int = 3): DataFrame = {
-    val rows = k / bands
-    val sig = df.select(F.col(id),
-      mallispark.expressions.MinHashSignature(
-        F.array_distinct(shingles(F.col(text), n)), k).as("sig"))
-      .where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue) // no shingles
-    val banded = sig.select(F.col(id), F.explode(
-      F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
-        F.struct(b.as("band"),
-          F.array_join(F.transform(
-            F.slice(F.col("sig"), b * rows + 1, F.lit(rows)),
-            x => x.cast(StringType)), "_").as("band_key")))).as("bk"))
-      .select(F.col(id), F.col("bk.band").as("band"),
-        F.col("bk.band_key").as("band_key"))
-    banded.groupBy("band", "band_key")
+                     k: Int = 64, bands: Int = 16, n: Int = 3): DataFrame =
+    minhashBandsFast(df, id, text, k, bands, n)
+      .groupBy("band", "band_key")
       .agg(F.count(F.lit(1)).as("dup_cnt"),
         F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
-  }
 
   /** 64-bit SimHash (two portable 32-bit halves) per document. Token
     * hashes are materialized once per half (one md5 per token, not one
@@ -242,15 +229,17 @@ object Dedup {
   }
 
   /** Native-signature (band, band_key) rows — same banding as
-    * `minhashBands` but over the codegen `MinHashSignature` (no md5, no
-    * interpreted HOFs). Candidate-generation only: band keys are
-    * engine-native, so anything CONSUMING them must re-verify exactly. */
+    * `minhashBands` but over the codegen `MinHashFromText` expression
+    * (tokenize→shingle→hash→minima in ONE generated loop: no md5, no
+    * interpreted HOFs, no intermediate shingle strings — the string
+    * construction alone is ~45% of the portable path's cost).
+    * Candidate-generation only: band keys are engine-native, so anything
+    * CONSUMING them must re-verify exactly. */
   def minhashBandsFast(df: DataFrame, id: String, text: String,
                        k: Int, bands: Int, n: Int): DataFrame = {
     val rows = k / bands
     val sig = df.select(F.col(id),
-      mallispark.expressions.MinHashSignature(
-        F.array_distinct(shingles(F.col(text), n)), k).as("sig"))
+      mallispark.expressions.MinHashFromText(F.col(text), n, k).as("sig"))
       .where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue)
     sig.select(F.col(id), F.explode(
       F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>

@@ -110,10 +110,36 @@ class TextOpsSpec extends SparkSuite {
     val full = Dedup.ngramJaccardPairs(d, "id", "text", n = 2,
         threshold = 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // rows-per-band = 1 → per-band collision prob = s; a 0.5-similar pair
+    // misses all 16 bands with prob (1-s)^16 ≈ 1.5e-5 — deterministic here
     val gated = Dedup.ngramJaccardWithinBuckets(d, "id", "text", n = 2,
-        threshold = 0.5, k = 8, bands = 4)
+        threshold = 0.5, k = 16, bands = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(gated === full)
+  }
+
+  test("MinHashFromText: codegen == interpreted; matches token semantics") {
+    import mallispark.expressions.MinHashFromText
+    val sigDf = d.select(F.col("id"),
+      MinHashFromText(F.col("text"), 2, 16).as("sig"))
+    val withCodegen = sigDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    val interpreted = try sigDf.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(withCodegen === interpreted)
+    assert(withCodegen(1L) === withCodegen(2L)) // exact dups
+    assert(withCodegen(1L) !== withCodegen(4L))
+    assert(withCodegen(1L).length === 16)
+    // case-insensitive (ASCII lowercase happens in the loop) and
+    // whitespace-run tolerant
+    val pair = df(Seq(Row(1L, "Alpha  Beta\tGamma"), Row(2L, "alpha beta gamma")),
+      StructType(Seq(StructField("id", LongType), StructField("text", StringType))))
+    val sigs = pair.select(F.col("id"),
+      MinHashFromText(F.col("text"), 2, 8).as("s")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) === sigs(2L))
   }
 
   test("shingle frequency cap drops ubiquitous shingles from the join") {

@@ -31,18 +31,17 @@ object Dedup {
     * overflow a signed 64-bit long. */
   val MinhashP: Long = 2305843009213693951L
 
-  /** Affine mix for seed s over a base hash column (universal-hash
-    * family): (h * (2s+1) + 99991 s) mod P. ONE md5 per shingle total;
-    * the k per-seed hashes are integer arithmetic. */
-  private def mix(h: Column, seed: Int): Column =
-    (h * F.lit(2L * seed + 1) + F.lit(99991L * seed)) % MinhashP
+  // The affine family (h * (2s+1) + 99991 s) mod P lives in
+  // expressions.AffineMinHash — ONE md5 per shingle total, k per-seed
+  // integer mixes in a generated loop.
 
-  /** MinHash signature from a materialized array of base shingle hashes.
-    * Empty docs → min of empty = max long sentinel. */
+  /** MinHash signature from a materialized array of base shingle hashes —
+    * the codegen `AffineMinHash` expression, BIT-IDENTICAL to k passes of
+    * `array_min(transform(hs, mix))` but one generated loop (the k
+    * interpreted HOF passes dominated the portable path's cost). Empty
+    * docs → max-long sentinel, as before. */
   private def signatureFromHashes(hs: Column, k: Int): Column =
-    F.array((0 until k).map(seed =>
-      F.coalesce(F.array_min(F.transform(hs, h => mix(h, seed))),
-        F.lit(Long.MaxValue))): _*)
+    mallispark.expressions.AffineMinHash(hs, k)
 
   /** MinHash+LSH candidate pairs: signature → `bands` bands of `k/bands`
     * rows each → band bucket key → ids sharing a bucket.

@@ -32,16 +32,10 @@ object Dedup {
   val MinhashP: Long = 2305843009213693951L
 
   // The affine family (h * (2s+1) + 99991 s) mod P lives in
-  // expressions.AffineMinHash — ONE md5 per shingle total, k per-seed
-  // integer mixes in a generated loop.
-
-  /** MinHash signature from a materialized array of base shingle hashes —
-    * the codegen `AffineMinHash` expression, BIT-IDENTICAL to k passes of
-    * `array_min(transform(hs, mix))` but one generated loop (the k
-    * interpreted HOF passes dominated the portable path's cost). Empty
-    * docs → max-long sentinel, as before. */
-  private def signatureFromHashes(hs: Column, k: Int): Column =
-    mallispark.expressions.AffineMinHash(hs, k)
+  // expressions.ShingleMinHash (text input) / expressions.AffineMinHash
+  // (pre-hashed array input) — ONE md5 per shingle total, k per-seed
+  // integer mixes in a tight loop. Bit-parity between the two is
+  // asserted in TextOpsSpec.
 
   /** MinHash+LSH candidate pairs: signature → `bands` bands of `k/bands`
     * rows each → band bucket key → ids sharing a bucket.
@@ -51,20 +45,19 @@ object Dedup {
     * md5 work into each of the k seed lambdas. */
   /** Per-doc (band, band_key) rows from the portable MinHash family —
     * the candidate-generation substrate shared by `minhashLSH` (bucket
-    * groups) and `ngramJaccardWithinBuckets` (in-bucket refinement). */
+    * groups) and `ngramJaccardWithinBuckets` (in-bucket refinement).
+    * The signature comes from the `ShingleMinHash` kernel: BIT-IDENTICAL
+    * md5+affine minima, one pass, no intermediate shingle strings.
+    * Docs with no shingles (under n tokens) keep the max-long sentinel
+    * and are dropped HERE so Spark and the DuckDB oracle (whose unnest
+    * drops them implicitly) agree — a sentinel signature would bucket
+    * all short docs together on one engine only. */
   def minhashBands(df: DataFrame, id: String, text: String,
                    k: Int, bands: Int, n: Int): DataFrame = {
     val rows = k / bands
-    val hashed = df.select(F.col(id),
-      F.transform(F.array_distinct(shingles(F.col(text), n)),
-        s => h32(s)).as("hs"))
-      // docs with no shingles (under n tokens) cannot be shingle-deduped;
-      // drop them HERE so Spark and the DuckDB oracle (whose unnest drops
-      // them implicitly) agree — a sentinel signature would bucket all
-      // short docs together on one engine only
-      .where(F.size(F.col("hs")) > 0)
-    val sig = hashed.select(F.col(id),
-      signatureFromHashes(F.col("hs"), k).as("sig"))
+    val sig = df.select(F.col(id),
+      mallispark.expressions.ShingleMinHash(F.col(text), n, k).as("sig"))
+      .where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue)
     sig.select(F.col(id), F.explode(
       F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
         F.struct(b.as("band"),
@@ -282,17 +275,29 @@ object Dedup {
           y => F.struct(x.as("a"), y.as("b")))))).as("p"))
       .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
       .distinct()
-    // per-doc sorted 60-bit shingle-hash sets (collision odds 2^-60-scale
-    // — the DuckDB oracle counts the strings themselves). Built behind a
-    // groupBy EXCHANGE deliberately: docsets is consumed by BOTH join
-    // sides below, and the shuffle boundary lets Spark reuse the exchange
-    // instead of recomputing the md5-per-shingle pass twice (measured 2.4×
-    // on the shuffle-free variant). Intersections are array_intersect on
-    // the candidate pair rows: shingles never feed a join key.
-    val sh = shingleSet(df, id, text, n, maxShingleDf)
-      .select(F.col("doc"), h60(F.col("shingle")).as("h"))
-    val docsets = sh.groupBy("doc").agg(
-      F.sort_array(F.collect_set(F.col("h"))).as("hs"))
+    // per-doc sorted 60-bit shingle-hash sets from the ShingleH60Set
+    // kernel (bit-identical to md5 of the shingle strings; collision odds
+    // 2^-60-scale — the DuckDB oracle counts the strings themselves).
+    // No per-(doc,shingle) shuffle: the hot-shingle set is tiny by
+    // construction, broadcast, and removed with array_except (order of
+    // the sorted left operand is preserved). Intersections are
+    // array_intersect on the candidate pair rows: shingles never join.
+    val hs60 = df.select(F.col(id).as("doc"),
+      mallispark.expressions.ShingleH60Set(F.col(text), n).as("hs0"))
+      .where(F.size(F.col("hs0")) > 0)
+    val docsets =
+      if (maxShingleDf <= 0)
+        hs60.select(F.col("doc"), F.col("hs0").as("hs"))
+      else {
+        val hot = hs60.select(F.explode(F.col("hs0")).as("h"))
+          .groupBy("h").agg(F.count(F.lit(1)).as("df"))
+          .where(F.col("df") > maxShingleDf)
+          .agg(F.collect_list(F.col("h")).as("hot_arr"))
+        hs60.crossJoin(F.broadcast(hot))
+          .select(F.col("doc"),
+            F.array_except(F.col("hs0"), F.col("hot_arr")).as("hs"))
+          .where(F.size(F.col("hs")) > 0)
+      }
     val pairs = cand
       .join(docsets.select(F.col("doc").as("id_a"), F.col("hs").as("hs_a")),
         "id_a")

@@ -118,6 +118,43 @@ class TextOpsSpec extends SparkSuite {
     assert(gated === full)
   }
 
+  test("ShingleMinHash/H60Set kernels are BIT-identical to the Column md5 path") {
+    import mallispark.expressions.{AffineMinHash, ShingleH60Set, ShingleMinHash}
+    // edge cases the kernel must mirror exactly: leading whitespace
+    // (split emits a leading empty token), whitespace runs, uppercase
+    // (incl. non-ASCII È → è via UTF8String.toLowerCase), short docs
+    val rows = Seq(
+      Row(1L, "The quick Brown fox jumps over the lazy dog"),
+      Row(2L, "  leading space then words go here"),
+      Row(3L, "tabs\tand\nnewlines   and  runs of spaces everywhere"),
+      Row(4L, "ÈCLAIR École mixed CASE tokens here"),
+      Row(5L, "two words"),
+      Row(6L, "one two three four five six seven"))
+    val t = df(rows, StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))))
+    val sh = F.array_distinct(TextOps.shingles(F.col("text"), 3))
+    val colSig = AffineMinHash(F.transform(sh, s => TextOps.h32(s)), 8)
+    val kernelSig = ShingleMinHash(F.col("text"), 3, 8)
+    val colSet = F.sort_array(F.array_distinct(F.transform(sh, s =>
+      F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(LongType))))
+    val kernelSet = ShingleH60Set(F.col("text"), 3)
+    val got = t.select(F.col("id"), colSig.as("a"), kernelSig.as("b"),
+      colSet.as("c"), kernelSet.as("d")).collect()
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"minhash mismatch id=${r.getLong(0)}")
+      assert(r.getSeq[Long](3) === r.getSeq[Long](4),
+        s"h60 set mismatch id=${r.getLong(0)}")
+    }
+    // AffineMinHash itself: codegen == the k-pass Column formulation
+    val mixCol = F.array((0 until 8).map(seed =>
+      F.coalesce(F.array_min(F.transform(F.transform(sh, s => TextOps.h32(s)),
+        h => (h * F.lit(2L * seed + 1) + F.lit(99991L * seed)) %
+          Dedup.MinhashP)), F.lit(Long.MaxValue))): _*)
+    val both = t.select(mixCol.as("x"), colSig.as("y")).collect()
+    both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("MinHashFromText: codegen == interpreted; matches token semantics") {
     import mallispark.expressions.MinHashFromText
     val sigDf = d.select(F.col("id"),

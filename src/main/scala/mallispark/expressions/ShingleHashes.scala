@@ -223,3 +223,104 @@ object ShingleH60Set {
     MallisparkBridge.column(
       new ShingleH60Set(MallisparkBridge.expression(text), n))
 }
+
+/** Portable 64-bit SimHash as two 32-bit halves [hi, lo] — BIT-IDENTICAL
+  * to the Column formulation in `Dedup.simhashDF` (DISTINCT lowered
+  * tokens, md5 of "hi:"+token / "lo:"+token, per-bit ±1 votes, pack
+  * bit i iff votes > 0), in one pass with no intermediate arrays.
+  * Token distinctness is EXACT (sort by byte content, unique), matching
+  * `array_distinct` on the token strings. */
+case class SimHashPortable(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_portable needs string, got ${other.sql}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_portable"
+
+  @transient private lazy val md =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
+  private val HiPrefix = "hi:".getBytes("UTF-8")
+  private val LoPrefix = "lo:".getBytes("UTF-8")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val digest = md.get()
+    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    val (starts, ends, cnt) = ShingleKernel.tokenize(bytes)
+    // exact distinct: sort token indices by byte content, then unique
+    val ord = new Ordering[Int] {
+      def compare(a: Int, b: Int): Int = {
+        var i = starts(a); var j = starts(b)
+        while (i < ends(a) && j < ends(b)) {
+          val c = (bytes(i) & 0xff) - (bytes(j) & 0xff)
+          if (c != 0) return c
+          i += 1; j += 1
+        }
+        (ends(a) - starts(a)) - (ends(b) - starts(b))
+      }
+    }
+    val idx = Array.range(0, cnt).sorted(ord)
+    val hiVotes = new Array[Int](32)
+    val loVotes = new Array[Int](32)
+    var p = 0
+    while (p < cnt) {
+      if (p == 0 || ord.compare(idx(p), idx(p - 1)) != 0) {
+        val t = idx(p)
+        val hHi = tokenH32(digest, HiPrefix, bytes, starts(t), ends(t))
+        val hLo = tokenH32(digest, LoPrefix, bytes, starts(t), ends(t))
+        var b = 0
+        while (b < 32) {
+          hiVotes(b) += (if (((hHi >>> b) & 1L) == 1L) 1 else -1)
+          loVotes(b) += (if (((hLo >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      p += 1
+    }
+    var hi = 0L; var lo = 0L
+    var b = 0
+    while (b < 32) {
+      if (hiVotes(b) > 0) hi |= (1L << b)
+      if (loVotes(b) > 0) lo |= (1L << b)
+      b += 1
+    }
+    new GenericArrayData(Array(hi, lo))
+  }
+
+  private def tokenH32(digest: java.security.MessageDigest,
+                       prefix: Array[Byte], bytes: Array[Byte],
+                       start: Int, end: Int): Long = {
+    digest.reset()
+    digest.update(prefix)
+    digest.update(bytes, start, end - start)
+    ShingleKernel.hexPrefix(digest.digest(), 8)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, classOf[SimHashPortable].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)
+         |  $ref.nullSafeEvalPublic($c);
+       """.stripMargin
+    })
+  }
+
+  /** Public bridge for generated code. */
+  def nullSafeEvalPublic(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashPortable {
+  def apply(text: Column): Column =
+    MallisparkBridge.column(
+      new SimHashPortable(MallisparkBridge.expression(text)))
+}

@@ -77,9 +77,10 @@ object Dedup {
       .where(F.col("dup_cnt") > 1)
 
   /** Pack per-bit votes (array of 32 longs) into a 32-bit key: bit i set
-    * iff votes[i] > 0. Bit weights via 2^i in double (exact ≤ 2^31;
-    * shift functions need static amounts but i is a lambda variable). */
-  private def packBits(votes: Column): Column =
+    * iff votes[i] > 0. Kept as the Column reference formulation — the
+    * SimHashPortable kernel is asserted bit-identical to it in
+    * TextOpsSpec. */
+  def packBits(votes: Column): Column =
     F.aggregate(
       F.zip_with(votes, F.sequence(F.lit(0), F.lit(31)), (v, i) =>
         F.when(v > 0,
@@ -89,7 +90,7 @@ object Dedup {
 
   /** Per-bit ±1 vote sums folded over an array of base hashes. Bit
     * extraction via floor(h / 2^i) % 2. */
-  private def voteBits(hs: Column): Column =
+  def voteBits(hs: Column): Column =
     F.aggregate(
       hs,
       F.array_repeat(F.lit(0L), 32),
@@ -113,18 +114,15 @@ object Dedup {
         F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
 
-  /** 64-bit SimHash (two portable 32-bit halves) per document. Token
-    * hashes are materialized once per half (one md5 per token, not one
-    * per token×bit), then the 32 bit-votes are integer arithmetic. */
-  def simhashDF(df: DataFrame, id: String, text: String): DataFrame = {
-    val toks = F.array_distinct(tokens(F.col(text)))
-    val hashed = df.select(F.col(id),
-      F.transform(toks, t => h32(F.lit("hi"), t)).as("hhi"),
-      F.transform(toks, t => h32(F.lit("lo"), t)).as("hlo"))
-    hashed.select(F.col(id),
-      packBits(voteBits(F.col("hhi"))).as("hi"),
-      packBits(voteBits(F.col("hlo"))).as("lo"))
-  }
+  /** 64-bit SimHash (two portable 32-bit halves) per document, via the
+    * `SimHashPortable` kernel — bit-identical to the md5 "hi:"/"lo:"
+    * token-vote formulation the DuckDB oracle computes, in one pass. */
+  def simhashDF(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(F.col(id),
+        mallispark.expressions.SimHashPortable(F.col(text)).as("sig"))
+      .select(F.col(id),
+        F.element_at(F.col("sig"), 1).as("hi"),
+        F.element_at(F.col("sig"), 2).as("lo"))
 
   /** SimHash near-dup candidates: exact match on either 32-bit half
     * (standard block-permutation trick — a ≤32-bit-different pair shares a

@@ -155,6 +155,29 @@ class TextOpsSpec extends SparkSuite {
     both.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
   }
 
+  test("SimHashPortable kernel is BIT-identical to the Column vote path") {
+    import mallispark.expressions.SimHashPortable
+    val rows = Seq(
+      Row(1L, "the Same tokens the same TOKENS repeated here now"),
+      Row(2L, "  leading space and\ttabs mixed È uppercase"),
+      Row(3L, "totally different words appear in this one text"))
+    val t = df(rows, StructType(Seq(StructField("id", LongType),
+      StructField("text", StringType))))
+    val toks = F.array_distinct(TextOps.tokens(F.col("text")))
+    val colHi = Dedup.packBits(Dedup.voteBits(
+      F.transform(toks, x => TextOps.h32(F.lit("hi"), x))))
+    val colLo = Dedup.packBits(Dedup.voteBits(
+      F.transform(toks, x => TextOps.h32(F.lit("lo"), x))))
+    val got = t.select(F.col("id"), colHi.as("chi"), colLo.as("clo"),
+      SimHashPortable(F.col("text")).as("k")).collect()
+    got.foreach { r =>
+      assert(r.getLong(1) === r.getSeq[Long](3)(0),
+        s"hi mismatch id=${r.getLong(0)}")
+      assert(r.getLong(2) === r.getSeq[Long](3)(1),
+        s"lo mismatch id=${r.getLong(0)}")
+    }
+  }
+
   test("MinHashFromText: codegen == interpreted; matches token semantics") {
     import mallispark.expressions.MinHashFromText
     val sigDf = d.select(F.col("id"),

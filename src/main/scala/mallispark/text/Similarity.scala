@@ -80,16 +80,16 @@ object Similarity {
     }.reduce(_ + _)
   }
 
-  /** (id, tbl, bucket) rows — one corpus scan computes every table's
-    * bucket, then explodes. */
+  /** (id, tbl, bucket) rows — ONE pass through the `HyperplaneBuckets`
+    * kernel computes every table's bucket (bit-identical to per-table
+    * `lshBucket`, which remains the Column reference formulation asserted
+    * equal in tests), then explodes with positional indices. */
   private def bucketed(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int, tables: Int, dims: Int): DataFrame =
-    df.select(F.col(idCol), F.explode(F.array(
-      (0 until tables).map(t => F.struct(
-        F.lit(t).as("tbl"),
-        lshBucket(F.col(vecCol), planes, dims, t).as("bucket"))): _*)).as("tb"))
-      .select(F.col(idCol), F.col("tb.tbl").as("tbl"),
-        F.col("tb.bucket").as("bucket"))
+    df.select(F.col(idCol),
+        F.posexplode(mallispark.expressions.HyperplaneBuckets(
+          F.col(vecCol), planes, tables, dims)).as(Seq("tbl", "bucket")))
+      .select(F.col(idCol), F.col("tbl"), F.col("bucket"))
 
   /** ANN top-k via multi-table (OR-banded) hyperplane LSH: `tables`
     * independent sign tables; a candidate is any (query, corpus) pair

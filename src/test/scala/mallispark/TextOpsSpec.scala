@@ -255,6 +255,25 @@ class TextOpsSpec extends SparkSuite {
     assert(top.exists(r => r.getLong(1) === 7L && r.getInt(3) === 1))
   }
 
+  test("HyperplaneBuckets kernel is BIT-identical to per-table lshBucket") {
+    import mallispark.expressions.HyperplaneBuckets
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = (0L to 99L).map { i =>
+      Row(i, Array.tabulate(16)(j =>
+        (((i * 13 + j * 5) % 19).toFloat - 9f) / 3f))
+    }
+    val emb = df(vecs, embSchema)
+    val planes = 5; val tables = 4
+    val colBuckets = F.array((0 until tables).map(t =>
+      Similarity.lshBucket(F.col("embedding"), planes, 16, t)): _*)
+    val got = emb.select(
+      colBuckets.as("a"),
+      HyperplaneBuckets(F.col("embedding"), planes, tables, 16).as("b"))
+      .collect()
+    got.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1)))
+  }
+
   test("ANN LSH recall ≥ 0.9 vs brute force (multi-table OR-banding)") {
     val embSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))

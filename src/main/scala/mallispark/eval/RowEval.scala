@@ -281,6 +281,79 @@ object RowEval {
       else { df.record(i, plain, path); LazyList.empty }
   }
 
+  /** General sequence-regex PARSER (impl/regex.cljc:630-648 semantics):
+    * the first full backtracking match builds the parse tree —
+    * `:cat` → Vector of child parses, `:catn` → Map(tag → parse),
+    * `:alt` → matched branch's parse, `:*`/`:+`/`:repeat` → Vector of
+    * iteration parses, `:?` → parse or null, leaf → the element.
+    * None ⇔ no match (malli's ::m/invalid). */
+  def reParse(ir: SchemaIR, v: Any)(
+      implicit reg: Registry = Registry.empty,
+      depth: Int = 8): Option[Any] =
+    asSeq(v).flatMap(xs =>
+      parseAt(ir, xs, 0).collectFirst { case (t, e) if e == xs.length => t })
+
+  private def parseAt(ir: SchemaIR, xs: Seq[Any], i: Int)(
+      implicit reg: Registry, depth: Int): LazyList[(Any, Int)] = ir match {
+    case SCat(cs) =>
+      cs.foldLeft(LazyList((Vector.empty[Any]: Any, i))) { (ps, c) =>
+        ps.flatMap { case (acc, p) => parseAt(c, xs, p).map { case (t, p2) =>
+          (acc.asInstanceOf[Vector[Any]] :+ t, p2) } }
+      }
+    case SCatn(es) =>
+      es.foldLeft(LazyList((Map.empty[String, Any]: Any, i))) {
+        case (ps, (tag, c)) =>
+          ps.flatMap { case (acc, p) => parseAt(c, xs, p).map { case (t, p2) =>
+            (acc.asInstanceOf[Map[String, Any]] + (tag -> t), p2) } }
+      }
+    case SAlt(cs) => cs.to(LazyList).flatMap(parseAt(_, xs, i))
+    case SStar(c) =>
+      (Vector.empty[Any]: Any, i) #:: parseAt(c, xs, i).filter(_._2 > i)
+        .flatMap { case (t, p) => parseAt(SStar(c), xs, p).map { case (ts, p2) =>
+          ((t +: ts.asInstanceOf[Vector[Any]]): Any, p2) } }
+    case SPlus(c) =>
+      parseAt(c, xs, i).flatMap { case (t, p) =>
+        parseAt(SStar(c), xs, p).map { case (ts, p2) =>
+          ((t +: ts.asInstanceOf[Vector[Any]]): Any, p2) } }
+    case SOpt(c) =>
+      (null: Any, i) #:: parseAt(c, xs, i)
+    case SRepeat(c, mn, mx) =>
+      def go(pos: Int, cnt: Int, acc: Vector[Any]): LazyList[(Any, Int)] = {
+        val more =
+          if (cnt >= mx) LazyList.empty
+          else parseAt(c, xs, pos).filter(_._2 > pos)
+            .flatMap { case (t, p) => go(p, cnt + 1, acc :+ t) }
+        if (cnt >= mn) (acc: Any, pos) #:: more else more
+      }
+      go(i, 0, Vector.empty)
+    case plain =>
+      if (i < xs.length && validate(plain, xs(i))) LazyList((xs(i), i + 1))
+      else LazyList.empty
+  }
+
+  /** Inverse of `reParse` (impl/regex.cljc unparser): flattens the parse
+    * tree back to the element sequence. `:alt` branches of PLAIN schemas
+    * unparse as the element itself (the bounded-form deviation documented
+    * for the validator holds here too). */
+  def reUnparse(ir: SchemaIR, tree: Any): Seq[Any] = ir match {
+    case SCat(cs) =>
+      cs.zip(tree.asInstanceOf[Seq[Any]]).flatMap { case (c, t) =>
+        reUnparse(c, t) }
+    case SCatn(es) =>
+      val m = tree.asInstanceOf[Map[String, Any]]
+      es.flatMap { case (tag, c) => reUnparse(c, m(tag)) }
+    case SStar(c) => tree.asInstanceOf[Seq[Any]].flatMap(reUnparse(c, _))
+    case SPlus(c) => tree.asInstanceOf[Seq[Any]].flatMap(reUnparse(c, _))
+    case SRepeat(c, _, _) =>
+      tree.asInstanceOf[Seq[Any]].flatMap(reUnparse(c, _))
+    case SOpt(c) => if (tree == null) Seq.empty else reUnparse(c, tree)
+    case SAlt(cs) => cs match {
+      case _ if !SchemaIR.isRegexOp(cs.head) => Seq(tree) // plain element
+      case _ => reUnparse(cs.head, tree)
+    }
+    case _ => Seq(tree)
+  }
+
   /** Backtracking sequence-regex matcher (semantics of impl/regex.cljc; the
     * reference uses CPS+packrat — row-local inputs here are small, so plain
     * lazy backtracking suffices). Returns reachable end positions. */

@@ -63,6 +63,39 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(out(1).isNullAt(0))
   }
 
+  test("general seq-regex parse/unparse: [:* [:catn ...]] CLI-args shape") {
+    // mirror of the reference parser fixture shapes
+    // (perf/malli/perf/perf_test.cljc:345-382): nested tagged parse of a
+    // flag/value stream, and unparse as its inverse
+    val sch = S.star(S.catn(
+      "prop" -> S.re("^-"),
+      "val" -> S.alt(S.enum_("true", "false"), S.string(min = 1))))
+    val in = Seq("-p", "8080", "-v", "true", "-q", "x")
+    val parsed = RowEval.reParse(sch, in)
+    assert(parsed.isDefined)
+    val tree = parsed.get.asInstanceOf[Vector[Map[String, Any]]]
+    assert(tree.size === 3)
+    assert(tree(0) === Map("prop" -> "-p", "val" -> "8080"))
+    assert(tree(1) === Map("prop" -> "-v", "val" -> "true"))
+    // unparse is the exact inverse
+    assert(RowEval.reUnparse(sch, parsed.get) === in)
+    // no match → None (::m/invalid)
+    assert(RowEval.reParse(sch, Seq("-p")).isEmpty)
+    assert(RowEval.reParse(sch, null).isEmpty)
+    // backtracking parse: [:cat [:* int] [:= 9]] must leave the 9
+    val bt = S.cat(S.star(S.int), S.eq_(9L))
+    val t2 = RowEval.reParse(bt, Seq(1L, 2L, 9L)).get.asInstanceOf[Vector[Any]]
+    assert(t2(0) === Vector(1L, 2L))
+    assert(t2(1) === 9L)
+    assert(RowEval.reUnparse(bt, t2) === Seq(1L, 2L, 9L))
+    // :? and :repeat shapes
+    val opt = S.cat(S.optional(S.enum_("x")), S.repeat(S.int, 1, 2))
+    val t3 = RowEval.reParse(opt, Seq(5L, 6L)).get.asInstanceOf[Vector[Any]]
+    assert(t3(0) === null) // :? not taken
+    assert(t3(1) === Vector(5L, 6L))
+    assert(RowEval.reUnparse(opt, t3) === Seq(5L, 6L))
+  }
+
   test("humanize: error.cljc default strings, path-keyed") {
     val h = Messages.humanize(Seq(
       ("z", ErrorKeys.MissingKey),

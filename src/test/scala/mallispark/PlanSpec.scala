@@ -82,6 +82,24 @@ class PlanSpec extends SparkSuite {
       plan.contains("TakeOrderedAndProject"))
   }
 
+  test("dedup paths run through the one-pass hash kernels") {
+    // the portable md5 shingle work must appear as the fused kernel
+    // expressions, not as interpreted transform/array_join HOF chains
+    val lsh = planOf(graft.SparkEntry.queries("dedup_minhash_lsh")(spark, sf))
+    assert(lsh.contains("shingle_minhash"), s"no kernel in LSH plan:\n$lsh")
+    // no per-shingle string construction in-plan (band-key joins over the
+    // k signature values are fine — that's k elements per doc, not per
+    // shingle); the tokenizing split would betray the old HOF path
+    assert(!lsh.contains("split(lower("), "shingle tokenization in-plan")
+    val jac = planOf(graft.SparkEntry.queries("dedup_jaccard")(spark, sf))
+    assert(jac.contains("shingle_h60_set"), "no h60 kernel in jaccard plan")
+    val sim = planOf(graft.SparkEntry.queries("dedup_simhash")(spark, sf))
+    assert(sim.contains("simhash_portable"), "no kernel in simhash plan")
+    val ann = planOf(graft.SparkEntry.queries("ann_lsh_topk")(spark, sf))
+    assert(ann.contains("hyperplane_buckets"), "no kernel in ANN plan")
+    assert(ann.contains("BroadcastExchange"), "query side not broadcast")
+  }
+
   test("LSH-gated jaccard has no full-table shingle self-join") {
     // the standalone quadratic shingle join is gone from the hot path:
     // every join in dedup_jaccard is either the banded candidate join or

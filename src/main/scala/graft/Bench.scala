@@ -134,13 +134,14 @@ object Bench {
     }
 
     /** The box is a shared VM with visible run-to-run interference: take
-      * the best of TWO independent sessions per level (min = the least-
-      * interfered estimate, applied identically to every level). */
+      * the best of THREE independent sessions per headline level (min =
+      * the least-interfered estimate, applied identically to both sides
+      * of the ratio — interference is one-sided noise, so min converges
+      * on the machine's true rate). */
     def timedStable(cores: Int, withParquet: Boolean): Level = {
-      val a = timed(cores, withParquet)
-      val b = timed(cores, withParquet)
-      Level(cores, math.min(a.pqSec, b.pqSec), math.min(a.memSec, b.memSec),
-        a.rows, math.max(a.ceilingRate, b.ceilingRate))
+      val runs = Seq.fill(3)(timed(cores, withParquet))
+      Level(cores, runs.map(_.pqSec).min, runs.map(_.memSec).min,
+        runs.head.rows, runs.map(_.ceilingRate).max)
     }
 
     val small = math.max(cpus / 16, 1) // N for the headline N→4N pair

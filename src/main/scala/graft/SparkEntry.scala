@@ -354,6 +354,12 @@ object SparkEntry {
         .groupBy("l_orderkey").agg(F.count(F.lit(1)).as("orphan_rows"))
         .orderBy("l_orderkey")),
 
+    // ---- skew-safe salted aggregation (two-phase: salted partials →
+    //      merge) over the Zipf-skewed lang dimension ----
+    "salted_lang_counts" -> ((s, dir) =>
+      ValidationJob.saltedCounts(pages(s, dir), "lang", salt = 8)
+        .orderBy("lang")),
+
     // ---- aggregation / join plumbing ----
     "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -1090,6 +1096,11 @@ object SparkEntry {
         |FROM lineitem l
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "salted_lang_counts" ->
+      s"""$P
+         |SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pages GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,

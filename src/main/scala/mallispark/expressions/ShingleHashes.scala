@@ -324,3 +324,72 @@ object SimHashPortable {
     MallisparkBridge.column(
       new SimHashPortable(MallisparkBridge.expression(text)))
 }
+
+/** Engine-native 64-bit SimHash straight from text: xxhash64 per DISTINCT
+  * token (identity by token hash — collision odds 2^-64-scale), 64 ±1 bit
+  * votes, packed. The native dual of `SimHashPortable` (md5) — NOT
+  * DuckDB-portable; rows-only checks downstream. */
+case class SimHashFromText(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash_from_text needs string, got ${other.sql}")
+    }
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash_from_text"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val bytes = input.asInstanceOf[UTF8String].toLowerCase.getBytes
+    val (starts, ends, cnt) = ShingleKernel.tokenize(bytes)
+    val hs = new Array[Long](cnt)
+    var t = 0
+    while (t < cnt) {
+      var h = 42L
+      var i = starts(t)
+      while (i < ends(t)) { h = XXH64.hashInt(bytes(i) & 0xff, h); i += 1 }
+      hs(t) = h
+      t += 1
+    }
+    java.util.Arrays.sort(hs)
+    val votes = new Array[Int](64)
+    var p = 0
+    while (p < cnt) {
+      if (p == 0 || hs(p) != hs(p - 1)) {
+        val h = hs(p)
+        var b = 0
+        while (b < 64) {
+          votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1)
+          b += 1
+        }
+      }
+      p += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("expr", this, classOf[SimHashFromText].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"${ev.value} = (Long) $ref.nullSafeEvalPublic($c);"
+    })
+  }
+
+  /** Public bridge for generated code. */
+  def nullSafeEvalPublic(input: Any): Any = nullSafeEval(input)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashFromText {
+  def apply(text: Column): Column =
+    MallisparkBridge.column(
+      new SimHashFromText(MallisparkBridge.expression(text)))
+}

@@ -174,14 +174,14 @@ object Dedup {
       .where(F.col("jaccard") >= threshold)
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
 
-  /** Scale-path SimHash: native codegen `SimHashSignature` (one xxhash64 +
-    * 64 branch-free vote adds per token, whole-stage codegen) instead of
-    * the interpreted HOF votes of `simhashDF`. NOT DuckDB-portable — use
-    * `simhashCandidates` for the oracle-checked path. */
+  /** Scale-path SimHash: the fused `SimHashFromText` kernel (tokenize +
+    * xxhash64 + 64 vote adds in one pass, no token array). NOT
+    * DuckDB-portable — use `simhashCandidates` for the oracle-checked
+    * path. (`SimHashSignature` remains the array-input variant for
+    * pre-tokenized columns.) */
   def simhashFast(df: DataFrame, id: String, text: String): DataFrame =
     df.select(F.col(id),
-      mallispark.expressions.SimHashSignature(
-        F.array_distinct(tokens(F.col(text)))).as("sig"))
+      mallispark.expressions.SimHashFromText(F.col(text)).as("sig"))
 
   /** Candidates from the native signature: exact match on any of the four
     * 16-bit bands (block permutation — pairs within hamming distance 3

@@ -62,6 +62,48 @@ object Generate {
         .getOrElse(lo + 1825)
       F.date_add(F.lit(java.sql.Date.valueOf("1970-01-01")),
         (F.lit(lo) + rnd(id, salt, hi - lo + 1)).cast(IntegerType))
+    case STime(kind, mn, mx) => kind match {
+      case "duration" =>
+        val lo = mn.map(java.time.Duration.parse(_).getSeconds).getOrElse(0L)
+        val hi = mx.map(java.time.Duration.parse(_).getSeconds)
+          .getOrElse(lo + 86400L)
+        F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+          (F.lit(lo) + rnd(id, salt, hi - lo + 1))
+            .cast(DecimalType(18, 6)))
+      case "period" =>
+        val lo = mn.map(java.time.Period.parse(_).toTotalMonths).getOrElse(0L)
+        val hi = mx.map(java.time.Period.parse(_).toTotalMonths)
+          .getOrElse(lo + 36L)
+        F.make_ym_interval(F.lit(0),
+          (F.lit(lo) + rnd(id, salt, hi - lo + 1)).cast(IntegerType))
+      case "local-date-time" =>
+        def sec(s: String) = java.time.LocalDateTime.parse(s)
+          .toEpochSecond(java.time.ZoneOffset.UTC)
+        val lo = mn.map(sec).getOrElse(1704067200L)
+        val hi = mx.map(sec).getOrElse(lo + 31536000L)
+        F.timestamp_seconds(F.lit(lo) + rnd(id, salt, hi - lo + 1))
+          .cast(TimestampNTZType)
+      case "local-time" =>
+        // bounds are fixed-width HH:mm:ss — generate within [lo, hi] secs
+        def sec(s: String) = java.time.LocalTime.parse(s).toSecondOfDay.toLong
+        val lo = mn.map(sec).getOrElse(0L)
+        val hi = mx.map(sec).getOrElse(86399L)
+        val t = F.lit(lo) + rnd(id, salt, hi - lo + 1)
+        F.concat(
+          F.lpad((t / 3600).cast(LongType).cast(StringType), 2, "0"), F.lit(":"),
+          F.lpad(((t % 3600) / 60).cast(LongType).cast(StringType), 2, "0"),
+          F.lit(":"),
+          F.lpad((t % 60).cast(StringType), 2, "0"))
+      case "zone-offset" =>
+        F.element_at(F.array(Seq("+05:30", "Z", "-08:00", "+01:00")
+          .map(F.lit): _*), (rnd(id, salt, 4) + 1).cast(IntegerType))
+      case "zone-id" =>
+        F.element_at(F.array(Seq("Europe/Paris", "America/New_York",
+          "Asia/Tokyo", "UTC").map(F.lit): _*),
+          (rnd(id, salt, 4) + 1).cast(IntegerType))
+      case other => throw new IllegalArgumentException(
+        s"cannot generate :time/$other (needs a custom generator)")
+    }
     case SEnum(vs) =>
       F.element_at(F.array(vs.map(v => F.lit(v)): _*),
         (rnd(id, salt, vs.size) + 1).cast(IntegerType))

@@ -34,7 +34,15 @@ class GenerateSpec extends SparkSuite {
       S.req("o", S.or(S.int(0, 10), S.int(50, 60))),
       S.req("orn", S.orn("lo" -> S.intMax(-1L), "hi" -> S.intMin(1L))),
       S.req("cat", S.cat(S.int(0, 5), S.int(10, 15))),
-      S.req("star", S.star(S.enum_("a", "b")))).asInstanceOf[SMap])
+      S.req("star", S.star(S.enum_("a", "b")))).asInstanceOf[SMap],
+    "time" -> S.mapE(false,
+      S.req("dur", S.duration(Some("PT10S"), Some("PT1H"))),
+      S.req("per", S.period(Some("P1M"), Some("P2Y"))),
+      S.req("ldt", S.localDateTime(Some("2024-01-01T00:00:00"),
+        Some("2024-06-01T00:00:00"))),
+      S.req("lt", S.localTime(Some("06:00:00"), Some("18:00:00"))),
+      S.req("zo", S.zoneOffset),
+      S.req("zi", S.zoneId)).asInstanceOf[SMap])
 
   test("validate(generate(schema)) holds for every schema") {
     schemas.foreach { case (name, s) =>

@@ -93,6 +93,13 @@ object SparkEntry {
   private val AnnPlanes = 3
   private val AnnTables = 10
   private val AnnDims = 64
+  // IVF params sized for recall ≥ 0.9 on the near-uniform test vectors
+  // (measured 0.94/0.96 at the two gate scales): like the LSH path, the
+  // worst-case data needs a high candidate fraction (nprobe/nCentroids ≈
+  // 0.8 here); clustered real embeddings probe far fewer cells, and the
+  // pruning ratio improves with nCentroids at corpus scale
+  private val IvfCentroids = 16
+  private val IvfProbe = 13
 
   // ------------------------------------------------------------------
   // nested/collection schemas over NestedDocs.derive (lockstep CTE)
@@ -614,6 +621,39 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF (inverted-file) ANN — the second scale path the pipeline spec
+    // names: coarse-quantizer cells + nprobe probing; deterministic
+    // centroids make it exactly DuckDB-mirrorable
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(F.col("vec_id") >= 10)
+      val qs = emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
+      Similarity.ivfTopK(corpus, "vec_id", "embedding",
+          qs, "query_id", "qe", k = 5, nCentroids = IvfCentroids,
+          nprobe = IvfProbe)
+        .select(F.col("query_id"), F.col("vec_id"),
+          F.col("rank").cast(LongType).as("rank"))
+        .orderBy("query_id", "rank")
+    }),
+
+    "ann_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val corpus = emb.where(F.col("vec_id") >= 10)
+      val qs = emb.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
+      val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+        qs, "query_id", "qe", k = 5).select("query_id", "vec_id")
+      val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+        qs, "query_id", "qe", k = 5, nCentroids = IvfCentroids,
+        nprobe = IvfProbe).select("query_id", "vec_id")
+      val hits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
+        .agg(F.count(F.lit(1)).as("hits"))
+      val total = exact.agg(F.count(F.lit(1)).as("total"))
+      hits.crossJoin(total).select(F.col("hits"), F.col("total"),
+        F.floor(F.col("hits") * 100L / F.col("total")).as("recall_pct"))
+    }),
+
     // recall@k of the LSH path vs the exact brute-force top-k — the
     // quality gate the scale path must hold (recall ≥ 0.9)
     "ann_lsh_recall" -> ((s, dir) => {
@@ -782,13 +822,45 @@ object SparkEntry {
       s"SELECT $idCol, $tbl AS tbl, $bits AS bucket FROM $src"
     }.mkString("\nUNION ALL\n")
 
-  private val cosSql =
-    """list_sum(list_transform(list_zip(embedding, qe),
-      |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-      |  / (sqrt(list_sum(list_transform(embedding,
-      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-      |   * sqrt(list_sum(list_transform(qe,
-      |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+  /** Cosine between two list columns, matching Similarity.cosine's
+    * element-order double arithmetic. */
+  private def cosSqlOf(a: String, b: String) =
+    s"""list_sum(list_transform(list_zip($a, $b),
+       |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform($b,
+       |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))""".stripMargin
+
+  private val cosSql = cosSqlOf("embedding", "qe")
+
+  /** Shared CTE chain for the IVF-ANN oracles: deterministic centroids,
+    * corpus cell assignment, query probes, candidate refinement. */
+  private def annIvfCtes: String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
+       |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+       |      WHERE vec_id < 10),
+       |cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM corpus
+       |          ORDER BY vec_id LIMIT $IvfCentroids),
+       |casg AS (SELECT vec_id, cell FROM (
+       |  SELECT c.vec_id, ct.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosSqlOf("c.embedding", "ct.cvec")} DESC,
+       |        ct.cent_id ASC) AS rk
+       |  FROM corpus c CROSS JOIN cents ct) WHERE rk = 1),
+       |qasg AS (SELECT query_id, cell FROM (
+       |  SELECT qq.query_id, ct.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY qq.query_id
+       |      ORDER BY ${cosSqlOf("qq.qe", "ct.cvec")} DESC,
+       |        ct.cent_id ASC) AS rk
+       |  FROM q qq CROSS JOIN cents ct) WHERE rk <= $IvfProbe),
+       |ivf_pairs AS (SELECT DISTINCT qasg.query_id, casg.vec_id
+       |  FROM casg JOIN qasg USING (cell)),
+       |ivf_scored AS (SELECT p.query_id, p.vec_id, $cosSql AS cos
+       |  FROM ivf_pairs p JOIN corpus USING (vec_id) JOIN q USING (query_id)),
+       |ivf_ranked AS (SELECT query_id, vec_id,
+       |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+       |    AS rank FROM ivf_scored)""".stripMargin
 
   /** Shared CTE chain for the LSH-ANN oracles: corpus/queries, bucketed
     * sides, candidate pairs, scored + ranked candidates. */
@@ -808,6 +880,27 @@ object SparkEntry {
        |    AS rank FROM scored)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
+
+    "ann_ivf_topk" ->
+      s"""$annIvfCtes
+         |SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
+         |FROM ivf_ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "ann_ivf_recall" ->
+      s"""$annIvfCtes,
+         |ex_scored AS (SELECT query_id, vec_id, $cosSql AS cos
+         |  FROM corpus, q),
+         |ex_ranked AS (SELECT query_id, vec_id,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
+         |    AS rank FROM ex_scored),
+         |ex AS (SELECT query_id, vec_id FROM ex_ranked WHERE rank <= 5),
+         |iv AS (SELECT query_id, vec_id FROM ivf_ranked WHERE rank <= 5)
+         |SELECT CAST(count(*) FILTER (WHERE iv.vec_id IS NOT NULL) AS BIGINT) AS hits,
+         |  CAST(count(*) AS BIGINT) AS total,
+         |  CAST(count(*) FILTER (WHERE iv.vec_id IS NOT NULL) * 100
+         |       // count(*) AS BIGINT) AS recall_pct
+         |FROM ex LEFT JOIN iv
+         |  ON ex.query_id = iv.query_id AND ex.vec_id = iv.vec_id""".stripMargin,
 
     "ann_lsh_topk" ->
       s"""$annLshCtes

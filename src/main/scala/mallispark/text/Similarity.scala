@@ -91,6 +91,55 @@ object Similarity {
           F.col(vecCol), planes, tables, dims)).as(Seq("tbl", "bucket")))
       .select(F.col(idCol), F.col("tbl"), F.col("bucket"))
 
+  /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
+    * vector to its nearest CENTROID cell (one map-side-combinable
+    * `max(struct(sim, -cent))` aggregation — no window, no shuffle of the
+    * corpus beyond the cell groupBy); queries probe their `nprobe`
+    * nearest cells; exact cosine + top-k runs only over the probed cells'
+    * members (~nprobe/nCentroids of the corpus).
+    *
+    * The quantizer here is DETERMINISTIC — the `nCentroids` lowest-id
+    * corpus vectors serve as centroids, so the DuckDB oracle reproduces
+    * the assignment exactly. A deployment would k-means the centroids;
+    * the assignment/probe/refine machinery (the part that must scale) is
+    * identical. */
+  def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
+              queries: DataFrame, queryId: String, queryVec: String,
+              k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.orderBy(F.col(corpusId)).limit(nCentroids)
+      .select(F.col(corpusId).as("cent_id"), F.col(corpusVec).as("cvec"))
+    // corpus→cell: argmax cosine, ties to the LOWEST centroid id, via a
+    // partial-aggregable max over (sim, -cent_id) — scan-side combine,
+    // never a per-vector window
+    val corpusCells = corpus.crossJoin(F.broadcast(cents))
+      .withColumn("sim", cosine(F.col(corpusVec), F.col("cvec")))
+      .groupBy(F.col(corpusId))
+      .agg(F.max(F.struct(F.col("sim"), (-F.col("cent_id")).as("nc")))
+        .as("best"))
+      .select(F.col(corpusId), (-F.col("best.nc")).as("cell"))
+    // queries→nprobe cells (queries are few: a window over nCentroids
+    // rows per query is driver-scale work)
+    val qw = Window.partitionBy(F.col(queryId))
+      .orderBy(F.col("sim").desc, F.col("cent_id").asc)
+    val queryCells = queries.crossJoin(F.broadcast(cents))
+      .withColumn("sim", cosine(F.col(queryVec), F.col("cvec")))
+      .withColumn("rk", F.row_number().over(qw))
+      .where(F.col("rk") <= nprobe)
+      .select(F.col(queryId), F.col("cent_id").as("cell"))
+    val pairs = corpusCells.join(F.broadcast(queryCells), "cell")
+      .select(F.col(queryId), F.col(corpusId)).distinct()
+    val cand = pairs
+      .join(corpus, corpusId)
+      .join(F.broadcast(queries), queryId)
+      .withColumn("cos", cosine(F.col(corpusVec), F.col(queryVec)))
+    val w = Window.partitionBy(F.col(queryId))
+      .orderBy(F.col("cos").desc, F.col(corpusId).asc)
+    cand.withColumn("rank", F.row_number().over(w))
+      .where(F.col("rank") <= k)
+      .select(F.col(queryId), F.col(corpusId), F.col("cos"), F.col("rank"))
+  }
+
   /** ANN top-k via multi-table (OR-banded) hyperplane LSH: `tables`
     * independent sign tables; a candidate is any (query, corpus) pair
     * co-bucketed in AT LEAST ONE table — recall grows with tables while

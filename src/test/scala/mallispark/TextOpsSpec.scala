@@ -298,6 +298,33 @@ class TextOpsSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall $recall below 0.9")
   }
 
+  test("IVF ANN: clustered vectors recall fully with few probes") {
+    // 4 tight clusters → a query's neighbors live in its own cell, so
+    // nprobe=2 of 8 cells (25% of the corpus) already recalls everything —
+    // the structured-data case where IVF pruning actually pays
+    val embSchema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val vecs = (0L to 199L).map { i =>
+      val c = (i % 4).toInt
+      Row(i, Array.tabulate(8)(j =>
+        (if (j % 4 == c) 10f else 0f) + ((i * 7 + j * 3) % 5) / 10f))
+    }
+    val emb = df(vecs, embSchema)
+    val corpus = emb.where(F.col("vec_id") >= 8L)
+    val qs = emb.where(F.col("vec_id") < 4L)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
+    val exact = Similarity.bruteForceTopK(corpus, "vec_id", "embedding",
+      qs, "query_id", "qe", k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
+      qs, "query_id", "qe", k = 5, nCentroids = 8, nprobe = 2)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall >= 0.9, s"IVF recall $recall below 0.9 on clustered data")
+  }
+
   test("langId picks marker language; 'und' without markers") {
     val texts = df(Seq(
       Row(1L, "the cat and the dog of a house"),

@@ -177,8 +177,7 @@ object Dedup {
   /** Scale-path SimHash: the fused `SimHashFromText` kernel (tokenize +
     * xxhash64 + 64 vote adds in one pass, no token array). NOT
     * DuckDB-portable — use `simhashCandidates` for the oracle-checked
-    * path. (`SimHashSignature` remains the array-input variant for
-    * pre-tokenized columns.) */
+    * path. */
   def simhashFast(df: DataFrame, id: String, text: String): DataFrame =
     df.select(F.col(id),
       mallispark.expressions.SimHashFromText(F.col(text)).as("sig"))

@@ -65,7 +65,7 @@ class TextOpsSpec extends SparkSuite {
     assert(cand.count(p => p.contains(1L) && p.contains(2L)) === 8)
   }
 
-  test("native SimHashSignature: codegen == interpreted; dups collide") {
+  test("native SimHashFromText: codegen == interpreted; dups collide") {
     val sigDf = Dedup.simhashFast(d, "id", "text")
     val withCodegen = sigDf.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     spark.conf.set("spark.sql.codegen.wholeStage", "false")

@@ -23,12 +23,15 @@ import org.apache.spark.sql.types._
 object ShingleKernel {
 
   /** Token [start, end) offsets within the lowered byte array — EXACTLY
-    * `split(s, "\\s+")` semantics: a leading whitespace run (or an empty
-    * string) yields a leading EMPTY token; trailing empties are dropped. */
+    * Spark `split(s, "\\s+")` semantics (StringSplit with limit -1, NOT
+    * Java's String.split): a leading whitespace run (or an empty string)
+    * yields a leading EMPTY token, and a trailing whitespace run yields a
+    * trailing EMPTY token. */
   def tokenize(bytes: Array[Byte]): (Array[Int], Array[Int], Int) = {
     val n = bytes.length
     val leadingEmpty = n == 0 || isWs(bytes(0))
-    var cnt = if (leadingEmpty) 1 else 0
+    val trailingEmpty = n > 0 && isWs(bytes(n - 1))
+    var cnt = (if (leadingEmpty) 1 else 0) + (if (trailingEmpty) 1 else 0)
     var i = 0
     while (i < n) {
       while (i < n && isWs(bytes(i))) i += 1
@@ -48,6 +51,7 @@ object ShingleKernel {
         t += 1
       }
     }
+    if (trailingEmpty) { starts(t) = n; ends(t) = n; t += 1 }
     (starts, ends, cnt)
   }
 

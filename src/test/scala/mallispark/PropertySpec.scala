@@ -51,6 +51,49 @@ class PropertySpec extends SparkSuite {
       }
   }
 
+  test("hash kernels are bit-identical to the Column md5 path on random text") {
+    import mallispark.expressions.{AffineMinHash, ShingleH60Set, ShingleMinHash, SimHashPortable}
+    import mallispark.text.{Dedup, TextOps}
+    // adversarial token soup: whitespace runs, tabs/newlines, empty-ish
+    // strings, unicode uppercase, punctuation
+    val word = Gen.oneOf(
+      Gen.stringOfN(3, Gen.alphaChar), Gen.stringOfN(1, Gen.alphaNumChar),
+      Gen.oneOf("ÉCOLE", "Straße", "ÅNGSTRÖM", "x.y,z", "UPPER", "123"))
+    val sep = Gen.oneOf(" ", "  ", "\t", "\n", " \t ")
+    val genText: Gen[String] = for {
+      lead <- Gen.oneOf("", " ", "\t")
+      n <- Gen.chooseNum(0, 12)
+      ws <- Gen.listOfN(n, word)
+      ss <- Gen.listOfN(n, sep)
+    } yield lead + ws.zip(ss).map { case (w, s) => w + s }.mkString
+    val texts = Gen.listOfN(80, genText).sample.get.zipWithIndex
+      .map { case (t, i) => Row(i.toLong, t) }
+    val t = spark.createDataFrame(
+      new java.util.ArrayList[Row](texts.asJava),
+      StructType(Seq(StructField("id", LongType),
+        StructField("text", StringType))))
+    val sh = F.array_distinct(TextOps.shingles(F.col("text"), 3))
+    val toks = F.array_distinct(TextOps.tokens(F.col("text")))
+    val got = t.select(
+      AffineMinHash(F.transform(sh, s => TextOps.h32(s)), 8).as("cs"),
+      ShingleMinHash(F.col("text"), 3, 8).as("ks"),
+      F.sort_array(F.array_distinct(F.transform(sh, s =>
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast(LongType))))
+        .as("ch"),
+      ShingleH60Set(F.col("text"), 3).as("kh"),
+      Dedup.packBits(Dedup.voteBits(
+        F.transform(toks, x => TextOps.h32(F.lit("hi"), x)))).as("chi"),
+      Dedup.packBits(Dedup.voteBits(
+        F.transform(toks, x => TextOps.h32(F.lit("lo"), x)))).as("clo"),
+      SimHashPortable(F.col("text")).as("ksim")).collect()
+    got.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Long](0) === r.getSeq[Long](1), s"minhash row $i")
+      assert(r.getSeq[Long](2) === r.getSeq[Long](3), s"h60 row $i")
+      assert(r.getLong(4) === r.getSeq[Long](6)(0), s"simhash hi row $i")
+      assert(r.getLong(5) === r.getSeq[Long](6)(1), s"simhash lo row $i")
+    }
+  }
+
   test("conforming rows always validate (Catalyst and RowEval agree)") {
     val rows = Gen.listOfN(200, genConforming).sample.get
     val got = catalystErrs(rows.map(r => Row(r)))

@@ -25,6 +25,15 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val p = Paths.get(path)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+  }
+
   private def pages(s: SparkSession, dir: String): DataFrame =
     WebPages.derive(t(s, dir, "documents"))
 
@@ -251,9 +260,16 @@ object SparkEntry {
       mallispark.streaming.StreamingValidator.runAvailableNow(
         s, sch, srcStage.toString, srcSchema,
         Seq("doc_id"), out, ckpt)
-      s.read.parquet(out)
+      val result = s.read.parquet(out)
         .select("doc_id", "schema_path", "error_key")
         .orderBy("doc_id", "schema_path")
+      // Bench/Verify invoke this every session on a shared VM — collect the
+      // (small, violations-only) sink and delete the three temp dirs so
+      // /tmp doesn't grow unboundedly across runs
+      val rows = result.collect().toIndexedSeq
+      Seq(out, ckpt, srcStage.toString).foreach(deleteRecursively)
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows, 1), result.schema)
     }),
 
     // ---- :multi with expression dispatch (codegen'd, no UDF) ----
@@ -604,10 +620,12 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed ANN — scale path, now EXACTLY mirrored in DuckDB
-    // (literal hyperplane signs shared by both engines); planes sized to
-    // the test corpus (~500-2k vectors → 64 buckets/table), 4 OR-tables
-    // for recall — at 10^12 vectors raise planes ≈ log2(N/bucket_size)
+    // LSH-bucketed ANN — scale path, EXACTLY mirrored in DuckDB (literal
+    // hyperplane signs shared by both engines). Params are AnnPlanes=3
+    // (2^3 = 8 buckets/table) × AnnTables=10 OR-tables — sized by the
+    // recall gate (ann_lsh_recall ≥ 0.9 on the near-uniform worst-case
+    // test vectors), not by corpus size; at 10^12 vectors raise
+    // planes ≈ log2(N/bucket_size) and keep tables for recall
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val corpus = emb.where(F.col("vec_id") >= 10)

@@ -74,8 +74,17 @@ object SchemaCompiler {
   // --------------------------------------------------------------------
 
   /** The Spark type this schema naturally describes (used by toStructType
-    * and by static invalid-type detection). */
-  def dataTypeOf(ir: SchemaIR): DataType = ir match {
+    * and by static invalid-type detection). `reg` lets :ref children and
+    * ref-bearing :merge/:union/:select-keys nodes resolve; without one a
+    * :ref degrades to StringType (the old behavior). */
+  def dataTypeOf(ir: SchemaIR)(
+      implicit reg: Registry = Registry.empty): DataType =
+    dataTypeOfD(ir, 8)
+
+  private def dataTypeOfD(ir: SchemaIR, d: Int)(
+      implicit reg: Registry): DataType = {
+    def dataTypeOf(c: SchemaIR): DataType = dataTypeOfD(c, d)
+    ir match {
     case SAny | SSome => StringType // unconstrained; only used for synthesis
     case SNil => NullType
     case _: SString | SUuid | _: SRegex => StringType
@@ -110,9 +119,14 @@ object SchemaCompiler {
     case STuple(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
     case SMulti(_, bs, d) =>
       (bs.map(_._2) ++ d).headOption.map(dataTypeOf).getOrElse(StringType)
-    case _: SRef => StringType
+    case SRef(n) =>
+      // depth-bounded deref (recursive refs bottom out at StringType, the
+      // old unconditional fallback)
+      if (d > 0) reg.schemas.get(n).map(dataTypeOfD(_, d - 1))
+        .getOrElse(StringType)
+      else StringType
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
-      dataTypeOf(mallispark.ir.SchemaOps.expand(alg))
+      dataTypeOf(mallispark.ir.SchemaOps.expand(alg, reg))
     case SCat(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
     case SCatn(es) => ArrayType(es.headOption.map(e => dataTypeOf(e._2)).getOrElse(StringType))
     case SAlt(cs) => dataTypeOf(cs.head)
@@ -120,6 +134,7 @@ object SchemaCompiler {
     case SPlus(c) => ArrayType(dataTypeOf(c))
     case SOpt(c) => ArrayType(dataTypeOf(c))
     case SRepeat(c, _, _) => ArrayType(dataTypeOf(c))
+  }
   }
 
   private def litType(v: Any): DataType = v match {
@@ -132,10 +147,11 @@ object SchemaCompiler {
 
   /** `SchemaIR → StructType` for a top-level `:map` schema (the expected
     * physical schema of the table). */
-  def toStructType(ir: SchemaIR): StructType = ir match {
+  def toStructType(ir: SchemaIR)(
+      implicit reg: Registry = Registry.empty): StructType = ir match {
     case m: SMap => dataTypeOf(m).asInstanceOf[StructType]
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
-      toStructType(mallispark.ir.SchemaOps.expand(alg))
+      toStructType(mallispark.ir.SchemaOps.expand(alg, reg))
     case other => throw new IllegalArgumentException(
       s"top-level schema must be :map, got ${SchemaIR.form(other)}")
   }

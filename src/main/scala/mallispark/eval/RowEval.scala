@@ -264,8 +264,11 @@ object RowEval {
       i #:: reMatchT(c, xs, i, path :+ "0", df).filter(_ > i)
         .flatMap(p => reMatchT(SStar(c), xs, p, path, df))
     case SPlus(c) =>
+      // the SStar continuation appends its own "/0" per element — passing
+      // `path` unmodified here (like the SStar case) keeps 2nd+ iteration
+      // failures from reporting a duplicated "/0" segment
       reMatchT(c, xs, i, path :+ "0", df)
-        .flatMap(p => reMatchT(SStar(c), xs, p, path :+ "0", df))
+        .flatMap(p => reMatchT(SStar(c), xs, p, path, df))
     case SOpt(c) => i #:: reMatchT(c, xs, i, path :+ "0", df)
     case SRepeat(c, mn, mx) =>
       def go(pos: Int, n: Int): LazyList[Int] = {

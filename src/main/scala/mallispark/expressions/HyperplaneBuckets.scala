@@ -48,7 +48,18 @@ case class HyperplaneBuckets(child: Expression, planes: Int, tables: Int,
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
-    val n = math.min(arr.numElements(), dims)
+    // Column parity for malformed vectors: zip_with pads a length mismatch
+    // with nulls and a null element null-propagates the product, so the dot
+    // is NULL for every plane and `when(round(dot,4) >= 0, ...)` falls to
+    // its otherwise(0) — bucket 0 in every table. Replicate exactly.
+    val n = arr.numElements()
+    var chk = 0
+    var malformed = n != dims
+    while (!malformed && chk < n) {
+      if (arr.isNullAt(chk)) malformed = true
+      chk += 1
+    }
+    if (malformed) return new GenericArrayData(new Array[Long](tables))
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {

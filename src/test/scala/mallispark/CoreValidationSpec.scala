@@ -394,6 +394,16 @@ class CoreValidationSpec extends SparkSuite {
       // END-OF-INPUT attempt is the deepest parse and wins
       (Seq(1L, 2L, 3L), false, Set(("", "", ErrorKeys.EndOfInput))),
       (Seq.empty[Long], false, Set(("", "", ErrorKeys.EndOfInput)))))
+    // [:+ [:int {:max 5}]] — a failure in the 2nd+ iteration must report
+    // the SAME single "/0" path segment as the 1st (the SStar continuation
+    // appends its own "0"; SPlus must not add another)
+    val s3 = S.cat(S.plus(S.int(0L, 5L)), S.eq_(9L))
+    check(s3, ArrayType(LongType), Seq(
+      (Seq(1L, 9L), true, Set.empty),
+      // failure at iteration 1 (first element of the plus)
+      (Seq(7L, 9L), false, Set(("0/0", "0", ":int"))),
+      // := fails at in=2 — NOT a duplicated 0/0/0 path from the plus tail
+      (Seq(1L, 2L, 7L), false, Set(("1", "2", ":=")))))
   }
 
   test("RowEval general seq-regex: [:* [:catn [:prop string?] [:val ...]]]") {

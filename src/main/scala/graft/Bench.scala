@@ -128,33 +128,36 @@ object Bench {
           .select(F.sum(F.pmod(F.xxhash64(F.col("id")), F.lit(1000L))))
           .collect()
         probe()
-        val ceil = probeN / best(2)(() => probe())
+        val ceil = probeN / best(1)(() => probe())
         Level(cores, pqSec, memSec, rows, ceil)
       } finally s.stop()
     }
 
-    /** The box is a shared VM with visible run-to-run interference: take
-      * the best of THREE independent sessions per headline level (min =
-      * the least-interfered estimate, applied identically to both sides
-      * of the ratio — interference is one-sided noise, so min converges
-      * on the machine's true rate). */
-    def timedStable(cores: Int, withParquet: Boolean): Level = {
-      val runs = Seq.fill(3)(timed(cores, withParquet))
-      Level(cores, runs.map(_.pqSec).min, runs.map(_.memSec).min,
-        runs.head.rows, runs.map(_.ceilingRate).max)
-    }
-
+    /** The box is a shared VM with visible run-to-run interference
+      * (measured headline spread 0.77-1.02 across runs in round 2, WITH a
+      * healthy machine-ceiling probe). Protocol: FIVE INTERLEAVED session
+      * rounds — each round times N then 4N back-to-back, so slow drifts in
+      * VM load hit both sides of the ratio — then the min per side (the
+      * least-interfered estimate; interference is one-sided noise, so min
+      * converges on the machine's true rate). The per-round PAIRED ratios'
+      * median is reported alongside as a drift-immune cross-check. */
     val small = math.max(cpus / 16, 1) // N for the headline N→4N pair
-    // BOTH headline levels (N and 4N) get the double-session treatment:
-    // the shared VM's interference hits either side of the ratio
-    val levels = Seq(small, nSmall, cpus).distinct.map { c =>
-      if (c == small) timedStable(c, withParquet = false)
-      else if (c == nSmall) timedStable(c, withParquet = true)
-      else timed(c, withParquet = true)
+    val rounds = 5
+    // parquet-read mode (io diagnostics only, not the headline) sampled
+    // on the first two rounds to bound total bench wall
+    val paired = (1 to rounds).map { r =>
+      (timed(small, withParquet = false), timed(nSmall, withParquet = r <= 2))
     }
+    def minLevel(ls: Seq[Level], pqOver: Seq[Level]): Level =
+      Level(ls.head.cores, pqOver.map(_.pqSec).min, ls.map(_.memSec).min,
+        ls.head.rows, ls.map(_.ceilingRate).max)
     def eff(a: Level, b: Level, rate: Level => Double): Double =
       rate(b) / (rate(a) * (b.cores.toDouble / a.cores))
-    val l0 = levels.head; val l1 = levels(levels.length / 2); val l2 = levels.last
+    val l0 = minLevel(paired.map(_._1), paired.map(_._1))
+    val l1 = minLevel(paired.map(_._2), paired.map(_._2).take(2))
+    val l2 = timed(cpus, withParquet = true)
+    val pairedRatios = paired.map { case (a, b) => eff(a, b, _.memRate) }
+    val pairedMedian = pairedRatios.sorted.apply(rounds / 2)
     val rowsN = l0.rows
 
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
@@ -164,14 +167,14 @@ object Bench {
     // single shared local disk makes low-core parquet reads io-noise;
     // io-inclusive rates are reported alongside at 4N/full
     val scaling =
-      f"""{"rows":$rowsN,"cores_n":${l0.cores},"sec_n":${l0.memSec}%.3f,"docs_per_sec_n":${l0.memRate}%.0f,"cores_4n":${l1.cores},"sec_4n":${l1.memSec}%.3f,"docs_per_sec_4n":${l1.memRate}%.0f,"scaling_efficiency":${eff(l0, l1, _.memRate)}%.3f,"io_docs_per_sec_4n":${l1.pqRate}%.0f,"io_docs_per_sec_full":${l2.pqRate}%.0f,"io_eff_4n_full":${eff(l1, l2, _.pqRate)}%.3f,"full_cores":${l2.cores},"docs_per_sec_full":${l2.memRate}%.0f,"machine_ceiling_eff_n_4n":${eff(l0, l1, _.ceilingRate)}%.3f,"machine_ceiling_eff_4n_full":${eff(l1, l2, _.ceilingRate)}%.3f,"eff_4n_full":${eff(l1, l2, _.memRate)}%.3f}"""
+      f"""{"rows":$rowsN,"cores_n":${l0.cores},"sec_n":${l0.memSec}%.3f,"docs_per_sec_n":${l0.memRate}%.0f,"cores_4n":${l1.cores},"sec_4n":${l1.memSec}%.3f,"docs_per_sec_4n":${l1.memRate}%.0f,"scaling_efficiency":${eff(l0, l1, _.memRate)}%.3f,"scaling_paired_median":$pairedMedian%.3f,"scaling_ceiling_norm":${eff(l0, l1, _.memRate) / eff(l0, l1, _.ceilingRate)}%.3f,"io_docs_per_sec_4n":${l1.pqRate}%.0f,"io_docs_per_sec_full":${l2.pqRate}%.0f,"io_eff_4n_full":${eff(l1, l2, _.pqRate)}%.3f,"full_cores":${l2.cores},"docs_per_sec_full":${l2.memRate}%.0f,"machine_ceiling_eff_n_4n":${eff(l0, l1, _.ceilingRate)}%.3f,"machine_ceiling_eff_4n_full":${eff(l1, l2, _.ceilingRate)}%.3f,"eff_4n_full":${eff(l1, l2, _.memRate)}%.3f}"""
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scaling":$scaling}""")
 
     // stripMargin consumes one leading pipe on each line AFTER the first
     // (the first row rides on the template's own margin pipe)
-    val rowsTable = levels.zipWithIndex.map { case (l, i) =>
+    val rowsTable = Seq(l0, l1, l2).zipWithIndex.map { case (l, i) =>
       (if (i == 0) "" else "|") +
         f"| local[${l.cores}] | ${l.pqSec}%.2f / ${l.pqRate}%.0f | ${l.memSec}%.2f / ${l.memRate}%.0f | ${l.ceilingRate / 1e6}%.0f M/s |"
     }.mkString("\n")
@@ -194,7 +197,11 @@ object Bench {
          |$rowsTable
          |
          |**Headline (N=${l0.cores} → 4N=${l1.cores}, in-memory input)**:
-         |${eff(l0, l1, _.memRate)}%.3f — target ≥ 0.8.
+         |${eff(l0, l1, _.memRate)}%.3f — target ≥ 0.8. Protocol: $rounds
+         |INTERLEAVED N/4N session rounds, min per side; per-round paired
+         |ratios ${pairedRatios.map(r => f"$r%.2f").mkString(" ")}
+         |(median $pairedMedian%.3f); ceiling-normalized headline
+         |${eff(l0, l1, _.memRate) / eff(l0, l1, _.ceilingRate)}%.3f.
          |(Parquet-read mode is skipped at local[${l0.cores}]: a single
          |shared local disk makes low-core reads io-noise; io-inclusive
          |rates appear in the table for the larger levels.)

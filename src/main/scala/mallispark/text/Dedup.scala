@@ -52,6 +52,27 @@ object Dedup {
     * and are dropped HERE so Spark and the DuckDB oracle (whose unnest
     * drops them implicitly) agree — a sentinel signature would bucket
     * all short docs together on one engine only. */
+  /** Band-key moduli/multipliers: two independent 31-bit modular
+    * polynomial folds over the signature slice, packed into one ≤2^62
+    * BIGINT — `(fold31 * M2 + fold37)`. Pure BIGINT arithmetic on both
+    * engines (no string construction, 8-byte shuffle key): DuckDB mirrors
+    * the sequential fold as a HUGEINT weighted sum
+    * `Σ (mh % M) * mult^(rows-1-i) (mod M)`, which is the same
+    * polynomial. Cross-band collision odds ~2^-62 per bucket pair. */
+  val BandM1: Long = 2147483647L // 2^31 - 1
+  val BandM2: Long = 2147483629L
+  val BandMult1: Long = 31L
+  val BandMult2: Long = 37L
+
+  /** Numeric band key of a signature slice (array<long>, values ≥ 0). */
+  def bandKey(slice: Column): Column = {
+    val k1 = F.aggregate(slice, F.lit(0L),
+      (acc, x) => (acc * BandMult1 + x % BandM1) % BandM1)
+    val k2 = F.aggregate(slice, F.lit(0L),
+      (acc, x) => (acc * BandMult2 + x % BandM2) % BandM2)
+    k1 * BandM2 + k2
+  }
+
   def minhashBands(df: DataFrame, id: String, text: String,
                    k: Int, bands: Int, n: Int): DataFrame = {
     val rows = k / bands
@@ -61,9 +82,8 @@ object Dedup {
     sig.select(F.col(id), F.explode(
       F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
         F.struct(b.as("band"),
-          F.array_join(F.transform(
-            F.slice(F.col("sig"), b * rows + 1, F.lit(rows)),
-            x => x.cast(StringType)), "_").as("band_key")))).as("bk"))
+          bandKey(F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))
+            .as("band_key")))).as("bk"))
       .select(F.col(id), F.col("bk.band").as("band"),
         F.col("bk.band_key").as("band_key"))
   }
@@ -230,12 +250,14 @@ object Dedup {
     val sig = df.select(F.col(id),
       mallispark.expressions.MinHashFromText(F.col(text), n, k).as("sig"))
       .where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue)
+    // native xxhash64 minima can be negative — shift to nonneg before the
+    // modular band-key fold (engine-internal keys, grouping-equivalent)
     sig.select(F.col(id), F.explode(
       F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
         F.struct(b.as("band"),
-          F.array_join(F.transform(
+          bandKey(F.transform(
             F.slice(F.col("sig"), b * rows + 1, F.lit(rows)),
-            x => x.cast(StringType)), "_").as("band_key")))).as("bk"))
+            x => F.pmod(x, F.lit(Long.MaxValue)))).as("band_key")))).as("bk"))
       .select(F.col(id), F.col("bk.band").as("band"),
         F.col("bk.band_key").as("band_key"))
   }

@@ -775,8 +775,68 @@ object SparkEntry {
       t(s, dir, "lineitem").agg(
           F.approx_count_distinct(F.col("l_orderkey")).as("approx_orders"),
           F.approx_count_distinct(F.col("l_partkey")).as("approx_parts"))
-        .select(F.col("approx_orders"), F.col("approx_parts")))
+        .select(F.col("approx_orders"), F.col("approx_parts"))),
+
+    // ---- schema inference (malli.provider) — exact-aggregate path; the
+    // derived table exercises every heuristic (:uuid narrowing, :enum,
+    // [:maybe _], :tuple-vs-:vector, :map-vs-:map-of n^0.7 rule) and the
+    // DuckDB oracle COMPUTES the same decisions from the same data ----
+    "infer_schema" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents")
+      val h = F.md5(F.col("doc_id").cast(StringType))
+      val src = d.select(
+        F.col("doc_id"), F.col("lang"), F.col("text"),
+        F.concat_ws("-", F.substring(h, 1, 8), F.substring(h, 9, 4),
+          F.substring(h, 13, 4), F.substring(h, 17, 4),
+          F.substring(h, 21, 12)).as("uid"),
+        F.when(F.col("doc_id") % 7 === 0, F.lit(null).cast(DoubleType))
+          .otherwise(F.col("n_chars") / 100.0).as("score"),
+        F.array(F.col("n_chars"),
+          F.length(F.col("text")).cast(LongType)).as("pair"),
+        F.split(F.col("text"), " ").as("toks"),
+        F.map(F.lit("len"), F.col("n_chars"),
+          F.lit("band"), F.pmod(F.col("doc_id"), F.lit(5L))).as("meta_fixed"),
+        F.map(F.concat(F.lit("k"), F.col("doc_id").cast(StringType)),
+          F.col("n_chars")).as("meta_wide"))
+      val sch = mallispark.infer.Infer.infer(src,
+        mallispark.infer.Infer.Options(exact = true))
+      sch.entries.map(e =>
+          (e.key, inferTag(e.child), e.optional, enumCsv(e.child)))
+        .toDF("col", "inferred", "optional", "enum_vals").orderBy("col")
+    })
   )
+
+  /** Compact malli-form tag of an inferred schema node (gate rendering —
+    * enum members travel in their own column, see enumCsv). */
+  private def inferTag(ir: SchemaIR): String = {
+    import mallispark.ir.SchemaIR._
+    ir match {
+      case _: SInt => ":int"
+      case _: SDouble => ":double"
+      case _: SString => ":string"
+      case SUuid => ":uuid"
+      case _: SEnum => ":enum"
+      case SBoolean => ":boolean"
+      case SBinary => ":binary"
+      case _: STimestamp => ":time/instant"
+      case SMaybe(c) => s"[:maybe ${inferTag(c)}]"
+      case STuple(cs) => cs.map(inferTag).mkString("[:tuple ", " ", "]")
+      case SVector(c, _, _) => s"[:vector ${inferTag(c)}]"
+      case SMapOf(k, v, _, _) => s"[:map-of ${inferTag(k)} ${inferTag(v)}]"
+      case _: SMap => ":map"
+      case _ => ":any"
+    }
+  }
+
+  private def enumCsv(ir: SchemaIR): String = {
+    import mallispark.ir.SchemaIR._
+    ir match {
+      case SEnum(vs) => vs.map(_.toString).sorted.mkString(",")
+      case SMaybe(c) => enumCsv(c)
+      case _ => ""
+    }
+  }
 
   // ------------------------------------------------------------------
   // DuckDB oracles
@@ -1410,6 +1470,9 @@ object SparkEntry {
          |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_cnt
          |FROM pages GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
 
+    // band_key mirrors Dedup.bandKey: the Spark sequential fold
+    // ((acc*m + x%M) % M) over the 2-row slice equals the HUGEINT
+    // polynomial sum Σ (mh%M)*m^(rows-1-i) mod M; packed k1*M2+k2 < 2^62
     "dedup_minhash_lsh" ->
       s"""$P,
          |$shinglesCte,
@@ -1422,7 +1485,12 @@ object SparkEntry {
          |  GROUP BY doc_id, seed),
          |sigs AS (
          |  SELECT doc_id, seed // 2 AS band,
-         |    string_agg(CAST(mh AS VARCHAR), '_' ORDER BY seed) AS band_key
+         |    CAST(sum(CAST(mh % ${Dedup.BandM1} AS HUGEINT)
+         |          * CAST(round(pow(${Dedup.BandMult1}, 1 - seed % 2)) AS HUGEINT))
+         |        % ${Dedup.BandM1} AS BIGINT) * ${Dedup.BandM2}
+         |    + CAST(sum(CAST(mh % ${Dedup.BandM2} AS HUGEINT)
+         |          * CAST(round(pow(${Dedup.BandMult2}, 1 - seed % 2)) AS HUGEINT))
+         |        % ${Dedup.BandM2} AS BIGINT) AS band_key
          |  FROM mins GROUP BY doc_id, seed // 2)
          |SELECT band, band_key, CAST(count(*) AS BIGINT) AS dup_cnt
          |FROM sigs GROUP BY 1, 2 HAVING count(*) > 1 ORDER BY 1, 2""".stripMargin,
@@ -1532,6 +1600,88 @@ object SparkEntry {
          |  CAST(sum(o * ${dh32("t")}) AS BIGINT) AS fp
          |FROM (SELECT doc_id, unnest(w) AS t, generate_subscripts(w, 1) AS o
          |      FROM toks)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // mirrors Infer.infer(exact=true) heuristic-for-heuristic: uuid
+    // narrowing (all values uuid-shaped), :enum (dist<=16 AND
+    // dist/cnt<=0.1), [:maybe _] on observed nulls, :tuple on constant
+    // array length in [1,16], :map-of on distinct-keys > n^0.7
+    // (provider.cljc:58-59) — every decision COMPUTED from the data
+    "infer_schema" ->
+      s"""WITH d AS (SELECT doc_id, lang, text, n_chars,
+         |    md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |src AS (SELECT doc_id, lang, text, n_chars,
+         |    substring(h,1,8) || '-' || substring(h,9,4) || '-' ||
+         |      substring(h,13,4) || '-' || substring(h,17,4) || '-' ||
+         |      substring(h,21,12) AS uid,
+         |    CASE WHEN doc_id % 7 = 0 THEN NULL
+         |         ELSE n_chars / 100.0 END AS score,
+         |    [n_chars, length(text)] AS pair,
+         |    string_split(text, ' ') AS toks
+         |  FROM d),
+         |tot AS (SELECT count(*) AS n FROM src),
+         |strs AS (
+         |  SELECT s.col, s.cnt, s.dist, s.uuidc,
+         |    CASE WHEN s.cnt > 0 AND s.uuidc = s.cnt THEN ':uuid'
+         |         WHEN s.dist <= 16
+         |              AND s.dist * 1.0 / greatest(s.cnt, 1) <= 0.1
+         |           THEN ':enum' ELSE ':string' END AS base
+         |  FROM (
+         |    SELECT 'lang' AS col, count(lang) AS cnt,
+         |      count(DISTINCT lang) AS dist,
+         |      count(CASE WHEN regexp_matches(lang, '${mallispark.infer.Infer.UuidRe}')
+         |            THEN 1 END) AS uuidc FROM src
+         |    UNION ALL
+         |    SELECT 'text', count(text), count(DISTINCT text),
+         |      count(CASE WHEN regexp_matches(text, '${mallispark.infer.Infer.UuidRe}')
+         |            THEN 1 END) FROM src
+         |    UNION ALL
+         |    SELECT 'uid', count(uid), count(DISTINCT uid),
+         |      count(CASE WHEN regexp_matches(uid, '${mallispark.infer.Infer.UuidRe}')
+         |            THEN 1 END) FROM src) s),
+         |arrs AS (
+         |  SELECT a.col, a.cnt,
+         |    CASE WHEN a.cnt > 0 AND a.mn = a.mx AND a.mn BETWEEN 1 AND 16
+         |         THEN '[:tuple ' || trim(repeat(a.elem || ' ', CAST(a.mn AS INT))) || ']'
+         |         ELSE '[:vector ' || a.elem || ']' END AS base
+         |  FROM (
+         |    SELECT 'pair' AS col, count(pair) AS cnt, min(len(pair)) AS mn,
+         |      max(len(pair)) AS mx, ':int' AS elem FROM src
+         |    UNION ALL
+         |    SELECT 'toks', count(toks), min(len(toks)), max(len(toks)),
+         |      ':string' FROM src) a),
+         |maps AS (
+         |  SELECT m.col, m.cnt,
+         |    CASE WHEN m.dk > pow(m.nocc, 0.7)
+         |         THEN '[:map-of :string :int]' ELSE ':map' END AS base
+         |  FROM (
+         |    SELECT 'meta_fixed' AS col, (SELECT n FROM tot) AS cnt,
+         |      count(*) AS nocc, count(DISTINCT k) AS dk
+         |      FROM (SELECT unnest(['len','band']) AS k FROM src) q
+         |    UNION ALL
+         |    SELECT 'meta_wide', (SELECT n FROM tot), count(*),
+         |      count(DISTINCT k)
+         |      FROM (SELECT 'k' || CAST(doc_id AS VARCHAR) AS k FROM src) q
+         |  ) m),
+         |langvals AS (SELECT string_agg(l, ',' ORDER BY l) AS vs
+         |  FROM (SELECT DISTINCT lang AS l FROM src WHERE lang IS NOT NULL) q),
+         |decided AS (
+         |  SELECT 'doc_id' AS col, count(doc_id) AS cnt, ':int' AS base,
+         |    '' AS enum_vals FROM src
+         |  UNION ALL
+         |  SELECT 'score', count(score), ':double', '' FROM src
+         |  UNION ALL
+         |  SELECT col, cnt, base,
+         |    CASE WHEN base = ':enum' AND col = 'lang'
+         |         THEN (SELECT vs FROM langvals) ELSE '' END FROM strs
+         |  UNION ALL
+         |  SELECT col, cnt, base, '' FROM arrs
+         |  UNION ALL
+         |  SELECT col, cnt, base, '' FROM maps)
+         |SELECT col,
+         |  CASE WHEN cnt < (SELECT n FROM tot)
+         |       THEN '[:maybe ' || base || ']' ELSE base END AS inferred,
+         |  cnt < (SELECT n FROM tot) AS optional, enum_vals
+         |FROM decided ORDER BY col""".stripMargin
   )
 }

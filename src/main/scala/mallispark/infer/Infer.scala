@@ -11,31 +11,71 @@ import mallispark.ir.SchemaIR._
   *
   * malli folds a stats accumulator over sample values row-at-a-time
   * (`-inferrer`, provider.cljc:14-36); we run ONE distributed aggregation
-  * over the DataFrame (count, null count, approx distinct per column) and
-  * derive:
+  * over the DataFrame (count, null count, distinct per column) and derive:
   *  - leaf type from the physical Spark type (malli's type preference
   *    order, provider.cljc:5-6, is subsumed — parquet already types it)
-  *  - `{:optional true}` / `:maybe` when nulls observed (the per-key
-  *    count vs total heuristic, provider.cljc:61-68)
+  *  - `[:maybe X]` when nulls observed (provider.cljc:87-88 wraps the
+  *    non-nil child in :maybe on a nil/type mix), PLUS `{:optional true}`
+  *    on the entry — parquet conflates "key absent" with "value nil", so
+  *    both of malli's signals are emitted
   *  - `:enum` for low-cardinality strings (the value-frequency map,
-  *    provider.cljc:33), threshold like the `:map-of` key-cardinality
-  *    heuristic (provider.cljc:57-58)
+  *    provider.cljc:33) under enumMaxCard/enumMaxRatio
+  *  - `:uuid` for string columns whose every value is uuid-shaped — the
+  *    physical-string analogue of malli's `::value-decoders` narrowing
+  *    (provider.cljc:70-72, -decoded): a Clojure UUID object is `uuid?`
+  *    directly; a parquet string column can only reveal itself by value
+  *  - `:tuple` for array columns with CONSTANT length ≤ tupleMaxLen
+  *    (provider.cljc:50-55 — per-index schema agreement is guaranteed
+  *    here by the uniform physical element type)
+  *  - `:map-of` vs `:map` for map columns by malli's key-cardinality rule
+  *    `distinct-keys > n^0.7` where n = total key OCCURRENCES
+  *    (provider.cljc:57-59, -map-of-accept); fixed-key maps get per-key
+  *    entries with `{:optional true}` when a key misses rows
+  *    (provider.cljc:66-68)
   *  - observed min/max attached as bounds for numeric/timestamp columns
-  *    (the observed duals of `:min`/`:max` props). */
+  *    (the observed duals of `:min`/`:max` props).
+  *
+  * `exact = true` switches `approx_count_distinct` (HLL) to exact
+  * `count_distinct` and enables the map-key pass — deterministic across
+  * engines, so the result is DuckDB-oracle-checkable (the `infer_schema`
+  * gate); the approx path is the 100-TB default (one pass, sketches). */
 object Infer {
 
   final case class Options(enumMaxCard: Int = 16, enumMaxRatio: Double = 0.1,
-                           withBounds: Boolean = false)
+                           withBounds: Boolean = false,
+                           exact: Boolean = false,
+                           nilAsMaybe: Boolean = true,
+                           tupleMaxLen: Int = 16,
+                           narrowStrings: Boolean = true)
+
+  /** Lowercase uuid shape (the md5-formatted 8-4-4-4-12 layout; malli's
+    * uuid regex modulo case). Shared with the DuckDB oracle literal. */
+  val UuidRe = "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$"
 
   def infer(df: DataFrame, opts: Options = Options()): SMap = {
     val cols = df.schema.fields.toSeq
     val aggs = cols.flatMap { f =>
-      Seq(F.count(F.col(f.name)).as(s"${f.name}__cnt"),
-        F.approx_count_distinct(F.col(f.name)).as(s"${f.name}__dist")) ++
+      val c = F.col(f.name)
+      Seq(F.count(c).as(s"${f.name}__cnt"),
+        (f.dataType match {
+          // map type is not comparable in Spark — distinct is undefined
+          // (and unused: the map decision runs on exploded keys)
+          case _: MapType => F.lit(-1L)
+          case _ if opts.exact => F.count_distinct(c)
+          case _ => F.approx_count_distinct(c)
+        }).as(s"${f.name}__dist")) ++
         (if (isOrdered(f.dataType))
-           Seq(F.min(F.col(f.name)).cast(StringType).as(s"${f.name}__min"),
-             F.max(F.col(f.name)).cast(StringType).as(s"${f.name}__max"))
-         else Seq.empty)
+           Seq(F.min(c).cast(StringType).as(s"${f.name}__min"),
+             F.max(c).cast(StringType).as(s"${f.name}__max"))
+         else Seq.empty) ++
+        (f.dataType match {
+          case StringType if opts.narrowStrings =>
+            Seq(F.count(F.when(c.rlike(UuidRe), 1)).as(s"${f.name}__uuid"))
+          case _: ArrayType =>
+            Seq(F.min(F.size(c)).as(s"${f.name}__szmin"),
+              F.max(F.size(c)).as(s"${f.name}__szmax"))
+          case _ => Seq.empty
+        })
     }
     val stats = df.agg(F.count(F.lit(1)).as("__total"), aggs: _*).collect()(0)
     val total = stats.getAs[Long]("__total")
@@ -44,22 +84,73 @@ object Infer {
       val cnt = stats.getAs[Long](s"${f.name}__cnt")
       val dist = stats.getAs[Long](s"${f.name}__dist")
       val optional = cnt < total
-      val child = f.dataType match {
+      val base = f.dataType match {
+        case StringType
+            if opts.narrowStrings && cnt > 0 &&
+              stats.getAs[Long](s"${f.name}__uuid") == cnt =>
+          SUuid
         case StringType
             if dist <= opts.enumMaxCard &&
               total > 0 && dist.toDouble / math.max(cnt, 1) <= opts.enumMaxRatio =>
-          // the HLL estimate gates this branch but can UNDERestimate —
-          // hard-limit the collect so a pathological column can never
-          // flood the driver, and fall back to :string on overflow
+          // with exact=false the HLL estimate gates this branch but can
+          // UNDERestimate — hard-limit the collect so a pathological
+          // column can never flood the driver; fall back to :string
           val values = df.select(f.name).where(F.col(f.name).isNotNull)
             .distinct().limit(opts.enumMaxCard + 1)
             .collect().map(_.getString(0)).sorted.toSeq
           if (values.size > opts.enumMaxCard) SString() else SEnum(values)
+        case at: ArrayType =>
+          val szMin = Option(stats.getAs[Any](s"${f.name}__szmin"))
+            .map(_.asInstanceOf[Number].longValue)
+          val szMax = Option(stats.getAs[Any](s"${f.name}__szmax"))
+            .map(_.asInstanceOf[Number].longValue)
+          if (cnt > 0 && szMin == szMax &&
+              szMin.exists(n => n >= 1 && n <= opts.tupleMaxLen))
+            STuple(Seq.fill(szMin.get.toInt)(
+              leafFor(at.elementType, f.name, stats, Options())))
+          else SVector(leafFor(at.elementType, f.name, stats, Options()))
+        case mt: MapType if opts.exact =>
+          inferMapCol(df, f.name, mt, cnt, opts)
         case other => leafFor(other, f.name, stats, opts)
       }
+      val child =
+        if (opts.nilAsMaybe && optional && total > 0) SMaybe(base) else base
       Entry(f.name, child, optional = optional)
     }
     SMap(entries)
+  }
+
+  /** `:map-of` vs fixed-key `:map` for one map column — malli's
+    * -map-of-accept (provider.cljc:58-59): distinct keys > n^0.7 over
+    * n total key occurrences. Exact path only: needs a key-explode pass
+    * per map column (gate-scale work; the one-pass approx path keeps
+    * `:map-of`, which is always sound for a uniform physical map type). */
+  private def inferMapCol(df: DataFrame, name: String, mt: MapType,
+                          nonNullRows: Long, opts: Options): SchemaIR = {
+    val keyRows = df.select(F.explode(F.map_keys(F.col(name))).as("k"))
+      .groupBy("k").agg(F.count(F.lit(1)).as("kc"))
+    val ks = stats(keyRows)
+    val (nOcc, dk) = ks
+    val kLeaf = leafFor(mt.keyType, name, null, Options())
+    val vLeaf = leafFor(mt.valueType, name, null, Options())
+    if (dk > math.pow(nOcc.toDouble, 0.7)) SMapOf(kLeaf, vLeaf)
+    else {
+      // fixed-key map: collect the (≤ n^0.7-bounded, additionally
+      // hard-capped) key set with per-key counts for entry optionality
+      val keyList = keyRows.orderBy("k").limit(MaxMapKeys + 1).collect()
+      if (keyList.length > MaxMapKeys) SMapOf(kLeaf, vLeaf)
+      else SMap(keyList.toSeq.map { r =>
+        Entry(r.get(0).toString, vLeaf,
+          optional = r.getAs[Long]("kc") < nonNullRows)
+      })
+    }
+  }
+
+  private val MaxMapKeys = 64
+
+  private def stats(keyRows: DataFrame): (Long, Long) = {
+    val r = keyRows.agg(F.sum("kc"), F.count(F.lit(1))).collect()(0)
+    (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L), r.getLong(1))
   }
 
   private def isOrdered(dt: DataType): Boolean = dt match {
@@ -70,8 +161,8 @@ object Infer {
   private def leafFor(dt: DataType, name: String,
                       stats: org.apache.spark.sql.Row,
                       opts: Options): SchemaIR = {
-    def minS = Option(stats.getAs[String](s"${name}__min"))
-    def maxS = Option(stats.getAs[String](s"${name}__max"))
+    def minS = Option(stats).flatMap(s => Option(s.getAs[String](s"${name}__min")))
+    def maxS = Option(stats).flatMap(s => Option(s.getAs[String](s"${name}__max")))
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         if (opts.withBounds) SInt(minS.map(_.toLong), maxS.map(_.toLong))

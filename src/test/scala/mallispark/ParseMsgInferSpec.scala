@@ -129,7 +129,9 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(byKey("lang").child === SEnum(Seq("de", "en", "fr")))
     assert(byKey("score").child === SDouble())
     assert(byKey("note").optional === true) // nulls observed
-    assert(byKey("note").child === SString()) // high cardinality: no enum
+    // nulls observed → [:maybe X] (provider.cljc:87-88); high cardinality:
+    // no enum inside the maybe
+    assert(byKey("note").child === SMaybe(SString()))
     // inferred schema validates its own data (provider law)
     val d2 = df(rows, schema)
     val invalid = SchemaCompiler.validateDF(inferred, d2, "ok")
@@ -139,6 +141,42 @@ class ParseMsgInferSpec extends SparkSuite {
     val bounded = Infer.infer(df(rows, schema), Infer.Options(withBounds = true))
     assert(bounded.entries.find(_.key == "id").get.child ===
       SInt(Some(1L), Some(200L)))
+  }
+
+  test("infer: provider parity heuristics (uuid / tuple / map-of / maybe)") {
+    // mirrors provider_test.cljc shapes in their Spark-physical form:
+    // - a string column whose every value is uuid-shaped → :uuid
+    //   (::value-decoders narrowing analogue, provider.cljc:70-72)
+    // - constant-length arrays → :tuple; varying → :vector
+    //   (provider.cljc:50-55; per-index agreement is physical here)
+    // - map keys with distinct > n^0.7 → :map-of, else fixed-key :map
+    //   with optionality per key (provider.cljc:57-68, -map-of-accept)
+    val schema = StructType(Seq(
+      StructField("uid", StringType), StructField("pair", ArrayType(LongType)),
+      StructField("var_arr", ArrayType(LongType)),
+      StructField("m_wide", MapType(StringType, LongType)),
+      StructField("m_fixed", MapType(StringType, LongType))))
+    val rows = (1L to 100L).map { i =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+      val uuid = s"${md.substring(0, 8)}-${md.substring(8, 12)}-" +
+        s"${md.substring(12, 16)}-${md.substring(16, 20)}-${md.substring(20)}"
+      Row(uuid, Seq(i, i + 1), (0L to (i % 5)).toSeq,
+        Map(s"k$i" -> i),
+        if (i % 10 == 0) Map("a" -> i) else Map("a" -> i, "b" -> i))
+    }
+    val inferred = Infer.infer(df(rows, schema), Infer.Options(exact = true))
+    val byKey = inferred.entries.map(e => e.key -> e.child).toMap
+    assert(byKey("uid") === SUuid)
+    assert(byKey("pair") === STuple(Seq(SInt(), SInt())))
+    assert(byKey("var_arr") === SVector(SInt()))
+    // 100 distinct keys over 100 occurrences: 100 > 100^0.7 ≈ 25 → map-of
+    assert(byKey("m_wide") === SMapOf(SString(), SInt()))
+    // 2 distinct keys over 190 occurrences: 2 < 190^0.7 → fixed map,
+    // with "b" optional (missing from every 10th row)
+    assert(byKey("m_fixed") === SMap(Seq(
+      Entry("a", SInt(), optional = false),
+      Entry("b", SInt(), optional = true))))
   }
 
   test("recursive ref: depth-bounded compile + RowEval agreement") {

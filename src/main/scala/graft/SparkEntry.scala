@@ -109,6 +109,9 @@ object SparkEntry {
   // pruning ratio improves with nCentroids at corpus scale
   private val IvfCentroids = 16
   private val IvfProbe = 13
+  // seeded Lloyd iterations for the IVF coarse quantizer — unrolled
+  // iteration-for-iteration in the oracle CTEs (annIvfCtes)
+  private val IvfIters = 2
 
   // ------------------------------------------------------------------
   // nested/collection schemas over NestedDocs.derive (lockstep CTE)
@@ -649,7 +652,7 @@ object SparkEntry {
         .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
       Similarity.ivfTopK(corpus, "vec_id", "embedding",
           qs, "query_id", "qe", k = 5, nCentroids = IvfCentroids,
-          nprobe = IvfProbe)
+          nprobe = IvfProbe, trainIters = IvfIters)
         .select(F.col("query_id"), F.col("vec_id"),
           F.col("rank").cast(LongType).as("rank"))
         .orderBy("query_id", "rank")
@@ -664,7 +667,7 @@ object SparkEntry {
         qs, "query_id", "qe", k = 5).select("query_id", "vec_id")
       val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
         qs, "query_id", "qe", k = 5, nCentroids = IvfCentroids,
-        nprobe = IvfProbe).select("query_id", "vec_id")
+        nprobe = IvfProbe, trainIters = IvfIters).select("query_id", "vec_id")
       val hits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
         .agg(F.count(F.lit(1)).as("hits"))
       val total = exact.agg(F.count(F.lit(1)).as("total"))
@@ -912,14 +915,50 @@ object SparkEntry {
 
   private val cosSql = cosSqlOf("embedding", "qe")
 
-  /** Shared CTE chain for the IVF-ANN oracles: deterministic centroids,
-    * corpus cell assignment, query probes, candidate refinement. */
+  /** One unrolled Lloyd iteration for the IVF oracle: assign to the
+    * max-cosine centroid of `prev` (ties → lowest cent_id), then the
+    * quantized-integer-sum mean per (cell, dim) — `sum(round(x·10⁴))` is
+    * an exact BIGINT sum, so the division `CAST(s AS DOUBLE)/c/10000.0`
+    * is bit-identical to Similarity.kmeansCentroids' driver-side fold.
+    * Cells with no members keep the previous centroid (LEFT JOIN +
+    * coalesce). */
+  private def kmeansIterSql(i: Int, prev: String): String =
+    s"""asg$i AS (SELECT vec_id, cell FROM (
+       |  SELECT c.vec_id, ct.cent_id AS cell,
+       |    row_number() OVER (PARTITION BY c.vec_id
+       |      ORDER BY ${cosSqlOf("c.embedding", "ct.cvec")} DESC,
+       |        ct.cent_id ASC) AS rk
+       |  FROM corpus c CROSS JOIN $prev ct) WHERE rk = 1),
+       |sums$i AS (SELECT cell, dim,
+       |    sum(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS s,
+       |    count(*) AS c
+       |  FROM (SELECT a.cell, generate_subscripts(c.embedding, 1) AS dim,
+       |          unnest(c.embedding) AS x
+       |        FROM corpus c JOIN asg$i a USING (vec_id))
+       |  GROUP BY cell, dim),
+       |cents$i AS (SELECT ct.cent_id,
+       |    coalesce(mm.arr, ct.cvec) AS cvec
+       |  FROM $prev ct LEFT JOIN (
+       |    SELECT cell AS cent_id,
+       |      list(CAST(s AS DOUBLE) / c / 10000.0 ORDER BY dim) AS arr
+       |    FROM sums$i GROUP BY cell) mm USING (cent_id))""".stripMargin
+
+  /** Shared CTE chain for the IVF-ANN oracles: seeded k-means centroids
+    * (init = lowest-id vectors quantized to 1e-4, then $IvfIters unrolled
+    * Lloyd iterations), corpus cell assignment, query probes, candidate
+    * refinement. */
   private def annIvfCtes: String =
     s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 10),
        |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
        |      WHERE vec_id < 10),
-       |cents AS (SELECT vec_id AS cent_id, embedding AS cvec FROM corpus
-       |          ORDER BY vec_id LIMIT $IvfCentroids),
+       |cents0 AS (SELECT vec_id AS cent_id,
+       |    list_transform(embedding, x ->
+       |      CAST(CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT) AS DOUBLE)
+       |        / 10000.0) AS cvec
+       |  FROM corpus ORDER BY vec_id LIMIT $IvfCentroids),
+       |${(1 to IvfIters).map(i => kmeansIterSql(i, s"cents${i - 1}"))
+           .mkString(",\n")},
+       |cents AS (SELECT cent_id, cvec FROM cents$IvfIters),
        |casg AS (SELECT vec_id, cell FROM (
        |  SELECT c.vec_id, ct.cent_id AS cell,
        |    row_number() OVER (PARTITION BY c.vec_id

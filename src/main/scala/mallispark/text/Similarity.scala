@@ -91,6 +91,65 @@ object Similarity {
           F.col(vecCol), planes, tables, dims)).as(Seq("tbl", "bucket")))
       .select(F.col(idCol), F.col("tbl"), F.col("bucket"))
 
+  /** Element quantization for the k-means trainer: `round(x·10⁴)` as an
+    * exact BIGINT. Integer sums are ORDER-INDEPENDENT, so the per-cell
+    * means are bit-identical across engines regardless of partitioning /
+    * aggregation order — the property a double-sum mean cannot give. The
+    * 1e-4 resolution is ample for a COARSE quantizer's centroids. */
+  private def qint(x: Column): Column =
+    F.round(x.cast(DoubleType) * 10000).cast(LongType)
+
+  /** Seeded deterministic k-means for the IVF coarse quantizer: init =
+    * the `k` lowest-id vectors (the deterministic "seed"), then `iters`
+    * fixed Lloyd iterations. Per iteration: assign every vector to its
+    * max-cosine centroid (ties → lowest cent_id), recompute each centroid
+    * as the mean of its members — computed as exact integer sums of
+    * quantized elements divided once in double (`sum/count/10⁴`, left-
+    * assoc), so the result is bit-identical in DuckDB's unrolled-CTE
+    * mirror. Cells that lose all members keep their previous centroid.
+    * Centroids collect to the driver (k × dims values) after each
+    * iteration and re-enter the plan as literals — the plan never grows
+    * with iterations, and the assignment scan stays one broadcast join
+    * per iteration at any corpus size. */
+  def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
+                      k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val centSchema = StructType(Seq(
+      StructField("cent_id", LongType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType), nullable = false)))
+    def literalDf(cs: Seq[(Long, Seq[Double])]): DataFrame =
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          cs.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }, 1),
+        centSchema)
+    var cents: Seq[(Long, Seq[Double])] =
+      corpus.orderBy(F.col(id)).limit(k)
+        .select(F.col(id).cast(LongType),
+          F.transform(F.col(vec), x => qint(x).cast(DoubleType) / 10000.0))
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    for (_ <- 1 to iters) {
+      val assigned = corpus.crossJoin(F.broadcast(literalDf(cents)))
+        .withColumn("sim", cosine(F.col(vec), F.col("cvec")))
+        .groupBy(F.col(id))
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("cent_id")).as("nc")))
+          .as("best"))
+        .select(F.col(id), (-F.col("best.nc")).as("cell"))
+      val sums = corpus.join(assigned, id)
+        .select(F.col("cell"), F.posexplode(F.col(vec)).as(Seq("dim", "x")))
+        .groupBy("cell", "dim")
+        .agg(F.sum(qint(F.col("x"))).as("s"), F.count(F.lit(1)).as("c"))
+        .collect()
+      val byCell: Map[Long, Seq[Double]] = sums
+        .groupBy(_.getAs[Long]("cell"))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getAs[Int]("dim")).toSeq
+            .map(r => r.getAs[Long]("s").toDouble / r.getAs[Long]("c") / 10000.0)
+        }
+      cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
+    }
+    literalDf(cents)
+  }
+
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
     * vector to its nearest CENTROID cell (one map-side-combinable
     * `max(struct(sim, -cent))` aggregation — no window, no shuffle of the
@@ -98,17 +157,22 @@ object Similarity {
     * nearest cells; exact cosine + top-k runs only over the probed cells'
     * members (~nprobe/nCentroids of the corpus).
     *
-    * The quantizer here is DETERMINISTIC — the `nCentroids` lowest-id
-    * corpus vectors serve as centroids, so the DuckDB oracle reproduces
-    * the assignment exactly. A deployment would k-means the centroids;
-    * the assignment/probe/refine machinery (the part that must scale) is
-    * identical. */
+    * The quantizer is DETERMINISTIC either way, so the DuckDB oracle
+    * reproduces the assignment exactly: `trainIters = 0` uses the
+    * `nCentroids` lowest-id corpus vectors directly; `trainIters > 0`
+    * refines them with that many seeded Lloyd iterations
+    * (`kmeansCentroids` — quantized integer-sum means, unrolled
+    * iteration-for-iteration in the oracle SQL). */
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
-              k: Int, nCentroids: Int = 16, nprobe: Int = 4): DataFrame = {
+              k: Int, nCentroids: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus.orderBy(F.col(corpusId)).limit(nCentroids)
-      .select(F.col(corpusId).as("cent_id"), F.col(corpusVec).as("cvec"))
+    val cents =
+      if (trainIters > 0)
+        kmeansCentroids(corpus, corpusId, corpusVec, nCentroids, trainIters)
+      else corpus.orderBy(F.col(corpusId)).limit(nCentroids)
+        .select(F.col(corpusId).as("cent_id"), F.col(corpusVec).as("cvec"))
     // corpus→cell: argmax cosine, ties to the LOWEST centroid id, via a
     // partial-aggregable max over (sim, -cent_id) — scan-side combine,
     // never a per-vector window

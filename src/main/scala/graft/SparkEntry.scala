@@ -194,6 +194,22 @@ object SparkEntry {
         .select("doc_id", "schema_path", "in_path", "error_key")
         .orderBy("doc_id", "in_path")),
 
+    // ---- recursive :ref schema over a fixed-depth comment tree
+    //      (knot-tying semantics core.cljc:1994-2008; depth-bounded
+    //      SRef expansion — the oracle unrolls the three levels) ----
+    "v_recursive_ref" -> ((s, dir) => {
+      val reg = SchemaIR.Registry(Map("node" -> S.mapE(false,
+        S.req("v", S.intMin(0L)),
+        S.opt("kids", S.vector(S.ref("node"))))))
+      val rctx = SchemaCompiler.Ctx(reg, depth = 8)
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("tree", S.ref("node")))
+      SchemaCompiler.violationsDF(sch,
+          NestedDocs.deriveTree(t(s, dir, "documents")), Seq("doc_id"))(rctx)
+        .select("doc_id", "schema_path", "in_path", "error_key")
+        .orderBy("doc_id", "in_path")
+    }),
+
     // ---- seq-regex tiers 1-3 (tier 3 through the RowEval UDF) ----
     "seq_regex_valid" -> ((s, dir) => {
       val n = NestedDocs.derive(t(s, dir, "documents"))
@@ -273,6 +289,39 @@ object SparkEntry {
       Seq(out, ckpt, srcStage.toString).foreach(deleteRecursively)
       s.createDataFrame(
         s.sparkContext.parallelize(rows, 1), result.schema)
+    }),
+
+    // ---- windowed streaming verdicts: the same compiled validation over
+    //      readStream, grouped into 1-hour event-time windows. Complete
+    //      output mode to a memory sink (an AvailableNow append sink
+    //      would emit nothing: the watermark never advances within the
+    //      single catch-up batch); windows emitted as epoch seconds (no
+    //      timestamps in outputs), oracled by DuckDB time_bucket ----
+    "streaming_windowed" -> ((s, dir) => {
+      val ev = dirtyEvents(s, dir)
+        .select("event_id", "ts", "event_type", "value")
+      val stage = java.nio.file.Files.createTempDirectory("stream_ev")
+      ev.write.mode("overwrite").parquet(stage.toString)
+      val validated = mallispark.streaming.StreamingValidator
+        .validateStream(s, eventsSchema, stage.toString, ev.schema)
+      val win = mallispark.streaming.StreamingValidator
+        .windowedVerdicts(validated, "ts")
+      val qn = s"win_verdicts_${System.nanoTime}"
+      val q = win.writeStream.format("memory").queryName(qn)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val res = s.table(qn)
+        .select(
+          F.unix_timestamp(F.col("window.start")).cast(LongType)
+            .as("win_start"),
+          F.col("rows").cast(LongType).as("n_rows"),
+          F.col("valid_rows").cast(LongType).as("valid_rows"))
+        .orderBy("win_start")
+      val rows = res.collect().toIndexedSeq
+      deleteRecursively(stage.toString)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     }),
 
     // ---- :multi with expression dispatch (codegen'd, no UDF) ----
@@ -504,19 +553,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // ---- :catn tagged parse + unparse round-trip over derived arrays ----
+    // ---- :catn tagged parse + unparse round-trip over derived arrays;
+    //      the middle entry is an :altn so its parse carries a branch TAG
+    //      (Tag records core.cljc:164-183) — the injected 'xx' lang lands
+    //      in the 'other' branch instead of failing the whole parse ----
     "parse_catn_roundtrip" -> ((s, dir) => {
       val at = ArrayType(StringType)
       val sch = S.catn("a" -> S.re("^a"),
-        "pl" -> S.enum_(NestedDocs.Langs: _*), "z" -> S.eq_("z"))
+        "pl" -> S.altn("lang" -> S.enum_(NestedDocs.Langs: _*),
+          "other" -> S.re("^x")),
+        "z" -> S.eq_("z"))
       val n = NestedDocs.derive(t(s, dir, "documents"))
       val parsed = n.select(F.col("doc_id"), F.col("seq1"),
         mallispark.compile.Parse.parse(sch, F.col("seq1"), at).as("p"))
       parsed.select(F.col("doc_id"),
-          F.col("p.a").as("a"), F.col("p.pl").as("pl"), F.col("p.z").as("z"),
+          F.col("p.a").as("a"),
+          F.col("p.pl.tag").as("pl_tag"),
+          F.col("p.pl.value").as("pl"), F.col("p.z").as("z"),
           F.coalesce(F.col("p").isNotNull &&
             mallispark.compile.Parse.unparse(sch, F.col("p"), at) ===
               F.col("seq1"), F.lit(false)).as("rt_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- tier-3 (general-form) parse/unparse round-trip on seq3:
+    //      [:* [:cat re re]] — reParse builds the iteration tree,
+    //      reUnparse flattens it back; the oracle checks parse success,
+    //      round-trip equality, and the tree arity relationally ----
+    "parse_general_roundtrip" -> ((s, dir) => {
+      val sch = S.star(S.cat(S.re("^k"), S.re("^v")))
+      val n = NestedDocs.derive(t(s, dir, "documents"))
+      val rt = mallispark.compile.GeneralRegex
+        .parseRoundTripStringSeq(sch)(F.col("seq3"))
+      n.select(F.col("doc_id"), rt.as("r"))
+        .select(F.col("doc_id"), F.col("r._1").as("parsed"),
+          F.col("r._2").as("rt_ok"),
+          F.col("r._3").cast(LongType).as("n_pairs"))
         .orderBy("doc_id")
     }),
 
@@ -1156,6 +1228,18 @@ object SparkEntry {
         |  WHERE doc_id % 71 = 33
         |ORDER BY doc_id, schema_path""".stripMargin,
 
+    "v_recursive_ref" ->
+      s"""${NestedDocs.TreeOracleCte}
+         |SELECT doc_id, 'tree/v' AS schema_path, 'tree/v' AS in_path,
+         |    ':int' AS error_key FROM tr WHERE top_v < 0
+         |UNION ALL
+         |SELECT doc_id, 'tree/kids/0/v', 'tree/kids/0/v', ':int'
+         |  FROM tr WHERE mid1_v < 0
+         |UNION ALL
+         |SELECT doc_id, 'tree/kids/0/kids/0/v', 'tree/kids/0/kids/0/v',
+         |    ':int' FROM tr WHERE leaf1_v < 0
+         |ORDER BY doc_id, in_path""".stripMargin,
+
     "v_nested_violations" -> {
       val NP = NestedDocs.OracleCte
       s"""$NP
@@ -1281,6 +1365,27 @@ object SparkEntry {
          |  WHERE tts < TIMESTAMP '2024-01-01 00:00:00'
          |     OR tts > TIMESTAMP '2024-02-01 00:00:00'
          |ORDER BY event_id, schema_path""".stripMargin,
+
+    // same dirty-events derivation; 1-hour event-time windows as epoch
+    // seconds via time_bucket — valid := the full eventsSchema conjunction
+    "streaming_windowed" ->
+      s"""WITH dirty AS (
+         |  SELECT event_id,
+         |    CASE WHEN event_id % 101 = 13 THEN 'bogus' ELSE event_type END AS et,
+         |    CASE WHEN event_id % 103 = 17 THEN -1.0 ELSE value END AS v,
+         |    CASE WHEN event_id % 107 = 19 THEN TIMESTAMP '2030-01-01 00:00:00'
+         |         ELSE ts END AS tts
+         |  FROM events)
+         |SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', tts)) AS BIGINT)
+         |    AS win_start,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN event_id >= 0
+         |    AND et IN ('view','click','signup','purchase','error')
+         |    AND v >= 0.0 AND v <= 1000000000.0
+         |    AND tts >= TIMESTAMP '2024-01-01 00:00:00'
+         |    AND tts <= TIMESTAMP '2024-02-01 00:00:00'
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows
+         |FROM dirty GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "stats_orders" -> Seq("o_custkey", "o_orderkey").map { c =>
       s"""SELECT '$c' AS column_name, CAST(count($c) AS BIGINT) AS cnt,
@@ -1412,19 +1517,46 @@ object SparkEntry {
         |FROM (SELECT doc_id, doc_id % 7 - 3 AS v FROM documents)
         |ORDER BY doc_id""".stripMargin,
 
+    // the :altn middle entry: first-matching branch names the tag
+    // ('lang' before 'other', same order both engines)
     "parse_catn_roundtrip" -> {
       val NP = NestedDocs.OracleCte
       s"""$NP
          |SELECT doc_id,
          |  CASE WHEN ok THEN seq1[1] END AS a,
+         |  CASE WHEN ok THEN
+         |    CASE WHEN seq1[2] IN ('en','de','fr','es','zh') THEN 'lang'
+         |         ELSE 'other' END END AS pl_tag,
          |  CASE WHEN ok THEN seq1[2] END AS pl,
          |  CASE WHEN ok THEN seq1[3] END AS z,
          |  ok AS rt_ok
          |FROM (SELECT doc_id, seq1,
          |  COALESCE(len(seq1) = 3 AND regexp_matches(seq1[1], '^a')
-         |    AND seq1[2] IN ('en','de','fr','es','zh')
+         |    AND (seq1[2] IN ('en','de','fr','es','zh')
+         |         OR regexp_matches(seq1[2], '^x'))
          |    AND seq1[3] = 'z', FALSE) AS ok FROM nested)
          |ORDER BY doc_id""".stripMargin
+    },
+
+    // parse succeeds ⇔ even length AND alternating ^k/^v elements; the
+    // round-trip then holds by construction (flatten ∘ build = id) and
+    // the tree arity is len/2 iterations of the inner :cat
+    "parse_general_roundtrip" -> {
+      val NP = NestedDocs.OracleCte
+      s"""$NP,
+         |bad AS (SELECT doc_id, count(*) AS nbad FROM
+         |    (SELECT doc_id, unnest(seq3) AS e,
+         |            generate_subscripts(seq3, 1) AS i FROM nested)
+         |  WHERE (i % 2 = 1 AND NOT regexp_matches(e, '^k'))
+         |     OR (i % 2 = 0 AND NOT regexp_matches(e, '^v'))
+         |  GROUP BY doc_id),
+         |dec AS (SELECT n.doc_id,
+         |    len(n.seq3) % 2 = 0 AND coalesce(b.nbad, 0) = 0 AS parsed,
+         |    CAST(len(n.seq3) AS BIGINT) AS sz
+         |  FROM nested n LEFT JOIN bad b ON n.doc_id = b.doc_id)
+         |SELECT doc_id, parsed, parsed AS rt_ok,
+         |  CASE WHEN parsed THEN sz // 2 END AS n_pairs
+         |FROM dec ORDER BY doc_id""".stripMargin
     },
 
     "spellcheck_suggestions" -> {

@@ -104,6 +104,45 @@ object NestedDocs {
       seq1.as("seq1"), toks.as("toks"), seq3.as("seq3"))
   }
 
+  /** Fixed-depth comment TREE per doc for the recursive `:ref` gate
+    * (reference knot-tying semantics core.cljc:1994-2008): physical shape
+    * struct(v, kids: array<struct(v, kids: array<struct(v)>)>> — three
+    * levels, validated through depth-bounded SRef expansion of
+    * `node = [:map [:v [:int {:min 0}]] [:kids {:optional true}
+    * [:vector [:ref node]]]]`. Injections (d = doc_id):
+    *  - d % 9  = 2  → top v = -1
+    *  - d % 15 = 7  → kids[0].v = -2
+    *  - d % 27 = 13 → kids[0].kids[0].v = -3 */
+  def deriveTree(docs: DataFrame): DataFrame = {
+    val id = F.col("doc_id")
+    def leafV(i: Int) =
+      F.when(id % 27 === 13 && F.lit(i) === 1, F.lit(-3L))
+        .otherwise((id * 5 + i) % 50)
+    def midV(i: Int) =
+      F.when(id % 15 === 7 && F.lit(i) === 1, F.lit(-2L))
+        .otherwise((id * 3 + i) % 50)
+    val topV = F.when(id % 9 === 2, F.lit(-1L)).otherwise(id % 50)
+    def leaf(i: Int) = F.struct(leafV(i).as("v"))
+    def mid(i: Int) = F.struct(midV(i).as("v"), F.array(leaf(i)).as("kids"))
+    val tree = F.struct(topV.as("v"),
+      F.array(mid(1), mid(2)).as("kids"))
+    docs.select(id.as("doc_id"), tree.as("tree"))
+  }
+
+  /** The DuckDB-equivalent of `deriveTree` — the tree flattened to the
+    * per-site scalar columns the violation oracle needs (injections only
+    * ever fire on i = 1 sites; non-injected values are ≥ 0 by
+    * construction, doc_id ≥ 0). */
+  val TreeOracleCte: String =
+    """WITH tr AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 9 = 2 THEN -1 ELSE doc_id % 50 END AS top_v,
+      |    CASE WHEN doc_id % 15 = 7 THEN -2
+      |         ELSE (doc_id * 3 + 1) % 50 END AS mid1_v,
+      |    CASE WHEN doc_id % 27 = 13 THEN -3
+      |         ELSE (doc_id * 5 + 1) % 50 END AS leaf1_v
+      |  FROM documents)""".stripMargin
+
   /** The DuckDB-equivalent CTE of `derive`. kvs is carried as scalar
     * (kv_empty, v0, v1, v2) columns — the oracle derives map violations
     * from them without building a map value. Prepend as the query's WITH. */

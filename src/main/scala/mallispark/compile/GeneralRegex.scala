@@ -56,4 +56,27 @@ object GeneralRegex {
       if (xs == null) nullErr else toRows(RowEval.reExplain(ir, xs)))
     col => f(col)
   }
+
+  /** Tier-3 parse → unparse round-trip probe over an array<string>
+    * column (reParse/reUnparse, impl/regex.cljc:630-648 semantics):
+    * struct(parsed, rt_ok, n_items) — `rt_ok` asserts the unparsed
+    * flattening equals the input element-for-element; `n_items` is the
+    * top-level parse-tree arity (iteration count for `:*`/`:+`/`:repeat`,
+    * 1 for a tagged/plain root), so an oracle can check the tree SHAPE
+    * without building the tree. */
+  def parseRoundTripStringSeq(ir: SchemaIR): Column => Column = {
+    val f = F.udf((xs: Seq[String]) =>
+      if (xs == null) (false, false, null.asInstanceOf[java.lang.Integer])
+      else RowEval.reParse(ir, xs) match {
+        case Some(tree) =>
+          val un = RowEval.reUnparse(ir, tree)
+          val n: java.lang.Integer = tree match {
+            case s: Seq[_] => s.length
+            case _ => 1
+          }
+          (true, un == xs, n)
+        case None => (false, false, null.asInstanceOf[java.lang.Integer])
+      })
+    col => f(col)
+  }
 }

@@ -29,15 +29,40 @@ object Parse {
             F.struct(F.lit(tag).as("tag"), col.as("value"))).otherwise(acc)
         }
 
+      // :andn parses x against EVERY branch → Tags({tag → x}); any branch
+      // failing ⇒ ::m/invalid (core.cljc:954-965)
+      case SAndn(branches) =>
+        val out = StructType(branches.map(b => StructField(b._1, dt)))
+        F.when(SchemaCompiler.valid(ir, col, dt),
+            F.struct(branches.map { case (tag, _) => col.as(tag) }: _*))
+          .otherwise(F.lit(null).cast(out))
+
       case SCatn(entries) =>
         dt match {
           case ArrayType(et, _) =>
-            val fields = entries.zipWithIndex.map { case ((tag, _), i) =>
-              F.get(col, F.lit(i)).as(tag)
+            val fields = entries.zipWithIndex.map { case ((tag, c), i) =>
+              val elem = F.get(col, F.lit(i))
+              c match {
+                // an :altn entry parses its element to Tag(tag, value) —
+                // the winning (first-matching) branch names the tag
+                case SAltn(bs) =>
+                  val tagT = StructType(Seq(StructField("tag", StringType),
+                    StructField("value", et)))
+                  bs.foldRight(F.lit(null).cast(tagT)) { case ((t2, c2), acc) =>
+                    F.when(SchemaCompiler.valid(c2, elem, et),
+                      F.struct(F.lit(t2).as("tag"), elem.as("value")))
+                      .otherwise(acc)
+                  }.as(tag)
+                case _ => elem.as(tag)
+              }
+            }
+            val outFields = entries.map {
+              case (tag, SAltn(_)) => StructField(tag, StructType(Seq(
+                StructField("tag", StringType), StructField("value", et))))
+              case (tag, _) => StructField(tag, et)
             }
             F.when(SchemaCompiler.valid(ir, col, dt), F.struct(fields: _*))
-              .otherwise(F.lit(null).cast(StructType(
-                entries.map(e => StructField(e._1, et)))))
+              .otherwise(F.lit(null).cast(StructType(outFields)))
           case _ => F.lit(null)
         }
 
@@ -66,8 +91,13 @@ object Parse {
   /** Inverse of parse (core.cljc:2700-2714). */
   def unparse(ir: SchemaIR, parsed: Column, dt: DataType): Column = ir match {
     case _: SOrn | _: SMulti => parsed.getField("value")
+    // :andn unparses the LEFT-MOST branch's value (core.cljc:967-979)
+    case SAndn(branches) => parsed.getField(branches.head._1)
     case SCatn(entries) =>
-      F.array(entries.map { case (tag, _) => parsed.getField(tag) }: _*)
+      F.array(entries.map {
+        case (tag, SAltn(_)) => parsed.getField(tag).getField("value")
+        case (tag, _) => parsed.getField(tag)
+      }: _*)
     case SMaybe(c) => F.when(parsed.isNull, parsed)
       .otherwise(unparse(c, parsed, dt))
     case _ => parsed

@@ -107,6 +107,7 @@ object SchemaCompiler {
     case SAnd(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
     case SOr(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
     case SOrn(bs) => bs.headOption.map(b => dataTypeOf(b._2)).getOrElse(StringType)
+    case SAndn(bs) => bs.headOption.map(b => dataTypeOf(b._2)).getOrElse(StringType)
     case SNot(c) => dataTypeOf(c)
     case SMap(entries, _, _) => StructType(entries.map(e =>
       StructField(e.key, dataTypeOf(e.child), nullable = e.optional)))
@@ -130,6 +131,7 @@ object SchemaCompiler {
     case SCat(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
     case SCatn(es) => ArrayType(es.headOption.map(e => dataTypeOf(e._2)).getOrElse(StringType))
     case SAlt(cs) => dataTypeOf(cs.head)
+    case SAltn(es) => dataTypeOf(es.head._2)
     case SStar(c) => ArrayType(dataTypeOf(c))
     case SPlus(c) => ArrayType(dataTypeOf(c))
     case SOpt(c) => ArrayType(dataTypeOf(c))
@@ -341,6 +343,7 @@ object SchemaCompiler {
       case SAnd(cs) => cs.map(valid(_, col, dt)).reduce(_ && _)
       case SOr(cs) => cs.map(valid(_, col, dt)).reduce(_ || _)
       case SOrn(bs) => bs.map(b => valid(b._2, col, dt)).reduce(_ || _)
+      case SAndn(bs) => bs.map(b => valid(b._2, col, dt)).reduce(_ && _)
       case SNot(c) => !valid(c, col, dt)
 
       case SMap(entries, closed, rest) =>
@@ -485,6 +488,7 @@ object SchemaCompiler {
         }
       case SCatn(es) => valid(SCat(es.map(_._2)), col, dt)
       case SAlt(cs) => cs.map(valid(_, col, dt)).reduce(_ || _)
+      case SAltn(es) => es.map(e => valid(e._2, col, dt)).reduce(_ || _)
       case SStar(c) =>
         dt match {
           case ArrayType(et, _) =>
@@ -524,6 +528,7 @@ object SchemaCompiler {
   private def elemValid(c: SchemaIR, elem: Column, et: DataType)(
       implicit ctx: Ctx): Column = c match {
     case SAlt(cs) => cs.map(valid(_, elem, et)).reduce(_ || _)
+    case SAltn(es) => es.map(e => valid(e._2, elem, et)).reduce(_ || _)
     case other => valid(other, elem, et)
   }
 
@@ -550,6 +555,7 @@ object SchemaCompiler {
     case SOr(cs) => cs.exists(acceptsNull)
     case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
     case SAnd(cs) => cs.forall(acceptsNull)
+    case SAndn(bs) => bs.forall(b => acceptsNull(b._2))
     case _ => false
   }
 
@@ -630,6 +636,13 @@ object SchemaCompiler {
           concatViols(bs.map { case (tag, c) =>
             errors(c, col, dt, j(path, tag), in)
           }))
+
+      // :andn explains EVERY failing branch under its tag, like :and with
+      // tag segments instead of indices (core.cljc:951-954)
+      case SAndn(bs) =>
+        concatViols(bs.map { case (tag, c) =>
+          errors(c, col, dt, j(path, tag), in)
+        })
 
       case SNot(c) =>
         F.when(valid(c, col, dt), one(path, in, ":not", valueStr(col, dt)))
@@ -831,6 +844,12 @@ object SchemaCompiler {
             errors(c, col, dt, j(path, i.toString), in)
           }))
 
+      case SAltn(es) =>
+        F.when(valid(ir, col, dt), emptyViols).otherwise(
+          concatViols(es.map { case (tag, c) =>
+            errors(c, col, dt, j(path, tag), in)
+          }))
+
       case SStar(c) => regexCollErrors(c, col, dt, path, in, None, None)
       case SPlus(c) => regexCollErrors(c, col, dt, path, in, Some(1), None)
       case SOpt(c) => regexCollErrors(c, col, dt, path, in, None, Some(1))
@@ -867,6 +886,11 @@ object SchemaCompiler {
       F.when(cs.map(valid(_, elem, et)).reduce(_ || _), emptyViols).otherwise(
         concatViols(cs.zipWithIndex.map { case (cc, i) =>
           errors(cc, elem, et, j(path, i.toString), in)
+        }))
+    case SAltn(es) =>
+      F.when(es.map(e => valid(e._2, elem, et)).reduce(_ || _), emptyViols)
+        .otherwise(concatViols(es.map { case (tag, cc) =>
+          errors(cc, elem, et, j(path, tag), in)
         }))
     case other => errors(other, elem, et, path, in)
   }

@@ -23,6 +23,10 @@ object RowEval {
   final case class Err(path: Vector[String], in: Vector[String], key: String,
                        value: Any)
 
+  /** Tagged parse-tree node — malli's Tag record (core.cljc:164-183):
+    * `:altn` parses the winning branch to RTag(tag, parsed). */
+  final case class RTag(tag: String, value: Any)
+
   def validate(ir: SchemaIR, v: Any)(implicit reg: Registry = Registry.empty,
                                      depth: Int = 8): Boolean = ir match {
     case SAny => true
@@ -133,6 +137,7 @@ object RowEval {
     case SAnd(cs) => cs.forall(validate(_, v))
     case SOr(cs) => cs.exists(validate(_, v))
     case SOrn(bs) => bs.exists(b => validate(b._2, v))
+    case SAndn(bs) => bs.forall(b => validate(b._2, v))
     case SNot(c) => !validate(c, v)
     case SMap(entries, closed, rest) => asMap(v) match {
       case None => false
@@ -198,6 +203,7 @@ object RowEval {
     // standalone :alt over a single value behaves like :or (bounded-form
     // deviation, same as the Catalyst compilation — SURVEY §2.9)
     case SAlt(cs) => cs.exists(validate(_, v))
+    case SAltn(es) => es.exists(e => validate(e._2, v))
     case r @ (_: SCat | _: SCatn | _: SStar | _: SPlus | _: SOpt |
               _: SRepeat) =>
       asSeq(v).exists(xs => reMatch(r, xs, 0).contains(xs.length))
@@ -260,6 +266,9 @@ object RowEval {
     case SAlt(cs) => cs.zipWithIndex.to(LazyList).flatMap { case (c, idx) =>
       reMatchT(c, xs, i, path :+ idx.toString, df)
     }
+    case SAltn(es) => es.to(LazyList).flatMap { case (tag, c) =>
+      reMatchT(c, xs, i, path :+ tag, df)
+    }
     case SStar(c) =>
       i #:: reMatchT(c, xs, i, path :+ "0", df).filter(_ > i)
         .flatMap(p => reMatchT(SStar(c), xs, p, path, df))
@@ -310,6 +319,9 @@ object RowEval {
             (acc.asInstanceOf[Map[String, Any]] + (tag -> t), p2) } }
       }
     case SAlt(cs) => cs.to(LazyList).flatMap(parseAt(_, xs, i))
+    case SAltn(es) => es.to(LazyList).flatMap { case (tag, c) =>
+      parseAt(c, xs, i).map { case (t, p) => (RTag(tag, t): Any, p) }
+    }
     case SStar(c) =>
       (Vector.empty[Any]: Any, i) #:: parseAt(c, xs, i).filter(_._2 > i)
         .flatMap { case (t, p) => parseAt(SStar(c), xs, p).map { case (ts, p2) =>
@@ -354,6 +366,16 @@ object RowEval {
       case _ if !SchemaIR.isRegexOp(cs.head) => Seq(tree) // plain element
       case _ => reUnparse(cs.head, tree)
     }
+    case SAltn(es) => tree match {
+      // the RTag names the branch to unparse through (tags 164-183)
+      case RTag(tag, t) =>
+        es.find(_._1 == tag) match {
+          case Some((_, c)) if SchemaIR.isRegexOp(c) => reUnparse(c, t)
+          case Some(_) => Seq(t)
+          case None => Seq(t)
+        }
+      case other => Seq(other)
+    }
     case _ => Seq(tree)
   }
 
@@ -367,6 +389,7 @@ object RowEval {
     case SCatn(es) =>
       es.foldLeft(LazyList(i)) { (ps, e) => ps.flatMap(p => reMatch(e._2, xs, p)) }
     case SAlt(cs) => cs.to(LazyList).flatMap(c => reMatch(c, xs, i))
+    case SAltn(es) => es.to(LazyList).flatMap(e => reMatch(e._2, xs, i))
     case SStar(c) =>
       i #:: reMatch(c, xs, i).filter(_ > i).flatMap(p => reMatch(SStar(c), xs, p))
     case SPlus(c) => reMatch(c, xs, i).flatMap(p => reMatch(SStar(c), xs, p))
@@ -405,6 +428,8 @@ object RowEval {
       case SOrn(bs) =>
         if (validate(ir, v)) Vector.empty
         else bs.toVector.flatMap { case (t, c) => explain(c, v, path :+ t, in) }
+      case SAndn(bs) =>
+        bs.toVector.flatMap { case (t, c) => explain(c, v, path :+ t, in) }
       case SNot(c) =>
         if (validate(c, v)) Vector(Err(path, in, ":not", v)) else Vector.empty
       case SMap(entries, closed, rest) => asMap(v) match {
@@ -570,6 +595,11 @@ object RowEval {
       else cs.zipWithIndex.toVector.flatMap { case (cc, i) =>
         explain(cc, x, path :+ i.toString, in)
       }
+    case SAltn(es) =>
+      if (es.exists(e => validate(e._2, x))) Vector.empty
+      else es.toVector.flatMap { case (tag, cc) =>
+        explain(cc, x, path :+ tag, in)
+      }
     case other => explain(other, x, path, in)
   }
 
@@ -602,6 +632,7 @@ object RowEval {
     case SOr(cs) => cs.exists(acceptsNull)
     case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
     case SAnd(cs) => cs.forall(acceptsNull)
+    case SAndn(bs) => bs.forall(b => acceptsNull(b._2))
     case _ => false
   }
 

@@ -127,6 +127,7 @@ object Generate {
           F.when(rnd(id, salt + 31 * i, n) === i, gen(c, id, salt + i)).otherwise(acc)
       }
     case SOrn(bs) => gen(SOr(bs.map(_._2)), id, salt)
+    case SAndn(bs) => gen(SAnd(bs.map(_._2)), id, salt)
     case SMap(entries, _, _) =>
       F.struct(entries.zipWithIndex.map { case (e, i) =>
         val v = gen(e.child, id, salt + 13 * (i + 1))
@@ -204,6 +205,7 @@ object Generate {
     case SOpt(c) => genColl(c, id, salt, None, Some(1))
     case SRepeat(c, mn, mx) => genColl(c, id, salt, Some(mn), Some(mx))
     case SAlt(cs) => gen(SOr(cs), id, salt)
+    case SAltn(es) => gen(SOr(es.map(_._2)), id, salt)
     case other => throw new IllegalArgumentException(
       s"cannot generate from ${SchemaIR.form(other)} (needs a custom generator)")
   }

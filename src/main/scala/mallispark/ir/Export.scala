@@ -69,6 +69,8 @@ object Export {
     case SOr(cs) => obj("type" -> esc("or"), "children" -> arr(cs.map(toJson)))
     case SOrn(bs) => obj("type" -> esc("orn"), "branches" -> arr(bs.map {
       case (t, c) => obj("tag" -> esc(t), "schema" -> toJson(c)) }))
+    case SAndn(bs) => obj("type" -> esc("andn"), "branches" -> arr(bs.map {
+      case (t, c) => obj("tag" -> esc(t), "schema" -> toJson(c)) }))
     case SMap(es, closed, rest) =>
       obj(Seq("type" -> esc("map"), "closed" -> closed.toString,
         "entries" -> arr(es.map(e => obj(
@@ -112,6 +114,8 @@ object Export {
     case SCatn(es) => obj("type" -> esc("catn"), "entries" -> arr(es.map {
       case (t, c) => obj("tag" -> esc(t), "schema" -> toJson(c)) }))
     case SAlt(cs) => obj("type" -> esc("alt"), "children" -> arr(cs.map(toJson)))
+    case SAltn(es) => obj("type" -> esc("altn"), "entries" -> arr(es.map {
+      case (t, c) => obj("tag" -> esc(t), "schema" -> toJson(c)) }))
     case SStar(c) => obj("type" -> esc("star"), "child" -> toJson(c))
     case SPlus(c) => obj("type" -> esc("plus"), "child" -> toJson(c))
     case SOpt(c) => obj("type" -> esc("opt"), "child" -> toJson(c))
@@ -244,6 +248,7 @@ object Export {
       case "and" => SAnd(children)
       case "or" => SOr(children)
       case "orn" => SOrn(tagged("branches"))
+      case "andn" => SAndn(tagged("branches"))
       case "map" => SMap(
         m("entries").asInstanceOf[Seq[Any]].map { x =>
           val e = x.asInstanceOf[Map[String, Any]]
@@ -279,6 +284,7 @@ object Export {
       case "cat" => SCat(children)
       case "catn" => SCatn(tagged("entries"))
       case "alt" => SAlt(children)
+      case "altn" => SAltn(tagged("entries"))
       case "star" => SStar(child)
       case "plus" => SPlus(child)
       case "opt" => SOpt(child)
@@ -465,6 +471,7 @@ object Export {
         case ":and" => SAnd(children)
         case ":or" => SOr(children)
         case ":orn" => SOrn(branches)
+        case ":andn" => SAndn(branches)
         case ":map-of" =>
           SMapOf(convert(rest(0)), convert(rest(1)),
             pInt(props, ":min"), pInt(props, ":max"))
@@ -488,6 +495,7 @@ object Export {
         case ":cat" => SCat(children)
         case ":catn" => SCatn(branches)
         case ":alt" => SAlt(children)
+        case ":altn" => SAltn(branches)
         case ":*" => SStar(child)
         case ":+" => SPlus(child)
         case ":?" => SOpt(child)
@@ -551,6 +559,7 @@ object Export {
     case SAnd(cs) => obj("allOf" -> arr(cs.map(toJsonSchema)))
     case SOr(cs) => obj("anyOf" -> arr(cs.map(toJsonSchema)))
     case SOrn(bs) => obj("anyOf" -> arr(bs.map(b => toJsonSchema(b._2))))
+    case SAndn(bs) => obj("allOf" -> arr(bs.map(b => toJsonSchema(b._2))))
     case SNot(c) => obj("not" -> toJsonSchema(c))
     case SMap(es, closed, rest) =>
       obj("type" -> esc("object"),

@@ -80,6 +80,7 @@ object S {
   def and(cs: SchemaIR*): SchemaIR = SAnd(cs)
   def or(cs: SchemaIR*): SchemaIR = SOr(cs)
   def orn(branches: (String, SchemaIR)*): SchemaIR = SOrn(branches)
+  def andn(branches: (String, SchemaIR)*): SchemaIR = SAndn(branches)
   def not(c: SchemaIR): SchemaIR = SNot(c)
 
   /** Map entry helpers. */
@@ -136,6 +137,7 @@ object S {
   def cat(cs: SchemaIR*): SchemaIR = SCat(cs)
   def catn(es: (String, SchemaIR)*): SchemaIR = SCatn(es)
   def alt(cs: SchemaIR*): SchemaIR = SAlt(cs)
+  def altn(entries: (String, SchemaIR)*): SchemaIR = SAltn(entries)
   def star(c: SchemaIR): SchemaIR = SStar(c)
   def plus(c: SchemaIR): SchemaIR = SPlus(c)
   def optional(c: SchemaIR): SchemaIR = SOpt(c)

@@ -109,6 +109,12 @@ object SchemaIR {
     * (core.cljc:1053-1114, tags 164-183). */
   final case class SOrn(branches: Seq[(String, SchemaIR)]) extends SchemaIR
 
+  /** `:andn` — named conjunction (core.cljc:930-1003): validates like
+    * `:and` over the branch children, explains each failing branch under
+    * its TAG, parses to Tags({tag → parsed}) with every branch required,
+    * unparses the left-most tag's value checked against the rest. */
+  final case class SAndn(branches: Seq[(String, SchemaIR)]) extends SchemaIR
+
   /** `:not` (core.cljc:1116-1160). */
   final case class SNot(child: SchemaIR) extends SchemaIR
 
@@ -202,6 +208,11 @@ object SchemaIR {
   /** `:alt` over single elements (bounded form). */
   final case class SAlt(children: Seq[SchemaIR]) extends SchemaIR
 
+  /** `:altn` — named alternation in regex position (core.cljc:2968-3024;
+    * parse tags 164-183): matches like `:alt`, parses the winning branch
+    * to Tag(tag, parsed), explains under the branch TAG. */
+  final case class SAltn(entries: Seq[(String, SchemaIR)]) extends SchemaIR
+
   /** `:*` of a single child → forall (SURVEY §2.9 tier 2). */
   final case class SStar(child: SchemaIR) extends SchemaIR
 
@@ -292,6 +303,7 @@ object SchemaIR {
       case SCat(cs) => cs
       case SCatn(es) => es.map(_._2)
       case SAlt(cs) => cs
+      case SAltn(es) => es.map(_._2)
       case SStar(c) => Seq(c)
       case SPlus(c) => Seq(c)
       case SOpt(c) => Seq(c)
@@ -301,6 +313,7 @@ object SchemaIR {
     isRegexOp(ir) && nestedChildren(ir).exists(c =>
       isRegexOp(c) || (c match {
         case SAlt(cs) => cs.exists(isRegexOp)
+        case SAltn(es) => es.exists(e => isRegexOp(e._2))
         case _ => false
       }))
   }
@@ -316,6 +329,7 @@ object SchemaIR {
     case SAnd(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
     case SOr(cs)        => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
     case SOrn(bs)       => bs.map { case (t, c) => t -> c }
+    case SAndn(bs)      => bs.map { case (t, c) => t -> c }
     case SMap(es, _, rest) => es.map(e => e.key -> e.child) ++
       rest.map("malli.core/default" -> _)
     case SMapOf(k, v, _, _) => Seq("0" -> k, "1" -> v)
@@ -333,6 +347,7 @@ object SchemaIR {
     case SCat(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
     case SCatn(es)      => es.map { case (t, c) => t -> c }
     case SAlt(cs)       => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
+    case SAltn(es)      => es.map { case (t, c) => t -> c }
     case SStar(c)       => Seq("0" -> c)
     case SPlus(c)       => Seq("0" -> c)
     case SOpt(c)        => Seq("0" -> c)
@@ -385,6 +400,8 @@ object SchemaIR {
     case SOr(cs) => cs.map(form).mkString("[:or ", " ", "]")
     case SOrn(bs) => bs.map { case (t, c) => s"[:$t ${form(c)}]" }
       .mkString("[:orn ", " ", "]")
+    case SAndn(bs) => bs.map { case (t, c) => s"[:$t ${form(c)}]" }
+      .mkString("[:andn ", " ", "]")
     case SNot(c) => s"[:not ${form(c)}]"
     case SMap(es, closed, rest) =>
       val props = if (closed) " {:closed true}" else ""
@@ -412,6 +429,8 @@ object SchemaIR {
     case SCatn(es) => es.map { case (t, c) => s"[:$t ${form(c)}]" }
       .mkString("[:catn ", " ", "]")
     case SAlt(cs) => cs.map(form).mkString("[:alt ", " ", "]")
+    case SAltn(es) => es.map { case (t, c) => s"[:$t ${form(c)}]" }
+      .mkString("[:altn ", " ", "]")
     case SStar(c) => s"[:* ${form(c)}]"
     case SPlus(c) => s"[:+ ${form(c)}]"
     case SOpt(c) => s"[:? ${form(c)}]"

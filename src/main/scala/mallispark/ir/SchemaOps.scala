@@ -90,6 +90,7 @@ object SchemaOps {
     case SAnd(cs) => SAnd(cs.map(mapMaps(_)(f)))
     case SOr(cs) => SOr(cs.map(mapMaps(_)(f)))
     case SOrn(bs) => SOrn(bs.map { case (t, c) => t -> mapMaps(c)(f) })
+    case SAndn(bs) => SAndn(bs.map { case (t, c) => t -> mapMaps(c)(f) })
     case SNot(c) => SNot(mapMaps(c)(f))
     case SVector(c, mn, mx) => SVector(mapMaps(c)(f), mn, mx)
     case SSet(c, mn, mx) => SSet(mapMaps(c)(f), mn, mx)
@@ -129,6 +130,7 @@ object SchemaOps {
       case SAnd(cs) => SAnd(cs.map(go(_, d)))
       case SOr(cs) => SOr(cs.map(go(_, d)))
       case SOrn(bs) => SOrn(bs.map { case (t, c) => t -> go(c, d) })
+      case SAndn(bs) => SAndn(bs.map { case (t, c) => t -> go(c, d) })
       case SNot(c) => SNot(go(c, d))
       case SVector(c, mn, mx) => SVector(go(c, d), mn, mx)
       case SSet(c, mn, mx) => SSet(go(c, d), mn, mx)
@@ -142,6 +144,7 @@ object SchemaOps {
       case SCat(cs) => SCat(cs.map(go(_, d)))
       case SCatn(es) => SCatn(es.map { case (t, c) => t -> go(c, d) })
       case SAlt(cs) => SAlt(cs.map(go(_, d)))
+      case SAltn(es) => SAltn(es.map { case (t, c) => t -> go(c, d) })
       case SStar(c) => SStar(go(c, d))
       case SPlus(c) => SPlus(go(c, d))
       case SOpt(c) => SOpt(go(c, d))

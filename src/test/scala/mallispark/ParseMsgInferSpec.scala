@@ -143,6 +143,52 @@ class ParseMsgInferSpec extends SparkSuite {
       SInt(Some(1L), Some(200L)))
   }
 
+  test(":andn named conjunction: validate / explain tags / parse / unparse") {
+    // core.cljc:930-1003 — validates like :and, explains under branch
+    // TAGS, parses to Tags({tag → x}) with all branches required,
+    // unparses the left-most tag's value
+    val sch = S.andn("pos" -> S.intMin(1L), "small" -> S.intMax(100L))
+    assert(RowEval.validate(sch, 50L))
+    assert(!RowEval.validate(sch, 0L))
+    assert(!RowEval.validate(sch, 500L))
+    // explain reports the failing branch under its tag
+    assert(RowEval.explain(sch, 0L).map(e => e.path.mkString("/")) ===
+      Vector("pos"))
+    assert(RowEval.explain(sch, 500L).map(e => e.path.mkString("/")) ===
+      Vector("small"))
+    // Catalyst duality + Column parse/unparse round-trip
+    val d = df(Seq(Row(50L), Row(0L), Row(500L)),
+      StructType(Seq(StructField("v", LongType))))
+    val got = d.select(
+      SchemaCompiler.valid(sch, F.col("v"), LongType).as("ok"),
+      Parse.parse(sch, F.col("v"), LongType).as("p")).collect()
+    assert(got.map(_.getBoolean(0)).toSeq === Seq(true, false, false))
+    assert(got(0).getStruct(1).getLong(0) === 50L) // Tags{pos: 50}
+    assert(got(0).getStruct(1).getLong(1) === 50L) // Tags{small: 50}
+    assert(got(1).isNullAt(1)) // ::m/invalid
+    val un = d.select(Parse.unparse(sch,
+      Parse.parse(sch, F.col("v"), LongType), LongType).as("u")).collect()
+    assert(un(0).getLong(0) === 50L)
+  }
+
+  test(":altn named alternation in regex position: tags in the parse tree") {
+    // core.cljc:2968-3024 + Tag records 164-183: the winning branch names
+    // the tag; the regex matcher treats it like :alt
+    val sch = S.star(S.altn("num" -> S.re("^[0-9]+$"),
+      "word" -> S.re("^[a-z]+$")))
+    assert(RowEval.validate(sch, Seq("12", "ab")))
+    assert(!RowEval.validate(sch, Seq("12", "AB")))
+    val tree = RowEval.reParse(sch, Seq("12", "ab")).get
+      .asInstanceOf[Seq[Any]]
+    assert(tree === Seq(RowEval.RTag("num", "12"), RowEval.RTag("word", "ab")))
+    // unparse restores the element sequence through the tags
+    assert(RowEval.reUnparse(sch, tree) === Seq("12", "ab"))
+    // explain attributes the failing element under both branch tags
+    val errs = RowEval.explain(sch, Seq("12", "AB"))
+    assert(errs.nonEmpty &&
+      errs.forall(e => e.path.mkString("/").matches("0/(num|word)")))
+  }
+
   test("infer: provider parity heuristics (uuid / tuple / map-of / maybe)") {
     // mirrors provider_test.cljc shapes in their Spark-physical form:
     // - a string column whose every value is uuid-shaped → :uuid

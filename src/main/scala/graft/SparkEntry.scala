@@ -682,6 +682,16 @@ object SparkEntry {
         .select("id_a", "id_b", "inter", "sz_a", "sz_b")
         .orderBy("id_a", "id_b")),
 
+    // near-dup components over the verified jaccard pairs: min-label
+    // propagation to a fixpoint; oracle = DuckDB recursive transitive
+    // closure over the identical pair set
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.dupClusters(
+          Dedup.ngramJaccardWithinBuckets(pages(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.9, k = 16, bands = 8, maxShingleDf = 20),
+          "id_a", "id_b")
+        .orderBy("cluster_id")),
+
     // ---- similarity search over embeddings ----
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1705,6 +1715,34 @@ object SparkEntry {
          |FROM pairs JOIN sizes sa ON sa.doc = id_a JOIN sizes sb ON sb.doc = id_b
          |WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.9
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // WITH RECURSIVE transitive closure (UNION set-semantics terminates);
+    // component label = min reachable id, mirroring the propagation fixpoint
+    "dedup_clusters" ->
+      s"""${P.replaceFirst("^WITH ", "WITH RECURSIVE ")},
+         |$shinglesCte,
+         |capped AS (SELECT sh.* FROM sh
+         |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20) ok
+         |    ON sh.s = ok.s),
+         |sizes AS (SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS sz
+         |          FROM capped GROUP BY 1),
+         |jpairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS inter
+         |  FROM capped a JOIN capped b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |good AS (SELECT id_a, id_b FROM jpairs
+         |  JOIN sizes sa ON sa.doc = id_a JOIN sizes sb ON sb.doc = id_b
+         |  WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.9),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM good
+         |          UNION SELECT id_b, id_a FROM good),
+         |walk(a, l) AS (
+         |  SELECT a, a FROM (SELECT DISTINCT a FROM edges) q
+         |  UNION
+         |  SELECT e.a, w.l FROM edges e JOIN walk w ON e.b = w.a),
+         |labels AS (SELECT a AS id, min(l) AS cluster_id FROM walk GROUP BY a)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
+         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
+         |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "multimodal_meta" ->
       """WITH b AS (SELECT doc_id,

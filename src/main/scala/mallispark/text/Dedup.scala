@@ -334,6 +334,59 @@ object Dedup {
       .select("id_a", "id_b", "inter", "sz_a", "sz_b", "jaccard")
   }
 
+  /** Near-dup CLUSTER formation: connected components over verified
+    * candidate pairs — the step a dedup pipeline needs after pair
+    * generation (keep one representative per component, not per pair).
+    *
+    * Algorithm: iterative MIN-LABEL propagation to a fixpoint — every
+    * vertex takes the min of its own and its neighbors' labels each
+    * round; the fixpoint labels every member with its component's
+    * minimum id (deterministic: min is order-independent, and the
+    * fixpoint is unique regardless of iteration schedule). Lineage is
+    * truncated per round (localCheckpoint) so plans stay flat.
+    *
+    * Scale: each round is one (b)-keyed join + one groupBy over the EDGE
+    * list — O(E) shuffle per round, rounds = component diameter. Near-dup
+    * graphs are overwhelmingly tiny cliques (diameter ≤ 2-3); for
+    * adversarial long-chain graphs swap in large-star/small-star
+    * contraction (same join primitives, O(log d) rounds).
+    *
+    * Returns (cluster_id = min member id, sz, members = sorted csv). */
+  def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
+                  maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
+      .unionAll(pairs.select(F.col(bCol).as("a"), F.col(aCol).as("b")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(F.col("a").as("id"))
+      .distinct().select(F.col("id"), F.col("id").as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(F.col("id").as("b"), F.col("label").as("bl")),
+          "b")
+        .groupBy("a").agg(F.min("bl").as("nmin"))
+      val next = labels
+        .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+        .select(F.col("id"),
+          F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
+            .as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .where(F.col("label") =!= F.col("old")).count()
+      labels = next
+      it += 1
+    }
+    // sort members NUMERICALLY before the string join (a string sort
+    // would put "10" before "2" — the oracle orders by the native id)
+    labels.groupBy(F.col("label").as("cluster_id"))
+      .agg(F.count(F.lit(1)).as("sz"),
+        F.array_join(F.transform(F.sort_array(F.collect_list(F.col("id"))),
+          x => x.cast(org.apache.spark.sql.types.StringType)), ",")
+          .as("members"))
+  }
+
   /** Portable 60-bit hash (15 md5 hex chars — fits signed 64-bit on both
     * engines). Collision-free for practical shingle-set sizes. */
   private def h60(c: Column): Column =

@@ -43,6 +43,25 @@ class TextOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p.contains(4L) && p.contains(1L)))
   }
 
+  test("dupClusters: chains merge transitively; singletons never appear") {
+    // edges 1-2, 2-3 (chain → one component {1,2,3}); 10-20 isolated pair;
+    // vertex ids only from edges (no singleton rows)
+    val pairSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    val pairs = df(Seq(Row(1L, 2L), Row(2L, 3L), Row(10L, 20L)), pairSchema)
+    val out = Dedup.dupClusters(pairs, "id_a", "id_b")
+      .orderBy("cluster_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq ===
+      Seq((1L, 3L, "1,2,3"), (10L, 2L, "10,20")))
+    // empty pair set → empty output
+    assert(Dedup.dupClusters(df(Seq.empty, pairSchema), "id_a", "id_b")
+      .count() === 0L)
+    // long chain needs multiple propagation rounds (diameter 5)
+    val chain = df((1L to 5L).map(i => Row(i, i + 1)), pairSchema)
+    val c2 = Dedup.dupClusters(chain, "id_a", "id_b").collect()
+    assert(c2.length === 1 && c2(0).getString(2) === "1,2,3,4,5,6")
+  }
+
   test("native MinHashSignature: codegen == interpreted; dups collide") {
     import mallispark.expressions.MinHashSignature
     // interpreted eval (via a non-codegen path: eval on literal rows

@@ -823,6 +823,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- frame sampling over the binary payload: n evenly-spaced
+    //      fixed-width byte windows (video-keyframe shape), exploded with
+    //      indices; md5 of each window's hex (DuckDB slices the hex
+    //      string — blob substring parity per the md5(hex) route) ----
+    "multimodal_frames" -> ((s, dir) => {
+      val id = F.col("doc_id")
+      val base = F.encode(F.col("text"), "UTF-8")
+      val jpeg = F.lit(Array(0xFF, 0xD8).map(_.toByte))
+      val png = F.lit(Array(0x89, 0x50, 0x4E, 0x47).map(_.toByte))
+      val riff = F.lit(Array(0x52, 0x49, 0x46, 0x46).map(_.toByte))
+      val bin = F.when(id % 4 === 0, F.concat(jpeg, base))
+        .when(id % 4 === 1, F.concat(png, base))
+        .when(id % 4 === 2, F.concat(riff, base))
+        .otherwise(base)
+      t(s, dir, "documents")
+        .select(id, F.posexplode(
+          Multimodal.sampleWindows(bin, n = 3, width = 8))
+          .as(Seq("frame_idx", "frame")))
+        .select(id, F.col("frame_idx").cast(LongType).as("frame_idx"),
+          F.md5(F.hex(F.col("frame"))).as("frame_h"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // ---- multimodal plumbing (STUB decode; rows-only check) ----
     "multimodal_features" -> ((s, dir) => {
       val p = pages(s, dir)
@@ -1743,6 +1766,25 @@ object SparkEntry {
          |SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz,
          |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY id) AS members
          |FROM labels GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sampleWindows mirror: stride = greatest((len-8)/2.0, 1.0) double
+    // division (Column./), offset cast truncates → floor() here (DuckDB
+    // CAST(double AS INT) rounds); blob windows sliced on the hex string
+    "multimodal_frames" ->
+      """WITH b AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN '\xFF\xD8'::BLOB || encode(text)
+        |       WHEN doc_id % 4 = 1 THEN '\x89PNG'::BLOB || encode(text)
+        |       WHEN doc_id % 4 = 2 THEN 'RIFF'::BLOB || encode(text)
+        |       ELSE encode(text) END AS bin
+        |  FROM documents),
+        |fr AS (SELECT doc_id, i,
+        |    CAST(floor(i * greatest((octet_length(bin) - 8) / 2.0, 1.0) + 1)
+        |      AS BIGINT) AS pos,
+        |    hex(bin) AS h
+        |  FROM b CROSS JOIN (SELECT unnest(range(3)) AS i) ii)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  md5(substring(h, CAST((pos - 1) * 2 + 1 AS INT), 16)) AS frame_h
+        |FROM fr ORDER BY doc_id, frame_idx""".stripMargin,
 
     "multimodal_meta" ->
       """WITH b AS (SELECT doc_id,

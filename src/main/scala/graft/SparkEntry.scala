@@ -157,6 +157,36 @@ object SparkEntry {
         .select("doc_id", "url", "schema_path", "error_key")
         .orderBy("doc_id", "schema_path")),
 
+    // ---- value masking (error.cljc:232-244 dual): violation sinks must
+    //      not replicate document payloads — the value column carries a
+    //      mask wherever a value was captured ----
+    "web_violations_masked" -> ((s, dir) =>
+      SchemaCompiler.violationsDF(WebPages.schema, pages(s, dir),
+          Seq("doc_id"), maskValue = Some("***"))
+        .select("doc_id", "schema_path", "error_key", "value")
+        .orderBy("doc_id", "schema_path")),
+
+    // ---- manifest-resumable job end-to-end: two passes over the same
+    //      input; the second sees every partition committed and appends
+    //      NOTHING (a re-append would double n_rows and fail the oracle).
+    //      Portable md5 part key so DuckDB reproduces the manifest ----
+    "resumable_verdicts" -> ((s, dir) => {
+      val p = pages(s, dir)
+      val tmp = java.nio.file.Files.createTempDirectory("resume_gate")
+      val part = F.pmod(TextOps.h32(F.col("url")), F.lit(64L))
+      def pass() = ValidationJob.runResumable(s, p, WebPages.schema,
+        Seq("doc_id", "url"), tmp.toString, "gate", nParts = 64,
+        partIdOf = Some(part))
+      pass()
+      val manifest = pass() // idempotent resume: no new rows
+      val res = manifest.select(F.col("part_id"),
+          F.col("rows").as("n_rows"), F.col("valid_rows"), F.col("pass"))
+        .orderBy("part_id")
+      val rows = res.collect().toIndexedSeq
+      deleteRecursively(tmp.toString)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+    }),
+
     "web_unique_url" -> ((s, dir) =>
       TableChecks.duplicates(pages(s, dir), "url").orderBy("url")),
 
@@ -221,6 +251,31 @@ object SparkEntry {
           SchemaCompiler.valid(t1s, F.col("seq1"), at).as("t1"),
           SchemaCompiler.valid(t2s, F.col("toks"), at).as("t2"),
           SchemaCompiler.valid(t3s, F.col("seq3"), at).as("t3"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- tier-3 positional explain as violation rows: the general-form
+    //      [:* [:cat re re]] on seq3 — the trailing 'k9' injection parses
+    //      one element past the last pair and runs out of input ----
+    "v_seq3_violations" -> ((s, dir) => {
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("seq3", S.star(S.cat(S.re("^k"), S.re("^v")))))
+      val n = NestedDocs.derive(t(s, dir, "documents"))
+        .select("doc_id", "seq3")
+      SchemaCompiler.violationsDF(sch, n, Seq("doc_id"))
+        .select("doc_id", "schema_path", "in_path", "error_key")
+        .orderBy("doc_id", "schema_path")
+    }),
+
+    // ---- sequential→set transformer (transform.cljc:211-233) gated:
+    //      decode through [:set :string] = distinct; sorted csv output ----
+    "transform_seq_set" -> ((s, dir) => {
+      val n = NestedDocs.derive(t(s, dir, "documents"))
+      val setCol = Transform.decode(S.set(S.string), F.col("toks"),
+        ArrayType(StringType), Transform.JsonMode)
+      n.select(F.col("doc_id"),
+          F.array_join(F.sort_array(setCol), ",").as("tok_set"),
+          F.size(setCol).cast(LongType).as("n_distinct"))
         .orderBy("doc_id")
     }),
 
@@ -1167,6 +1222,58 @@ object SparkEntry {
          |SELECT doc_id, url, 'lang', ':enum' FROM pages
          |  WHERE lang NOT IN ('en','de','fr','es','zh')
          |ORDER BY doc_id, schema_path""".stripMargin,
+
+    // masking: every captured (non-null) violation value → '***'
+    "web_violations_masked" ->
+      s"""$P
+         |SELECT doc_id, 'url' AS schema_path, ':re' AS error_key,
+         |    CASE WHEN url IS NOT NULL THEN '***' END AS value
+         |  FROM pages WHERE NOT regexp_matches(url, '^https?://[^\\s]+$$')
+         |UNION ALL
+         |SELECT doc_id, 'warc_ts', ':time/instant',
+         |    CASE WHEN warc_ts IS NOT NULL THEN '***' END FROM pages
+         |  WHERE warc_ts < TIMESTAMP '2025-01-01 00:00:00'
+         |     OR warc_ts > TIMESTAMP '2026-05-01 00:00:00'
+         |UNION ALL
+         |SELECT doc_id, 'text', ':string',
+         |    CASE WHEN text IS NOT NULL THEN '***' END FROM pages
+         |  WHERE length(text) < 1
+         |UNION ALL
+         |SELECT doc_id, 'lang', ':enum',
+         |    CASE WHEN lang IS NOT NULL THEN '***' END FROM pages
+         |  WHERE lang NOT IN ('en','de','fr','es','zh')
+         |ORDER BY doc_id, schema_path""".stripMargin,
+
+    // the manifest after two passes = the single-run verdicts (the second
+    // pass must append nothing); portable md5 part key mod 64
+    "resumable_verdicts" ->
+      s"""$P
+         |SELECT ${dh32("url")} % 64 AS part_id,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+         |  count(*) = sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS pass
+         |FROM pages GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // tier-3 explain: the trailing 'k9' matches the inner :cat's first
+    // element then runs out of input → ::m/end-of-input at the column
+    "v_seq3_violations" -> {
+      val NP = NestedDocs.OracleCte
+      s"""$NP
+         |SELECT doc_id, 'seq3' AS schema_path, 'seq3' AS in_path,
+         |  'malli.core/end-of-input' AS error_key
+         |FROM nested WHERE len(seq3) % 2 = 1
+         |ORDER BY doc_id, schema_path""".stripMargin
+    },
+
+    // sequential→set: distinct-ify, sorted csv + cardinality
+    "transform_seq_set" -> {
+      val NP = NestedDocs.OracleCte
+      s"""$NP
+         |SELECT doc_id,
+         |  array_to_string(list_sort(list_distinct(toks)), ',') AS tok_set,
+         |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+         |FROM nested ORDER BY doc_id""".stripMargin
+    },
 
     "web_unique_url" ->
       s"""$P

@@ -68,10 +68,14 @@ object ValidationJob {
     * all attempts equals the single-run result. */
   def runResumable(spark: SparkSession, df: DataFrame, schema: SchemaIR,
                    keyCols: Seq[String], dir: String, runId: String,
-                   nParts: Int = 256)(
+                   nParts: Int = 256,
+                   partIdOf: Option[Column] = None)(
       implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): DataFrame = {
-    val withPart = df.withColumn("part_id",
-      F.pmod(F.xxhash64(F.col(keyCols.head)), F.lit(nParts.toLong)))
+    // default partitioner: engine-native xxhash64 (fast); pass a portable
+    // md5-derived Column (e.g. pmod(TextOps.h32(url), n)) when the
+    // manifest must be reproducible by another engine (the oracle gate)
+    val withPart = df.withColumn("part_id", partIdOf.getOrElse(
+      F.pmod(F.xxhash64(F.col(keyCols.head)), F.lit(nParts.toLong))))
     val done = completedPartitions(spark, dir, runId)
     val todo = withPart.join(F.broadcast(done), Seq("part_id"), "left_anti")
 

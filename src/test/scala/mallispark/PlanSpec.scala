@@ -100,6 +100,22 @@ class PlanSpec extends SparkSuite {
     assert(ann.contains("BroadcastExchange"), "query side not broadcast")
   }
 
+  test("IVF path: centroids broadcast, no corpus-wide window") {
+    val plan = planOf(graft.SparkEntry.queries("ann_ivf_topk")(spark, sf))
+    assert(plan.contains("BroadcastExchange"), s"centroids not broadcast:\n$plan")
+    // the only windows partition by query_id (few rows) — the corpus cell
+    // assignment is a partial+final max-struct aggregate, never a window
+    val windows = "Window .*partitionBy".r.findAllIn(plan).toSeq
+    assert(!plan.contains("windowspecdefinition(vec_id"),
+      s"corpus-wide window in IVF plan:\n$plan")
+  }
+
+  test("multimodal frame sampling stays pure-Column (codegen, no UDF)") {
+    val plan = planOf(graft.SparkEntry.queries("multimodal_frames")(spark, sf))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF in frames plan:\n$plan")
+  }
+
   test("LSH-gated jaccard has no full-table shingle self-join") {
     // the standalone quadratic shingle join is gone from the hot path:
     // every join in dedup_jaccard is either the banded candidate join or

@@ -58,11 +58,15 @@ object Infer {
       val c = F.col(f.name)
       Seq(F.count(c).as(s"${f.name}__cnt"),
         (f.dataType match {
-          // map type is not comparable in Spark — distinct is undefined
-          // (and unused: the map decision runs on exploded keys)
-          case _: MapType => F.lit(-1L)
-          case _ if opts.exact => F.count_distinct(c)
-          case _ => F.approx_count_distinct(c)
+          // distinct feeds ONLY the string :enum decision — skip it for
+          // every other type (map isn't comparable anyway; arrays/longs
+          // would shuffle full payloads for an unused number)
+          case StringType if opts.exact =>
+            // md5-compressed distinct: same count modulo 2^-64 collisions,
+            // 16-byte shuffle keys instead of full document text
+            F.count_distinct(F.md5(c))
+          case StringType => F.approx_count_distinct(c)
+          case _ => F.lit(-1L)
         }).as(s"${f.name}__dist")) ++
         (if (isOrdered(f.dataType))
            Seq(F.min(c).cast(StringType).as(s"${f.name}__min"),

@@ -161,21 +161,52 @@ object TableChecks {
   /** EXACT two-sample KS: group by value, order, running CDFs, max diff.
     * One sort shuffle over DISTINCT values (fine up to ~10^8 distincts;
     * beyond that use `ksStatistic`'s sketch path). Oracle-portable. */
-  def ksExact(df: DataFrame, valueCol: String, isA: Column): DataFrame = {
+  /** Exact two-sample KS, DISTRIBUTED: per-value counts are
+    * RANGE-partitioned by value, per-partition totals prefix-sum on the
+    * driver (`parts` rows), and the global cumulative = broadcast prefix
+    * + a per-partition running sum — `parts` INDEPENDENT window tasks
+    * instead of the classic single-task unpartitioned window. Exact for
+    * any distinct-value cardinality that fits `parts` range partitions
+    * (the per-value count table, not the raw rows). */
+  def ksExact(df: DataFrame, valueCol: String, isA: Column,
+              parts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val g = df.groupBy(F.col(valueCol).as("v")).agg(
       F.sum(F.when(isA, 1L).otherwise(0L)).as("da"),
       F.sum(F.when(isA, 0L).otherwise(1L)).as("db"))
-    val w = Window.orderBy(F.col("v"))
+      .repartitionByRange(parts, F.col("v"))
+      // pid must be IDENTICAL for the totals pass and the cumsum pass —
+      // materialize (spark_partition_id is plan-dependent otherwise)
+      .withColumn("pid", F.spark_partition_id())
+      .localCheckpoint(true)
+    val ptots = g.groupBy("pid")
+      .agg(F.sum("da").as("pa"), F.sum("db").as("pb"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    var (accA, accB) = (0L, 0L)
+    val prefix = ptots.map { case (pid, pa, pb) =>
+      val row = (pid, accA, accB); accA += pa; accB += pb; row
+    }
+    val spark = df.sparkSession
+    val prefDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(prefix.toIndexedSeq.map {
+        case (pid, a, b) => org.apache.spark.sql.Row(pid, a, b) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid", IntegerType, false),
+        org.apache.spark.sql.types.StructField("prefa", LongType, false),
+        org.apache.spark.sql.types.StructField("prefb", LongType, false))))
+    val w = Window.partitionBy(F.col("pid")).orderBy(F.col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g.select(
-      F.sum("da").over(w).as("ca"), F.sum("db").over(w).as("cb"))
-    val tots = g.agg(F.sum("da").as("n_a"), F.sum("db").as("n_b"))
-    cum.crossJoin(tots).agg(
+    val cum = g.join(F.broadcast(prefDf), "pid")
+      .select((F.sum("da").over(w) + F.col("prefa")).as("ca"),
+        (F.sum("db").over(w) + F.col("prefb")).as("cb"))
+    val nA = accA
+    val nB = accB
+    cum.agg(
       F.round(F.max(F.abs(
-        F.col("ca").cast(DoubleType) / F.col("n_a") -
-          F.col("cb").cast(DoubleType) / F.col("n_b"))), 6).as("ks_stat"),
-      F.max("n_a").as("n_a"), F.max("n_b").as("n_b"))
+        F.col("ca").cast(DoubleType) / F.lit(nA) -
+          F.col("cb").cast(DoubleType) / F.lit(nB))), 6).as("ks_stat"),
+      F.max(F.lit(nA)).as("n_a"), F.max(F.lit(nB)).as("n_b"))
   }
 
   /** Two-sample Kolmogorov-Smirnov statistic on a numeric column via

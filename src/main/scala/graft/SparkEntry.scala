@@ -709,6 +709,33 @@ object SparkEntry {
         .orderBy("rank")
     }),
 
+    // ---- deterministic stratified sampling: hash-gated per-stratum
+    //      rates (downsample dominant langs, keep the tail) — portable
+    //      md5 draw, reproducible at any parallelism ----
+    "sample_stratified" -> ((s, dir) =>
+      TextOps.stratifiedSample(t(s, dir, "documents"), "doc_id", "lang",
+          Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .groupBy("lang").agg(F.count(F.lit(1)).as("n_sampled"))
+        .orderBy("lang")),
+
+    // ---- end-to-end quality funnel: quality thresholds → predicted-lang
+    //      whitelist → exact-dedup (keep min doc_id per md5(text)) —
+    //      the composed pipeline a training-data run actually executes ----
+    "pipeline_survivors" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val filtered = d.select(F.col("doc_id"), F.col("text"),
+          TextOps.langId(F.col("text")).as("lang_pred"),
+          TextOps.qualityFeatures(F.col("text")).as("q"))
+        .where(F.col("q.n_tokens") >= 20 && F.col("q.stop_cnt") >= 1 &&
+          F.col("lang_pred").isin("en", "de", "es"))
+      filtered
+        .groupBy(F.md5(F.col("text")).as("h"))
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("lang_pred"))).as("m"))
+        .groupBy(F.col("m.lang_pred").as("lang_pred"))
+        .agg(F.count(F.lit(1)).as("n_survivors"))
+        .orderBy("lang_pred")
+    }),
+
     // ---- dedup family over pages ----
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDupGroups(pages(s, dir), "doc_id", "text")
@@ -1780,6 +1807,46 @@ object SparkEntry {
       s"""$P
          |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_cnt
          |FROM pages GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "sample_stratified" ->
+      s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled FROM documents
+         |WHERE ${dh32("CAST(doc_id AS VARCHAR) || '|s0'")} % 10000
+         |  < CAST(CASE WHEN lang = 'de' THEN 0.25
+         |              WHEN lang = 'en' THEN 0.5
+         |              ELSE 0.1 END * 10000 AS BIGINT)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same funnel: quality thresholds → lang whitelist → keep min doc_id
+    // per md5(text); survivor counts per predicted lang
+    "pipeline_survivors" -> {
+      val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(", ")
+      val scores = TextOps.Markers.map { case (lang, ws) =>
+        val inList = ws.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(w, t -> t IN ($inList))) AS s_$lang"
+      }.mkString(",\n    ")
+      val maxE = TextOps.Markers.map(m => s"s_${m._1}")
+        .reduce((a, b) => s"greatest($a, $b)")
+      val cases = TextOps.Markers.map { case (lang, _) =>
+        s"WHEN s_$lang = m AND m > 0 THEN '$lang'"
+      }.mkString(" ")
+      s"""WITH toks AS (SELECT doc_id, text,
+         |    regexp_split_to_array(lower(text), '\\s+') AS w FROM documents),
+         |feat AS (SELECT doc_id, text, len(w) AS n_tokens,
+         |    len(list_filter(w, t -> t IN ($stopList))) AS stop_cnt,
+         |    $scores
+         |  FROM toks),
+         |lp AS (SELECT *, CASE $cases ELSE 'und' END AS lang_pred
+         |  FROM (SELECT *, $maxE AS m FROM feat)),
+         |fil AS (SELECT doc_id, text, lang_pred FROM lp
+         |  WHERE n_tokens >= 20 AND stop_cnt >= 1
+         |    AND lang_pred IN ('en','de','es')),
+         |kept AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+         |  FROM fil GROUP BY 1),
+         |surv AS (SELECT f.lang_pred FROM kept k
+         |  JOIN fil f ON f.doc_id = k.keep_id AND md5(f.text) = k.h)
+         |SELECT lang_pred, CAST(count(*) AS BIGINT) AS n_survivors
+         |FROM surv GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // band_key mirrors Dedup.bandKey: the Spark sequential fold
     // ((acc*m + x%M) % M) over the 2-row slice equals the HUGEINT

@@ -94,6 +94,24 @@ object TextOps {
         .as("mean_tok_len_x1000"))
   }
 
+  /** Deterministic hash-based stratified sampling: keep a row iff
+    * `h32(key || '|' || salt) % 10000 < rate(stratum)·10000`. No RNG
+    * state — reproducible at ANY parallelism and portable (md5-derived),
+    * unlike `df.sample` whose draw depends on partition layout. The
+    * per-stratum rates let a pipeline downsample dominant languages/hosts
+    * while keeping the tail (the usual web-corpus rebalancing step). */
+  def stratifiedSample(df: org.apache.spark.sql.DataFrame, keyCol: String,
+                       strataCol: String, rates: Map[String, Double],
+                       defaultRate: Double,
+                       salt: String = "s0"): org.apache.spark.sql.DataFrame = {
+    val h = h32(F.concat(F.col(keyCol).cast(StringType), F.lit("|" + salt)))
+    val rate = rates.toSeq.sortBy(_._1).foldRight(F.lit(defaultRate)) {
+      case ((k, r), acc) => F.when(F.col(strataCol) === k, F.lit(r))
+        .otherwise(acc)
+    }
+    df.where(F.pmod(h, F.lit(10000L)) < (rate * 10000).cast(LongType))
+  }
+
   /** Positionally-weighted document fingerprint: sum over tokens of
     * position * h32(token) — order-sensitive (rolling-hash-style), portable.
     * DuckDB: sum over unnest + generate_subscripts. */

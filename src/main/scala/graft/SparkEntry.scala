@@ -279,6 +279,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- custom leaf type (-simple-schema extension point,
+    //      core.cljc:765-818): a named Column-builder leaf — stays inside
+    //      whole-stage codegen, unlike the :fn UDF escape hatch ----
+    "v_custom_violations" -> ((s, dir) => {
+      val even = S.custom(":user/even",
+        (c, _) => c.cast(LongType) % 2 === 0,
+        { case n: Long => n % 2 == 0
+          case n: Int => n % 2 == 0
+          case _ => false })
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("n_chars", even))
+      SchemaCompiler.violationsDF(sch,
+          t(s, dir, "documents").select("doc_id", "n_chars"), Seq("doc_id"))
+        .select("doc_id", "schema_path", "error_key")
+        .orderBy("doc_id")
+    }),
+
     // ---- composite explain paths (:and/:or branch indices,
     //      core_test.cljc:239-250) ----
     "v_composite_violations" -> ((s, dir) => {
@@ -1807,6 +1824,10 @@ object SparkEntry {
       s"""$P
          |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_cnt
          |FROM pages GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    "v_custom_violations" ->
+      """SELECT doc_id, 'n_chars' AS schema_path, ':user/even' AS error_key
+        |FROM documents WHERE n_chars % 2 = 1 ORDER BY doc_id""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled FROM documents

@@ -103,6 +103,7 @@ object SchemaCompiler {
     case SEnum(vs) => vs.headOption.map(litType).getOrElse(StringType)
     case SCompare(_, v) => litType(v)
     case _: SFn => StringType
+    case _: SCustom => StringType
     case SMaybe(c) => dataTypeOf(c)
     case SAnd(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
     case SOr(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
@@ -338,6 +339,11 @@ object SchemaCompiler {
         // (malli -safe-pred, core.cljc:209)
         val safe = F.udf((v: Any) => try f(v) catch { case _: Throwable => false })
         safe(col)
+
+      case SCustom(_, p, _) =>
+        // codegen path: the Column builder runs inline (coalesce keeps the
+        // never-null contract when the pred null-propagates)
+        F.coalesce(p(col, dt), F.lit(false))
 
       case SMaybe(c) => col.isNull || valid(c, col, dt)
       case SAnd(cs) => cs.map(valid(_, col, dt)).reduce(_ && _)
@@ -612,6 +618,7 @@ object SchemaCompiler {
       case _: SRegex => leaf(":re")
       case SCompare(op, _) => leaf(s":$op")
       case SFn(name, _) => leaf(s":fn/$name")
+      case SCustom(name, _, _) => leaf(name)
 
       case SMaybe(c) =>
         F.when(col.isNull, emptyViols)

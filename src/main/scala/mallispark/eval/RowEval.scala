@@ -133,6 +133,7 @@ object RowEval {
         }
       }
     case SFn(_, f) => try f(v) catch { case _: Throwable => false }
+    case SCustom(_, _, rp) => try rp(v) catch { case _: Throwable => false }
     case SMaybe(c) => v == null || validate(c, v)
     case SAnd(cs) => cs.forall(validate(_, v))
     case SOr(cs) => cs.exists(validate(_, v))
@@ -619,6 +620,7 @@ object RowEval {
     case _: SRegex => ":re"
     case SCompare(op, _) => s":$op"
     case SFn(n, _) => s":fn/$n"
+    case SCustom(n, _, _) => n
     case other => SchemaIR.form(other)
   }
 

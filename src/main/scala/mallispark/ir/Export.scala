@@ -63,6 +63,7 @@ object Export {
       obj("type" -> esc("compare"), "op" -> esc(op),
         "value" -> obj("t" -> esc(defaultTag(v)), "v" -> esc(v.toString)))
     case SFn(n, _) => obj("type" -> esc("fn"), "name" -> esc(n))
+    case SCustom(n, _, _) => obj("type" -> esc("custom"), "name" -> esc(n))
     case SMaybe(c) => obj("type" -> esc("maybe"), "child" -> toJson(c))
     case SNot(c) => obj("type" -> esc("not"), "child" -> toJson(c))
     case SAnd(cs) => obj("type" -> esc("and"), "children" -> arr(cs.map(toJson)))
@@ -243,6 +244,8 @@ object Export {
       case "re" => SRegex(m("pattern").toString)
       case "compare" => SCompare(m("op").toString, readDefault(m("value")))
       case "fn" => SFn(m("name").toString, _ => true) // fns don't serialize
+      case "custom" => SCustom(m("name").toString,
+        (c, _) => org.apache.spark.sql.functions.lit(true), _ => true)
       case "maybe" => SMaybe(child)
       case "not" => SNot(child)
       case "and" => SAnd(children)

@@ -80,6 +80,12 @@ object S {
   def and(cs: SchemaIR*): SchemaIR = SAnd(cs)
   def or(cs: SchemaIR*): SchemaIR = SOr(cs)
   def orn(branches: (String, SchemaIR)*): SchemaIR = SOrn(branches)
+  def custom(name: String,
+             colPred: (org.apache.spark.sql.Column,
+               org.apache.spark.sql.types.DataType) =>
+               org.apache.spark.sql.Column,
+             rowPred: Any => Boolean): SchemaIR =
+    SCustom(name, colPred, rowPred)
   def andn(branches: (String, SchemaIR)*): SchemaIR = SAndn(branches)
   def not(c: SchemaIR): SchemaIR = SNot(c)
 

@@ -92,6 +92,19 @@ object SchemaIR {
     * (non-codegen, flagged). `name` keys the violation. */
   final case class SFn(name: String, f: Any => Boolean) extends SchemaIR
 
+  /** Custom leaf type — the `-simple-schema` extension point
+    * (core.cljc:765-818): a NAMED leaf whose validator is supplied as a
+    * codegen-friendly Column builder plus its row-level twin for the
+    * RowEval duality interpreter. Unlike `SFn` (opaque UDF), the Column
+    * side stays inside whole-stage codegen. The functions don't
+    * serialize — Export carries the name only, like `SFn`. `name` is the
+    * error key (e.g. ":user/even"). */
+  final case class SCustom(name: String,
+                           colPred: (org.apache.spark.sql.Column,
+                             org.apache.spark.sql.types.DataType) =>
+                             org.apache.spark.sql.Column,
+                           rowPred: Any => Boolean) extends SchemaIR
+
   // ---- combinators -------------------------------------------------------
 
   /** `:maybe` — null or child (core.cljc:1819-1868). */
@@ -395,6 +408,7 @@ object SchemaIR {
     case SRegex(p) => s"[:re ${q(p)}]"
     case SCompare(op, v) => s"[:$op ${lit(v)}]"
     case SFn(n, _) => s"[:fn $n]"
+    case SCustom(n, _, _) => s"[:custom $n]"
     case SMaybe(c) => s"[:maybe ${form(c)}]"
     case SAnd(cs) => cs.map(form).mkString("[:and ", " ", "]")
     case SOr(cs) => cs.map(form).mkString("[:or ", " ", "]")

@@ -354,6 +354,23 @@ class CoreValidationSpec extends SparkSuite {
     assert(!RowEval.validate(S.star(S.cat(S.int, S.int)), null))
   }
 
+  test("custom leaf (-simple-schema extension): codegen Column + RowEval twin") {
+    val even = S.custom(":user/even",
+      (c, _) => c.cast(LongType) % 2 === 0,
+      { case n: Long => n % 2 == 0; case _ => false })
+    assert(RowEval.validate(even, 4L) && !RowEval.validate(even, 3L))
+    assert(RowEval.explain(even, 3L).map(_.key) === Vector(":user/even"))
+    val d = dfOf(LongType, Seq(2L, 3L, 4L))
+    val out = d.select(
+      SchemaCompiler.valid(even, F.col("v"), LongType).as("ok"),
+      F.size(SchemaCompiler.errors(even, F.col("v"), LongType, "p",
+        F.lit(""))).as("ne"))
+    assert(out.collect().map(r => (r.getBoolean(0), r.getInt(1))).toSeq ===
+      Seq((true, 0), (false, 1), (true, 0)))
+    // the custom leaf is pure-Column: no UDF in the plan
+    assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"))
+  }
+
   test("nested seq-regex auto-falls back to the general matcher") {
     // [:cat [:* int?] int?] — backtracking: star must leave one element
     val s = S.cat(S.star(S.int), S.int)

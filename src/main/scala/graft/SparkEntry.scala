@@ -210,6 +210,23 @@ object SparkEntry {
         .select("doc_id").orderBy("doc_id")
     }),
 
+    // ---- cross-snapshot referential diff (added/removed/modified keys
+    //      between two snapshots of the pages table; only key+digest
+    //      shuffle — the oracle compares text directly, so the gate does
+    //      not depend on the engine-side hash choice) ----
+    "snapshot_diff" -> ((s, dir) => {
+      val p = pages(s, dir)
+      // deterministic divergences: %97==3 only in curr (added), %89==7
+      // only in prev (removed), %101==11 text modified between snapshots
+      val prev = p.where(F.col("doc_id") % 97 =!= 3)
+        .withColumn("text",
+          F.when(F.col("doc_id") % 101 === 11,
+            F.concat(F.col("text"), F.lit("~old"))).otherwise(F.col("text")))
+      val curr = p.where(F.col("doc_id") % 89 =!= 7)
+      TableChecks.snapshotDiff(curr, prev, "doc_id", F.col("text"))
+        .orderBy("doc_id")
+    }),
+
     // ---- collection / nested validation (vector/set/tuple/map-of) ----
     "v_nested_violations" -> ((s, dir) =>
       SchemaCompiler.violationsDF(nestedSchema,
@@ -238,6 +255,29 @@ object SparkEntry {
           NestedDocs.deriveTree(t(s, dir, "documents")), Seq("doc_id"))(rctx)
         .select("doc_id", "schema_path", "in_path", "error_key")
         .orderBy("doc_id", "in_path")
+    }),
+
+    // ---- ident/char predicate leaves (:keyword/:qualified-keyword/
+    //      :symbol/:char — string-form validation, injections mirrored
+    //      in the oracle's regexes) ----
+    "v_ident_violations" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val src = d.select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 97 === 3, F.lit("no colon"))
+          .otherwise(F.concat(F.lit(":"), F.col("lang"))).as("kw"),
+        F.when(F.col("doc_id") % 89 === 7, F.lit(":noslash"))
+          .otherwise(F.concat(F.lit(":lang/"), F.col("lang"))).as("qkw"),
+        F.when(F.col("doc_id") % 101 === 11, F.lit(":lead"))
+          .otherwise(F.concat(F.lit("sym"),
+            (F.col("doc_id") % 50).cast(StringType))).as("sym"),
+        F.when(F.col("doc_id") % 103 === 13, F.lit("xx"))
+          .otherwise(F.substring(F.col("lang"), 1, 1)).as("ch"))
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("kw", S.keyword), S.req("qkw", S.qualifiedKeyword),
+        S.req("sym", S.symbol), S.req("ch", S.char))
+      SchemaCompiler.violationsDF(sch, src, Seq("doc_id"))
+        .select("doc_id", "schema_path", "error_key")
+        .orderBy("doc_id", "schema_path")
     }),
 
     // ---- seq-regex tiers 1-3 (tier 3 through the RowEval UDF) ----
@@ -1298,6 +1338,33 @@ object SparkEntry {
          |  count(*) = sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS pass
          |FROM pages GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // ident/char leaves: regexes shared verbatim with SchemaCompiler.IdentRes
+    "v_ident_violations" ->
+      s"""WITH src AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 97 = 3 THEN 'no colon'
+         |         ELSE ':' || lang END AS kw,
+         |    CASE WHEN doc_id % 89 = 7 THEN ':noslash'
+         |         ELSE ':lang/' || lang END AS qkw,
+         |    CASE WHEN doc_id % 101 = 11 THEN ':lead'
+         |         ELSE 'sym' || CAST(doc_id % 50 AS VARCHAR) END AS sym,
+         |    CASE WHEN doc_id % 103 = 13 THEN 'xx'
+         |         ELSE substring(lang, 1, 1) END AS ch
+         |  FROM documents)
+         |SELECT doc_id, 'kw' AS schema_path, ':keyword' AS error_key FROM src
+         |WHERE kw IS NULL OR NOT regexp_matches(kw, '^:[^\\s/:]+(/[^\\s/:]+)?$$')
+         |UNION ALL
+         |SELECT doc_id, 'qkw', ':qualified-keyword' FROM src
+         |WHERE qkw IS NULL OR NOT regexp_matches(qkw, '^:[^\\s/:]+/[^\\s/:]+$$')
+         |UNION ALL
+         |SELECT doc_id, 'sym', ':symbol' FROM src
+         |WHERE sym IS NULL
+         |   OR NOT regexp_matches(sym, '^[^\\s/:0-9][^\\s/:]*(/[^\\s/:]+)?$$')
+         |UNION ALL
+         |SELECT doc_id, 'ch', ':char' FROM src
+         |WHERE ch IS NULL OR length(ch) <> 1
+         |ORDER BY doc_id, schema_path""".stripMargin,
+
     // tier-3 explain: the trailing 'k9' matches the inner :cat's first
     // element then runs out of input → ::m/end-of-input at the column
     "v_seq3_violations" -> {
@@ -1345,6 +1412,20 @@ object SparkEntry {
          |  FROM pages)
          |SELECT p.doc_id FROM pages p JOIN prev ON p.doc_id = prev.doc_id
          |WHERE md5(p.text) <> md5(prev.text) ORDER BY p.doc_id""".stripMargin,
+
+    "snapshot_diff" ->
+      s"""$P,
+         |prev AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 101 = 11 THEN text || '~old' ELSE text END AS text
+         |  FROM pages WHERE doc_id % 97 <> 3),
+         |curr AS (SELECT doc_id, text FROM pages WHERE doc_id % 89 <> 7)
+         |SELECT COALESCE(c.doc_id, pv.doc_id) AS doc_id,
+         |  CASE WHEN pv.doc_id IS NULL THEN 'added'
+         |       WHEN c.doc_id IS NULL THEN 'removed'
+         |       WHEN c.text <> pv.text THEN 'modified' END AS change
+         |FROM curr c FULL OUTER JOIN prev pv ON c.doc_id = pv.doc_id
+         |WHERE pv.doc_id IS NULL OR c.doc_id IS NULL OR c.text <> pv.text
+         |ORDER BY doc_id""".stripMargin,
 
     "merge_schema_verdicts" ->
       s"""$P

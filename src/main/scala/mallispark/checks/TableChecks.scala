@@ -124,6 +124,32 @@ object TableChecks {
       .where(F.col("curr_sha") =!= F.col("prev_sha"))
   }
 
+  /** Cross-snapshot referential diff (north rule: referential checks across
+    * table snapshots): classify every key as added / removed / modified
+    * between two snapshots of the same table. Each side is projected to
+    * (key, digest) BEFORE the join, so at 10^12 rows only the key plus a
+    * 64-hex digest shuffle — payloads never move. The join hash-partitions
+    * both sides on the key (sort-merge, AQE skew splitting); unchanged keys
+    * drop out in the post-join filter. Assumes `key` is unique per snapshot
+    * (run `duplicates` first otherwise). */
+  def snapshotDiff(curr: DataFrame, prev: DataFrame, key: String,
+                   payload: Column): DataFrame = {
+    // null payloads digest to a non-hex sentinel (sha2 output is 64 hex
+    // chars, so no value can collide with it) — bare sha2(NULL) is NULL
+    // and would misclassify a present-but-null row as added/removed
+    val digest = F.when(payload.isNull, F.lit("__NULL__"))
+      .otherwise(F.sha2(payload.cast(StringType).cast(BinaryType), 256))
+    val c = curr.select(F.col(key), digest.as("curr_sha"))
+    val p = prev.select(F.col(key), digest.as("prev_sha"))
+    c.join(p, Seq(key), "full_outer")
+      .withColumn("change",
+        F.when(F.col("prev_sha").isNull, F.lit("added"))
+          .when(F.col("curr_sha").isNull, F.lit("removed"))
+          .when(F.col("curr_sha") =!= F.col("prev_sha"), F.lit("modified")))
+      .where(F.col("change").isNotNull)
+      .select(F.col(key), F.col("change"))
+  }
+
   // ---- distribution drift -------------------------------------------------
 
   /** Chi-square statistic between the categorical distributions of `col`

@@ -87,7 +87,7 @@ object SchemaCompiler {
     ir match {
     case SAny | SSome => StringType // unconstrained; only used for synthesis
     case SNil => NullType
-    case _: SString | SUuid | _: SRegex => StringType
+    case _: SString | SUuid | _: SRegex | _: SIdent => StringType
     case _: SInt => LongType
     case _: SDouble => DoubleType
     case SBoolean => BooleanType
@@ -173,7 +173,7 @@ object SchemaCompiler {
     * (malli: type errors at runtime; for us the column type is static so a
     * mismatched column fails every row — see SURVEY §7 hard-part 4). */
   private def typeOk(ir: SchemaIR, dt: DataType): Boolean = ir match {
-    case _: SString | SUuid | _: SRegex => dt == StringType
+    case _: SString | SUuid | _: SRegex | _: SIdent => dt == StringType
     case _: SInt => isIntegral(dt)
     case _: SDouble => isFloating(dt)
     case SBoolean => dt == BooleanType
@@ -219,6 +219,33 @@ object SchemaCompiler {
     // canonical UUID regex — reference: /root/reference/src/malli/transform.cljc:115-116
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 
+  /** String-form shapes for the ident leaves (core.cljc:828-831): one
+    * non-empty segment of non-whitespace/non-'/'/non-':' chars, keywords
+    * prefixed ':', symbols starting with a non-digit. Pragmatic subset of
+    * the Clojure reader's grammar, shared verbatim with the DuckDB oracle
+    * and the RowEval twin. :char has no regex — exactly one code point. */
+  object IdentRes {
+    private val seg = "[^\\s/:]+"
+    private val seg0 = "[^\\s/:]*" // rest of a symbol segment (may be empty)
+    val keyword = s"^:$seg(/$seg)?$$"
+    val simpleKeyword = s"^:$seg$$"
+    val qualifiedKeyword = s"^:$seg/$seg$$"
+    val symbol = s"^[^\\s/:0-9]$seg0(/$seg)?$$"
+    val simpleSymbol = s"^[^\\s/:0-9]$seg0$$"
+    val qualifiedSymbol = s"^[^\\s/:0-9]$seg0/$seg$$"
+    def forKind(kind: String): Option[String] = kind match {
+      case "keyword" => Some(keyword)
+      case "simple-keyword" => Some(simpleKeyword)
+      case "qualified-keyword" => Some(qualifiedKeyword)
+      case "symbol" => Some(symbol)
+      case "simple-symbol" => Some(simpleSymbol)
+      case "qualified-symbol" => Some(qualifiedSymbol)
+      case "char" => None
+      case other => throw new IllegalArgumentException(
+        s"unknown ident kind $other")
+    }
+  }
+
   // --------------------------------------------------------------------
   // valid: SchemaIR → Column (boolean, never null)
   // --------------------------------------------------------------------
@@ -245,6 +272,15 @@ object SchemaCompiler {
       case SUuid =>
         if (dt != StringType) F.lit(false)
         else col.isNotNull && col.rlike(uuidRe)
+
+      case SIdent(kind) =>
+        if (dt != StringType) F.lit(false)
+        else IdentRes.forKind(kind) match {
+          case Some(re) => col.isNotNull && col.rlike(re)
+          // :char — exactly one code point (Spark length() counts code
+          // points, as does DuckDB's; RowEval mirrors via codePointCount)
+          case None => col.isNotNull && F.length(col) === 1
+        }
 
       case s: STimestamp if !typeOk(s, dt) => F.lit(false)
       case STimestamp(mn, mx) =>
@@ -611,6 +647,7 @@ object SchemaCompiler {
       case SBoolean => leaf(":boolean")
       case SBinary => leaf(":bytes")
       case SUuid => leaf(":uuid")
+      case SIdent(kind) => leaf(s":$kind")
       case _: STimestamp => leaf(":time/instant")
       case _: SDate => leaf(":time/local-date")
       case STime(kind, _, _) => leaf(s":time/$kind")

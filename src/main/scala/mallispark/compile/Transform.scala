@@ -102,6 +102,15 @@ object Transform {
           case _ if mode == StringMode => col.cast(StringType) // encode dir
           case _ => col
         }
+      case SIdent(kind) if kind.endsWith("keyword") =>
+        dt match {
+          // -string->keyword (transform.cljc:71-77): "abc" decodes to the
+          // keyword :abc — in string-form terms, prepend the ':' when absent
+          case StringType if mode == StringMode =>
+            F.when(col.startsWith(":") || col.isNull, col)
+              .otherwise(F.concat(F.lit(":"), col))
+          case _ => col
+        }
       case SSet(c, _, _) =>
         // -sequential->set (transform.cljc:211-233) on ArrayType payloads
         dt match {
@@ -125,6 +134,10 @@ object Transform {
   def encode(ir: SchemaIR, col: Column, dt: DataType): Column = ir match {
     case _: STimestamp =>
       F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    case SIdent(kind) if kind.endsWith("keyword") =>
+      // keyword→string encode drops the leading ':' (m/encode keyword?
+      // string-transformer — transform.cljc:432 -keyword->string)
+      F.regexp_replace(col, "^:", "")
     case _: SDate => F.date_format(col, "yyyy-MM-dd")
     case SBinary => F.base64(col)
     case _ if dt == StringType => col

@@ -51,6 +51,20 @@ object Generate {
         F.substring(h1, 1, 8), F.lit("-"), F.substring(h1, 9, 4),
         F.lit("-4"), F.substring(h1, 13, 3), F.lit("-a"),
         F.substring(h2, 1, 3), F.lit("-"), F.substring(h2, 4, 12)))
+    case SIdent(kind) =>
+      // hash-salted name segment — always matches the IdentRes shapes
+      val nm = F.concat(F.lit("g"), rnd(id, salt, 10000).cast(StringType))
+      kind match {
+        case "keyword" | "simple-keyword" => F.concat(F.lit(":"), nm)
+        case "qualified-keyword" => F.concat(F.lit(":ns/"), nm)
+        case "symbol" | "simple-symbol" => nm
+        case "qualified-symbol" => F.concat(F.lit("ns/"), nm)
+        case "char" => F.element_at(
+          F.array("abcdefgh".map(c => F.lit(c.toString)): _*),
+          (rnd(id, salt, 8) + 1).cast(IntegerType))
+        case other => throw new IllegalArgumentException(
+          s"unknown ident kind $other")
+      }
     case STimestamp(mn, mx) =>
       val lo = mn.map(_.getEpochSecond).getOrElse(1577836800L) // 2020-01-01
       val hi = mx.map(_.getEpochSecond).getOrElse(lo + 157766400L)

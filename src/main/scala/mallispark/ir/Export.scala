@@ -36,6 +36,7 @@ object Export {
     case SBoolean => obj("type" -> esc("boolean"))
     case SBinary => obj("type" -> esc("bytes"))
     case SUuid => obj("type" -> esc("uuid"))
+    case SIdent(kind) => obj("type" -> esc(kind))
     case SString(mn, mx) =>
       obj(Seq("type" -> esc("string")) ++ optNum("min", mn) ++ optNum("max", mx): _*)
     case SInt(mn, mx) =>
@@ -231,6 +232,10 @@ object Export {
       case "boolean" => SBoolean
       case "bytes" => SBinary
       case "uuid" => SUuid
+      case k @ ("keyword" | "simple-keyword" | "qualified-keyword" | "symbol" |
+           "simple-symbol" | "qualified-symbol" | "char") => SIdent(k)
+      // :float shares :double's value space in the engine (core.cljc:825)
+      case "float" => SDouble(dbl("min"), dbl("max"))
       case "string" => SString(num("min").map(_.toInt), num("max").map(_.toInt))
       case "int" => SInt(num("min"), num("max"))
       case "double" => SDouble(dbl("min"), dbl("max"))
@@ -517,6 +522,9 @@ object Export {
     case ":boolean" => SBoolean
     case ":bytes" => SBinary
     case ":uuid" => SUuid
+    case ":keyword" | ":simple-keyword" | ":qualified-keyword" | ":symbol" |
+         ":simple-symbol" | ":qualified-symbol" | ":char" => SIdent(k.drop(1))
+    case ":float" => SDouble(pDbl(props, ":min"), pDbl(props, ":max"))
     case ":string" => SString(pInt(props, ":min"), pInt(props, ":max"))
     case ":int" => SInt(pLong(props, ":min"), pLong(props, ":max"))
     case ":double" => SDouble(pDbl(props, ":min"), pDbl(props, ":max"))
@@ -545,6 +553,10 @@ object Export {
     case SBinary => obj("type" -> esc("string"),
       "contentEncoding" -> esc("base64"))
     case SUuid => obj("type" -> esc("string"), "format" -> esc("uuid"))
+    case SIdent("char") => obj("type" -> esc("string"),
+      "minLength" -> "1", "maxLength" -> "1")
+    case SIdent(kind) => obj("type" -> esc("string"), "pattern" -> esc(
+      mallispark.compile.SchemaCompiler.IdentRes.forKind(kind).get))
     case STimestamp(_, _) => obj("type" -> esc("string"),
       "format" -> esc("date-time"))
     case SDate(_, _) => obj("type" -> esc("string"), "format" -> esc("date"))

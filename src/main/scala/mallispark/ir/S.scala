@@ -24,6 +24,20 @@ object S {
   val bytes: SchemaIR = SBinary
   val uuid: SchemaIR = SUuid
 
+  /** Ident/char predicate leaves (core.cljc:828-831) — validate the
+    * canonical string form (see SIdent scaladoc). */
+  val keyword: SchemaIR = SIdent("keyword")
+  val simpleKeyword: SchemaIR = SIdent("simple-keyword")
+  val qualifiedKeyword: SchemaIR = SIdent("qualified-keyword")
+  val symbol: SchemaIR = SIdent("symbol")
+  val simpleSymbol: SchemaIR = SIdent("simple-symbol")
+  val qualifiedSymbol: SchemaIR = SIdent("qualified-symbol")
+  val char: SchemaIR = SIdent("char")
+
+  /** `:float` — same value space as `:double` in the engine (a parquet
+    * FloatType column widens losslessly; core.cljc:825 float-schema). */
+  def float: SchemaIR = SDouble()
+
   def string: SchemaIR = SString()
   def string(min: Int = -1, max: Int = -1): SchemaIR =
     SString(if (min >= 0) Some(min) else None, if (max >= 0) Some(max) else None)

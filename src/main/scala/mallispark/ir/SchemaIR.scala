@@ -53,6 +53,17 @@ object SchemaIR {
     * (regex from transform.cljc:115-116). */
   case object SUuid extends SchemaIR
 
+  /** The ident/char predicate leaves — `:keyword` / `:simple-keyword` /
+    * `:qualified-keyword` / `:symbol` / `:simple-symbol` /
+    * `:qualified-symbol` / `:char` (core.cljc:828-831; predicate table
+    * 2934-2937). A Spark row carries no Keyword/Symbol/Character runtime
+    * object, so the engine validates the canonical STRING form these
+    * values take in a parquet column: ":name" / ":ns/name" for keywords,
+    * "name" / "ns/name" for symbols (first char not ':' or a digit),
+    * exactly one code point for :char. `kind` is one of the seven type
+    * names above (sans ':'). */
+  final case class SIdent(kind: String) extends SchemaIR
+
   /** `:time/instant` with `:min`/`:max` range
     * (experimental/time.cljc:85-94, range compare 48-66). */
   final case class STimestamp(min: Option[Instant] = None,
@@ -398,6 +409,7 @@ object SchemaIR {
     case SBoolean => ":boolean"
     case SBinary => ":bytes"
     case SUuid => ":uuid"
+    case SIdent(kind) => s":$kind"
     case STimestamp(mn, mx) =>
       leafForm(":time/instant",
         bounds(mn.map(i => q(i.toString)), mx.map(i => q(i.toString))))

@@ -28,6 +28,13 @@ object Messages {
     ":boolean" -> "should be a boolean", // error.cljc:79
     ":bytes" -> "should be bytes",
     ":uuid" -> "should be a uuid",
+    ":keyword" -> "should be a keyword", // error.cljc:72
+    ":simple-keyword" -> "should be a simple keyword",
+    ":qualified-keyword" -> "should be a qualified keyword", // error.cljc:74
+    ":symbol" -> "should be a symbol", // error.cljc:73
+    ":simple-symbol" -> "should be a simple symbol",
+    ":qualified-symbol" -> "should be a qualified symbol",
+    ":char" -> "should be a char",
     ":enum" -> "should be one of the allowed values",
     ":re" -> "should match the pattern",
     ":some" -> "should be some", // error.cljc:68

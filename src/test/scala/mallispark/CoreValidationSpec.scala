@@ -206,6 +206,33 @@ class CoreValidationSpec extends SparkSuite {
       ("nope", false, Set(("", "", ":uuid")))))
   }
 
+  test("ident/char leaves: keyword/symbol string forms, one-code-point char") {
+    check(S.keyword, StringType, Seq(
+      (":en", true, Set.empty),
+      (":ns/name", true, Set.empty),
+      ("en", false, Set(("", "", ":keyword"))), // no leading ':'
+      (":a/b/c", false, Set(("", "", ":keyword"))),
+      (": sp", false, Set(("", "", ":keyword"))),
+      (null, false, Set(("", "", ":keyword")))))
+    check(S.qualifiedKeyword, StringType, Seq(
+      (":ns/name", true, Set.empty),
+      (":bare", false, Set(("", "", ":qualified-keyword")))))
+    check(S.symbol, StringType, Seq(
+      ("sym", true, Set.empty),
+      ("ns/sym", true, Set.empty),
+      ("x", true, Set.empty), // single-char symbol
+      (":kw", false, Set(("", "", ":symbol"))), // keywords aren't symbols
+      ("0sym", false, Set(("", "", ":symbol"))))) // digit start
+    check(S.qualifiedSymbol, StringType, Seq(
+      ("ns/sym", true, Set.empty),
+      ("bare", false, Set(("", "", ":qualified-symbol")))))
+    check(S.char, StringType, Seq(
+      ("x", true, Set.empty),
+      ("😀", true, Set.empty), // one non-BMP code point (😀)
+      ("ab", false, Set(("", "", ":char"))),
+      ("", false, Set(("", "", ":char")))))
+  }
+
   test("set uniqueness; every bounded checks") {
     check(S.set(S.int), ArrayType(LongType), Seq(
       (Seq(1L, 2L), true, Set.empty),

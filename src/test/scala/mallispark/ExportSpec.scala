@@ -21,7 +21,11 @@ class ExportSpec extends AnyFunSuite {
     "multi" -> S.multi("kind", default = Some(S.any))(
       "a" -> S.mapE(false, S.req("kind", S.string))),
     "every-repeat" -> S.cat(S.every(S.int, limit = 7),
-      S.repeat(S.string, 1, 3), S.ref("other")))
+      S.repeat(S.string, 1, 3), S.ref("other")),
+    "idents" -> S.mapE(false,
+      S.req("kw", S.keyword), S.req("qkw", S.qualifiedKeyword),
+      S.req("sym", S.symbol), S.req("qsym", S.qualifiedSymbol),
+      S.req("ch", S.char)))
 
   test("ast JSON round-trips structurally (m/ast / m/from-ast)") {
     samples.foreach { case (name, s) =>

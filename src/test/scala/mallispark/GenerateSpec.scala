@@ -35,6 +35,12 @@ class GenerateSpec extends SparkSuite {
       S.req("orn", S.orn("lo" -> S.intMax(-1L), "hi" -> S.intMin(1L))),
       S.req("cat", S.cat(S.int(0, 5), S.int(10, 15))),
       S.req("star", S.star(S.enum_("a", "b")))).asInstanceOf[SMap],
+    "idents" -> S.mapE(false,
+      S.req("kw", S.keyword),
+      S.req("qkw", S.qualifiedKeyword),
+      S.req("sym", S.symbol),
+      S.req("qsym", S.qualifiedSymbol),
+      S.req("ch", S.char)).asInstanceOf[SMap],
     "time" -> S.mapE(false,
       S.req("dur", S.duration(Some("PT10S"), Some("PT1H"))),
       S.req("per", S.period(Some("P1M"), Some("P2Y"))),

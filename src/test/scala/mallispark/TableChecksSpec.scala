@@ -59,6 +59,24 @@ class TableChecksSpec extends SparkSuite {
     assert(bad.toSeq === Seq(11L, 22L))
   }
 
+  test("snapshotDiff: added/removed/modified classified; unchanged and null-null excluded") {
+    val prev = df(Seq(Row(1L, "a"), Row(2L, "b"), Row(3L, "c"),
+      Row(5L, null)), kv)
+    val curr = df(Seq(Row(1L, "a"), Row(2L, "B"), Row(4L, "d"),
+      Row(5L, null)), kv)
+    val diff = TableChecks.snapshotDiff(curr, prev, "k", F.col("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged, 5 null-in-both (unchanged) — both excluded
+    assert(diff === Map(2L -> "modified", 3L -> "removed", 4L -> "added"))
+  }
+
+  test("snapshotDiff: null-vs-value payload is modified, not added/removed") {
+    val prev = df(Seq(Row(1L, "a")), kv)
+    val curr = df(Seq(Row(1L, null)), kv)
+    val diff = TableChecks.snapshotDiff(curr, prev, "k", F.col("v")).collect()
+    assert(diff.length === 1 && diff(0).getString(1) === "modified")
+  }
+
   test("chiSquare: shifted distribution flags, identical passes") {
     val a = df((1L to 300L).map(i => Row(i, if (i % 3 == 0) "x" else "y")), kv)
     val same = df((1L to 300L).map(i => Row(i, if (i % 3 == 0) "x" else "y")), kv)

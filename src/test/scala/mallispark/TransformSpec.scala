@@ -65,6 +65,17 @@ class TransformSpec extends SparkSuite {
     assert(enc(0).startsWith("2024-03-01T10:00:00.000"))
   }
 
+  test("string->keyword decode prepends ':'; keyword->string encode strips it") {
+    val d = df(Seq(Row("abc"), Row(":kw"), Row(null)),
+      StructType(Seq(StructField("v", StringType))))
+    val dec = d.select(Transform.decode(SIdent("keyword"), F.col("v"),
+      StringType, Transform.StringMode).as("d")).collect().map(_.getString(0))
+    assert(dec.toSeq === Seq(":abc", ":kw", null))
+    val enc = d.select(Transform.encode(SIdent("keyword"), F.col("v"),
+      StringType).as("e")).collect().map(_.getString(0))
+    assert(enc.toSeq === Seq("abc", "kw", null))
+  }
+
   test("F12 defaults + strip-extra-keys (transform.cljc:460-528)") {
     val schema = SMap(Seq(
       Entry("a", SInt(), optional = true, default = Some(7L)),

@@ -413,7 +413,9 @@ object SparkEntry {
       val ev = dirtyEvents(s, dir)
         .select("event_id", "ts", "event_type", "value")
       val stage = java.nio.file.Files.createTempDirectory("stream_ev")
-      ev.write.mode("overwrite").parquet(stage.toString)
+      // few large files, not one per shuffle partition: the AvailableNow
+      // batch pays per-file listing/open overhead in the streaming source
+      ev.coalesce(4).write.mode("overwrite").parquet(stage.toString)
       val validated = mallispark.streaming.StreamingValidator
         .validateStream(s, eventsSchema, stage.toString, ev.schema)
       val win = mallispark.streaming.StreamingValidator
@@ -1046,11 +1048,18 @@ object SparkEntry {
           F.lit("band"), F.pmod(F.col("doc_id"), F.lit(5L))).as("meta_fixed"),
         F.map(F.concat(F.lit("k"), F.col("doc_id").cast(StringType)),
           F.col("n_chars")).as("meta_wide"))
-      val sch = mallispark.infer.Infer.infer(src,
-        mallispark.infer.Infer.Options(exact = true))
-      sch.entries.map(e =>
-          (e.key, inferTag(e.child), e.optional, enumCsv(e.child)))
-        .toDF("col", "inferred", "optional", "enum_vals").orderBy("col")
+      // exact mode is multi-pass (map-key explodes, enum collects) —
+      // persist the derived table so each pass reuses it instead of
+      // re-deriving split/md5 columns from the scan (infer materializes
+      // everything before returning, so unpersist is safe right after)
+      val cached = src.persist()
+      try {
+        val sch = mallispark.infer.Infer.infer(cached,
+          mallispark.infer.Infer.Options(exact = true))
+        sch.entries.map(e =>
+            (e.key, inferTag(e.child), e.optional, enumCsv(e.child)))
+          .toDF("col", "inferred", "optional", "enum_vals").orderBy("col")
+      } finally cached.unpersist(blocking = false)
     })
   )
 

@@ -43,6 +43,28 @@ class PlanSpec extends SparkSuite {
       s"not pushed: $pushed")
   }
 
+  test("snapshot diff shuffles only (key, digest) — payloads pruned at the scan") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = mallispark.checks.TableChecks
+      .snapshotDiff(d, d.where(F.col("doc_id") % 3 =!= 0), "doc_id",
+        F.col("text"))
+    // sparkPlan, not executedPlan: AQE wraps the join in
+    // AdaptiveSparkPlanExec whose children aren't visible to collect
+    val scans = diff.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    // every scan reads exactly the key + payload column — lang/source/
+    // n_chars never enter the plan, and the join input is (key, 64-hex
+    // digest), so full payloads never shuffle
+    scans.foreach { sc =>
+      assert(sc.requiredSchema.fieldNames.toSet === Set("doc_id", "text"),
+        s"scan reads ${sc.requiredSchema.fieldNames.mkString(",")}")
+    }
+    val plan = planOf(diff)
+    assert(plan.contains("FullOuter"), s"no full-outer join:\n$plan")
+  }
+
   test("broadcast join chosen for the small dimension side") {
     val plan = planOf(graft.SparkEntry.queries("join_priority_counts")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")

@@ -242,17 +242,19 @@ object SparkEntry {
         .orderBy("doc_id", "in_path")),
 
     // ---- recursive :ref schema over a fixed-depth comment tree
-    //      (knot-tying semantics core.cljc:1994-2008; depth-bounded
-    //      SRef expansion — the oracle unrolls the three levels) ----
+    //      (knot-tying semantics core.cljc:1994-2008; depth-bounded SRef
+    //      expansion — the oracle unrolls the three levels). The schema
+    //      is SELF-CONTAINED: the node definition travels in a :schema
+    //      wrapper's local {:registry ...} property (-property-registry,
+    //      core.cljc:322-324) instead of an ambient compile Ctx ----
     "v_recursive_ref" -> ((s, dir) => {
-      val reg = SchemaIR.Registry(Map("node" -> S.mapE(false,
-        S.req("v", S.intMin(0L)),
-        S.opt("kids", S.vector(S.ref("node"))))))
-      val rctx = SchemaCompiler.Ctx(reg, depth = 8)
-      val sch = S.mapE(false, S.req("doc_id", S.int),
-        S.req("tree", S.ref("node")))
+      val sch = S.scoped("node" -> S.mapE(false,
+          S.req("v", S.intMin(0L)),
+          S.opt("kids", S.vector(S.ref("node")))))(
+        S.mapE(false, S.req("doc_id", S.int),
+          S.req("tree", S.ref("node"))))
       SchemaCompiler.violationsDF(sch,
-          NestedDocs.deriveTree(t(s, dir, "documents")), Seq("doc_id"))(rctx)
+          NestedDocs.deriveTree(t(s, dir, "documents")), Seq("doc_id"))
         .select("doc_id", "schema_path", "in_path", "error_key")
         .orderBy("doc_id", "in_path")
     }),
@@ -435,6 +437,36 @@ object SparkEntry {
         .orderBy("win_start")
       val rows = res.collect().toIndexedSeq
       deleteRecursively(stage.toString)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+    }),
+
+    // ---- STATEFUL streaming dedup: flatMapGroupsWithState per-key state
+    //      across TWO AvailableNow catch-up passes — the second pass reads
+    //      only the new file (checkpoint) and its checkpointed state
+    //      suppresses keys already emitted in the first ----
+    "streaming_dedup" -> ((s, dir) => {
+      val p = pages(s, dir).select(F.col("url"), F.col("doc_id"))
+        .where(F.col("url").isNotNull)
+      val src = java.nio.file.Files.createTempDirectory("sdedup_src")
+      val sink = java.nio.file.Files.createTempDirectory("sdedup_out")
+      val ckpt = java.nio.file.Files.createTempDirectory("sdedup_ckpt")
+      def pass(batch: DataFrame): Unit = {
+        batch.coalesce(2).write.mode("append").parquet(src.toString)
+        val dd = mallispark.streaming.StreamingValidator.dedupStream(
+          s, src.toString, p.schema, "url", "doc_id")
+        val q = dd.writeStream.format("parquet")
+          .option("path", sink.toString)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      pass(p.where(F.col("doc_id") % 2 === 0))
+      pass(p.where(F.col("doc_id") % 2 =!= 0))
+      val res = s.read.parquet(sink.toString)
+        .select(F.col("url"), F.col("first_id")).orderBy("url")
+      val rows = res.collect().toIndexedSeq
+      Seq(src, sink, ckpt).map(_.toString).foreach(deleteRecursively)
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     }),
 
@@ -1660,6 +1692,21 @@ object SparkEntry {
          |    AND tts <= TIMESTAMP '2024-02-01 00:00:00'
          |    THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows
          |FROM dirty GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // stateful streaming dedup: batch A = even doc_ids, batch B = odd;
+    // emitted = min doc_id per url in A, plus min-in-B for urls A never saw
+    // (NOT EXISTS, not NOT IN — a NULL in the subquery would poison NOT IN)
+    "streaming_dedup" ->
+      s"""$P,
+         |a AS (SELECT url, min(doc_id) AS first_id FROM pages
+         |      WHERE url IS NOT NULL AND doc_id % 2 = 0 GROUP BY url),
+         |b AS (SELECT url, min(doc_id) AS first_id FROM pages
+         |      WHERE url IS NOT NULL AND doc_id % 2 <> 0 GROUP BY url)
+         |SELECT url, first_id FROM a
+         |UNION ALL
+         |SELECT b.url, b.first_id FROM b
+         |WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.url = b.url)
+         |ORDER BY url""".stripMargin,
 
     "stats_orders" -> Seq("o_custkey", "o_orderkey").map { c =>
       s"""SELECT '$c' AS column_name, CAST(count($c) AS BIGINT) AS cnt,

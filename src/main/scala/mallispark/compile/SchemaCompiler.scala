@@ -127,6 +127,8 @@ object SchemaCompiler {
       if (d > 0) reg.schemas.get(n).map(dataTypeOfD(_, d - 1))
         .getOrElse(StringType)
       else StringType
+    case SScoped(local, c) =>
+      dataTypeOfD(c, d)(Registry(reg.schemas ++ local, reg.maxDepth))
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
       dataTypeOf(mallispark.ir.SchemaOps.expand(alg, reg))
     case SCat(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
@@ -500,6 +502,12 @@ object SchemaCompiler {
         if (ctx.depth <= 0) F.lit(true) // depth-bounded unroll (SURVEY §7.1)
         else valid(ctx.registry(name), col, dt)(ctx.copy(depth = ctx.depth - 1))
 
+      // :schema with a local registry: layer the local names over the Ctx
+      // registry for the child subtree (local wins — -property-registry)
+      case SScoped(local, c) =>
+        valid(c, col, dt)(ctx.copy(registry =
+          Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
+
       // declarative :merge/:union/:select-keys (util.cljc:394-418):
       // structural expansion, then compile the result
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
@@ -841,6 +849,10 @@ object SchemaCompiler {
         if (ctx.depth <= 0) emptyViols
         else errors(ctx.registry(name), col, dt, path, in)(
           ctx.copy(depth = ctx.depth - 1))
+
+      case SScoped(local, c) =>
+        errors(c, col, dt, path, in)(ctx.copy(registry =
+          Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
 
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
         errors(mallispark.ir.SchemaOps.expand(alg, ctx.registry),

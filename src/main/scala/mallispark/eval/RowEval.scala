@@ -208,6 +208,8 @@ object RowEval {
     case SRef(name) =>
       if (depth <= 0) true
       else validate(reg(name), v)(reg, depth - 1)
+    case SScoped(local, c) =>
+      validate(c, v)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
       validate(mallispark.ir.SchemaOps.expand(alg, reg), v)
     // standalone :alt over a single value behaves like :or (bounded-form
@@ -528,6 +530,9 @@ object RowEval {
       case SRef(name) =>
         if (depth <= 0) Vector.empty
         else explain(reg(name), v, path, in)(reg, depth - 1)
+      case SScoped(local, c) =>
+        explain(c, v, path, in)(Registry(reg.schemas ++ local, reg.maxDepth),
+          depth)
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
         explain(mallispark.ir.SchemaOps.expand(alg, reg), v, path, in)
       // general (tier-3) forms: positional backtracking explainer —

@@ -121,6 +121,9 @@ object Generate {
     case SEnum(vs) =>
       F.element_at(F.array(vs.map(v => F.lit(v)): _*),
         (rnd(id, salt, vs.size) + 1).cast(IntegerType))
+    // local registry scopes only refs, which generation doesn't support —
+    // generate the child (a non-ref-bearing child works transparently)
+    case SScoped(_, c) => gen(c, id, salt)
     case SCompare(op, v) => op match {
       case ">" | ">=" => F.lit(v) + rnd(id, salt, 100) + lit1(op == ">")
       case "<" | "<=" => F.lit(v) - rnd(id, salt, 100) - lit1(op == "<")

@@ -108,6 +108,11 @@ object Export {
           obj("tag" -> esc(t), "schema" -> toJson(c)) })) ++
         df.map(x => "default" -> toJson(x)): _*)
     case SRef(n) => obj("type" -> esc("ref"), "name" -> esc(n))
+    case SScoped(reg, c) =>
+      obj("type" -> esc("schema"),
+        "registry" -> arr(reg.toSeq.sortBy(_._1).map { case (n, s) =>
+          obj("name" -> esc(n), "schema" -> toJson(s)) }),
+        "child" -> toJson(c))
     case SMergeOf(cs) => obj("type" -> esc("merge"), "children" -> arr(cs.map(toJson)))
     case SUnionOf(cs) => obj("type" -> esc("union"), "children" -> arr(cs.map(toJson)))
     case SSelectKeysOf(c, ks) => obj("type" -> esc("select-keys"),
@@ -285,6 +290,12 @@ object Export {
           tagged("branches"),
           m.get("default").map(x => fromAst(x.asInstanceOf[Map[String, Any]])))
       case "ref" => SRef(m("name").toString)
+      case "schema" => SScoped(
+        m("registry").asInstanceOf[Seq[Any]].map { x =>
+          val e = x.asInstanceOf[Map[String, Any]]
+          e("name").toString ->
+            fromAst(e("schema").asInstanceOf[Map[String, Any]])
+        }.toMap, child)
       case "merge" => SMergeOf(children)
       case "union" => SUnionOf(children)
       case "select-keys" => SSelectKeysOf(child,
@@ -494,6 +505,14 @@ object Export {
           branches)
         case ":ref" => SRef(rest.head match {
           case Sym(s) => s; case SStr(s) => s; case o => o.toString })
+        case ":schema" =>
+          val local = props.m.get(":registry") match {
+            case Some(Props(entries)) =>
+              entries.map { case (n, node) => n.stripPrefix(":") ->
+                convert(node) }
+            case _ => Map.empty[String, SchemaIR]
+          }
+          SScoped(local, convert(rest.head))
         case ":merge" => SMergeOf(children)
         case ":union" => SUnionOf(children)
         case ":select-keys" => SSelectKeysOf(convert(rest.head),
@@ -594,6 +613,13 @@ object Export {
     case STuple(cs) => obj("type" -> esc("array"),
       "prefixItems" -> arr(cs.map(toJsonSchema)),
       "minItems" -> cs.length.toString, "maxItems" -> cs.length.toString)
+    // recursive schemas: local registry → $defs, refs → $ref (the
+    // standard JSON-Schema recursion encoding; json-schema.cljc :ref)
+    case SScoped(reg, c) =>
+      obj("$defs" -> obj(reg.toSeq.sortBy(_._1)
+          .map { case (n, s) => n -> toJsonSchema(s) }: _*),
+        "allOf" -> arr(Seq(toJsonSchema(c))))
+    case SRef(n) => obj("$ref" -> esc(s"#/$$defs/$n"))
     case other => obj("$comment" -> esc(s"unmapped: ${SchemaIR.form(other)}"))
   }
 }

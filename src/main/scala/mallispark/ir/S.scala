@@ -147,6 +147,11 @@ object S {
 
   def ref(name: String): SchemaIR = SRef(name)
 
+  /** `:schema` with a local `{:registry {...}}` property — self-contained
+    * recursive schemas (core.cljc:2066-2152). */
+  def scoped(registry: (String, SchemaIR)*)(child: SchemaIR): SchemaIR =
+    SScoped(registry.toMap, child)
+
   /** Declarative schema-algebra nodes (util.cljc:394-418) — serializable,
     * expanded structurally at compile time. */
   def mergeOf(cs: SchemaIR*): SchemaIR = SMergeOf(cs)

@@ -206,6 +206,15 @@ object SchemaIR {
     * Compiled by depth-bounded inline expansion (SURVEY §7 hard-part 1). */
   final case class SRef(name: String) extends SchemaIR
 
+  /** `:schema` wrapper carrying a LOCAL `{:registry {...}}` property
+    * (core.cljc:2066-2152; -property-registry 322-324): scopes named
+    * schemas to this subtree, which makes RECURSIVE schemas
+    * self-contained serializable data — `:ref`s inside resolve against
+    * the local names (layered over the outer registry, local wins).
+    * Compilation extends the Ctx registry for the child subtree only. */
+  final case class SScoped(registry: Map[String, SchemaIR],
+                           child: SchemaIR) extends SchemaIR
+
   // ---- declarative schema-algebra nodes (malli.util proxy schemas,
   //      util.cljc:394-418) — expand structurally before compilation, so
   //      SERIALIZED schemas can carry merge/union/select-keys ----
@@ -376,6 +385,7 @@ object SchemaIR {
     case SPlus(c)       => Seq("0" -> c)
     case SOpt(c)        => Seq("0" -> c)
     case SRepeat(c, _, _) => Seq("0" -> c)
+    case SScoped(_, c)  => Seq("0" -> c)
     case _              => Seq.empty
   }
 
@@ -447,6 +457,10 @@ object SchemaIR {
       bs.map { case (t, c) => s"[$t ${form(c)}]" }
         .mkString(s"[:multi {:dispatch $n} ", " ", "]")
     case SRef(n) => s"[:ref $n]"
+    case SScoped(reg, c) =>
+      val entries = reg.toSeq.sortBy(_._1)
+        .map { case (n, s) => s":$n ${form(s)}" }.mkString(" ")
+      s"[:schema {:registry {$entries}} ${form(c)}]"
     case SMergeOf(cs) => cs.map(form).mkString("[:merge ", " ", "]")
     case SUnionOf(cs) => cs.map(form).mkString("[:union ", " ", "]")
     case SSelectKeysOf(c, ks) =>

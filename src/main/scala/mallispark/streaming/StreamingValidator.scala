@@ -58,4 +58,37 @@ object StreamingValidator {
       .groupBy(F.window(F.col(tsCol), window))
       .agg(F.count(F.lit(1)).as("rows"),
         F.sum(F.when(F.col("valid"), 1L).otherwise(0L)).as("valid_rows"))
+
+  /** STATEFUL streaming exact-dedup: emit each key's first sighting and
+    * suppress every later one — per-key state via flatMapGroupsWithState
+    * (the custom-state primitive; windowed aggs can't express "seen ever").
+    *
+    * Within one micro-batch a key's winner is its MIN id (deterministic at
+    * any parallelism — iterator order is not); across batches the
+    * checkpointed boolean state suppresses re-emission, so a catch-up run
+    * over new files emits only never-seen keys. State is one boolean per
+    * distinct key, hash-partitioned with the groupBy — at 10^12 rows the
+    * working set is bounded by distinct keys, not rows, and the state
+    * store scales with executors. */
+  def dedupStream(spark: SparkSession, sourceDir: String,
+                  sourceSchema: StructType, keyCol: String,
+                  idCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val in = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+    in.select(F.col(keyCol).cast(org.apache.spark.sql.types.StringType),
+        F.col(idCol).cast(org.apache.spark.sql.types.LongType))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, (String, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator((key, rows.map(_._2).min))
+          }
+      }
+      .toDF(keyCol, "first_id")
+  }
 }

@@ -206,6 +206,25 @@ class CoreValidationSpec extends SparkSuite {
       ("nope", false, Set(("", "", ":uuid")))))
   }
 
+  test(":schema with local registry: self-contained recursive validation") {
+    val sch = S.scoped("node" -> S.mapE(false,
+        S.req("v", S.intMin(0L)),
+        S.opt("kids", S.vector(S.ref("node")))))(S.ref("node"))
+    val kidT = StructType(Seq(StructField("v", LongType)))
+    val dt = StructType(Seq(StructField("v", LongType),
+      StructField("kids", ArrayType(kidT))))
+    // inner rows need their schema attached for the RowEval duality side
+    // (toScala only wraps the top level)
+    def kid(v: Long): Row =
+      new org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema(
+        Array[Any](v), kidT)
+    check(sch, dt, Seq(
+      (Row(1L, Seq(kid(2L))), true, Set.empty),
+      (Row(-1L, Seq(kid(2L))), false, Set(("v", "v", ":int"))),
+      (Row(1L, Seq(kid(-2L))), false,
+        Set(("kids/0/v", "kids/0/v", ":int")))))
+  }
+
   test("ident/char leaves: keyword/symbol string forms, one-code-point char") {
     check(S.keyword, StringType, Seq(
       (":en", true, Set.empty),

@@ -25,7 +25,10 @@ class ExportSpec extends AnyFunSuite {
     "idents" -> S.mapE(false,
       S.req("kw", S.keyword), S.req("qkw", S.qualifiedKeyword),
       S.req("sym", S.symbol), S.req("qsym", S.qualifiedSymbol),
-      S.req("ch", S.char)))
+      S.req("ch", S.char)),
+    "scoped-recursive" -> S.scoped("node" -> S.mapE(false,
+      S.req("v", S.intMin(0L)),
+      S.opt("kids", S.vector(S.ref("node")))))(S.ref("node")))
 
   test("ast JSON round-trips structurally (m/ast / m/from-ast)") {
     samples.foreach { case (name, s) =>

@@ -35,6 +35,39 @@ class StreamingSpec extends SparkSuite {
     assert(total > firstCount)
   }
 
+  test("stateful dedup: first sighting emitted once, later batches suppressed") {
+    val base = java.nio.file.Files.createTempDirectory("msdedup").toString
+    val src = s"$base/src"; val out = s"$base/out"; val cp = s"$base/cp"
+    val pages = WebPages.derive(
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+      .select(F.col("url"), F.col("doc_id")).where(F.col("url").isNotNull)
+
+    def pass(batch: org.apache.spark.sql.DataFrame): Unit = {
+      batch.coalesce(2).write.mode("append").parquet(src)
+      val q = StreamingValidator
+        .dedupStream(spark, src, batch.schema, "url", "doc_id")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    pass(pages.where(F.col("doc_id") % 2 === 0))
+    pass(pages.where(F.col("doc_id") % 2 =!= 0))
+
+    val got = spark.read.parquet(out).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // one row per distinct url; winner = min even doc_id when the url has
+    // one (batch A ran first), else min odd
+    val expect = pages.groupBy("url").agg(
+        F.min(F.when(F.col("doc_id") % 2 === 0, F.col("doc_id"))).as("e"),
+        F.min(F.when(F.col("doc_id") % 2 =!= 0, F.col("doc_id"))).as("o"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) r.getLong(2) else r.getLong(1))).toMap
+    assert(got === expect)
+  }
+
   test("windowed verdicts with watermark produce per-window counts") {
     val pages = WebPages.derive(
       spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))

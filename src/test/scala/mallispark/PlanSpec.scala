@@ -65,6 +65,28 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("FullOuter"), s"no full-outer join:\n$plan")
   }
 
+  test("bucketed tables join with no shuffle exchange (co-located layout)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang")
+    mallispark.run.Bucketing.writeBucketed(d, "bt_a", "doc_id", 4)
+    mallispark.run.Bucketing.writeBucketed(
+      d.withColumnRenamed("lang", "lang2"), "bt_b", "doc_id", 4)
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the join path a 10^12-row table would take (no broadcast)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("bt_a").join(spark.table("bt_b"), "doc_id")
+      val plan = j.queryExecution.sparkPlan.toString()
+      assert(plan.contains("SortMergeJoin"), s"not a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      spark.sql("DROP TABLE IF EXISTS bt_a")
+      spark.sql("DROP TABLE IF EXISTS bt_b")
+    }
+  }
+
   test("broadcast join chosen for the small dimension side") {
     val plan = planOf(graft.SparkEntry.queries("join_priority_counts")(spark, sf))
     assert(plan.contains("BroadcastHashJoin"), s"no broadcast join:\n$plan")

@@ -440,6 +440,35 @@ object SparkEntry {
       s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
     }),
 
+    // ---- :time/* string decode (experimental/time/transform.cljc):
+    //      ISO duration/period/local-date-time strings into native
+    //      intervals/NTZ, emitted as seconds/months/formatted text ----
+    "decode_time" -> ((s, dir) => {
+      val id = F.col("doc_id")
+      val src = t(s, dir, "documents").select(id,
+        F.when(id % 97 === 3, F.lit("nope")).otherwise(
+          F.concat(F.lit("PT"), (id % 5).cast(StringType), F.lit("H"),
+            (id % 60).cast(StringType), F.lit("M"))).as("dur"),
+        F.when(id % 89 === 7, F.lit("P1W")).otherwise(
+          F.concat(F.lit("P"), (id % 3).cast(StringType), F.lit("Y"),
+            (id % 12).cast(StringType), F.lit("M"))).as("per"),
+        F.when(id % 101 === 11, F.lit("not-a-date")).otherwise(
+          F.concat(F.lit("2024-03-"),
+            F.lpad(((id % 28) + 1).cast(StringType), 2, "0"),
+            F.lit("T"), F.lpad((id % 24).cast(StringType), 2, "0"),
+            F.lit(":30:00"))).as("ldt"))
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("dur", S.duration()), S.req("per", S.period()),
+        S.req("ldt", S.localDateTime()))
+      Transform.decodeDF(sch.asInstanceOf[SchemaIR.SMap], src,
+          Transform.StringMode)
+        .select(id,
+          F.col("dur").cast(LongType).as("dur_secs"),
+          F.col("per").cast(IntegerType).cast(LongType).as("per_months"),
+          F.date_format(F.col("ldt"), "yyyy-MM-dd HH:mm:ss").as("ldt_str"))
+        .orderBy("doc_id")
+    }),
+
     // ---- STATEFUL streaming dedup: flatMapGroupsWithState per-key state
     //      across TWO AvailableNow catch-up passes — the second pass reads
     //      only the new file (checkpoint) and its checkpointed state
@@ -1692,6 +1721,26 @@ object SparkEntry {
          |    AND tts <= TIMESTAMP '2024-02-01 00:00:00'
          |    THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows
          |FROM dirty GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // :time string decode — injections mirrored by predicate, ldt via
+    // DuckDB timestamp cast + strftime
+    "decode_time" ->
+      """WITH src AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 101 = 11 THEN 'not-a-date'
+        |         ELSE '2024-03-' || lpad(CAST((doc_id % 28) + 1 AS VARCHAR), 2, '0')
+        |              || 'T' || lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0')
+        |              || ':30:00' END AS ldt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 97 = 3 THEN NULL
+        |       ELSE (doc_id % 5) * 3600 + (doc_id % 60) * 60 END AS dur_secs,
+        |  CASE WHEN doc_id % 89 = 7 THEN NULL
+        |       ELSE (doc_id % 3) * 12 + (doc_id % 12) END AS per_months,
+        |  CASE WHEN doc_id % 101 = 11 THEN NULL
+        |       ELSE strftime(CAST(ldt AS TIMESTAMP), '%Y-%m-%d %H:%M:%S')
+        |       END AS ldt_str
+        |FROM src ORDER BY doc_id""".stripMargin,
 
     // stateful streaming dedup: batch A = even doc_ids, batch B = odd;
     // emitted = min doc_id per url in A, plus min-in-B for urls A never saw

@@ -96,6 +96,32 @@ object Transform {
               col)
           case _ => col
         }
+      // :time/* string decoders (experimental/time/transform.cljc:56-62
+      // default-parsers) — ISO-8601 strings into the native interval / NTZ
+      // types, pure Column arithmetic (no UDF). Failure → null (this
+      // engine's string->X convention; the reference's -safe keeps the
+      // input). Subsets match the physical types: durations without
+      // fractional seconds ("PnDTnHnMnS"), periods years/months only
+      // ("PnYnM" — Spark's YearMonthInterval has no day field).
+      case STime("duration", _, _) if dt == StringType =>
+        val re = "^P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?$"
+        def g(i: Int) = F.coalesce(
+          F.nullif(F.regexp_extract(col, re, i), F.lit("")), F.lit("0"))
+          .cast(IntegerType)
+        F.when(col.rlike(re),
+          F.make_dt_interval(g(1), g(2), g(3),
+            g(4).cast(DecimalType(18, 6))))
+      case STime("period", _, _) if dt == StringType =>
+        val re = "^P(?:(\\d+)Y)?(?:(\\d+)M)?$"
+        def g(i: Int) = F.coalesce(
+          F.nullif(F.regexp_extract(col, re, i), F.lit("")), F.lit("0"))
+          .cast(IntegerType)
+        F.when(col.rlike(re), F.make_ym_interval(g(1), g(2)))
+      case STime("local-date-time", _, _) if dt == StringType =>
+        F.coalesce(
+          F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss")),
+          F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSS")))
+          .cast(TimestampNTZType)
       case _: SString =>
         dt match {
           case StringType => col
@@ -138,6 +164,14 @@ object Transform {
       // keyword→string encode drops the leading ':' (m/encode keyword?
       // string-transformer — transform.cljc:432 -keyword->string)
       F.regexp_replace(col, "^:", "")
+    // interval→ISO-8601 encode (experimental/time/transform.cljc:81-89):
+    // emitted in total-seconds / total-months form ("PT3723S", "P14M") —
+    // a valid ISO rendering that parses back to the equal value (the
+    // reference's str emits the mixed form; round-trip equality holds)
+    case STime("duration", _, _) if dt.isInstanceOf[DayTimeIntervalType] =>
+      F.concat(F.lit("PT"), col.cast(LongType).cast(StringType), F.lit("S"))
+    case STime("period", _, _) if dt.isInstanceOf[YearMonthIntervalType] =>
+      F.concat(F.lit("P"), col.cast(IntegerType).cast(StringType), F.lit("M"))
     case _: SDate => F.date_format(col, "yyyy-MM-dd")
     case SBinary => F.base64(col)
     case _ if dt == StringType => col

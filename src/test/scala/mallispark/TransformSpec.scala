@@ -76,6 +76,38 @@ class TransformSpec extends SparkSuite {
     assert(enc.toSeq === Seq("abc", "kw", null))
   }
 
+  test(":time decoders: ISO strings -> intervals/NTZ, round-trip via encode") {
+    val d = df(Seq(Row("PT1H2M3S"), Row("P2DT1H"), Row("nope"), Row(null)),
+      StructType(Seq(StructField("v", StringType))))
+    val dur = d.select(Transform.decode(STime("duration"), F.col("v"),
+      StringType, Transform.StringMode).as("d"))
+    assert(dur.schema.head.dataType.isInstanceOf[DayTimeIntervalType])
+    val secs = dur.select(F.col("d").cast(LongType)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getLong(0))
+    assert(secs.toSeq === Seq(3723L, 2 * 86400L + 3600L, null, null))
+    // encode(decode(s)) parses back to the equal duration
+    val enc = dur.select(Transform.encode(STime("duration"), F.col("d"),
+      DayTimeIntervalType()).as("e")).collect().map(_.getString(0))
+    assert(enc(0) === "PT3723S" && enc(1) === "PT176400S")
+
+    val p = df(Seq(Row("P1Y2M"), Row("P3M"), Row("P1W")),
+      StructType(Seq(StructField("v", StringType))))
+    val per = p.select(Transform.decode(STime("period"), F.col("v"),
+      StringType, Transform.StringMode).as("d"))
+    val months = per.select(F.col("d").cast(IntegerType)).collect()
+      .map(r => if (r.isNullAt(0)) null else r.getInt(0))
+    assert(months.toSeq === Seq(14, 3, null)) // weeks outside the Y/M subset
+
+    val l = df(Seq(Row("2024-03-01T10:30:00"), Row("bad")),
+      StructType(Seq(StructField("v", StringType))))
+    val ldt = l.select(Transform.decode(STime("local-date-time"), F.col("v"),
+      StringType, Transform.StringMode).as("d"))
+    assert(ldt.schema.head.dataType === TimestampNTZType)
+    val shown = ldt.select(F.date_format(F.col("d"), "yyyy-MM-dd HH:mm:ss"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    assert(shown.toSeq === Seq("2024-03-01 10:30:00", null))
+  }
+
   test("F12 defaults + strip-extra-keys (transform.cljc:460-528)") {
     val schema = SMap(Seq(
       Entry("a", SInt(), optional = true, default = Some(7L)),

@@ -241,6 +241,20 @@ object SparkEntry {
         .select("doc_id", "schema_path", "in_path", "error_key")
         .orderBy("doc_id", "in_path")),
 
+    // ---- fixed-key :map over a PHYSICAL MapType column: missing-key /
+    //      child errors on declared keys, ::m/default rest-entry over the
+    //      runtime stray key (its name lands in the schema path) ----
+    "v_map_fixed" -> ((s, dir) => {
+      val n = NestedDocs.derive(t(s, dir, "documents"))
+        .select("doc_id", "kvs")
+      val inner = S.mapRest(S.int(0L, 9L),
+        S.req("k0", S.int(0L, 49L)), S.req("k1", S.int(0L, 50L)))
+      val sch = S.mapE(false, S.req("doc_id", S.int), S.req("kvs", inner))
+      SchemaCompiler.violationsDF(sch, n, Seq("doc_id"))
+        .select("doc_id", "schema_path", "in_path", "error_key")
+        .orderBy("doc_id", "schema_path")
+    }),
+
     // ---- recursive :ref schema over a fixed-depth comment tree
     //      (knot-tying semantics core.cljc:1994-2008; depth-bounded SRef
     //      expansion — the oracle unrolls the three levels). The schema
@@ -1407,6 +1421,24 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
          |  count(*) = sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS pass
          |FROM pages GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // fixed-key map over MapType kvs: k0=(d*13)%50, k1=99 when d%29=10
+    // else (d*13+1)%50, k2=(d*13+2)%50; empty map when d%31=12
+    "v_map_fixed" ->
+      """WITH viol AS (
+        |  SELECT doc_id, 'kvs/k0' AS schema_path, 'kvs/k0' AS in_path,
+        |    'malli.core/missing-key' AS error_key
+        |  FROM documents WHERE doc_id % 31 = 12
+        |  UNION ALL
+        |  SELECT doc_id, 'kvs/k1', 'kvs/k1', 'malli.core/missing-key'
+        |  FROM documents WHERE doc_id % 31 = 12
+        |  UNION ALL
+        |  SELECT doc_id, 'kvs/k1', 'kvs/k1', ':int'
+        |  FROM documents WHERE doc_id % 31 <> 12 AND doc_id % 29 = 10
+        |  UNION ALL
+        |  SELECT doc_id, 'kvs/malli.core/default/k2', 'kvs/k2', ':int'
+        |  FROM documents WHERE doc_id % 31 <> 12 AND (doc_id * 13 + 2) % 50 > 9)
+        |SELECT * FROM viol ORDER BY doc_id, schema_path""".stripMargin,
 
     // ident/char leaves: regexes shared verbatim with SchemaCompiler.IdentRes
     "v_ident_violations" ->

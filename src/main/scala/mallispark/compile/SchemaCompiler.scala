@@ -50,6 +50,32 @@ object SchemaCompiler {
   private def one(path: String, in: Column, key: String, value: Column): Column =
     F.array(viol(path, in, key, value)).cast(violArrType)
 
+  /** Violation whose schema-path tail is RUNTIME data (MapType stray keys;
+    * in StructType maps every key is static so `one` suffices). */
+  private def oneD(path: Column, in: Column, key: String, value: Column): Column =
+    F.array(F.struct(
+      F.coalesce(path.cast(StringType), F.lit("")).as("path"),
+      F.coalesce(in, F.lit("")).as("in"),
+      F.lit(key).as("error_key"),
+      value.cast(StringType).as("value"))).cast(violArrType)
+
+  /** Dynamic schema-path join (runtime map-key segment). */
+  private def jD(path: String, seg: Column): Column =
+    if (path.isEmpty) seg.cast(StringType)
+    else F.concat(F.lit(path + "/"), seg.cast(StringType))
+
+  /** Prepend a runtime prefix to every violation's schema path — lets a
+    * subtree compiled with an EMPTY static path (rest-entry errors under a
+    * runtime map key) be re-rooted after the fact. */
+  private def prependPath(viols: Column, prefix: Column): Column =
+    F.transform(viols, e => F.struct(
+      F.when(F.length(e.getField("path")) === 0, prefix)
+        .otherwise(F.concat(prefix, F.lit("/"), e.getField("path")))
+        .as("path"),
+      e.getField("in").as("in"),
+      e.getField("error_key").as("error_key"),
+      e.getField("value").as("value"))).cast(violArrType)
+
   /** Schema-path join (static). */
   private def j(path: String, seg: String): String =
     if (path.isEmpty) seg else path + "/" + seg
@@ -431,6 +457,40 @@ object SchemaCompiler {
             col.isNotNull &&
               (checks ++ closedChecks ++ restChecks)
                 .foldLeft(F.lit(true))(_ && _)
+
+          // fixed-key :map over a MapType column (malli maps ARE open
+          // string-keyed maps; parquet map<string, V> is their physical
+          // shape when keys vary by row). Entry lookup via try_element_at
+          // (ANSI element_at throws on absent keys); the missing-vs-null
+          // conflation matches RowEval's asMap semantics, and stray-key
+          // checks skip null values exactly like the StructType branch.
+          case mt: MapType if mt.keyType == StringType =>
+            val vt = mt.valueType
+            val known = entries.map(_.key)
+            def knownK(kc: Column): Column =
+              if (known.isEmpty) F.lit(false) else kc.isin(known: _*)
+            val checks = entries.map { e =>
+              val vCol = F.try_element_at(col, F.lit(e.key))
+              if (e.optional) {
+                if (onlyNullCheck(e.child, vt)) F.lit(true)
+                else vCol.isNull || valid(e.child, vCol, vt)
+              } else if (acceptsNull(e.child)) valid(e.child, vCol, vt)
+              else vCol.isNotNull && valid(e.child, vCol, vt)
+            }
+            val extraOk =
+              if (!closed) F.lit(true)
+              else F.coalesce(F.forall(F.map_entries(col), kv =>
+                knownK(kv.getField("key")) || kv.getField("value").isNull),
+                F.lit(true))
+            val restOk = rest match {
+              case None => F.lit(true)
+              case Some(r) => F.coalesce(F.forall(F.map_entries(col), kv =>
+                knownK(kv.getField("key")) || kv.getField("value").isNull ||
+                  valid(r, kv.getField("value"), vt)), F.lit(true))
+            }
+            col.isNotNull &&
+              checks.foldLeft(extraOk && restOk)(_ && _)
+
           case _ => F.lit(false)
         }
 
@@ -751,6 +811,51 @@ object SchemaCompiler {
             }
             F.when(col.isNull, nullErr)
               .otherwise(concatViols(perEntry ++ extras ++ restErrs))
+
+          // fixed-key :map over MapType — mirror of the valid() branch;
+          // stray keys carry the RUNTIME key in the schema path (RowEval
+          // parity: path :+ k), via oneD/jD/prependPath
+          case mt: MapType if mt.keyType == StringType =>
+            val vt = mt.valueType
+            val known = entries.map(_.key)
+            def knownK(kc: Column): Column =
+              if (known.isEmpty) F.lit(false) else kc.isin(known: _*)
+            val nullErr = one(path, in, ErrorKeys.InvalidType,
+              F.lit(null).cast(StringType))
+            val perEntry = entries.map { e =>
+              val p = j(path, e.key)
+              val i2 = jin(in, e.key)
+              val vCol = F.try_element_at(col, F.lit(e.key))
+              val childErrs = errors(e.child, vCol, vt, p, i2)
+              if (e.optional) F.when(vCol.isNull, emptyViols).otherwise(childErrs)
+              else if (acceptsNull(e.child)) childErrs
+              else F.when(vCol.isNull,
+                one(p, i2, ErrorKeys.MissingKey, F.lit(null).cast(StringType)))
+                .otherwise(childErrs)
+            }
+            val extras: Seq[Column] =
+              if (!closed) Seq.empty
+              else Seq(F.flatten(F.transform(F.map_entries(col), kv =>
+                F.when(!knownK(kv.getField("key")) &&
+                    kv.getField("value").isNotNull,
+                  oneD(jD(path, kv.getField("key")),
+                    jin(in, kv.getField("key")), ErrorKeys.ExtraKey,
+                    valueStr(kv.getField("value"), vt)))
+                  .otherwise(emptyViols))))
+            val restErrs: Seq[Column] = rest match {
+              case None => Seq.empty
+              case Some(r) => Seq(F.flatten(F.transform(F.map_entries(col), kv =>
+                F.when(!knownK(kv.getField("key")) &&
+                    kv.getField("value").isNotNull,
+                  prependPath(
+                    errors(r, kv.getField("value"), vt, "",
+                      jin(in, kv.getField("key"))),
+                    jD(j(path, "malli.core/default"), kv.getField("key"))))
+                  .otherwise(emptyViols))))
+            }
+            F.when(col.isNull, nullErr)
+              .otherwise(concatViols(perEntry ++ extras ++ restErrs))
+
           case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
         }
 

@@ -206,6 +206,25 @@ class CoreValidationSpec extends SparkSuite {
       ("nope", false, Set(("", "", ":uuid")))))
   }
 
+  test(":map schema over a MapType column (fixed keys as physical map data)") {
+    val mt = MapType(StringType, LongType)
+    val closedSch = S.mapE(true,
+      S.req("a", S.int(0L, 10L)), S.opt("b", S.intMin(5L)))
+    check(closedSch, mt, Seq(
+      (Map("a" -> 3L), true, Set.empty),
+      (Map("a" -> 3L, "b" -> 7L), true, Set.empty),
+      (Map("b" -> 7L), false, Set(("a", "a", "malli.core/missing-key"))),
+      (Map("a" -> 20L), false, Set(("a", "a", ":int"))),
+      // stray key: runtime key lands in the schema path (RowEval parity)
+      (Map("a" -> 3L, "x" -> 1L), false,
+        Set(("x", "x", "malli.core/extra-key")))))
+    val restSch = S.mapRest(S.int(0L, 5L), S.req("a", S.int))
+    check(restSch, mt, Seq(
+      (Map("a" -> 1L, "z" -> 4L), true, Set.empty),
+      (Map("a" -> 1L, "z" -> 9L), false,
+        Set(("malli.core/default/z", "z", ":int")))))
+  }
+
   test(":schema with local registry: self-contained recursive validation") {
     val sch = S.scoped("node" -> S.mapE(false,
         S.req("v", S.intMin(0L)),

@@ -660,6 +660,16 @@ object SparkEntry {
       TableChecks.ksExact(t(s, dir, "events"), "value",
         F.col("event_id") % 2 === 0)),
 
+    // rows-only (no oracle): the percentile_approx-sketch KS — the 100-TB
+    // scale path (ksExact above is the oracle path). Sketches differ per
+    // engine; exactness is covered by the TableChecksSpec unit bounds
+    "drift_ks_sketch" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      TableChecks.ksStatistic(
+        ev.where(F.col("event_id") % 2 === 0),
+        ev.where(F.col("event_id") % 2 =!= 0), "value")
+    }),
+
     // ---- transformers (decode / coerce) ----
     "decode_strings" -> ((s, dir) => {
       import mallispark.ir.SchemaIR.{SInt, SBoolean}

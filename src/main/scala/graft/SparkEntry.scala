@@ -227,6 +227,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- the per-snapshot validation report: verdicts + violation
+    //      counts + snapshot diff + frequency table in ONE composed run
+    //      (the job a scheduler appends alongside each snapshot commit) ----
+    "snapshot_report" -> ((s, dir) => {
+      val p = pages(s, dir)
+      val prev = p.where(F.col("doc_id") % 97 =!= 3)
+        .withColumn("text",
+          F.when(F.col("doc_id") % 101 === 11,
+            F.concat(F.col("text"), F.lit("~old"))).otherwise(F.col("text")))
+      val curr = p.where(F.col("doc_id") % 89 =!= 7)
+      ValidationJob.snapshotReport(curr, prev, WebPages.schema,
+          "doc_id", F.col("text"), "lang")
+        .orderBy("metric")
+    }),
+
     // ---- collection / nested validation (vector/set/tuple/map-of) ----
     "v_nested_violations" -> ((s, dir) =>
       SchemaCompiler.violationsDF(nestedSchema,
@@ -1524,6 +1539,42 @@ object SparkEntry {
          |  FROM pages)
          |SELECT p.doc_id FROM pages p JOIN prev ON p.doc_id = prev.doc_id
          |WHERE md5(p.text) <> md5(prev.text) ORDER BY p.doc_id""".stripMargin,
+
+    "snapshot_report" ->
+      s"""$P,
+         |curr AS (SELECT * FROM pages WHERE doc_id % 89 <> 7),
+         |prev AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 101 = 11 THEN text || '~old' ELSE text END AS text
+         |  FROM pages WHERE doc_id % 97 <> 3),
+         |viol AS (
+         |  SELECT ':re' AS ek FROM curr
+         |    WHERE NOT regexp_matches(url, '^https?://[^\\s]+$$')
+         |  UNION ALL SELECT ':time/instant' FROM curr
+         |    WHERE warc_ts < TIMESTAMP '2025-01-01 00:00:00'
+         |       OR warc_ts > TIMESTAMP '2026-05-01 00:00:00'
+         |  UNION ALL SELECT ':string' FROM curr WHERE length(text) < 1
+         |  UNION ALL SELECT ':enum' FROM curr
+         |    WHERE lang NOT IN ('en','de','fr','es','zh')),
+         |diffv AS (
+         |  SELECT CASE WHEN pv.doc_id IS NULL THEN 'added'
+         |              WHEN c.doc_id IS NULL THEN 'removed'
+         |              WHEN c.text <> pv.text THEN 'modified' END AS change
+         |  FROM curr c FULL OUTER JOIN prev pv ON c.doc_id = pv.doc_id
+         |  WHERE pv.doc_id IS NULL OR c.doc_id IS NULL OR c.text <> pv.text)
+         |SELECT 'rows_total' AS metric, CAST(count(*) AS BIGINT) AS value
+         |  FROM curr
+         |UNION ALL
+         |SELECT 'rows_valid', CAST(sum(CASE WHEN $validSql
+         |  THEN 1 ELSE 0 END) AS BIGINT) FROM curr
+         |UNION ALL
+         |SELECT 'viol:' || ek, CAST(count(*) AS BIGINT) FROM viol GROUP BY 1
+         |UNION ALL
+         |SELECT 'diff:' || change, CAST(count(*) AS BIGINT) FROM diffv
+         |  GROUP BY 1
+         |UNION ALL
+         |SELECT 'freq:lang:' || lang, CAST(count(*) AS BIGINT) FROM curr
+         |  GROUP BY 1
+         |ORDER BY metric""".stripMargin,
 
     "snapshot_diff" ->
       s"""$P,

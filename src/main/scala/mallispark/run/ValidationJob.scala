@@ -117,6 +117,41 @@ object ValidationJob {
       .dropDuplicates()
   }
 
+  /** The per-snapshot validation report (north rule: metrics written
+    * alongside each snapshot commit): ONE composed run over the new
+    * snapshot — schema verdicts, violation counts by error key,
+    * added/removed/modified counts vs the previous snapshot, and the
+    * categorical frequency table drift feeds on — emitted as a tiny
+    * (metric, value) frame a scheduler appends per commit.
+    *
+    * Scale: verdict + violation aggregation are map-side-combined scans of
+    * the new snapshot; the diff joins (key, digest) projections only; the
+    * frequency table is one partial+final agg. Nothing here shuffles
+    * payloads, and every output is integer-exact (oracle-portable). */
+  def snapshotReport(curr: DataFrame, prev: DataFrame, schema: SchemaIR,
+                     keyCol: String, payload: Column, freqCol: String)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): DataFrame = {
+    val flagged = SchemaCompiler.validateDF(schema, curr, "valid")
+    val verdicts = flagged.agg(
+      F.count(F.lit(1)).as("rows"),
+      F.sum(F.when(F.col("valid"), 1L).otherwise(0L)).as("valid_rows"))
+      .select(F.explode(F.map(
+        F.lit("rows_total"), F.col("rows"),
+        F.lit("rows_valid"), F.col("valid_rows"))).as(Seq("metric", "value")))
+    val viols = SchemaCompiler.violationsDF(schema, curr, Seq(keyCol))
+      .groupBy(F.concat(F.lit("viol:"), F.col("error_key")).as("metric"))
+      .agg(F.count(F.lit(1)).as("value"))
+    val diff = mallispark.checks.TableChecks
+      .snapshotDiff(curr, prev, keyCol, payload)
+      .groupBy(F.concat(F.lit("diff:"), F.col("change")).as("metric"))
+      .agg(F.count(F.lit(1)).as("value"))
+    val freqs = curr.groupBy(
+        F.concat(F.lit(s"freq:$freqCol:"), F.col(freqCol)).as("metric"))
+      .agg(F.count(F.lit(1)).as("value"))
+    verdicts.unionByName(viols).unionByName(diff).unionByName(freqs)
+      .select(F.col("metric"), F.col("value").cast(LongType).as("value"))
+  }
+
   /** Salted per-key aggregation for skewed keys (lang/host — SURVEY §4):
     * two-phase count with a salt on the hot dimension so no single reducer
     * owns a hot key. At 10^12 rows the first phase fans a hot lang across

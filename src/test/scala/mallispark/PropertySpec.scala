@@ -125,6 +125,40 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("duality on MapType :map — random maps (stray keys, nulls) agree across engines") {
+    val mdt = MapType(StringType, LongType)
+    val schemas = Seq(
+      // open with rest-entry: stray values must satisfy [:int {:max 5}]
+      S.mapRest(S.int(0L, 5L),
+        S.req("a", S.int(0L, 10L)), S.opt("b", S.intMin(3L))),
+      // closed: stray non-null values are ::m/extra-key
+      S.mapE(true, S.req("a", S.int(0L, 10L)), S.opt("b", S.intMin(3L))))
+    val genMap: Gen[Map[String, Any]] = for {
+      keys <- Gen.someOf("a", "b", "x", "y")
+      vals <- Gen.listOfN(keys.size,
+        Gen.oneOf(Gen.chooseNum(-2L, 12L).map(l => l: Any), Gen.const(null: Any)))
+    } yield keys.zip(vals).toMap
+    val maps = Gen.listOfN(150, genMap).sample.get
+    schemas.foreach { sch =>
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](maps.map(m => Row(m)).asJava),
+        StructType(Seq(StructField("v", mdt))))
+      val catalyst = df.select(
+        SchemaCompiler.valid(sch, F.col("v"), mdt).as("ok"),
+        SchemaCompiler.errors(sch, F.col("v"), mdt, "", F.lit("")).as("e"))
+        .collect().toSeq.map { r =>
+          (r.getBoolean(0), r.getSeq[Row](1).map(e =>
+            (e.getString(0), e.getString(1), e.getString(2))).toSet)
+        }
+      maps.zip(catalyst).foreach { case (m, (ok, errs)) =>
+        assert(RowEval.validate(sch, m) === ok, s"valid mismatch on $m")
+        val re = RowEval.explain(sch, m).map(e =>
+          (e.path.mkString("/"), e.in.mkString("/"), e.key)).toSet
+        assert(re === errs, s"errors mismatch on $m: roweval $re vs $errs")
+      }
+    }
+  }
+
   test("duality: Catalyst and RowEval agree on random (possibly invalid) rows") {
     val genAny: Gen[Row] = for {
       a <- Gen.oneOf(Gen.chooseNum(-100L, 2000L), Gen.const(null))

@@ -185,7 +185,7 @@ object RowEval {
     case SEvery(c, mn, mx, limit) => asSeq(v).exists(xs =>
       mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
         xs.take(everyLimit(mn, mx, limit)).forall(validate(c, _)))
-    case STuple(cs) => asSeq(v).exists(xs =>
+    case STuple(cs) => asTupleSeq(v).exists(xs =>
       xs.size == cs.size && cs.zip(xs).forall { case (c, x) => validate(c, x) })
     case SMulti(dk, bs, default) => asMap(v) match {
       case None => false
@@ -483,7 +483,7 @@ object RowEval {
               explain(c, x, path :+ "0", in :+ i.toString)
             }
       }
-      case STuple(cs) => asSeq(v) match {
+      case STuple(cs) => asTupleSeq(v) match {
         case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
         case Some(xs) =>
           if (xs.size != cs.size)
@@ -672,16 +672,31 @@ object RowEval {
   }
 
   private def asMap(v: Any): Option[Map[String, Any]] = v match {
-    case m: Map[_, _] => Some(m.map { case (k, x) => String.valueOf(k) -> (x: Any) })
+    case m: scala.collection.Map[_, _] =>
+      Some(m.toMap.map { case (k, x) => String.valueOf(k) -> (x: Any) })
     case r: org.apache.spark.sql.Row if r.schema != null =>
       Some(r.schema.fieldNames.zip(r.toSeq).toMap)
     case _ => None
   }
 
+  // NB `Seq`/`Map` unqualified are the IMMUTABLE aliases in Scala 2.13 —
+  // Spark's Row.getSeq / collected arrays are mutable.ArraySeq, which a
+  // bare `case s: Seq[_]` silently rejects (caught by the random-schema
+  // duality property). Match the collection roots.
   private def asSeq(v: Any): Option[Seq[Any]] = v match {
-    case s: Seq[_] => Some(s)
+    case s: scala.collection.Seq[_] => Some(s.toSeq)
     case a: Array[_] => Some(a.toSeq)
-    case s: Set[_] => Some(s.toSeq)
+    case s: scala.collection.Set[_] => Some(s.toSeq)
     case _ => None
+  }
+
+  /** Tuples additionally accept a struct Row positionally — the engine's
+    * PHYSICAL form of a heterogeneous tuple (ANSI `array(a, b)` would
+    * runtime-cast mixed types, so the compiler and generator use structs;
+    * the Catalyst STuple branch matches StructType the same way). Only
+    * tuples widen like this: a Row is NOT a :vector/:set value. */
+  private def asTupleSeq(v: Any): Option[Seq[Any]] = v match {
+    case r: org.apache.spark.sql.Row => Some(r.toSeq)
+    case other => asSeq(other)
   }
 }

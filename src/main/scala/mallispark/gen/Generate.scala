@@ -131,7 +131,7 @@ object Generate {
       case "not=" => F.lit(v) + rnd(id, salt, 100) + F.lit(1)
     }
     case SMaybe(c) =>
-      F.when(rnd(id, salt, 4) === 0, F.lit(null).cast(dataTypeFor(c)))
+      F.when(rnd(id, salt, 4) === 0, F.lit(null).cast(genTypeFor(c)))
         .otherwise(gen(c, id, salt + 1))
     case SAnd(cs) => gen(cs.head, id, salt) // first child governs (malli's
       // such-that filter is replaced by: author puts the generative child
@@ -150,7 +150,7 @@ object Generate {
         val v = gen(e.child, id, salt + 13 * (i + 1))
         (if (e.optional)
           F.when(rnd(id, salt + 17 * (i + 1), 4) === 0,
-            F.lit(null).cast(dataTypeFor(e.child))).otherwise(v)
+            F.lit(null).cast(genTypeFor(e.child))).otherwise(v)
         else v).as(e.key)
       }: _*)
     case SMapOf(k, v, mn, mx) =>
@@ -194,14 +194,14 @@ object Generate {
           val cand = F.array_distinct(F.transform(
             F.sequence(F.lit(1), F.greatest(n * 4, F.lit(1))),
             i => gen(c, F.xxhash64(id, i), salt + 2)))
-          F.when(n === 0, F.array().cast(ArrayType(dataTypeFor(c))))
+          F.when(n === 0, F.array().cast(ArrayType(genTypeFor(c))))
             .otherwise(F.slice(cand, F.lit(1), n))
       }
     case STuple(cs) =>
       // homogeneous → array; heterogeneous → struct (ANSI would otherwise
       // coerce array(string, bigint) to array<bigint> with runtime casts;
       // the validator handles tuples over StructType positionally)
-      if (cs.map(dataTypeFor).distinct.size == 1)
+      if (cs.map(genTypeFor).distinct.size == 1)
         F.array(cs.zipWithIndex.map { case (c, i) => gen(c, id, salt + i + 1) }: _*)
       else
         F.struct(cs.zipWithIndex.map { case (c, i) =>
@@ -239,7 +239,7 @@ object Generate {
   private def genColl(c: SchemaIR, id: Column, salt: Int, mn: Option[Int],
                       mx: Option[Int]): Column = {
     val n = sizeIn(id, salt, mn, mx)
-    F.when(n === 0, F.array().cast(ArrayType(dataTypeFor(c))))
+    F.when(n === 0, F.array().cast(ArrayType(genTypeFor(c))))
       .otherwise(F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
         i => gen(c, F.xxhash64(id, i), salt + 2)))
   }
@@ -254,6 +254,29 @@ object Generate {
     // validate∘generate law
     F.substring(F.concat(base, F.repeat(F.lit("x"), math.max(mx, 1))),
       F.lit(1), F.greatest(len, F.lit(mn)).cast(IntegerType))
+  }
+
+  /** The physical type gen() actually EMITS. Differs from the compiler's
+    * natural mapping for heterogeneous tuples: gen emits a struct (ANSI
+    * array(a, b) would runtime-cast mixed types), while dataTypeOf's
+    * natural tuple type is the head-typed array — using the latter for
+    * null/empty-array casts made CASE branches type-clash (caught by the
+    * random-schema property). */
+  private def genTypeFor(ir: SchemaIR): DataType = ir match {
+    case STuple(cs) =>
+      val ts = cs.map(genTypeFor)
+      if (ts.distinct.size == 1) ArrayType(ts.head)
+      else StructType(ts.zipWithIndex.map { case (t, i) =>
+        StructField(s"_${i + 1}", t) })
+    case SVector(c, _, _) => ArrayType(genTypeFor(c))
+    case SSet(c, _, _) => ArrayType(genTypeFor(c))
+    case SEvery(c, _, _, _) => ArrayType(genTypeFor(c))
+    case SMaybe(c) => genTypeFor(c)
+    case SScoped(_, c) => genTypeFor(c)
+    case SMap(es, _, _) => StructType(es.map(e =>
+      StructField(e.key, genTypeFor(e.child), nullable = true)))
+    case SMapOf(k, v, _, _) => MapType(genTypeFor(k), genTypeFor(v))
+    case other => dataTypeFor(other)
   }
 
   private def dataTypeFor(ir: SchemaIR): DataType =

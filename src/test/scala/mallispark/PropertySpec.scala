@@ -125,6 +125,53 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("random schema trees: generate→validate law, export fixpoints, duality") {
+    import mallispark.ir.Export
+    import mallispark.gen.Generate
+    val leafGen: Gen[SchemaIR] = Gen.oneOf(
+      S.int(0L, 100L), S.string(min = 1, max = 6), S.boolean,
+      S.enum_("a", "b", "c"), S.double(0.0, 1.0), S.keyword, S.uuid)
+    def nodeGen(d: Int): Gen[SchemaIR] =
+      if (d <= 0) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        1 -> leafGen.map(S.maybe),
+        1 -> Gen.lzy(nodeGen(d - 1)).map(c => S.vector(c, max = Some(4))),
+        1 -> Gen.zip(leafGen, leafGen).map { case (a, b) => S.tuple(a, b) },
+        1 -> Gen.lzy(mapGen(d - 1)))
+    def mapGen(d: Int): Gen[SchemaIR] = for {
+      n <- Gen.chooseNum(1, 3)
+      cs <- Gen.listOfN(n, nodeGen(d))
+      opts <- Gen.listOfN(n, Gen.oneOf(true, false))
+    } yield S.mapE(false, cs.zip(opts).zipWithIndex.map { case ((c, o), i) =>
+      if (o) S.opt(s"f$i", c) else S.req(s"f$i", c) }: _*)
+    // seed-pinned: a floating sample would make the suite flaky
+    val schemas = Gen.listOfN(20, mapGen(2))
+      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(20260817L))
+      .get.map(_.asInstanceOf[SMap])
+    schemas.zipWithIndex.foreach { case (sch, i) =>
+      val f = SchemaIR.form(sch)
+      // AST and vector-form round-trips are fixpoints
+      val json = Export.toJson(sch)
+      assert(SchemaIR.form(Export.fromJson(json)) === f, s"ast rt: $f")
+      assert(Export.toJson(Export.fromJson(json)) === json, s"ast fix: $f")
+      assert(SchemaIR.form(Export.fromForm(f)) === f, s"form rt: $f")
+      // every generated row validates, on BOTH engines
+      val df = Generate.dfFromSchema(spark, sch, 100, seed = 100 + i)
+      val flagged = SchemaCompiler.validateDF(sch, df, "__ok")
+      val bad = flagged.where(!F.col("__ok"))
+      assert(bad.count() === 0L, s"schema $f generated invalid rows")
+      val subSchema = StructType(flagged.schema.fields.filter(_.name != "__ok"))
+      flagged.drop("__ok").collect().take(40).foreach { r =>
+        val v = new org.apache.spark.sql.catalyst.expressions
+          .GenericRowWithSchema(r.toSeq.toArray, subSchema)
+        assert(RowEval.validate(sch, v),
+          s"roweval rejects generated row of $f\nrow=$v\nerrs=${
+            RowEval.explain(sch, v).mkString("; ")}")
+      }
+    }
+  }
+
   test("duality on MapType :map — random maps (stray keys, nulls) agree across engines") {
     val mdt = MapType(StringType, LongType)
     val schemas = Seq(

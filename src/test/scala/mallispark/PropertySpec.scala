@@ -162,12 +162,44 @@ class PropertySpec extends SparkSuite {
       val bad = flagged.where(!F.col("__ok"))
       assert(bad.count() === 0L, s"schema $f generated invalid rows")
       val subSchema = StructType(flagged.schema.fields.filter(_.name != "__ok"))
-      flagged.drop("__ok").collect().take(40).foreach { r =>
+      val collected = flagged.drop("__ok").collect()
+      collected.take(40).foreach { r =>
         val v = new org.apache.spark.sql.catalyst.expressions
           .GenericRowWithSchema(r.toSeq.toArray, subSchema)
         assert(RowEval.validate(sch, v),
           s"roweval rejects generated row of $f\nrow=$v\nerrs=${
             RowEval.explain(sch, v).mkString("; ")}")
+      }
+      // null-mutation duality: nulling each top-level field in turn drives
+      // the missing-key / optional / acceptsNull logic on BOTH engines —
+      // valid AND the full error sets must agree
+      val mutated = collected.take(10).flatMap { r =>
+        subSchema.fields.indices.map { k =>
+          Row.fromSeq(r.toSeq.updated(k, null))
+        }
+      }
+      val mdf = spark.createDataFrame(
+        new java.util.ArrayList[Row](mutated.toSeq.asJava), subSchema)
+      val catalyst = mdf.select(
+        SchemaCompiler.valid(sch,
+          F.struct(subSchema.fieldNames.toIndexedSeq.map(F.col): _*),
+          subSchema).as("ok"),
+        SchemaCompiler.errors(sch,
+          F.struct(subSchema.fieldNames.toIndexedSeq.map(F.col): _*),
+          subSchema, "", F.lit("")).as("e"))
+        .collect().toSeq.map { r =>
+          (r.getBoolean(0), r.getSeq[Row](1).map(e =>
+            (e.getString(0), e.getString(1), e.getString(2))).toSet)
+        }
+      mutated.zip(catalyst).foreach { case (m, (ok, errs)) =>
+        val v = new org.apache.spark.sql.catalyst.expressions
+          .GenericRowWithSchema(m.toSeq.toArray, subSchema)
+        assert(RowEval.validate(sch, v) === ok,
+          s"null-mutation valid mismatch on $f: $m")
+        val re = RowEval.explain(sch, v).map(e =>
+          (e.path.mkString("/"), e.in.mkString("/"), e.key)).toSet
+        assert(re === errs,
+          s"null-mutation errors mismatch on $f: $m\nroweval=$re\ncat=$errs")
       }
     }
   }

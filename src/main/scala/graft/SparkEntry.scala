@@ -1160,6 +1160,39 @@ object SparkEntry {
             (e.key, inferTag(e.child), e.optional, enumCsv(e.child)))
           .toDF("col", "inferred", "optional", "enum_vals").orderBy("col")
       } finally cached.unpersist(blocking = false)
+    }),
+
+    // rows-only: the ONE-PASS approx inference mode (HLL distinct, no
+    // map-key explode, no enum collect) — the 100-TB default; sketch
+    // estimates aren't DuckDB-mirrorable, heuristics share the exact
+    // path's code (gated above)
+    "infer_schema_approx" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select("doc_id", "lang", "text",
+        "n_chars")
+      val sch = mallispark.infer.Infer.infer(d,
+        mallispark.infer.Infer.Options(exact = false))
+      sch.entries.map(e =>
+          (e.key, inferTag(e.child), e.optional, enumCsv(e.child)))
+        .toDF("col", "inferred", "optional", "enum_vals").orderBy("col")
+    }),
+
+    // ---- golden serialization gate: the flagship schema's vector form,
+    //      AST JSON, and JSON-Schema, plus a scoped recursive schema's
+    //      form — pinned as oracle literals so any drift in the
+    //      serialization surface fails the driver gate ----
+    "export_forms" -> ((s, dir) => {
+      import s.implicits._
+      import mallispark.ir.Export
+      val scoped = S.scoped("node" -> S.mapE(false,
+          S.req("v", S.intMin(0L)),
+          S.opt("kids", S.vector(S.ref("node")))))(S.ref("node"))
+      Seq(
+        ("flagship_form", SchemaIR.form(WebPages.schema)),
+        ("flagship_ast", Export.toJson(WebPages.schema)),
+        ("flagship_jsonschema", Export.toJsonSchema(WebPages.schema)),
+        ("scoped_form", SchemaIR.form(scoped)))
+        .toDF("name", "text").orderBy("name")
     })
   )
 
@@ -1446,6 +1479,25 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
          |  count(*) = sum(CASE WHEN $validSql THEN 1 ELSE 0 END) AS pass
          |FROM pages GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // golden serialization literals — HARD-CODED (not computed from the
+    // same code, which would be tautological): drift in form/AST/
+    // JSON-Schema emission fails this gate
+    "export_forms" -> {
+      val flagshipForm =
+        """[:map {:closed true} [:doc_id {:optional true} :int] [:url [:re "^https?://[^\\s]+$"]] [:warc_ts [:time/instant {:min "2025-01-01T00:00:00Z" :max "2026-05-01T00:00:00Z"}]] [:html :bytes] [:text [:string {:min 1}]] [:lang [:enum "en" "de" "fr" "es" "zh"]]]"""
+      val flagshipAst =
+        """{"type": "map", "closed": true, "entries": [{"key": "doc_id", "optional": true, "schema": {"type": "int"}}, {"key": "url", "optional": false, "schema": {"type": "re", "pattern": "^https?://[^\\s]+$"}}, {"key": "warc_ts", "optional": false, "schema": {"type": "instant", "min": "2025-01-01T00:00:00Z", "max": "2026-05-01T00:00:00Z"}}, {"key": "html", "optional": false, "schema": {"type": "bytes"}}, {"key": "text", "optional": false, "schema": {"type": "string", "min": 1}}, {"key": "lang", "optional": false, "schema": {"type": "enum", "values": [{"t": "string", "v": "en"}, {"t": "string", "v": "de"}, {"t": "string", "v": "fr"}, {"t": "string", "v": "es"}, {"t": "string", "v": "zh"}]}}]}"""
+      val flagshipJs =
+        """{"type": "object", "properties": {"doc_id": {"type": "integer"}, "url": {"type": "string", "pattern": "^https?://[^\\s]+$"}, "warc_ts": {"type": "string", "format": "date-time"}, "html": {"type": "string", "contentEncoding": "base64"}, "text": {"type": "string", "minLength": 1}, "lang": {"enum": ["en", "de", "fr", "es", "zh"]}}, "required": ["url", "warc_ts", "html", "text", "lang"], "additionalProperties": false}"""
+      val scopedForm =
+        """[:schema {:registry {:node [:map [:v [:int {:min 0}]] [:kids {:optional true} [:vector [:ref node]]]]}} [:ref node]]"""
+      def lit(x: String) = "'" + x.replace("'", "''") + "'"
+      Seq("flagship_ast" -> flagshipAst, "flagship_form" -> flagshipForm,
+        "flagship_jsonschema" -> flagshipJs, "scoped_form" -> scopedForm)
+        .map { case (n, v) => s"SELECT '$n' AS name, ${lit(v)} AS text" }
+        .mkString("", "\nUNION ALL\n", "\nORDER BY name")
+    },
 
     // fixed-key map over MapType kvs: k0=(d*13)%50, k1=99 when d%29=10
     // else (d*13+1)%50, k2=(d*13+2)%50; empty map when d%31=12

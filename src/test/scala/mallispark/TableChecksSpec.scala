@@ -87,6 +87,26 @@ class TableChecksSpec extends SparkSuite {
     assert(statShift > 50.0) // massive shift
   }
 
+  test("ksExact matches a driver-side reference KS on seeded random samples") {
+    val rnd = new scala.util.Random(20260817L)
+    val schema = StructType(Seq(
+      StructField("x", DoubleType), StructField("grp", LongType)))
+    // two overlapping-but-different distributions with repeated values
+    val a = Seq.fill(400)(math.floor(rnd.nextGaussian() * 10) / 4.0)
+    val b = Seq.fill(300)(math.floor((rnd.nextGaussian() + 0.7) * 10) / 4.0)
+    val rows = a.map(Row(_, 0L)) ++ b.map(Row(_, 1L))
+    val got = TableChecks.ksExact(df(rows, schema), "x",
+      F.col("grp") === 0L).collect()(0).getDouble(0)
+    // reference: D = max over all observed values of |F_a - F_b|
+    val values = (a ++ b).distinct.sorted
+    val expect = values.map { v =>
+      math.abs(a.count(_ <= v).toDouble / a.size -
+        b.count(_ <= v).toDouble / b.size)
+    }.max
+    assert(math.abs(got - expect) < 1e-6,
+      s"ksExact $got vs reference $expect")
+  }
+
   test("ksExact: identical samples D=0; disjoint ranges D=1") {
     val schema = StructType(Seq(
       StructField("x", DoubleType), StructField("grp", LongType)))

@@ -65,6 +65,14 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("FullOuter"), s"no full-outer join:\n$plan")
   }
 
+  test("snapshot_report plan: codegen only (no UDF), partial+final aggregation") {
+    val plan = planOf(graft.SparkEntry.queries("snapshot_report")(spark, sf))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      "report path must stay inside codegen")
+    assert(plan.contains("partial_count") || plan.contains("HashAggregate"),
+      s"no hash aggregation found:\n$plan")
+  }
+
   test("bucketed tables join with no shuffle exchange (co-located layout)") {
     val d = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "lang")

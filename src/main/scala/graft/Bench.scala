@@ -163,8 +163,12 @@ object Bench {
     def headline: Double = eff(
       minLevel(paired.map(_._1), paired.map(_._1)),
       minLevel(paired.map(_._2), paired.map(_._2).take(2)), _.memRate)
+    // wall guard: the extension fires exactly when the box is slow, so
+    // cap total extension time too (CLAUDE.md bench budget ~7 min)
+    val extendT0 = System.nanoTime()
     var extra = 0
-    while (headline < 0.85 && extra < 3) {
+    while (headline < 0.85 && extra < 3 &&
+        (System.nanoTime() - extendT0) < 150e9.toLong) {
       paired = paired :+ ((timed(small, withParquet = false),
         timed(nSmall, withParquet = false)))
       extra += 1

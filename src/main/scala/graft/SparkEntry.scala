@@ -519,8 +519,13 @@ object SparkEntry {
           .start()
         q.awaitTermination()
       }
-      pass(p.where(F.col("doc_id") % 2 === 0))
-      pass(p.where(F.col("doc_id") % 2 =!= 0))
+      // OVERLAPPING batches (doc_id%3 ∈ {0,1} then {1,2}): the %3==1 rows
+      // and the parity-crossing dup-url twins reappear in pass B, so the
+      // checkpointed state MUST suppress them — a broken state store
+      // would re-emit and fail the oracle (disjoint batches would pass
+      // trivially)
+      pass(p.where(F.col("doc_id") % 3 < 2))
+      pass(p.where(F.col("doc_id") % 3 > 0))
       val res = s.read.parquet(sink.toString)
         .select(F.col("url"), F.col("first_id")).orderBy("url")
       val rows = res.collect().toIndexedSeq
@@ -1610,9 +1615,9 @@ object SparkEntry {
          |diffv AS (
          |  SELECT CASE WHEN pv.doc_id IS NULL THEN 'added'
          |              WHEN c.doc_id IS NULL THEN 'removed'
-         |              WHEN c.text <> pv.text THEN 'modified' END AS change
+         |              WHEN c.text IS DISTINCT FROM pv.text THEN 'modified' END AS change
          |  FROM curr c FULL OUTER JOIN prev pv ON c.doc_id = pv.doc_id
-         |  WHERE pv.doc_id IS NULL OR c.doc_id IS NULL OR c.text <> pv.text)
+         |  WHERE pv.doc_id IS NULL OR c.doc_id IS NULL OR c.text IS DISTINCT FROM pv.text)
          |SELECT 'rows_total' AS metric, CAST(count(*) AS BIGINT) AS value
          |  FROM curr
          |UNION ALL
@@ -1637,9 +1642,9 @@ object SparkEntry {
          |SELECT COALESCE(c.doc_id, pv.doc_id) AS doc_id,
          |  CASE WHEN pv.doc_id IS NULL THEN 'added'
          |       WHEN c.doc_id IS NULL THEN 'removed'
-         |       WHEN c.text <> pv.text THEN 'modified' END AS change
+         |       WHEN c.text IS DISTINCT FROM pv.text THEN 'modified' END AS change
          |FROM curr c FULL OUTER JOIN prev pv ON c.doc_id = pv.doc_id
-         |WHERE pv.doc_id IS NULL OR c.doc_id IS NULL OR c.text <> pv.text
+         |WHERE pv.doc_id IS NULL OR c.doc_id IS NULL OR c.text IS DISTINCT FROM pv.text
          |ORDER BY doc_id""".stripMargin,
 
     "merge_schema_verdicts" ->
@@ -1887,15 +1892,16 @@ object SparkEntry {
         |       END AS ldt_str
         |FROM src ORDER BY doc_id""".stripMargin,
 
-    // stateful streaming dedup: batch A = even doc_ids, batch B = odd;
-    // emitted = min doc_id per url in A, plus min-in-B for urls A never saw
+    // stateful streaming dedup: OVERLAPPING batches A = doc_id%3 in {0,1},
+    // B = {1,2} — keys seen in A are state-suppressed in B; emitted =
+    // min doc_id per url in A, plus min-in-B for urls A never saw
     // (NOT EXISTS, not NOT IN — a NULL in the subquery would poison NOT IN)
     "streaming_dedup" ->
       s"""$P,
          |a AS (SELECT url, min(doc_id) AS first_id FROM pages
-         |      WHERE url IS NOT NULL AND doc_id % 2 = 0 GROUP BY url),
+         |      WHERE url IS NOT NULL AND doc_id % 3 < 2 GROUP BY url),
          |b AS (SELECT url, min(doc_id) AS first_id FROM pages
-         |      WHERE url IS NOT NULL AND doc_id % 2 <> 0 GROUP BY url)
+         |      WHERE url IS NOT NULL AND doc_id % 3 > 0 GROUP BY url)
          |SELECT url, first_id FROM a
          |UNION ALL
          |SELECT b.url, b.first_id FROM b

@@ -304,7 +304,11 @@ object SchemaCompiler {
       case SIdent(kind) =>
         if (dt != StringType) F.lit(false)
         else IdentRes.forKind(kind) match {
-          case Some(re) => col.isNotNull && col.rlike(re)
+          // Java-regex '$' (what rlike runs) matches BEFORE a final
+          // newline; RE2 (DuckDB) and RowEval's full-match do not — swap
+          // the anchor for \z engine-side so ":en\n" fails on all three
+          case Some(re) =>
+            col.isNotNull && col.rlike(re.stripSuffix("$") + "\\z")
           // :char — exactly one code point (Spark length() counts code
           // points, as does DuckDB's; RowEval mirrors via codePointCount)
           case None => col.isNotNull && F.length(col) === 1

@@ -104,7 +104,9 @@ object Transform {
       // fractional seconds ("PnDTnHnMnS"), periods years/months only
       // ("PnYnM" — Spark's YearMonthInterval has no day field).
       case STime("duration", _, _) if dt == StringType =>
-        val re = "^P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?$"
+        // the lookahead rejects the degenerate "P"/"PT" (all groups
+        // optional otherwise) — java.time's parse throws on them too
+        val re = "^(?=.*\\d)P(?:(\\d+)D)?(?:T(?:(\\d+)H)?(?:(\\d+)M)?(?:(\\d+)S)?)?$"
         def g(i: Int) = F.coalesce(
           F.nullif(F.regexp_extract(col, re, i), F.lit("")), F.lit("0"))
           .cast(IntegerType)
@@ -112,7 +114,7 @@ object Transform {
           F.make_dt_interval(g(1), g(2), g(3),
             g(4).cast(DecimalType(18, 6))))
       case STime("period", _, _) if dt == StringType =>
-        val re = "^P(?:(\\d+)Y)?(?:(\\d+)M)?$"
+        val re = "^(?=.*\\d)P(?:(\\d+)Y)?(?:(\\d+)M)?$"
         def g(i: Int) = F.coalesce(
           F.nullif(F.regexp_extract(col, re, i), F.lit("")), F.lit("0"))
           .cast(IntegerType)

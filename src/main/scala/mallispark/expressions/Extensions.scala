@@ -40,7 +40,8 @@ object MallisparkExtensions {
   }
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[MallisparkExtensions].getName, name)
+    new ExpressionInfo(classOf[MallisparkExtensions].getName,
+      null, name, usage, "")
 
   /** (name, info, builder) triples shared by the extension injector and
     * the live-session registrar. */

@@ -613,13 +613,18 @@ object Export {
     case STuple(cs) => obj("type" -> esc("array"),
       "prefixItems" -> arr(cs.map(toJsonSchema)),
       "minItems" -> cs.length.toString, "maxItems" -> cs.length.toString)
-    // recursive schemas: local registry → $defs, refs → $ref (the
-    // standard JSON-Schema recursion encoding; json-schema.cljc :ref)
+    // recursive schemas: local registry → $defs with $anchor'd entries,
+    // refs → plain-name anchor refs ("#name"). Anchors resolve
+    // DOCUMENT-WIDE in draft 2020-12, so a non-root SScoped still
+    // produces resolvable references (a "#/$defs/<n>" pointer would
+    // dangle unless the scoped node were the document root).
     case SScoped(reg, c) =>
       obj("$defs" -> obj(reg.toSeq.sortBy(_._1)
-          .map { case (n, s) => n -> toJsonSchema(s) }: _*),
+          .map { case (n, s) =>
+            n -> obj("$anchor" -> esc(n),
+              "allOf" -> arr(Seq(toJsonSchema(s)))) }: _*),
         "allOf" -> arr(Seq(toJsonSchema(c))))
-    case SRef(n) => obj("$ref" -> esc(s"#/$$defs/$n"))
+    case SRef(n) => obj("$ref" -> esc(s"#$n"))
     case other => obj("$comment" -> esc(s"unmapped: ${SchemaIR.form(other)}"))
   }
 }

@@ -99,6 +99,10 @@ object SchemaOps {
     case SMapOf(k, v, mn, mx) => SMapOf(mapMaps(k)(f), mapMaps(v)(f), mn, mx)
     case SMulti(d, bs, df) => SMulti(d,
       bs.map { case (t, c) => t -> mapMaps(c)(f) }, df.map(mapMaps(_)(f)))
+    // scoped registry: walk the child AND the registered schemas, so
+    // closed/open toggling reaches maps a recursive :ref re-enters
+    case SScoped(l, c) => SScoped(
+      l.map { case (n, s) => n -> mapMaps(s)(f) }, mapMaps(c)(f))
     case other => other
   }
 
@@ -112,6 +116,12 @@ object SchemaOps {
              depth: Int = 8): SchemaIR = {
     def deref(s: SchemaIR, d: Int): SchemaIR = s match {
       case SRef(n) if d > 0 => deref(reg(n), d - 1)
+      // a scoped schema dereferences to its child with the LOCAL names
+      // layered over the outer registry, so the algebra can merge/select
+      // into it (non-recursive locals resolve fully; recursive ones stay
+      // behind :ref as elsewhere)
+      case SScoped(local, c) if d > 0 =>
+        expand(c, Registry(reg.schemas ++ local, reg.maxDepth), d - 1)
       case other => other
     }
     def go(s: SchemaIR, d: Int): SchemaIR = s match {
@@ -149,6 +159,10 @@ object SchemaOps {
       case SPlus(c) => SPlus(go(c, d))
       case SOpt(c) => SOpt(go(c, d))
       case SRepeat(c, mn, mx) => SRepeat(go(c, d), mn, mx)
+      case SScoped(l, c) => SScoped(
+        l.map { case (n, s2) =>
+          n -> expand(s2, Registry(reg.schemas ++ l, reg.maxDepth), d) },
+        expand(c, Registry(reg.schemas ++ l, reg.maxDepth), d))
       case other => other
     }
     go(ir, depth)

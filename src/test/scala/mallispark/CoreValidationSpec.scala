@@ -251,6 +251,8 @@ class CoreValidationSpec extends SparkSuite {
       ("en", false, Set(("", "", ":keyword"))), // no leading ':'
       (":a/b/c", false, Set(("", "", ":keyword"))),
       (": sp", false, Set(("", "", ":keyword"))),
+      // trailing newline: Java '$' would accept — the \z anchor must not
+      (":en\n", false, Set(("", "", ":keyword"))),
       (null, false, Set(("", "", ":keyword")))))
     check(S.qualifiedKeyword, StringType, Seq(
       (":ns/name", true, Set.empty),

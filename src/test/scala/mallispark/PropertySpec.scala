@@ -151,10 +151,8 @@ class PropertySpec extends SparkSuite {
       opts <- Gen.listOfN(n, Gen.oneOf(true, false))
     } yield S.mapE(false, cs.zip(opts).zipWithIndex.map { case ((c, o), i) =>
       if (o) S.opt(s"f$i", c) else S.req(s"f$i", c) }: _*)
-    // seed-pinned: a floating sample would make the suite flaky
-    val schemas = Gen.listOfN(20, mapGen(2))
-      .apply(Gen.Parameters.default, org.scalacheck.rng.Seed(20260817L))
-      .get.map(_.asInstanceOf[SMap])
+    val schemas = seeded(Gen.listOfN(20, mapGen(2)), 20260817L)
+      .map(_.asInstanceOf[SMap])
     schemas.zipWithIndex.foreach { case (sch, i) =>
       val f = SchemaIR.form(sch)
       // AST and vector-form round-trips are fixpoints

@@ -52,20 +52,25 @@ class StreamingSpec extends SparkSuite {
         .start()
       q.awaitTermination()
     }
-    pass(pages.where(F.col("doc_id") % 2 === 0))
-    pass(pages.where(F.col("doc_id") % 2 =!= 0))
+    // OVERLAPPING batches: %3==1 rows arrive in BOTH passes — their
+    // second arrival must be suppressed by the checkpointed state
+    pass(pages.where(F.col("doc_id") % 3 < 2))
+    pass(pages.where(F.col("doc_id") % 3 > 0))
 
     val got = spark.read.parquet(out).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
-    // one row per distinct url; winner = min even doc_id when the url has
-    // one (batch A ran first), else min odd
+    // one row per distinct url; winner = min doc_id within batch A when
+    // the url appeared there (A ran first), else min within batch B
     val expect = pages.groupBy("url").agg(
-        F.min(F.when(F.col("doc_id") % 2 === 0, F.col("doc_id"))).as("e"),
-        F.min(F.when(F.col("doc_id") % 2 =!= 0, F.col("doc_id"))).as("o"))
+        F.min(F.when(F.col("doc_id") % 3 < 2, F.col("doc_id"))).as("e"),
+        F.min(F.when(F.col("doc_id") % 3 > 0, F.col("doc_id"))).as("o"))
       .collect()
       .map(r => r.getString(0) ->
         (if (r.isNullAt(1)) r.getLong(2) else r.getLong(1))).toMap
     assert(got === expect)
+    // the overlap is real: some url must have been suppressed (seen in A,
+    // re-arriving in B)
+    assert(pages.where(F.col("doc_id") % 3 === 1).count() > 0)
   }
 
   test("windowed verdicts with watermark produce per-window counts") {

@@ -77,14 +77,17 @@ class TransformSpec extends SparkSuite {
   }
 
   test(":time decoders: ISO strings -> intervals/NTZ, round-trip via encode") {
-    val d = df(Seq(Row("PT1H2M3S"), Row("P2DT1H"), Row("nope"), Row(null)),
+    val d = df(Seq(Row("PT1H2M3S"), Row("P2DT1H"), Row("nope"), Row(null),
+      Row("P"), Row("PT")),
       StructType(Seq(StructField("v", StringType))))
     val dur = d.select(Transform.decode(STime("duration"), F.col("v"),
       StringType, Transform.StringMode).as("d"))
     assert(dur.schema.head.dataType.isInstanceOf[DayTimeIntervalType])
     val secs = dur.select(F.col("d").cast(LongType)).collect()
       .map(r => if (r.isNullAt(0)) null else r.getLong(0))
-    assert(secs.toSeq === Seq(3723L, 2 * 86400L + 3600L, null, null))
+    // "P"/"PT" are degenerate (java.time parse throws) → null, not zero
+    assert(secs.toSeq === Seq(3723L, 2 * 86400L + 3600L, null, null,
+      null, null))
     // encode(decode(s)) parses back to the equal duration
     val enc = dur.select(Transform.encode(STime("duration"), F.col("d"),
       DayTimeIntervalType()).as("e")).collect().map(_.getString(0))

@@ -65,11 +65,23 @@ object Bench {
     val spark = session(cpus)
     val benchOnly = sys.env.contains("SPARK_GRAFT_BENCH_ONLY")
     var failed = List.empty[String]
+    // the streaming trio's suite cost is checkpoint/sink machinery, not
+    // plan work — sample it at sf0.01 to keep the suite wall bounded
+    // (correctness for these runs at full SF in Verify)
+    val streamingTrio =
+      Set("streaming_violations", "streaming_windowed", "streaming_dedup")
+    val smallSfDir = {
+      val parent = java.nio.file.Paths.get(sfDir).toAbsolutePath.getParent
+      val cand = if (parent == null) null else parent.resolve("sf0.01")
+      if (cand != null && java.nio.file.Files.isDirectory(cand)) cand.toString
+      else sfDir
+    }
     val results =
       if (benchOnly) Map.empty[String, Double]
       else SparkEntry.queries.map { case (name, fn) =>
+        val dir = if (streamingTrio(name)) smallSfDir else sfDir
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch {
+        try { fn(spark, dir).count() } catch {
           case e: Throwable =>
             failed ::= name
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
@@ -111,7 +123,10 @@ object Bench {
           }.min
         val cached = s.read.parquet(pagesPath).persist()
         val rows = validationJob(s, cached)._1 // materialize + warm
-        val memSec = best(2)(() => validationJob(s, cached))
+        // one timed window per session: the estimator is the min across
+        // the 8 interleaved rounds (8 samples/side), not within-session
+        // repeats — keeps total bench wall bounded at fixed K
+        val memSec = best(1)(() => validationJob(s, cached))
         // parquet-read mode skipped at the smallest level: a single local
         // disk makes low-core reads pure io-noise (a real cluster scales
         // storage with executors) — the cached number is the engine
@@ -135,14 +150,20 @@ object Bench {
 
     /** The box is a shared VM with visible run-to-run interference
       * (measured headline spread 0.77-1.02 across runs in round 2, WITH a
-      * healthy machine-ceiling probe). Protocol: FIVE INTERLEAVED session
-      * rounds — each round times N then 4N back-to-back, so slow drifts in
-      * VM load hit both sides of the ratio — then the min per side (the
+      * healthy machine-ceiling probe). PRE-REGISTERED protocol (fixed
+      * before the run; no result-conditioned stopping or extension — the
+      * round-3 adaptive extend-while-low rule was an optional-stopping
+      * bias and is removed): EIGHT INTERLEAVED session rounds, always —
+      * each round times N then 4N back-to-back, so slow drifts in VM load
+      * hit both sides of the ratio — then the min per side (the
       * least-interfered estimate; interference is one-sided noise, so min
-      * converges on the machine's true rate). The per-round PAIRED ratios'
-      * median is reported alongside as a drift-immune cross-check. */
+      * converges on the machine's true rate). The per-round PAIRED
+      * ratios' median is reported alongside as a drift-immune
+      * cross-check, and the ratio normalized by the machine's own
+      * ceiling-probe scaling as the third view. All per-round ratios are
+      * printed; nothing is discarded. */
     val small = math.max(cpus / 16, 1) // N for the headline N→4N pair
-    val rounds = 5
+    val rounds = 8 // FIXED — never extended, never truncated
     def minLevel(ls: Seq[Level], pqOver: Seq[Level]): Level =
       Level(ls.head.cores, pqOver.map(_.pqSec).min, ls.map(_.memSec).min,
         ls.head.rows, ls.map(_.ceilingRate).max)
@@ -150,28 +171,8 @@ object Bench {
       rate(b) / (rate(a) * (b.cores.toDouble / a.cores))
     // parquet-read mode (io diagnostics only, not the headline) sampled
     // on the first two rounds to bound total bench wall
-    var paired = (1 to rounds).map { r =>
+    val paired = (1 to rounds).map { r =>
       (timed(small, withParquet = false), timed(nSmall, withParquet = r <= 2))
-    }
-    // ADAPTIVE EXTENSION: the min estimator converges on the true rate
-    // from BELOW as windows accumulate (VM interference only slows runs
-    // down). If after five windows the headline still reads < 0.85,
-    // the measurement window itself was likely sick — sample up to three
-    // more interleaved pairs instead of recording the artifact (round-2
-    // post-mortem: a 0.793 headline was recorded while the same box later
-    // probed at 0.99 ceiling scaling).
-    def headline: Double = eff(
-      minLevel(paired.map(_._1), paired.map(_._1)),
-      minLevel(paired.map(_._2), paired.map(_._2).take(2)), _.memRate)
-    // wall guard: the extension fires exactly when the box is slow, so
-    // cap total extension time too (CLAUDE.md bench budget ~7 min)
-    val extendT0 = System.nanoTime()
-    var extra = 0
-    while (headline < 0.85 && extra < 3 &&
-        (System.nanoTime() - extendT0) < 150e9.toLong) {
-      paired = paired :+ ((timed(small, withParquet = false),
-        timed(nSmall, withParquet = false)))
-      extra += 1
     }
     val l0 = minLevel(paired.map(_._1), paired.map(_._1))
     val l1 = minLevel(paired.map(_._2), paired.map(_._2).take(2))
@@ -204,6 +205,8 @@ object Bench {
          |## Query suite (local[$cpus], $sfDir)
          |
          |total: $total%.2f s over ${results.size} queries
+         |(streaming trio timed at sf0.01 — fixed checkpoint/sink
+         |machinery cost, not plan work; Verify gates them at full SF)
          |
          |## North-rule throughput: web-pages validation at N vs 4N parallelism
          |
@@ -217,9 +220,10 @@ object Bench {
          |$rowsTable
          |
          |**Headline (N=${l0.cores} → 4N=${l1.cores}, in-memory input)**:
-         |${eff(l0, l1, _.memRate)}%.3f — target ≥ 0.8. Protocol: ${pairedRatios.size}
-         |INTERLEAVED N/4N session rounds (5 + adaptive extension when the
-         |first window is interfered), min per side; per-round paired
+         |${eff(l0, l1, _.memRate)}%.3f — target ≥ 0.8. Protocol (pre-registered,
+         |fixed-K): ${pairedRatios.size} INTERLEAVED N/4N session rounds —
+         |always exactly $rounds, no result-conditioned stopping or
+         |extension — min per side; per-round paired
          |ratios ${pairedRatios.map(r => f"$r%.2f").mkString(" ")}
          |(median $pairedMedian%.3f); ceiling-normalized headline
          |${eff(l0, l1, _.memRate) / eff(l0, l1, _.ceilingRate)}%.3f.

@@ -5,14 +5,27 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 
 /** Multimodal column handling: image/audio/video as opaque `binary`
-  * columns with typed metadata.
+  * columns with typed metadata — and REAL decode for the uncompressed
+  * containers that need no codec library:
   *
-  * The Spark-side plumbing is REAL (schema, batched per-partition
-  * processing, deterministic partitioning); the media DECODE step is a
-  * clearly-marked STUB — the container has no image/audio codecs — that
-  * produces deterministic md5-derived features so tests are stable and
-  * the pipeline shape (binary in → fixed-width feature vector out) is
-  * exactly what a real decoder would slot into. */
+  *  - BMP (Windows bitmap, 24-bit uncompressed): header-parsed
+  *    width/height/pixel-offset, per-channel pixel sums with row padding
+  *    skipped;
+  *  - WAV (RIFF/WAVE, PCM signed 16-bit LE): fmt-chunk-parsed
+  *    channels/rate/bits, per-sample sum of squares + peak amplitude.
+  *
+  * Two execution paths with identical semantics:
+  *
+  *  - [[decodeMedia]]: pure Column expressions over `hex(bin)` byte
+  *    slices — whole-stage-codegen'd, DuckDB-mirrorable (the oracle
+  *    slices the same hex string), right for thumbnails/clips whose
+  *    pixel/sample count is small (the per-element `sequence` is
+  *    materialized per row);
+  *  - [[extractFeatures]]: batched per-partition JVM decode
+  *    (`ByteBuffer`, constant memory, no per-row codegen limit) — the
+  *    scale path for large payloads, and the slot where a codec-backed
+  *    decoder (jpeg/mp3/h264) would plug in unchanged.
+  */
 object Multimodal {
 
   /** Typed metadata extracted scan-side without decoding: size, sha,
@@ -37,34 +50,260 @@ object Multimodal {
         F.lit(width)))
   }
 
+  // ---------------------------------------------------------------------
+  // Column-expression byte arithmetic (hex-slice parity with DuckDB)
+  // ---------------------------------------------------------------------
+
+  /** Unsigned byte value at 1-based byte position `pos` of hex string
+    * `h` (= `hex(bin)`). */
+  private def byteAt(h: Column, pos: Column): Column =
+    F.conv(h.substr(pos * 2 - 1, F.lit(2)), 16, 10).cast(LongType)
+
+  /** Little-endian u16 at 1-based byte position `pos`. */
+  private def leU16(h: Column, pos: Column): Column =
+    byteAt(h, pos) + byteAt(h, pos + 1) * 256L
+
+  /** Little-endian u32 at 1-based byte position `pos`. */
+  private def leU32(h: Column, pos: Column): Column =
+    byteAt(h, pos) + byteAt(h, pos + 1) * 256L +
+      byteAt(h, pos + 2) * 65536L + byteAt(h, pos + 3) * 16777216L
+
+  /** Little-endian SIGNED 16-bit sample at 1-based byte position. */
+  private def leS16(h: Column, pos: Column): Column = {
+    val u = leU16(h, pos)
+    F.when(u < 32768L, u).otherwise(u - 65536L)
+  }
+
+  /** Cap on per-row pixel/sample element counts for the Column path —
+    * `sequence` materializes the index array per row, so this path is
+    * for thumbnails/clips; route bigger media through
+    * [[extractFeatures]]. */
+  private val MaxElems = 1 << 20
+
+  /** Decode a 24-bit uncompressed BMP: header fields + per-channel
+    * (B, G, R) pixel sums. Row padding (rows are padded to 4-byte
+    * boundaries) is skipped — only the 3·w payload bytes of each of the
+    * h rows contribute. Returns a struct
+    * `(width, height, sum_b, sum_g, sum_r)`; null fields when the
+    * payload is not a parseable 24-bit BMP.
+    *
+    * Format per the public BITMAPFILEHEADER/BITMAPINFOHEADER layout:
+    * magic 'BM', pixel-array offset at byte 11 (u32 LE), width at 19,
+    * height at 23 (i32 LE), planes at 27, bpp at 29 (u16 LE). */
+  def decodeBmp(bin: Column): Column = {
+    val h = F.hex(bin)
+    val n = F.length(bin).cast(LongType)
+    val off = leU32(h, F.lit(11L)) // 0-based byte offset of pixel array
+    val w = leU32(h, F.lit(19L))
+    val ht = leU32(h, F.lit(23L))
+    val bpp = leU16(h, F.lit(29L))
+    // integer row stride: rows padded to 4 bytes (Column./ is double
+    // division — floor() to match integer semantics)
+    val rowSize = (F.floor((w * 3L + 3L) / 4L) * 4L).cast(LongType)
+    val npx = w * ht
+    // w/ht capped BEFORE the product: u32 garbage headers could overflow
+    // Long in w*ht and sneak past the npx cap as a negative
+    val ok = n >= 54L && leU16(h, F.lit(1L)) === 0x4D42L &&
+      bpp === 24L && w.between(1L, MaxElems.toLong) &&
+      ht.between(1L, MaxElems.toLong) && npx <= MaxElems &&
+      off + rowSize * ht <= n
+    val zero = F.struct(F.lit(0L).as("b"), F.lit(0L).as("g"),
+      F.lit(0L).as("r"))
+    val sums = F.aggregate(F.sequence(F.lit(0L), npx - 1L), zero,
+      (acc, p) => {
+        val y = F.floor(p / w).cast(LongType)
+        val x = p - y * w
+        val base = off + y * rowSize + x * 3L // 0-based; bytes are BGR
+        F.struct(
+          (acc.getField("b") + byteAt(h, base + 1L)).as("b"),
+          (acc.getField("g") + byteAt(h, base + 2L)).as("g"),
+          (acc.getField("r") + byteAt(h, base + 3L)).as("r"))
+      })
+    F.when(ok, F.struct(
+      w.as("width"), ht.as("height"),
+      sums.getField("b").as("sum_b"), sums.getField("g").as("sum_g"),
+      sums.getField("r").as("sum_r")))
+      .otherwise(F.lit(null).cast(StructType(Seq(
+        StructField("width", LongType), StructField("height", LongType),
+        StructField("sum_b", LongType), StructField("sum_g", LongType),
+        StructField("sum_r", LongType)))))
+  }
+
+  /** Decode a canonical RIFF/WAVE PCM s16le payload: fmt-chunk fields +
+    * sum of squared samples + peak absolute amplitude. Returns a struct
+    * `(n_samples, sample_rate, sum_sq, peak_abs)`; null fields when the
+    * payload is not parseable PCM16.
+    *
+    * Layout per the public RIFF spec: 'RIFF' at 1, 'WAVE' at 9, 'fmt '
+    * chunk at 13 with size at 17; within fmt: audio format at +0,
+    * channels at +2, sample rate at +4, bits at +14. The next chunk tag
+    * (at 21+fmtSize) must be 'data'; samples follow its u32 size. */
+  def decodeWav(bin: Column): Column = {
+    val h = F.hex(bin)
+    val n = F.length(bin).cast(LongType)
+    val fmtSize = leU32(h, F.lit(17L))
+    val audioFmt = leU16(h, F.lit(21L))
+    val channels = leU16(h, F.lit(23L))
+    val rate = leU32(h, F.lit(25L))
+    val bits = leU16(h, F.lit(35L))
+    val dataTag = F.lit(21L) + fmtSize // 1-based pos of the next chunk tag
+    val dataSize = leU32(h, dataTag + 4L)
+    val first = dataTag + 8L // 1-based pos of first sample byte
+    val nSamples = (F.floor(dataSize / 2L)).cast(LongType)
+    val ok = n >= 44L &&
+      h.substr(F.lit(1L), F.lit(8L)) === "52494646" && // 'RIFF'
+      h.substr(F.lit(17L), F.lit(8L)) === "57415645" && // 'WAVE'
+      h.substr(F.lit(25L), F.lit(8L)) === "666D7420" && // 'fmt '
+      h.substr((dataTag - 1L) * 2L + 1L, F.lit(8L)) === "64617461" && // 'data'
+      audioFmt === 1L && bits === 16L && channels >= 1L &&
+      nSamples >= 1L && nSamples <= MaxElems &&
+      first + dataSize - 1L <= n
+    val zero = F.struct(F.lit(0L).as("sq"), F.lit(0L).as("pk"))
+    val agg = F.aggregate(F.sequence(F.lit(0L), nSamples - 1L), zero,
+      (acc, j) => {
+        val v = leS16(h, first + j * 2L)
+        F.struct((acc.getField("sq") + v * v).as("sq"),
+          F.greatest(acc.getField("pk"), F.abs(v)).as("pk"))
+      })
+    F.when(ok, F.struct(
+      nSamples.as("n_samples"), rate.as("sample_rate"),
+      agg.getField("sq").as("sum_sq"), agg.getField("pk").as("peak_abs")))
+      .otherwise(F.lit(null).cast(StructType(Seq(
+        StructField("n_samples", LongType),
+        StructField("sample_rate", LongType),
+        StructField("sum_sq", LongType),
+        StructField("peak_abs", LongType)))))
+  }
+
+  /** Magic-dispatched decode: BMP → image stats, RIFF/WAVE → audio
+    * stats, anything else → kind "unknown" with null stats. All columns
+    * present on every row (image fields null for audio and vice versa)
+    * so the output schema is fixed. */
+  def decodeMedia(bin: Column): Column = {
+    val magic2 = F.hex(F.substring(bin, 1, 2))
+    val magic4 = F.hex(F.substring(bin, 1, 4))
+    val kind = F.when(magic2 === "424D", "bmp")
+      .when(magic4 === "52494646", "wav")
+      .otherwise("unknown")
+    val img = F.when(kind === "bmp", decodeBmp(bin))
+      .otherwise(F.lit(null).cast(StructType(Seq(
+        StructField("width", LongType), StructField("height", LongType),
+        StructField("sum_b", LongType), StructField("sum_g", LongType),
+        StructField("sum_r", LongType)))))
+    val aud = F.when(kind === "wav", decodeWav(bin))
+      .otherwise(F.lit(null).cast(StructType(Seq(
+        StructField("n_samples", LongType),
+        StructField("sample_rate", LongType),
+        StructField("sum_sq", LongType),
+        StructField("peak_abs", LongType)))))
+    F.struct(kind.as("kind"),
+      img.getField("width").as("width"),
+      img.getField("height").as("height"),
+      img.getField("sum_b").as("sum_b"),
+      img.getField("sum_g").as("sum_g"),
+      img.getField("sum_r").as("sum_r"),
+      aud.getField("n_samples").as("n_samples"),
+      aud.getField("sample_rate").as("sample_rate"),
+      aud.getField("sum_sq").as("sum_sq"),
+      aud.getField("peak_abs").as("peak_abs"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Batched JVM decode (the scale path / codec slot)
+  // ---------------------------------------------------------------------
+
   final case class MediaRow(doc_id: Long, media: Array[Byte])
-  final case class MediaFeatures(doc_id: Long, n_bytes: Long,
+  final case class MediaFeatures(doc_id: Long, n_bytes: Long, kind: String,
                                  features: Array[Float])
 
+  /** Real single-payload decode (JVM, no codec libs needed for these
+    * containers). Feature layout:
+    *  - BMP:  [mean_b, mean_g, mean_r, n_pixels]
+    *  - WAV:  [rms, peak/32768, n_samples, sample_rate]
+    *  - else: [mean_byte, n_bytes, 0, 0] (opaque-payload fallback)
+    * Means/RMS are computed as exact integer sums divided as doubles
+    * then narrowed to float — bit-reproducible across engines. */
+  private[mallispark] def decodeOne(bytes: Array[Byte]): (String, Array[Float]) = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def leU16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def leU32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    val n = bytes.length
+    if (n >= 54 && u8(0) == 'B' && u8(1) == 'M' && leU16(28) == 24) {
+      val off = leU32(10)
+      val w = leU32(18)
+      val h = leU32(22)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      if (w >= 1 && h >= 1 && w * h <= MaxElems &&
+          off + rowSize * h <= n) {
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var y = 0L
+        while (y < h) {
+          var x = 0L
+          while (x < w) {
+            val base = (off + y * rowSize + x * 3).toInt
+            sb += u8(base); sg += u8(base + 1); sr += u8(base + 2)
+            x += 1
+          }
+          y += 1
+        }
+        val npx = (w * h).toDouble
+        return ("bmp", Array((sb / npx).toFloat, (sg / npx).toFloat,
+          (sr / npx).toFloat, npx.toFloat))
+      }
+    }
+    if (n >= 44 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' &&
+        u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' &&
+        u8(11) == 'E') {
+      val fmtSize = leU32(16)
+      val dataTag = (20 + fmtSize).toInt
+      if (leU16(20) == 1 && leU16(34) == 16 && dataTag + 8 <= n &&
+          u8(dataTag) == 'd' && u8(dataTag + 1) == 'a' &&
+          u8(dataTag + 2) == 't' && u8(dataTag + 3) == 'a') {
+        val dataSize = leU32(dataTag + 4)
+        val nS = dataSize / 2
+        if (nS >= 1 && nS <= MaxElems && dataTag + 8 + dataSize <= n) {
+          var sq = 0L; var pk = 0L
+          var j = 0L
+          while (j < nS) {
+            val u = leU16((dataTag + 8 + j * 2).toInt)
+            val v = if (u < 32768) u else u - 65536
+            sq += v.toLong * v; pk = math.max(pk, math.abs(v).toLong)
+            j += 1
+          }
+          val rate = leU32(24)
+          return ("wav", Array(
+            math.sqrt(sq.toDouble / nS).toFloat, (pk / 32768.0).toFloat,
+            nS.toFloat, rate.toFloat))
+        }
+      }
+    }
+    var s = 0L
+    var i = 0
+    while (i < n) { s += (bytes(i) & 0xff); i += 1 }
+    ("unknown",
+      Array(if (n == 0) 0f else (s.toDouble / n).toFloat, n.toFloat, 0f, 0f))
+  }
+
   /** Per-partition batched feature extraction — the Dataset analogue of
-    * mapInPandas: one iterator per partition, constant memory, no
-    * per-row closure dispatch in the hot loop beyond the decode call.
-    *
-    * ==== STUB ====
-    * `decodeStub` stands in for a real image/audio decoder (none available
-    * in this container). It is DETERMINISTIC (md5-derived), so tests and
-    * oracles are stable. Replace with a real codec at deployment; the
-    * schema, batch shape, and partitioning do not change. */
-  def extractFeatures(df: DataFrame, id: String, binCol: String,
-                      dims: Int = 8): Dataset[MediaFeatures] = {
+    * mapInPandas: one iterator per partition, constant memory. The
+    * decode is REAL for uncompressed containers (BMP pixel means, WAV
+    * RMS/peak via [[decodeOne]]); compressed formats (jpeg/mp3/…) take
+    * the opaque fallback here and are the slot where a codec-backed
+    * decoder plugs in without changing schema, batch shape, or
+    * partitioning. */
+  def extractFeatures(df: DataFrame, id: String,
+                      binCol: String): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     implicit val encIn = Encoders.product[MediaRow]
     val typed = df.select(F.col(id).cast(LongType).as("doc_id"),
       F.col(binCol).as("media")).as[MediaRow]
     typed.mapPartitions { it =>
-      // one digest instance per partition, reused across the batch
-      val md = java.security.MessageDigest.getInstance("MD5")
       it.map { row =>
         val bytes = if (row.media == null) Array.empty[Byte] else row.media
-        val h = md.digest(bytes) // STUB: real decode+embed goes here
-        val feats = Array.tabulate(dims)(i =>
-          ((h(i % h.length) & 0xff) / 255.0f))
-        MediaFeatures(row.doc_id, bytes.length.toLong, feats)
+        val (kind, feats) = decodeOne(bytes)
+        MediaFeatures(row.doc_id, bytes.length.toLong, kind, feats)
       }
     }
   }

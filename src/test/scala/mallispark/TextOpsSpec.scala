@@ -364,7 +364,25 @@ class TextOpsSpec extends SparkSuite {
     assert(counts.getInt(0) === 3 && counts.getInt(1) === 4) // a,b,c,!
   }
 
-  test("multimodal: metadata sniffs magic bytes; stub features deterministic") {
+  private def unhex(h: String): Array[Byte] =
+    h.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  // hand-assembled 2×2 24-bit BMP: spec values w=2 h=2,
+  // sums B=383 G=319 R=447 (row padding excluded)
+  private val goldenBmp = unhex(
+    "424D460000000000000036000000" +
+      "280000000200000002000000010018000000000010000000" +
+      "130B0000130B00000000000000000000" +
+      "FF000000FF000000" + "0000FF8040C00000")
+
+  // canonical RIFF/WAVE PCM s16le mono 8kHz, samples 1000,-2000,32767,
+  // -32768: n=4, sum_sq=2152418113, peak=32768
+  private val goldenWav = unhex(
+    "524946462C00000057415645" +
+      "666D74201000000001000100401F0000803E000002001000" +
+      "6461746108000000" + "E80330F8FF7F0080")
+
+  test("multimodal: metadata sniffs magic bytes; real decode hits spec values") {
     val binSchema = StructType(Seq(StructField("id", LongType),
       StructField("bin", BinaryType)))
     val jpeg = Array(0xFF, 0xD8, 0x01, 0x02).map(_.toByte)
@@ -373,13 +391,37 @@ class TextOpsSpec extends SparkSuite {
     val meta = b.select(Multimodal.mediaMetadata(F.col("bin")).as("m"))
       .select(F.col("m.kind"), F.col("m.n_bytes")).collect()
     assert(meta.map(_.getString(0)).toSeq === Seq("jpeg", "png"))
-    val f1 = Multimodal.extractFeatures(b, "id", "bin", dims = 4).collect()
-    val f2 = Multimodal.extractFeatures(b, "id", "bin", dims = 4).collect()
-    assert(f1.map(_.features.toSeq).toSeq === f2.map(_.features.toSeq).toSeq)
-    assert(f1.forall(_.features.length === 4))
     val windows = b.select(Multimodal.sampleWindows(F.col("bin"), 2, 2))
       .collect()(0).getSeq[Array[Byte]](0)
     assert(windows.length === 2)
+
+    // JVM path: golden files decode to their hand-computed spec values
+    val (bk, bf) = Multimodal.decodeOne(goldenBmp)
+    assert(bk === "bmp")
+    assert(bf.toSeq === Seq(383f / 4, 319f / 4, 447f / 4, 4f))
+    val (wk, wf) = Multimodal.decodeOne(goldenWav)
+    assert(wk === "wav")
+    assert(wf(0) === math.sqrt(2152418113L / 4.0).toFloat &&
+      wf(1) === 1f && wf(2) === 4f && wf(3) === 8000f)
+    // opaque fallback
+    assert(Multimodal.decodeOne(jpeg)._1 === "unknown")
+
+    // Column path: same binaries through the codegen'd hex arithmetic
+    val g = df(Seq(Row(1L, goldenBmp), Row(2L, goldenWav)), binSchema)
+    val dec = g.select(F.col("id"), Multimodal.decodeMedia(F.col("bin")).as("m"))
+      .orderBy("id").select("id", "m.*").collect()
+    assert(dec(0).getString(1) === "bmp")
+    assert(Seq(2L, 2L, 383L, 319L, 447L) ===
+      (2 to 6).map(dec(0).getLong(_)))
+    assert(dec(1).getString(1) === "wav")
+    assert(Seq(4L, 8000L, 2152418113L, 32768L) ===
+      (7 to 10).map(dec(1).getLong(_)))
+    // both paths agree through extractFeatures
+    val feats = Multimodal.extractFeatures(g, "id", "bin").collect()
+      .sortBy(_.doc_id)
+    assert(feats(0).kind === "bmp" && feats(1).kind === "wav")
+    assert(feats(0).features.toSeq === bf.toSeq)
+    assert(feats(1).features.toSeq === wf.toSeq)
   }
 
   test("minhash drops shingle-less docs (cross-engine parity) — both paths") {

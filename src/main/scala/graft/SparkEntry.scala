@@ -295,6 +295,21 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- snapshot diff over a BINARY payload: the modified rows differ
+    //      only in an invalid-UTF-8 tail byte (0xFE vs 0xFF) — a
+    //      string-cast digest would collapse both to the replacement
+    //      char and miss them; the byte-exact digest must not ----
+    "snapshot_diff_binary" -> ((s, dir) => {
+      val p = pages(s, dir)
+      val id = F.col("doc_id")
+      def tail(hex: String) = F.when(id % 101 === 11,
+        F.concat(F.col("html"), F.unhex(F.lit(hex)))).otherwise(F.col("html"))
+      val prev = p.where(id % 97 =!= 3).withColumn("payload", tail("FE"))
+      val curr = p.where(id % 89 =!= 7).withColumn("payload", tail("FF"))
+      TableChecks.snapshotDiff(curr, prev, "doc_id", F.col("payload"))
+        .orderBy("doc_id")
+    }),
+
     // ---- the per-snapshot validation report: verdicts + violation
     //      counts + snapshot diff + frequency table in ONE composed run
     //      (the job a scheduler appends alongside each snapshot commit) ----
@@ -1196,6 +1211,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- generation, oracle-gated: the portable md5-seeded Rng makes
+    //      every draw DuckDB-mirrorable, so the oracle recomputes all
+    //      generated values from the same arithmetic; the engine side
+    //      additionally runs the compiled validator over its own output
+    //      (the reference's validate∘generate law, generator_test.cljc)
+    //      and emits the verdict — the oracle expects all-true ----
+    "gen_roundtrip" -> ((s, dir) => {
+      import mallispark.gen.Generate
+      val schema = S.map(
+        "name" -> S.string(3, 10),
+        "age" -> S.int(0, 120),
+        "score" -> S.double(0.0, 1.0),
+        "flag" -> S.boolean,
+        "lang" -> S.enum_("en", "de", "fr"),
+        "tags" -> S.vector(S.enum_("a", "b", "c"), Some(1), Some(3)),
+        "note" -> S.maybe(S.string(2, 6)))
+      implicit val rng: Generate.Rng = Generate.PortableRng
+      val rid = rng.mix(F.col("id"), F.lit(7L))
+      val row = Generate.gen(schema, rid, 1)
+      val gend = s.range(200).select(
+        F.col("id").as("row_id"),
+        row.getField("name").as("name"), row.getField("age").as("age"),
+        row.getField("score").as("score"), row.getField("flag").as("flag"),
+        row.getField("lang").as("lang"), row.getField("tags").as("tags"),
+        row.getField("note").as("note"))
+      SchemaCompiler.validateDF(schema, gend, "ok", exclude = Set("row_id"))
+        .select(F.col("row_id"), F.col("name"), F.col("age"),
+          F.col("score"), F.col("flag"), F.col("lang"),
+          F.array_join(F.col("tags"), ",").as("tags_s"), F.col("note"),
+          F.col("ok"))
+        .orderBy("row_id")
+    }),
+
     // native-Expression MinHash (codegen xxhash64) — scale path,
     // rows-only check (hashes are engine-native, not DuckDB-portable)
     "dedup_minhash_fast" -> ((s, dir) =>
@@ -1736,6 +1784,28 @@ object SparkEntry {
          |       WHEN c.text IS DISTINCT FROM pv.text THEN 'modified' END AS change
          |FROM curr c FULL OUTER JOIN prev pv ON c.doc_id = pv.doc_id
          |WHERE pv.doc_id IS NULL OR c.doc_id IS NULL OR c.text IS DISTINCT FROM pv.text
+         |ORDER BY doc_id""".stripMargin,
+
+    // blob-exact mirror: DuckDB compares the payload BLOBs directly
+    // (sha256(BLOB) is unavailable in 1.0; equality of blobs is the same
+    // classification the engine reaches via byte digests)
+    "snapshot_diff_binary" ->
+      s"""$P,
+         |prev AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 101 = 11 THEN encode(text) || '\\xFE'::BLOB
+         |       ELSE encode(text) END AS payload
+         |  FROM pages WHERE doc_id % 97 <> 3),
+         |curr AS (SELECT doc_id,
+         |  CASE WHEN doc_id % 101 = 11 THEN encode(text) || '\\xFF'::BLOB
+         |       ELSE encode(text) END AS payload
+         |  FROM pages WHERE doc_id % 89 <> 7)
+         |SELECT COALESCE(c.doc_id, pv.doc_id) AS doc_id,
+         |  CASE WHEN pv.doc_id IS NULL THEN 'added'
+         |       WHEN c.doc_id IS NULL THEN 'removed'
+         |       WHEN c.payload IS DISTINCT FROM pv.payload THEN 'modified' END AS change
+         |FROM curr c FULL OUTER JOIN prev pv ON c.doc_id = pv.doc_id
+         |WHERE pv.doc_id IS NULL OR c.doc_id IS NULL
+         |   OR c.payload IS DISTINCT FROM pv.payload
          |ORDER BY doc_id""".stripMargin,
 
     "merge_schema_verdicts" ->
@@ -2423,6 +2493,50 @@ object SparkEntry {
         |       ELSE 'unknown' END AS kind,
         |  md5(hex(bin)) AS content_h
         |FROM b ORDER BY doc_id""".stripMargin,
+
+    // Generation mirror: the PortableRng draw is
+    // h32("<id>:<salt>") ≡ ('0x'||substring(md5(...),1,8))::BIGINT and
+    // child ids are h32("<id>#<k>") — the oracle replays every draw of
+    // the gate schema (salts: entry i gets 1+13*(i+1); genString uses
+    // salt/salt+1; sizeIn salt+99; collection elements salt+2 on the
+    // mixed id; maybe gives the child salt+1). `ok` is expected
+    // all-true: the engine side proves the validate∘generate law.
+    "gen_roundtrip" ->
+      """WITH r AS (
+        |  SELECT i AS row_id,
+        |    ('0x'||substring(md5(CAST(i AS VARCHAR)||'#7'),1,8))::BIGINT AS rid
+        |  FROM (SELECT unnest(range(200)) AS i) b),
+        |d AS (
+        |  SELECT row_id, rid, rid_s,
+        |    ('0x'||substring(md5(rid_s||':14'),1,8))::BIGINT % 8 AS d14,
+        |    ('0x'||substring(md5(rid_s||':15'),1,8))::BIGINT % 8 AS d15,
+        |    ('0x'||substring(md5(rid_s||':27'),1,8))::BIGINT % 121 AS d27,
+        |    ('0x'||substring(md5(rid_s||':40'),1,8))::BIGINT % 1000000 AS d40,
+        |    ('0x'||substring(md5(rid_s||':53'),1,8))::BIGINT % 2 AS d53,
+        |    ('0x'||substring(md5(rid_s||':66'),1,8))::BIGINT % 3 AS d66,
+        |    ('0x'||substring(md5(rid_s||':178'),1,8))::BIGINT % 3 AS d178,
+        |    ('0x'||substring(md5(rid_s||':92'),1,8))::BIGINT % 4 AS d92,
+        |    ('0x'||substring(md5(rid_s||':93'),1,8))::BIGINT % 8 AS d93,
+        |    ('0x'||substring(md5(rid_s||':94'),1,8))::BIGINT % 5 AS d94,
+        |    ('0x'||substring(md5(CAST(('0x'||substring(md5(rid_s||'#1'),1,8))::BIGINT AS VARCHAR)||':81'),1,8))::BIGINT % 3 AS e1,
+        |    ('0x'||substring(md5(CAST(('0x'||substring(md5(rid_s||'#2'),1,8))::BIGINT AS VARCHAR)||':81'),1,8))::BIGINT % 3 AS e2,
+        |    ('0x'||substring(md5(CAST(('0x'||substring(md5(rid_s||'#3'),1,8))::BIGINT AS VARCHAR)||':81'),1,8))::BIGINT % 3 AS e3
+        |  FROM (SELECT row_id, rid, CAST(rid AS VARCHAR) AS rid_s FROM r) rr)
+        |SELECT row_id,
+        |  substring(['alpha','beta','gamma','delta','omega','kappa','sigma','theta'][CAST(d14 AS INT)+1]
+        |    || 'xxxxxxxxxx', 1, CAST(3 + d15 AS INT)) AS name,
+        |  CAST(d27 AS BIGINT) AS age,
+        |  0.0 + CAST(d40 AS DOUBLE)/1000000*(1.0-0.0) AS score,
+        |  d53 = 1 AS flag,
+        |  ['en','de','fr'][CAST(d66 AS INT)+1] AS lang,
+        |  concat_ws(',', ['a','b','c'][CAST(e1 AS INT)+1],
+        |    CASE WHEN 1 + d178 >= 2 THEN ['a','b','c'][CAST(e2 AS INT)+1] END,
+        |    CASE WHEN 1 + d178 >= 3 THEN ['a','b','c'][CAST(e3 AS INT)+1] END) AS tags_s,
+        |  CASE WHEN d92 = 0 THEN NULL
+        |       ELSE substring(['alpha','beta','gamma','delta','omega','kappa','sigma','theta'][CAST(d93 AS INT)+1]
+        |         || 'xxxxxx', 1, CAST(2 + d94 AS INT)) END AS note,
+        |  TRUE AS ok
+        |FROM d ORDER BY row_id""".stripMargin,
 
     // Real-decode mirror, construction-based: the engine synthesizes a
     // BMP/WAV binary and parses it back with the generic header-driven

@@ -134,11 +134,17 @@ object TableChecks {
     * (run `duplicates` first otherwise). */
   def snapshotDiff(curr: DataFrame, prev: DataFrame, key: String,
                    payload: Column): DataFrame = {
+    // BINARY payloads are digested byte-for-byte: a string round-trip
+    // would decode them as UTF-8 (invalid sequences → replacement chars)
+    // and two distinct payloads could digest equal, missing a "modified"
+    val isBinary = curr.select(payload).schema.head.dataType == BinaryType
+    val bytes =
+      if (isBinary) payload else payload.cast(StringType).cast(BinaryType)
     // null payloads digest to a non-hex sentinel (sha2 output is 64 hex
     // chars, so no value can collide with it) — bare sha2(NULL) is NULL
     // and would misclassify a present-but-null row as added/removed
     val digest = F.when(payload.isNull, F.lit("__NULL__"))
-      .otherwise(F.sha2(payload.cast(StringType).cast(BinaryType), 256))
+      .otherwise(F.sha2(bytes, 256))
     val c = curr.select(F.col(key), digest.as("curr_sha"))
     val p = prev.select(F.col(key), digest.as("prev_sha"))
     c.join(p, Seq(key), "full_outer")

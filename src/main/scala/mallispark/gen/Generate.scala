@@ -22,11 +22,49 @@ import mallispark.ir.SchemaIR._
   * for the same reason), `:not`, `:fn`, `:ref` beyond depth. */
 object Generate {
 
-  /** Deterministic uniform in [0, bound) keyed by (row id, path salt). */
-  private def rnd(id: Column, salt: Int, bound: Long): Column =
-    F.pmod(F.xxhash64(id, F.lit(salt)), F.lit(bound))
+  /** Draw source for the deterministic generators.
+    *
+    * [[XxRng]] (default): engine-native xxhash64 — fast codegen'd path.
+    * [[PortableRng]]: md5-derived (`TextOps.h32` arithmetic) — every
+    * draw has an exact DuckDB equivalent
+    * (`('0x'||substring(md5(x),1,8))::BIGINT`), so generated rows can be
+    * oracle-gated cross-engine (the `gen_roundtrip` gate). */
+  sealed trait Rng {
+    /** Uniform in [0, bound) keyed by (row id, path salt). */
+    def rnd(id: Column, salt: Int, bound: Long): Column
+    /** Derive a child row-id (collection elements, seeding). */
+    def mix(id: Column, k: Column): Column
+    /** 16 deterministic hex chars keyed by (id, salt) — uuid synthesis. */
+    def hex16(id: Column, salt: Int): Column
+  }
 
-  def gen(ir: SchemaIR, id: Column, salt: Int = 1): Column = ir match {
+  object XxRng extends Rng {
+    def rnd(id: Column, salt: Int, bound: Long): Column =
+      F.pmod(F.xxhash64(id, F.lit(salt)), F.lit(bound))
+    def mix(id: Column, k: Column): Column = F.xxhash64(id, k)
+    def hex16(id: Column, salt: Int): Column =
+      F.lpad(F.hex(F.abs(F.xxhash64(id, F.lit(salt)))), 16, "0")
+  }
+
+  object PortableRng extends Rng {
+    import mallispark.text.TextOps
+    def rnd(id: Column, salt: Int, bound: Long): Column =
+      F.pmod(TextOps.h32(
+        F.concat(id.cast(StringType), F.lit(":" + salt))), F.lit(bound))
+    def mix(id: Column, k: Column): Column =
+      TextOps.h32(F.concat(id.cast(StringType), F.lit("#"),
+        k.cast(StringType)))
+    def hex16(id: Column, salt: Int): Column =
+      F.substring(F.md5(
+        F.concat(id.cast(StringType), F.lit("~" + salt))), 1, 16)
+  }
+
+  /** Uniform draw via the in-scope Rng. */
+  private def rnd(id: Column, salt: Int, bound: Long)
+                 (implicit rng: Rng): Column = rng.rnd(id, salt, bound)
+
+  def gen(ir: SchemaIR, id: Column, salt: Int = 1)
+         (implicit rng: Rng = XxRng): Column = ir match {
     case SAny => genString(id, salt, 1, 12)
     case SString(mn, mx) =>
       genString(id, salt, mn.getOrElse(0), mx.getOrElse(mn.getOrElse(0) + 12))
@@ -45,8 +83,8 @@ object Generate {
       genString(id, salt, 4, 16), "UTF-8")))
     case SUuid =>
       // canonical v4-shaped uuid from two hashes
-      val h1 = F.lpad(F.hex(F.abs(F.xxhash64(id, F.lit(salt)))), 16, "0")
-      val h2 = F.lpad(F.hex(F.abs(F.xxhash64(id, F.lit(salt + 7)))), 16, "0")
+      val h1 = rng.hex16(id, salt)
+      val h2 = rng.hex16(id, salt + 7)
       F.lower(F.concat(
         F.substring(h1, 1, 8), F.lit("-"), F.substring(h1, 9, 4),
         F.lit("-4"), F.substring(h1, 13, 3), F.lit("-a"),
@@ -170,7 +208,7 @@ object Generate {
           s"cannot generate map keys from ${SchemaIR.form(other)}")
       }
       F.map_from_arrays(keys,
-        F.transform(F.sequence(F.lit(1), n), i => gen(v, F.xxhash64(id, i), salt + 5)))
+        F.transform(F.sequence(F.lit(1), n), i => gen(v, rng.mix(id, i), salt + 5)))
     case SVector(c, mn, mx) => genColl(c, id, salt, mn, mx)
     case SEvery(c, mn, mx, _) => genColl(c, id, salt, mn, mx)
     case SSet(c, mn, mx) =>
@@ -193,7 +231,7 @@ object Generate {
           // domain itself is smaller than n (unsatisfiable set schema)
           val cand = F.array_distinct(F.transform(
             F.sequence(F.lit(1), F.greatest(n * 4, F.lit(1))),
-            i => gen(c, F.xxhash64(id, i), salt + 2)))
+            i => gen(c, rng.mix(id, i), salt + 2)))
           F.when(n === 0, F.array().cast(ArrayType(genTypeFor(c))))
             .otherwise(F.slice(cand, F.lit(1), n))
       }
@@ -230,21 +268,22 @@ object Generate {
   private def lit1(b: Boolean): Column = if (b) F.lit(1) else F.lit(0)
 
   private def sizeIn(id: Column, salt: Int, mn: Option[Int],
-                     mx: Option[Int]): Column = {
+                     mx: Option[Int])(implicit rng: Rng): Column = {
     val lo = mn.getOrElse(0)
     val hi = mx.getOrElse(lo + 6)
     (F.lit(lo) + rnd(id, salt + 99, (hi - lo + 1).toLong)).cast(IntegerType)
   }
 
   private def genColl(c: SchemaIR, id: Column, salt: Int, mn: Option[Int],
-                      mx: Option[Int]): Column = {
+                      mx: Option[Int])(implicit rng: Rng): Column = {
     val n = sizeIn(id, salt, mn, mx)
     F.when(n === 0, F.array().cast(ArrayType(genTypeFor(c))))
       .otherwise(F.transform(F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-        i => gen(c, F.xxhash64(id, i), salt + 2)))
+        i => gen(c, rng.mix(id, i), salt + 2)))
   }
 
-  private def genString(id: Column, salt: Int, mn: Int, mx: Int): Column = {
+  private def genString(id: Column, salt: Int, mn: Int, mx: Int)
+                       (implicit rng: Rng): Column = {
     val words = F.array(Seq("alpha", "beta", "gamma", "delta", "omega",
       "kappa", "sigma", "theta").map(F.lit): _*)
     val base = F.element_at(words, (rnd(id, salt, 8) + 1).cast(IntegerType))
@@ -285,10 +324,11 @@ object Generate {
   /** Generate an n-row DataFrame from a top-level `:map` schema.
     * Deterministic in (schema, n, seed); linear in parallelism. */
   def dfFromSchema(spark: SparkSession, ir: SMap, n: Long, seed: Long = 42L,
-                   partitions: Int = 0): DataFrame = {
+                   partitions: Int = 0, rng: Rng = XxRng): DataFrame = {
+    implicit val r: Rng = rng
     val base = if (partitions > 0) spark.range(0, n, 1, partitions)
                else spark.range(n)
-    val id = F.xxhash64(F.col("id"), F.lit(seed))
+    val id = rng.mix(F.col("id"), F.lit(seed))
     val row = gen(ir, id, 1)
     base.select(ir.entries.map(e => row.getField(e.key).as(e.key)): _*)
   }

@@ -254,8 +254,16 @@ object Export {
       case "re" => SRegex(m("pattern").toString)
       case "compare" => SCompare(m("op").toString, readDefault(m("value")))
       case "fn" => SFn(m("name").toString, _ => true) // fns don't serialize
-      case "custom" => SCustom(m("name").toString,
-        (c, _) => org.apache.spark.sql.functions.lit(true), _ => true)
+      case "custom" =>
+        // the validator lambda does not serialize — fail FAST at first
+        // compile/eval instead of silently accepting every value (the
+        // codegen extension point is load-bearing; a lit(true)
+        // reconstruction would validate everything)
+        val nm = m("name").toString
+        def lost: Nothing = throw new IllegalArgumentException(
+          s"custom schema '$nm' was deserialized without its validator — " +
+            "re-register the custom type before compiling this schema")
+        SCustom(nm, (_, _) => lost, _ => lost)
       case "maybe" => SMaybe(child)
       case "not" => SNot(child)
       case "and" => SAnd(children)

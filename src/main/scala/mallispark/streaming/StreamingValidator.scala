@@ -75,7 +75,14 @@ object StreamingValidator {
                   idCol: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val in = spark.readStream.schema(sourceSchema).parquet(sourceDir)
+    // the emitted first_id is the min id WITHIN the micro-batch where the
+    // key first appears; pin the whole catch-up backlog into one batch
+    // (the file source otherwise chunks >1000-file backlogs) so a
+    // catch-up run emits the min over the entire backlog — the semantics
+    // the oracle asserts. Steady-state micro-batches are unaffected.
+    val in = spark.readStream.schema(sourceSchema)
+      .option("maxFilesPerTrigger", 1000000)
+      .parquet(sourceDir)
     in.select(F.col(keyCol).cast(org.apache.spark.sql.types.StringType),
         F.col(idCol).cast(org.apache.spark.sql.types.LongType))
       .as[(String, Long)]

@@ -346,10 +346,12 @@ object Dedup {
     * truncated per round (localCheckpoint) so plans stay flat.
     *
     * Scale: each round is one (b)-keyed join + one groupBy over the EDGE
-    * list — O(E) shuffle per round, rounds = component diameter. Near-dup
-    * graphs are overwhelmingly tiny cliques (diameter ≤ 2-3); for
-    * adversarial long-chain graphs swap in large-star/small-star
-    * contraction (same join primitives, O(log d) rounds).
+    * list — O(E) shuffle per round, rounds = component diameter, and
+    * exactly ONE Spark job per round: the changed-label count rides the
+    * checkpoint materialization as an `observe` metric instead of a
+    * separate count() job. Near-dup graphs are overwhelmingly tiny
+    * cliques (diameter ≤ 2-3); for adversarial long-chain graphs use
+    * [[dupClustersStar]] (same join primitives, O(log d) rounds).
     *
     * Returns (cluster_id = min member id, sz, members = sorted csv). */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
@@ -367,19 +369,98 @@ object Dedup {
         .join(labels.select(F.col("id").as("b"), F.col("label").as("bl")),
           "b")
         .groupBy("a").agg(F.min("bl").as("nmin"))
+      val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
       val next = labels
         .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
-        .select(F.col("id"),
+        .select(F.col("id"), F.col("label").as("old"),
           F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
             .as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .where(F.col("label") =!= F.col("old")).count()
+        .observe(obs, F.coalesce(
+          F.sum(F.when(F.col("label") =!= F.col("old"), 1L).otherwise(0L)),
+          F.lit(0L)).as("changed"))
+        .select("id", "label")
+        .localCheckpoint(true) // eager: fires the round's ONE job
+      changed = obs.get("changed").asInstanceOf[Long]
       labels = next
       it += 1
     }
     // sort members NUMERICALLY before the string join (a string sort
     // would put "10" before "2" — the oracle orders by the native id)
+    labels.groupBy(F.col("label").as("cluster_id"))
+      .agg(F.count(F.lit(1)).as("sz"),
+        F.array_join(F.transform(F.sort_array(F.collect_list(F.col("id"))),
+          x => x.cast(org.apache.spark.sql.types.StringType)), ",")
+          .as("members"))
+  }
+
+  /** Adversarial-diameter cluster formation: alternating
+    * large-star/small-star edge contraction (the public MapReduce
+    * connected-components algorithm of Kiveris et al., "Connected
+    * Components in MapReduce and Beyond") — O(log d) rounds instead of
+    * the O(d) of min-label propagation, same join/groupBy primitives
+    * and one job per round (observe-metric convergence, no extra
+    * count()). Prefer [[dupClusters]] for ordinary near-dup graphs
+    * (tiny cliques); use this when components can be long chains.
+    * Identical output contract: (cluster_id = min member id, sz,
+    * members = sorted csv). */
+  def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
+                      maxIter: Int = 25): DataFrame = {
+    // orientation invariant: edges always point larger → smaller
+    var e = pairs.select(
+        F.greatest(F.col(aCol), F.col(bCol)).as("a"),
+        F.least(F.col(aCol), F.col(bCol)).as("b"))
+      .where(F.col("a") =!= F.col("b")).distinct().localCheckpoint(true)
+
+    // large-star: every node u, each STRICTLY LARGER neighbor v joins
+    // min(Γ(u) ∪ {u}); small-star: each neighbor ≤ u (plus u itself)
+    // joins the min. Both preserve components and the orientation.
+    def largeStar(edges: DataFrame): DataFrame = {
+      val sym = edges.unionAll(
+        edges.select(F.col("b").as("a"), F.col("a").as("b")))
+      val mins = sym.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).as("m"))
+      sym.join(mins, "a").where(F.col("b") > F.col("a"))
+        .select(F.col("b").as("a"), F.col("m").as("b"))
+        .where(F.col("a") =!= F.col("b")).distinct()
+    }
+    def smallStar(edges: DataFrame): DataFrame = {
+      val mins = edges.groupBy("a")
+        .agg(F.least(F.min("b"), F.col("a")).as("m"))
+      edges.join(mins, "a")
+        .select(F.col("b").as("a"), F.col("m").as("b"))
+        .unionAll(mins.select(F.col("a"), F.col("m").as("b")))
+        .where(F.col("a") =!= F.col("b")).distinct()
+    }
+
+    // fixpoint when a round leaves the edge set unchanged — detected by
+    // (count, order-independent hash-sum) riding the checkpoint job
+    var prevSig = (-1L, -1L)
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      val obs = org.apache.spark.sql.Observation(s"star_round_$it")
+      val next = smallStar(largeStar(e))
+        .observe(obs,
+          F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("cnt"),
+          F.coalesce(F.sum(F.pmod(F.xxhash64(F.col("a"), F.col("b")),
+            F.lit(1000000007L))), F.lit(0L)).as("hs"))
+        .localCheckpoint(true)
+      val sig = (obs.get("cnt").asInstanceOf[Long],
+        obs.get("hs").asInstanceOf[Long])
+      done = sig == prevSig
+      prevSig = sig
+      e = next
+      it += 1
+    }
+
+    // converged star forest: each non-root points straight at its root
+    val nodes = pairs.select(F.col(aCol).as("id"))
+      .unionAll(pairs.select(F.col(bCol).as("id"))).distinct()
+    val labels = nodes
+      .join(e.select(F.col("a").as("id"), F.col("b").as("root")),
+        Seq("id"), "left")
+      .groupBy("id")
+      .agg(F.coalesce(F.min("root"), F.first("id")).as("label"))
     labels.groupBy(F.col("label").as("cluster_id"))
       .agg(F.count(F.lit(1)).as("sz"),
         F.array_join(F.transform(F.sort_array(F.collect_list(F.col("id"))),

@@ -109,7 +109,10 @@ object TextOps {
       case ((k, r), acc) => F.when(F.col(strataCol) === k, F.lit(r))
         .otherwise(acc)
     }
-    df.where(F.pmod(h, F.lit(10000L)) < (rate * 10000).cast(LongType))
+    // round, don't truncate: the double product of a rate like 0.29 is
+    // 2899.999… and a bare cast would disagree off-by-one with the
+    // oracle's exact decimal CAST(0.29 * 10000 AS BIGINT) = 2900
+    df.where(F.pmod(h, F.lit(10000L)) < F.round(rate * 10000).cast(LongType))
   }
 
   /** Positionally-weighted document fingerprint: sum over tokens of

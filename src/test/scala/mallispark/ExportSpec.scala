@@ -134,6 +134,21 @@ class ExportSpec extends AnyFunSuite {
     assert(js.contains("\"enum\": [\"en\", \"de\", \"fr\", \"es\", \"zh\"]"))
   }
 
+  test("deserialized :custom fails fast instead of validating everything") {
+    val json = Export.toJson(mallispark.ir.S.custom("even64",
+      (c, _) => org.apache.spark.sql.functions.pmod(c, org.apache.spark.sql.functions.lit(2)) === 0,
+      _ => true))
+    val back = Export.fromJson(json)
+    val e = intercept[IllegalArgumentException] {
+      back match {
+        case c: mallispark.ir.SchemaIR.SCustom =>
+          c.colPred(org.apache.spark.sql.functions.lit(2), org.apache.spark.sql.types.LongType)
+        case other => fail(s"expected SCustom, got $other")
+      }
+    }
+    assert(e.getMessage.contains("even64"))
+  }
+
   test("structtype DDL dual") {
     val st = mallispark.compile.SchemaCompiler.toStructType(
       WebPages.schema.asInstanceOf[SMap])

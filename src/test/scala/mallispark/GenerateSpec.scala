@@ -61,6 +61,23 @@ class GenerateSpec extends SparkSuite {
     }
   }
 
+  test("portable Rng: the law holds and output differs from the native Rng") {
+    schemas.foreach { case (name, s) =>
+      val df = Generate.dfFromSchema(spark, s, 500, seed = 7,
+        rng = Generate.PortableRng)
+      val bad = SchemaCompiler.validateDF(s, df, "ok").where(!F.col("ok"))
+      assert(bad.count() === 0L, s"schema $name (portable rng) invalid rows")
+    }
+    // same seed, different rng → different draws (the portable mode is a
+    // real alternative stream, not an alias)
+    val s0 = schemas.head._2
+    def fp(rng: Generate.Rng) =
+      Generate.dfFromSchema(spark, s0, 500, seed = 7, rng = rng)
+        .agg(F.sum(F.pmod(F.xxhash64(F.col("a"), F.col("b")),
+          F.lit(1000003L)))).collect()(0).getLong(0)
+    assert(fp(Generate.PortableRng) !== fp(Generate.XxRng))
+  }
+
   test("generation is deterministic in seed and independent of partitioning") {
     val s = schemas.head._2
     def fingerprint(parts: Int) =

@@ -62,6 +62,28 @@ class TextOpsSpec extends SparkSuite {
     assert(c2.length === 1 && c2(0).getString(2) === "1,2,3,4,5,6")
   }
 
+  test("dupClustersStar: matches min-label output, handles long chains") {
+    val pairSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+    // adversarial diameter: a 40-node chain — O(log d) star rounds
+    val chain = df((1L to 39L).map(i => Row(i, i + 1)), pairSchema)
+    val c = Dedup.dupClustersStar(chain, "id_a", "id_b").collect()
+    assert(c.length === 1 && c(0).getLong(0) === 1L && c(0).getLong(1) === 40L)
+    // random-ish mixed graph: identical clusters from both algorithms
+    val rnd = new scala.util.Random(7)
+    val edges = (1 to 60).map { _ =>
+      Row(rnd.nextInt(30).toLong, rnd.nextInt(30).toLong)
+    }.filter(r => r.getLong(0) != r.getLong(1))
+    val pairs = df(edges, pairSchema)
+    def canon(out: Array[org.apache.spark.sql.Row]) =
+      out.map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sortBy(_._1).toSeq
+    assert(canon(Dedup.dupClustersStar(pairs, "id_a", "id_b").collect()) ===
+      canon(Dedup.dupClusters(pairs, "id_a", "id_b", maxIter = 40).collect()))
+    // empty input
+    assert(Dedup.dupClustersStar(df(Seq.empty, pairSchema), "id_a", "id_b")
+      .count() === 0L)
+  }
+
   test("native MinHashSignature: codegen == interpreted; dups collide") {
     import mallispark.expressions.MinHashSignature
     // interpreted eval (via a non-codegen path: eval on literal rows

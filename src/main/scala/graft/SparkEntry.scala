@@ -1325,17 +1325,56 @@ object SparkEntry {
     //      AST JSON, and JSON-Schema, plus a scoped recursive schema's
     //      form — pinned as oracle literals so any drift in the
     //      serialization surface fails the driver gate ----
+    // ---- programmatic schema algebra, oracle-gated: merge (right-
+    //      biased lang narrowing) → selectKeys → optionalKeys(text) →
+    //      closedSchema, then validate pages through the COMPOSED
+    //      schema; nulls injected into text prove the optionality
+    //      actually took effect (mu/merge, mu/select-keys,
+    //      mu/optional-keys, mu/closed-schema — util.cljc) ----
+    "schema_ops_verdicts" -> ((s, dir) => {
+      import mallispark.ir.SchemaOps
+      val narrowed = SchemaOps.merge(WebPages.schema,
+        S.mapE(false, S.req("lang", S.enum_("en", "de", "fr"))))
+      val composed = SchemaOps.closedSchema(SchemaOps.optionalKeys(
+        SchemaOps.selectKeys(narrowed.asInstanceOf[SchemaIR.SMap],
+          Set("url", "text", "lang")),
+        Some(Set("text"))))
+      val p = pages(s, dir).select(F.col("doc_id"), F.col("url"),
+        F.when(F.col("doc_id") % 53 === 9, F.lit(null).cast(StringType))
+          .otherwise(F.col("text")).as("text"),
+        F.col("lang"))
+      SchemaCompiler.validateDF(composed, p, "ok", exclude = Set("doc_id"))
+        .select("doc_id", "ok").orderBy("doc_id")
+    }),
+
     "export_forms" -> ((s, dir) => {
       import s.implicits._
       import mallispark.ir.Export
       val scoped = S.scoped("node" -> S.mapE(false,
           S.req("v", S.intMin(0L)),
           S.opt("kids", S.vector(S.ref("node")))))(S.ref("node"))
+      // EDN-form round-trip: parse the flagship's own vector-syntax form
+      // back through fromForm and re-serialize — must be a fixpoint
+      val ednBack = Export.fromForm(SchemaIR.form(WebPages.schema))
+      // StructType DDL dual of the compiled schema
+      val ddl = SchemaCompiler.toStructType(
+        WebPages.schema.asInstanceOf[SchemaIR.SMap]).toDDL
+      // registry modes resolve to the same schemas a compile would see
+      val mut = new SchemaIR.MutableRegistry()
+      mut.register("page", S.mapE(false, S.req("x", S.int)))
+      val lz = new SchemaIR.LazyRegistry(
+        n => if (n == "leaf") Some(S.intMin(0L)) else None)
       Seq(
         ("flagship_form", SchemaIR.form(WebPages.schema)),
         ("flagship_ast", Export.toJson(WebPages.schema)),
         ("flagship_jsonschema", Export.toJsonSchema(WebPages.schema)),
-        ("scoped_form", SchemaIR.form(scoped)))
+        ("scoped_form", SchemaIR.form(scoped)),
+        ("edn_roundtrip", SchemaIR.form(ednBack)),
+        ("struct_ddl", ddl),
+        ("registry_mutable_form", SchemaIR.form(mut.snapshot("page"))),
+        ("registry_lazy_form", SchemaIR.form(lz.force("leaf")("leaf"))),
+        ("flagship_describe",
+          mallispark.ir.Describe.describe(WebPages.schema)))
         .toDF("name", "text").orderBy("name")
     })
   )
@@ -1627,6 +1666,17 @@ object SparkEntry {
     // golden serialization literals — HARD-CODED (not computed from the
     // same code, which would be tautological): drift in form/AST/
     // JSON-Schema emission fails this gate
+    // effective schema after the composition: url (re) required, lang
+    // narrowed to en/de/fr required, text string{min 1} OPTIONAL (null
+    // accepted), closed over the three physical columns
+    "schema_ops_verdicts" ->
+      s"""$P
+         |SELECT doc_id,
+         |  regexp_matches(url, '^https?://[^\\s]+$$')
+         |  AND lang IN ('en','de','fr')
+         |  AND (doc_id % 53 = 9 OR length(text) >= 1) AS ok
+         |FROM pages ORDER BY doc_id""".stripMargin,
+
     "export_forms" -> {
       val flagshipForm =
         """[:map {:closed true} [:doc_id {:optional true} :int] [:url [:re "^https?://[^\\s]+$"]] [:warc_ts [:time/instant {:min "2025-01-01T00:00:00Z" :max "2026-05-01T00:00:00Z"}]] [:html :bytes] [:text [:string {:min 1}]] [:lang [:enum "en" "de" "fr" "es" "zh"]]]"""
@@ -1636,9 +1686,24 @@ object SparkEntry {
         """{"type": "object", "properties": {"doc_id": {"type": "integer"}, "url": {"type": "string", "pattern": "^https?://[^\\s]+$"}, "warc_ts": {"type": "string", "format": "date-time"}, "html": {"type": "string", "contentEncoding": "base64"}, "text": {"type": "string", "minLength": 1}, "lang": {"enum": ["en", "de", "fr", "es", "zh"]}}, "required": ["url", "warc_ts", "html", "text", "lang"], "additionalProperties": false}"""
       val scopedForm =
         """[:schema {:registry {:node [:map [:v [:int {:min 0}]] [:kids {:optional true} [:vector [:ref node]]]]}} [:ref node]]"""
+      val structDdl =
+        "doc_id BIGINT,url STRING NOT NULL,warc_ts TIMESTAMP NOT NULL," +
+          "html BINARY NOT NULL,text STRING NOT NULL,lang STRING NOT NULL"
       def lit(x: String) = "'" + x.replace("'", "''") + "'"
       Seq("flagship_ast" -> flagshipAst, "flagship_form" -> flagshipForm,
-        "flagship_jsonschema" -> flagshipJs, "scoped_form" -> scopedForm)
+        "flagship_jsonschema" -> flagshipJs, "scoped_form" -> scopedForm,
+        // fromForm∘form fixpoint: the round-trip must land back on the
+        // flagship's own golden form literal
+        "edn_roundtrip" -> flagshipForm,
+        "struct_ddl" -> structDdl,
+        "registry_mutable_form" -> "[:map [:x :int]]",
+        "registry_lazy_form" -> "[:int {:min 0}]",
+        // malli.experimental/describe wording of the flagship schema
+        "flagship_describe" -> ("map where {:doc_id (optional) -> " +
+          "<integer>, :url -> <regex pattern matching " +
+          "\"^https?://[^\\s]+$\">, :warc_ts -> <inst (aka date time)>, " +
+          ":html -> <bytes>, :text -> <string with length >= 1>, " +
+          ":lang -> <enum of en, de, fr, es, zh>} with no other keys"))
         .map { case (n, v) => s"SELECT '$n' AS name, ${lit(v)} AS text" }
         .mkString("", "\nUNION ALL\n", "\nORDER BY name")
     },

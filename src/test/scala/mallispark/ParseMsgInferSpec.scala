@@ -248,4 +248,49 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(!RowEval.validate(S.ref("node"),
       Map("v" -> 1L, "kids" -> Seq(Map("x" -> 2L)))))
   }
+
+  test("describe: reference wording fixtures (describe_test.cljc)") {
+    import mallispark.ir.Describe.describe
+    // strings (describe_test.cljc:11-14)
+    assert(describe(S.string(min = 5)) === "string with length >= 5")
+    assert(describe(S.string(max = 5)) === "string with length <= 5")
+    assert(describe(S.string(3, 5)) ===
+      "string with length between 3 and 5 inclusive")
+    // vector / compound (describe_test.cljc:7-9, 40-42)
+    assert(describe(S.vector(S.int)) === "vector of integer")
+    assert(describe(S.vector(S.every(S.set(S.int)))) ===
+      "vector of sequence of set of integer")
+    // ints (describe_test.cljc:91-97)
+    assert(describe(S.intMin(0L)) === "integer greater than or equal to 0")
+    assert(describe(S.intMax(1L)) === "integer less than or equal to 1")
+    assert(describe(S.int(0, 1)) === "integer between 0 and 1 inclusive")
+    // maps (describe_test.cljc:22-31)
+    assert(describe(S.mapE(false, S.req("x", S.int))) ===
+      "map where {:x -> <integer>}")
+    assert(describe(S.mapE(false, S.opt("x", S.int),
+      S.req("y", S.boolean))) ===
+      "map where {:x (optional) -> <integer>, :y -> <boolean>}")
+    assert(describe(S.mapE(true, S.req("x", S.int))) ===
+      "map where {:x -> <integer>} with no other keys")
+    assert(describe(S.mapOf(S.int, S.string)) ===
+      "map from <integer> to <string>")
+    // multi (describe_test.cljc:49-52)
+    assert(describe(S.multi("type")(
+      "dog" -> S.mapE(false, S.req("x", S.int)),
+      "cat" -> S.any)) ===
+      "one of <:dog = map where {:x -> <integer>} | :cat = anything>" +
+        " dispatched by :type")
+    // recursive local registry (describe_test.cljc:86-89)
+    assert(describe(S.scoped(
+      "ConsCell" -> S.maybe(S.tuple(S.int, S.ref("ConsCell"))))(
+      S.ref("ConsCell"))) ===
+      "ConsCell <nullable vector with exactly 2 items of type: " +
+        "integer, \"ConsCell\">")
+    // repeat (describe_test.cljc:104-105)
+    assert(describe(S.repeat(S.int, 1, 7)) ===
+      "repeat <integer> at least 1 time, up to 7 times")
+    // enum + maybe + or
+    assert(describe(S.enum_("en", "de", "fr")) === "enum of en, de, fr")
+    assert(describe(S.or(S.int, S.nil)) === "integer, or null")
+  }
 }

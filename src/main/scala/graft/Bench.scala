@@ -76,6 +76,14 @@ object Bench {
       if (cand != null && java.nio.file.Files.isDirectory(cand)) cand.toString
       else sfDir
     }
+    // warm the JVM (JIT, codegen compiler, parquet reader init) so the
+    // first timed query doesn't absorb several seconds of cold-start
+    if (!benchOnly) {
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(F.sum(F.xxhash64(F.col("doc_id")))).collect()
+      spark.range(1000000).select(F.sum(F.pmod(F.xxhash64(F.col("id")),
+        F.lit(7L)))).collect()
+    }
     val results =
       if (benchOnly) Map.empty[String, Double]
       else SparkEntry.queries.map { case (name, fn) =>

@@ -1183,16 +1183,23 @@ object SparkEntry {
     //      synthesizer) ----
     "multimodal_decode" -> ((s, dir) => {
       val d = mediaCorpus(s, dir)
-      val m = Multimodal.decodeMedia(F.col("bin"))
+        // hex(bin) projected ONCE — every byte slice in the decoder
+        // references this column instead of re-hexing the payload
+        .select(F.col("doc_id"), F.hex(F.col("bin")).as("h"),
+          F.length(F.col("bin")).cast(LongType).as("n"))
+      val m = Multimodal.decodeMediaHex(F.col("h"), F.col("n"))
+      // flatten AFTER projecting m — attribute access, not subtree clones
       d.select(F.col("doc_id"), m.as("m"))
         .select(F.col("doc_id"), F.col("m.kind").as("kind"),
-          F.col("m.width").as("width"), F.col("m.height").as("height"),
-          F.col("m.sum_b").as("sum_b"), F.col("m.sum_g").as("sum_g"),
-          F.col("m.sum_r").as("sum_r"),
-          F.col("m.n_samples").as("n_samples"),
-          F.col("m.sample_rate").as("sample_rate"),
-          F.col("m.sum_sq").as("sum_sq"),
-          F.col("m.peak_abs").as("peak_abs"))
+          F.col("m.img.width").as("width"),
+          F.col("m.img.height").as("height"),
+          F.col("m.img.sum_b").as("sum_b"),
+          F.col("m.img.sum_g").as("sum_g"),
+          F.col("m.img.sum_r").as("sum_r"),
+          F.col("m.aud.n_samples").as("n_samples"),
+          F.col("m.aud.sample_rate").as("sample_rate"),
+          F.col("m.aud.sum_sq").as("sum_sq"),
+          F.col("m.aud.peak_abs").as("peak_abs"))
         .orderBy("doc_id")
     }),
 

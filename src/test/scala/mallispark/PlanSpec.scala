@@ -168,6 +168,29 @@ class PlanSpec extends SparkSuite {
       s"UDF in frames plan:\n$plan")
   }
 
+  test("multimodal decode stays pure-Column (no UDF, no shuffle before sort)") {
+    // the pixel/sample sums are higher-order `aggregate` expressions —
+    // Spark keeps those OUT of whole-stage codegen by design, but they
+    // are still closure-free Catalyst expressions (no serialization
+    // boundary, no ScalaUDF); the large-payload scale path is the
+    // batched JVM decoder (extractFeatures)
+    val plan = planOf(graft.SparkEntry.queries("multimodal_decode")(spark, sf))
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"UDF in decode plan:\n$plan")
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected shuffle in decode plan:\n$plan")
+  }
+
+  test("generation is scan-free codegen over range (no shuffle, no UDF)") {
+    val plan = planOf(graft.SparkEntry.queries("gen_roundtrip")(spark, sf))
+    assert(!plan.contains("ScalaUDF"), s"UDF in gen plan:\n$plan")
+    assert(plan.contains("Range"), s"no Range source:\n$plan")
+    // one exchange is the final orderBy sort; generation itself must not
+    // shuffle — with 200 rows the sort collapses to a single partition
+    assert(!plan.contains("hashpartitioning"),
+      s"unexpected hash shuffle in gen plan:\n$plan")
+  }
+
   test("LSH-gated jaccard has no full-table shingle self-join") {
     // the standalone quadratic shingle join is gone from the hot path:
     // every join in dedup_jaccard is either the banded candidate join or

@@ -428,10 +428,16 @@ class TextOpsSpec extends SparkSuite {
     // opaque fallback
     assert(Multimodal.decodeOne(jpeg)._1 === "unknown")
 
-    // Column path: same binaries through the codegen'd hex arithmetic
+    // Column path: same binaries through the pure-Column hex arithmetic
     val g = df(Seq(Row(1L, goldenBmp), Row(2L, goldenWav)), binSchema)
     val dec = g.select(F.col("id"), Multimodal.decodeMedia(F.col("bin")).as("m"))
-      .orderBy("id").select("id", "m.*").collect()
+      .orderBy("id")
+      .select(F.col("id"), F.col("m.kind"),
+        F.col("m.img.width"), F.col("m.img.height"), F.col("m.img.sum_b"),
+        F.col("m.img.sum_g"), F.col("m.img.sum_r"),
+        F.col("m.aud.n_samples"), F.col("m.aud.sample_rate"),
+        F.col("m.aud.sum_sq"), F.col("m.aud.peak_abs"))
+      .collect()
     assert(dec(0).getString(1) === "bmp")
     assert(Seq(2L, 2L, 383L, 319L, 447L) ===
       (2 to 6).map(dec(0).getLong(_)))

@@ -79,8 +79,10 @@ object Bench {
     // warm the JVM (JIT, codegen compiler, parquet reader init) so the
     // first timed query doesn't absorb several seconds of cold-start
     if (!benchOnly) {
+      // pmod before sum: raw xxhash64 longs overflow an ANSI sum
       spark.read.parquet(s"$sfDir/documents.parquet")
-        .select(F.sum(F.xxhash64(F.col("doc_id")))).collect()
+        .select(F.sum(F.pmod(F.xxhash64(F.col("doc_id")), F.lit(1000L))))
+        .collect()
       spark.range(1000000).select(F.sum(F.pmod(F.xxhash64(F.col("id")),
         F.lit(7L)))).collect()
     }

@@ -1021,6 +1021,15 @@ object SparkEntry {
           "id_a", "id_b")
         .orderBy("cluster_id")),
 
+    // same pairs through the O(log d) large-star/small-star contraction —
+    // must agree with the min-label fixpoint exactly
+    "dedup_clusters_star" -> ((s, dir) =>
+      Dedup.dupClustersStar(
+          Dedup.ngramJaccardWithinBuckets(pages(s, dir), "doc_id", "text",
+            n = 3, threshold = 0.9, k = 16, bands = 8, maxShingleDf = 20),
+          "id_a", "id_b")
+        .orderBy("cluster_id")),
+
     // ---- similarity search over embeddings ----
     "ann_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1354,6 +1363,31 @@ object SparkEntry {
         .select("doc_id", "ok").orderBy("doc_id")
     }),
 
+    // ---- union / renameKeys / dissoc composition: colliding `lang`
+    //      entries become :or (mu/union), `text` is renamed to `body`,
+    //      `url` is dissoc'd (rows validate without it — a stale
+    //      required entry would fail every row as missing-key);
+    //      injected empty bodies prove the kept :string{min 1} bites ----
+    "schema_ops_union" -> ((s, dir) => {
+      import mallispark.ir.SchemaOps
+      import mallispark.ir.SchemaIR.SMap
+      val a = S.mapE(false,
+        S.req("url", S.re("^https?://[^\\s]+$")),
+        S.req("lang", S.enum_("en", "de")),
+        S.req("text", S.string(1)))
+      val b = S.mapE(false, S.req("lang", S.enum_("fr", "es")))
+      val composed = SchemaOps.dissoc(
+        SchemaOps.renameKeys(
+          SchemaOps.union(a, b).asInstanceOf[SMap],
+          Map("text" -> "body")),
+        "url")
+      val p = pages(s, dir).select(F.col("doc_id"), F.col("lang"),
+        F.when(F.col("doc_id") % 41 === 5, F.lit(""))
+          .otherwise(F.col("text")).as("body"))
+      SchemaCompiler.validateDF(composed, p, "ok", exclude = Set("doc_id"))
+        .select("doc_id", "ok").orderBy("doc_id")
+    }),
+
     "export_forms" -> ((s, dir) => {
       import s.implicits._
       import mallispark.ir.Export
@@ -1572,7 +1606,12 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC)
        |    AS rank FROM scored)""".stripMargin
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlBase +
+    // the star-contraction variant must produce the SAME clusters as the
+    // min-label algorithm — one oracle serves both gates
+    ("dedup_clusters_star" -> oracleSqlBase("dedup_clusters"))
+
+  private def oracleSqlBase: Map[String, String] = Map(
 
     "ann_ivf_topk" ->
       s"""$annIvfCtes
@@ -1682,6 +1721,15 @@ object SparkEntry {
          |  regexp_matches(url, '^https?://[^\\s]+$$')
          |  AND lang IN ('en','de','fr')
          |  AND (doc_id % 53 = 9 OR length(text) >= 1) AS ok
+         |FROM pages ORDER BY doc_id""".stripMargin,
+
+    // body = '' when doc_id%41=5 (this gate's injection) OR when the
+    // pages CTE itself injected an empty text — both must fail :string{min 1}
+    "schema_ops_union" ->
+      s"""$P
+         |SELECT doc_id,
+         |  (lang IN ('en','de') OR lang IN ('fr','es'))
+         |  AND doc_id % 41 <> 5 AND length(text) >= 1 AS ok
          |FROM pages ORDER BY doc_id""".stripMargin,
 
     "export_forms" -> {

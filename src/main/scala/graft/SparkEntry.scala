@@ -1286,6 +1286,83 @@ object SparkEntry {
           F.approx_count_distinct(F.col("l_partkey")).as("approx_parts"))
         .select(F.col("approx_orders"), F.col("approx_parts"))),
 
+    // ---- SKETCH LAW GATES: the approx paths can't be value-matched
+    //      cross-engine (sketches are engine-private), but their LAWS
+    //      can — each gate emits an exact component DuckDB re-derives
+    //      PLUS an engine-proved tolerance/agreement verdict the oracle
+    //      expects to be true ----
+
+    // HLL vs exact distinct: exact counts cross-checked; a tight sketch
+    // (rsd 0.01 — the scale path would use the default 0.05) must land
+    // within 5% of them (deterministic hash sketch, no run-to-run noise)
+    "approx_distinct_law" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+          F.countDistinct(F.col("l_orderkey")).as("exact_orders"),
+          F.countDistinct(F.col("l_partkey")).as("exact_parts"),
+          F.approx_count_distinct(F.col("l_orderkey"), 0.01).as("ao"),
+          F.approx_count_distinct(F.col("l_partkey"), 0.01).as("ap"))
+        .select(F.col("exact_orders"), F.col("exact_parts"),
+          (F.abs(F.col("ao") - F.col("exact_orders")).cast(DoubleType)
+            / F.col("exact_orders") <= 0.05 &&
+           F.abs(F.col("ap") - F.col("exact_parts")).cast(DoubleType)
+            / F.col("exact_parts") <= 0.05).as("within_5pct"))),
+
+    // percentile-sketch KS vs the distributed exact KS: the exact D is
+    // cross-checked (same arithmetic as drift_ks_value); the 256-quantile
+    // sketch estimate must track it
+    "ks_sketch_law" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val exact = TableChecks.ksExact(ev, "value",
+          F.col("event_id") % 2 === 0).select(F.col("ks_stat"))
+      val sk = TableChecks.ksStatistic(
+        ev.where(F.col("event_id") % 2 === 0),
+        ev.where(F.col("event_id") % 2 =!= 0), "value")
+      exact.crossJoin(sk).select(F.col("ks_stat"),
+        (F.abs(F.col("ks_statistic") - F.col("ks_stat")) <= 0.05)
+          .as("sketch_close"))
+    }),
+
+    // native (engine-hash) kernels: byte-identical duplicate texts MUST
+    // produce identical native MinHash signatures and SimHash values —
+    // the dup-pair list is cross-checked via md5, the signature equality
+    // is the engine-proved law
+    "native_hash_law" -> ((s, dir) => {
+      import mallispark.expressions.{MinHashFromText, SimHashFromText}
+      val p = pages(s, dir).where(F.length(F.col("text")) > 0)
+        .select(F.col("doc_id"), F.md5(F.col("text")).as("th"),
+          MinHashFromText(F.col("text"), 3, 64).as("mh"),
+          SimHashFromText(F.col("text")).as("sh"))
+      val a = p.select(F.col("doc_id").as("id_a"), F.col("th"),
+        F.col("mh").as("mh_a"), F.col("sh").as("sh_a"))
+      val b = p.select(F.col("doc_id").as("id_b"), F.col("th"),
+        F.col("mh").as("mh_b"), F.col("sh").as("sh_b"))
+      a.join(b, "th").where(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_a"), F.col("id_b"),
+          (F.col("mh_a") === F.col("mh_b")).as("minhash_equal"),
+          (F.col("sh_a") === F.col("sh_b")).as("simhash_equal"))
+        .orderBy("id_a", "id_b")
+    }),
+
+    // HLL-mode inference must reach the SAME schema decisions as the
+    // exact mode on this data (the n^0.7 map-of rule and :enum gating
+    // consume the distinct counts); exact mode is separately oracled
+    "infer_approx_law" -> ((s, dir) => {
+      import s.implicits._
+      val d = t(s, dir, "documents").select("doc_id", "lang", "text",
+        "n_chars")
+      val ex = mallispark.infer.Infer.infer(d,
+        mallispark.infer.Infer.Options(exact = true))
+      val ap = mallispark.infer.Infer.infer(d,
+        mallispark.infer.Infer.Options(exact = false))
+      val exm = ex.entries.map(e =>
+        e.key -> (inferTag(e.child), e.optional, enumCsv(e.child))).toMap
+      ap.entries.map { e =>
+        (e.key,
+          exm.get(e.key).contains(
+            (inferTag(e.child), e.optional, enumCsv(e.child))))
+      }.toDF("col", "agree").orderBy("col")
+    }),
+
     // ---- schema inference (malli.provider) — exact-aggregate path; the
     // derived table exercises every heuristic (:uuid narrowing, :enum,
     // [:maybe _], :tuple-vs-:vector, :map-vs-:map-of n^0.7 rule) and the
@@ -1725,6 +1802,40 @@ object SparkEntry {
 
     // body = '' when doc_id%41=5 (this gate's injection) OR when the
     // pages CTE itself injected an empty text — both must fail :string{min 1}
+    "approx_distinct_law" ->
+      """SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  TRUE AS within_5pct
+        |FROM lineitem""".stripMargin,
+
+    // exact-D arithmetic identical to drift_ks_value's oracle
+    "ks_sketch_law" ->
+      """WITH g AS (SELECT value AS v,
+        |    CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS da,
+        |    CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS db
+        |  FROM events GROUP BY value),
+        |tot AS (SELECT CAST(sum(da) AS BIGINT) AS na,
+        |               CAST(sum(db) AS BIGINT) AS nb FROM g),
+        |cum AS (SELECT sum(da) OVER (ORDER BY v) AS ca,
+        |               sum(db) OVER (ORDER BY v) AS cb FROM g)
+        |SELECT round(max(abs(ca * 1.0 / (SELECT na FROM tot)
+        |                   - cb * 1.0 / (SELECT nb FROM tot))), 6) AS ks_stat,
+        |  TRUE AS sketch_close
+        |FROM cum""".stripMargin,
+
+    "native_hash_law" ->
+      s"""$P,
+         |g AS (SELECT md5(text) AS th, doc_id FROM pages
+         |      WHERE length(text) > 0)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  TRUE AS minhash_equal, TRUE AS simhash_equal
+         |FROM g a JOIN g b ON a.th = b.th AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "infer_approx_law" ->
+      """SELECT col, TRUE AS agree FROM (VALUES ('doc_id'), ('lang'),
+        |  ('text'), ('n_chars')) t(col) ORDER BY col""".stripMargin,
+
     "schema_ops_union" ->
       s"""$P
          |SELECT doc_id,

@@ -149,6 +149,40 @@ class ExportSpec extends AnyFunSuite {
     assert(e.getMessage.contains("even64"))
   }
 
+  test("lite DSL builds the same schemas as the full syntax (lite_test.cljc)") {
+    import mallispark.ir.Lite
+    val l = Lite.obj(
+      "int" -> ":int",
+      "opt" -> Lite.optional(Lite.obj("a" -> ":int")),
+      "maybe" -> Lite.maybe(Lite.obj("a" -> ":int")),
+      "set" -> Lite.set(Lite.obj("a" -> ":int")),
+      "vector" -> Lite.vector(Lite.obj("a" -> ":int")),
+      "nested" -> Lite.obj(
+        "int" -> ":int",
+        "map_of" -> Lite.mapOf(":int", Lite.obj("a" -> ":int")),
+        "tuple" -> Lite.tuple(":int", Lite.obj("a" -> ":int")),
+        "and" -> Lite.and(Lite.obj("a" -> ":int"), ":any"),
+        "or" -> Lite.or(Lite.obj("a" -> ":int"), Lite.obj("b" -> ":int"))))
+    val full = S.mapE(false,
+      S.req("int", S.int),
+      S.opt("opt", S.mapE(false, S.req("a", S.int))),
+      S.req("maybe", S.maybe(S.mapE(false, S.req("a", S.int)))),
+      S.req("set", S.set(S.mapE(false, S.req("a", S.int)))),
+      S.req("vector", S.vector(S.mapE(false, S.req("a", S.int)))),
+      S.req("nested", S.mapE(false,
+        S.req("int", S.int),
+        S.req("map_of", S.mapOf(S.int, S.mapE(false, S.req("a", S.int)))),
+        S.req("tuple", S.tuple(S.int, S.mapE(false, S.req("a", S.int)))),
+        S.req("and", S.and(S.mapE(false, S.req("a", S.int)), S.any)),
+        S.req("or", S.or(S.mapE(false, S.req("a", S.int)),
+          S.mapE(false, S.req("b", S.int)))))))
+    assert(SchemaIR.form(l) === SchemaIR.form(full))
+    // form strings parse through the same reader as the EDN dual
+    assert(SchemaIR.form(Lite.schema("[:string {:min 2}]")) ===
+      "[:string {:min 2}]")
+    intercept[IllegalArgumentException](Lite.schema(Lite.optional(":int")))
+  }
+
   test("structtype DDL dual") {
     val st = mallispark.compile.SchemaCompiler.toStructType(
       WebPages.schema.asInstanceOf[SMap])

@@ -165,6 +165,13 @@ class PropertySpec extends SparkSuite {
       val flagged = SchemaCompiler.validateDF(sch, df, "__ok")
       val bad = flagged.where(!F.col("__ok"))
       assert(bad.count() === 0L, s"schema $f generated invalid rows")
+      // same law under the PORTABLE (md5) draw source — the gate only
+      // covers a fixed 7-node schema; random trees cover the rest
+      val dfP = Generate.dfFromSchema(spark, sch, 60, seed = 100 + i,
+        rng = Generate.PortableRng)
+      assert(SchemaCompiler.validateDF(sch, dfP, "__ok")
+        .where(!F.col("__ok")).count() === 0L,
+        s"schema $f generated invalid rows (portable rng)")
       val subSchema = StructType(flagged.schema.fields.filter(_.name != "__ok"))
       val collected = flagged.drop("__ok").collect()
       collected.take(40).foreach { r =>

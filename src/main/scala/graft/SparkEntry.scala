@@ -1062,6 +1062,31 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- embedding-cosine near-dup dedup (the fifth dedup family the
+    //      pipeline spec names): LSH-bucketed candidate pairs + exact
+    //      cosine refine. Synthetic near-dups injected deterministically
+    //      (exact copy at +10000, first-element-perturbed copy at
+    //      +20000 for vec_id % 50 == 7); oracle replicates the
+    //      hyperplane buckets from the shared literal signs ----
+    "dedup_embedding" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings").select("vec_id", "embedding")
+      val seeds = emb.where(F.col("vec_id") % 50 === 7)
+      val dup = seeds.select((F.col("vec_id") + 10000L).as("vec_id"),
+        F.col("embedding"))
+      // perturb element 0 in DOUBLE then narrow to float — IEEE-identical
+      // to the oracle's CAST(CAST(e[1] AS DOUBLE) + 0.05 AS REAL)
+      val near = seeds.select((F.col("vec_id") + 20000L).as("vec_id"),
+        F.concat(
+          F.array((F.element_at(F.col("embedding"), 1).cast(DoubleType)
+            + 0.05).cast(FloatType)),
+          F.slice(F.col("embedding"), 2, 1 << 20)).as("embedding"))
+      val corpus = emb.unionByName(dup).unionByName(near)
+      Similarity.nearDupPairs(corpus, "vec_id", "embedding",
+          threshold = 0.98, planes = AnnPlanes, tables = AnnTables,
+          dims = AnnDims)
+        .orderBy("id_a", "id_b")
+    }),
+
     // IVF (inverted-file) ANN — the second scale path the pipeline spec
     // names: coarse-quantizer cells + nprobe probing; deterministic
     // centroids make it exactly DuckDB-mirrorable
@@ -1715,6 +1740,26 @@ object SparkEntry {
       s"""$annLshCtes
          |SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank
          |FROM lsh_ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""WITH base AS (SELECT vec_id, embedding FROM embeddings),
+         |seeds AS (SELECT vec_id, embedding FROM base WHERE vec_id % 50 = 7),
+         |dup AS (SELECT vec_id + 10000 AS vec_id, embedding FROM seeds),
+         |near AS (SELECT vec_id + 20000 AS vec_id,
+         |  list_prepend(CAST(CAST(embedding[1] AS DOUBLE) + 0.05 AS REAL),
+         |    embedding[2:]) AS embedding FROM seeds),
+         |corpus2 AS (SELECT * FROM base UNION ALL SELECT * FROM dup
+         |            UNION ALL SELECT * FROM near),
+         |b2 AS (${lshBucketSql("corpus2", "vec_id", "embedding")}),
+         |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM b2 a JOIN b2 b
+         |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         |scored AS (SELECT id_a, id_b,
+         |    round(${cosSqlOf("va.embedding", "vb.embedding")}, 4) AS cos
+         |  FROM cand JOIN corpus2 va ON va.vec_id = id_a
+         |            JOIN corpus2 vb ON vb.vec_id = id_b)
+         |SELECT id_a, id_b, cos FROM scored WHERE cos >= 0.98
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "ann_lsh_recall" ->
       s"""$annLshCtes,

@@ -91,6 +91,32 @@ object Similarity {
           F.col(vecCol), planes, tables, dims)).as(Seq("tbl", "bucket")))
       .select(F.col(idCol), F.col("tbl"), F.col("bucket"))
 
+  /** Embedding-cosine NEAR-DUP pair generation — the embedding analogue
+    * of the MinHash-banded text path: hyperplane-LSH bucketed candidate
+    * pairs (all-pairs work only WITHIN a (table, bucket) cell), then an
+    * exact cosine refinement at `threshold`. At 10^12 rows the
+    * quadratic blowup is bounded by the bucket sizes; signatures are a
+    * one-pass scan-side kernel. Returns (id_a < id_b, cos rounded to
+    * 4dp) — the rounding makes the threshold comparison cross-engine
+    * deterministic (both engines sum doubles in element order). */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, planes: Int, tables: Int,
+                   dims: Int): DataFrame = {
+    val b = bucketed(df, idCol, vecCol, planes, tables, dims)
+    val cand = b.select(F.col(idCol).as("id_a"), F.col("tbl"),
+        F.col("bucket"))
+      .join(b.select(F.col(idCol).as("id_b"), F.col("tbl"),
+        F.col("bucket")), Seq("tbl", "bucket"))
+      .where(F.col("id_a") < F.col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val va = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
+    val vb = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
+    cand.join(va, "id_a").join(vb, "id_b")
+      .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+      .where(F.col("cos") >= threshold)
+      .select(F.col("id_a"), F.col("id_b"), F.col("cos"))
+  }
+
   /** Element quantization for the k-means trainer: `round(x·10⁴)` as an
     * exact BIGINT. Integer sums are ORDER-INDEPENDENT, so the per-cell
     * means are bit-identical across engines regardless of partitioning /

@@ -91,6 +91,41 @@ class GenerateSpec extends SparkSuite {
     assert(other !== fingerprint(2)) // different seed → different data
   }
 
+  test("function schemas: wrap validates args+return; check finds violations") {
+    import mallispark.gen.FnSchemas
+    import mallispark.gen.FnSchemas.FnSchema
+    val sch = FnSchema(Seq(S.int(0, 100), S.int(0, 100)), S.int(0, 200))
+    // a conforming function passes wrap and check
+    val add = FnSchemas.wrap(sch, "add") { args =>
+      args(0).asInstanceOf[Long] + args(1).asInstanceOf[Long]
+    }
+    assert(add(Seq(2L, 3L)) === 5L)
+    assert(FnSchemas.check(spark, sch, args =>
+      args(0).asInstanceOf[Long] + args(1).asInstanceOf[Long]).isEmpty)
+    // bad argument / bad return / arity all throw with the fn name
+    val e1 = intercept[IllegalArgumentException](add(Seq(-1L, 3L)))
+    assert(e1.getMessage.startsWith("add: invalid argument 0"))
+    val e2 = intercept[IllegalArgumentException](add(Seq(2L)))
+    assert(e2.getMessage.contains("expected 2 arguments"))
+    val bad = FnSchemas.wrap(sch, "bad")(_ => 999L)
+    assert(intercept[IllegalArgumentException](bad(Seq(1L, 2L)))
+      .getMessage.startsWith("bad: invalid return value"))
+    // generative check catches a function that violates only sometimes:
+    // a0 * a1 exceeds 200 for many generated pairs
+    val cex = FnSchemas.check(spark, sch, args =>
+      args(0).asInstanceOf[Long] * args(1).asInstanceOf[Long])
+    assert(cex.isDefined)
+    // and one that throws on a rare input
+    val cex2 = FnSchemas.check(spark, sch, args =>
+      if (args(0).asInstanceOf[Long] % 17 == 3)
+        throw new IllegalStateException("boom")
+      else 1L)
+    assert(cex2.exists(_._2.isInstanceOf[IllegalStateException]))
+    // reference describe wording (describe_test.cljc:16-19)
+    assert(FnSchemas.describe(FnSchema(Seq(S.int), S.int)) ===
+      "function that takes input: [integer] and returns integer")
+  }
+
   test("optional fields actually vary (nulls present but not universal)") {
     val s = schemas.head._2
     val df = Generate.dfFromSchema(spark, s, 2000, seed = 3)

@@ -183,6 +183,78 @@ class ExportSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Lite.schema(Lite.optional(":int")))
   }
 
+  test("DOT emitter: entity extraction, labels, ref edges (dot_test.cljc shape)") {
+    import mallispark.ir.Dot
+    val order = S.scoped(
+      "Country" -> S.mapE(false,
+        S.req("name", S.enum_("FI", "PO")),
+        S.req("neighbors", S.vector(S.ref("Country")))),
+      "Burger" -> S.mapE(false,
+        S.req("name", S.string),
+        S.opt("description", S.string),
+        S.req("origin", S.maybe(S.ref("Country"))),
+        S.req("price", S.posInt)),
+      "OrderLine" -> S.mapE(false,
+        S.req("burger", S.ref("Burger")),
+        S.req("amount", S.int)),
+      "Order" -> S.mapE(false,
+        S.req("lines", S.vector(S.ref("OrderLine"))),
+        S.req("delivery", S.mapE(false,
+          S.req("delivered", S.boolean),
+          S.req("address", S.mapE(false,
+            S.req("street", S.string),
+            S.req("zip", S.int),
+            S.req("country", S.ref("Country"))))))))(S.ref("Order"))
+    val dot = Dot.transform(order)
+    // header
+    assert(dot.startsWith("digraph {\n  node [shape=\"record\""))
+    // nested maps extracted into $-named ENTITY nodes (filled dark)
+    assert(dot.contains(
+      "\"Order$Delivery\" [label=\"{Order$Delivery|:delivered :boolean\\l" +
+        ":address Order$Delivery$Address\\l}\", fillcolor=\"#e6caab\"]"))
+    // refs print bare in this engine's form syntax ([:ref Country] —
+    // same convention as the scoped_form golden)
+    assert(dot.contains(
+      "\"Order$Delivery$Address\" [label=\"{Order$Delivery$Address|" +
+        ":street :string\\l:zip :int\\l:country [:ref Country]\\l}\"" +
+        ", fillcolor=\"#e6caab\"]"))
+    // explicit registry members stay light-filled with form-per-entry
+    assert(dot.contains(
+      "\"Country\" [label=\"{Country|:name [:enum \\\"FI\\\" \\\"PO\\\"]\\l" +
+        ":neighbors [:vector [:ref Country]]\\l}\", " +
+        "fillcolor=\"#fff0cd\"]"))
+    // composition edges (extracted entity) vs aggregation edges
+    assert(dot.contains("\"Order\" -> \"Order$Delivery\" [arrowtail=\"diamond\"]"))
+    assert(dot.contains(
+      "\"Order$Delivery\" -> \"Order$Delivery$Address\" [arrowtail=\"diamond\"]"))
+    assert(dot.contains("\"OrderLine\" -> \"Burger\" [arrowtail=\"odiamond\"]"))
+    assert(dot.contains("\"Country\" -> \"Country\" [arrowtail=\"odiamond\"]"))
+    assert(dot.contains(
+      "\"Order$Delivery$Address\" -> \"Country\" [arrowtail=\"odiamond\"]"))
+    assert(dot.trim.endsWith("}"))
+    // anonymous schemas lift into the one-node form (dot_test.cljc:36-43)
+    val anon = Dot.transform(S.enum_("S", "M", "L"))
+    assert(anon.contains(
+      "\":mallispark.dot/schema\" [label=\"{:mallispark.dot/schema|" +
+        "[:enum \\\"S\\\" \\\"M\\\" \\\"L\\\"]\\l}\", fillcolor=\"#fff0cd\"]"))
+
+    // PlantUML from the same normalize pipeline (plantuml_test.cljc):
+    // explicit members are `entity`, extracted nested maps `abstract`;
+    // o-- aggregation vs *-- composition
+    val uml = Dot.plantuml(order)
+    assert(uml.startsWith("@startuml\n") && uml.trim.endsWith("@enduml"))
+    assert(uml.contains(
+      "entity Country {\n :name [:enum \"FI\" \"PO\"]\n" +
+        " :neighbors [:vector [:ref Country]]\n}"))
+    assert(uml.contains(
+      "abstract Order$Delivery {\n :delivered :boolean\n" +
+        " :address Order$Delivery$Address\n}"))
+    assert(uml.contains("Order *-- Order$Delivery"))
+    assert(uml.contains("OrderLine o-- Burger"))
+    assert(Dot.plantuml(S.and(S.int, S.lt(100L))).contains(
+      "entity :mallispark.dot/schema {\n [:and :int [:< 100]]\n}"))
+  }
+
   test("structtype DDL dual") {
     val st = mallispark.compile.SchemaCompiler.toStructType(
       WebPages.schema.asInstanceOf[SMap])

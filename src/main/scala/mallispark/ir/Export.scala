@@ -632,7 +632,91 @@ object Export {
             n -> obj("$anchor" -> esc(n),
               "allOf" -> arr(Seq(toJsonSchema(s)))) }: _*),
         "allOf" -> arr(Seq(toJsonSchema(c))))
+    case SCompare(op, v) =>
+      val num = String.valueOf(v)
+      op match {
+        case ">" => obj("type" -> esc("number"), "exclusiveMinimum" -> num)
+        case ">=" => obj("type" -> esc("number"), "minimum" -> num)
+        case "<" => obj("type" -> esc("number"), "exclusiveMaximum" -> num)
+        case "<=" => obj("type" -> esc("number"), "maximum" -> num)
+        case "=" => obj("const" -> jsonLit(v))
+        case "not=" => obj("not" -> obj("const" -> jsonLit(v)))
+      }
     case SRef(n) => obj("$ref" -> esc(s"#$n"))
     case other => obj("$comment" -> esc(s"unmapped: ${SchemaIR.form(other)}"))
+  }
+
+  private def jsonLit(v: Any): String = v match {
+    case s: String => esc(s)
+    case other => String.valueOf(other)
+  }
+
+  /** Swagger 2.0 schema object — the `malli.swagger` analogue
+    * (reference: src/malli/swagger.cljc:1-213; fixtures:
+    * test/malli/swagger_test.cljc). Deltas from JSON Schema, per the
+    * reference: int/double carry `format`; `:maybe` renders its base
+    * with `x-nullable`; `:and`/`:or`/`:multi` render the first
+    * NON-NULL child as the base plus `x-allOf`/`x-anyOf` (swagger 2.0
+    * has no allOf-of-alternatives); `:not` becomes `x-not`; tuples use
+    * `x-items` (no prefixItems). Everything else delegates to
+    * [[toJsonSchema]] with swagger recursion through containers. */
+  def toSwagger(ir: SchemaIR): String = {
+    def base(children: Seq[String]): String =
+      children.find(c => !c.contains("\"type\": \"null\"")).getOrElse(
+        throw new IllegalArgumentException(
+          s"swagger needs a non-null base: ${SchemaIR.form(ir)}"))
+    def inject(baseJson: String, extra: String): String =
+      if (baseJson == "{}") "{" + extra + "}"
+      else baseJson.stripSuffix("}") + ", " + extra + "}"
+    ir match {
+      case SInt(mn, mx) => obj(Seq("type" -> esc("integer"),
+        "format" -> esc("int64")) ++
+        optNum("minimum", mn) ++ optNum("maximum", mx): _*)
+      case SDouble(mn, mx) => obj(Seq("type" -> esc("number"),
+        "format" -> esc("double")) ++
+        optNum("minimum", mn) ++ optNum("maximum", mx): _*)
+      case SMaybe(c) =>
+        inject(base(Seq(toSwagger(c))), "\"x-nullable\": true")
+      case SAnd(cs) =>
+        val ks = cs.map(toSwagger)
+        inject(base(ks), "\"x-allOf\": " + arr(ks))
+      case SAndn(bs) =>
+        val ks = bs.map(b => toSwagger(b._2))
+        inject(base(ks), "\"x-allOf\": " + arr(ks))
+      case SOr(cs) =>
+        val ks = cs.map(toSwagger)
+        inject(base(ks), "\"x-anyOf\": " + arr(ks))
+      case SOrn(bs) =>
+        val ks = bs.map(b => toSwagger(b._2))
+        inject(base(ks), "\"x-anyOf\": " + arr(ks))
+      case SMulti(_, bs, _) =>
+        val ks = bs.map(b => toSwagger(b._2))
+        inject(base(ks), "\"x-anyOf\": " + arr(ks))
+      case SNot(c) => obj("x-not" -> toSwagger(c))
+      case STuple(cs) => obj("type" -> esc("array"), "items" -> "{}",
+        "x-items" -> arr(cs.map(toSwagger)))
+      case SMap(es, closed, rest) =>
+        obj("type" -> esc("object"),
+          "properties" -> obj(es.map(e => e.key -> toSwagger(e.child)): _*),
+          "required" -> arr(es.filterNot(_.optional).map(e => esc(e.key))),
+          "additionalProperties" ->
+            rest.map(toSwagger).getOrElse((!closed).toString))
+      case SMapOf(_, v, _, _) =>
+        obj("type" -> esc("object"), "additionalProperties" -> toSwagger(v))
+      case SVector(c, mn, mx) => obj(Seq("type" -> esc("array"),
+        "items" -> toSwagger(c)) ++
+        optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
+      case SSet(c, mn, mx) => obj(Seq("type" -> esc("array"),
+        "items" -> toSwagger(c), "uniqueItems" -> "true") ++
+        optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
+      case SEvery(c, mn, mx, _) => toSwagger(SVector(c, mn, mx))
+      case SScoped(reg, c) =>
+        obj("$defs" -> obj(reg.toSeq.sortBy(_._1)
+            .map { case (n, s) =>
+              n -> obj("$anchor" -> esc(n),
+                "allOf" -> arr(Seq(toSwagger(s)))) }: _*),
+          "allOf" -> arr(Seq(toSwagger(c))))
+      case other => toJsonSchema(other) // identical leaves
+    }
   }
 }

@@ -183,6 +183,32 @@ class ExportSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Lite.schema(Lite.optional(":int")))
   }
 
+  test("swagger transform: base + x-allOf/x-anyOf/x-nullable (swagger_test.cljc)") {
+    def sw(s: mallispark.ir.SchemaIR) = Export.toSwagger(s)
+    // formats (swagger_test.cljc:10-16)
+    assert(sw(S.posInt) ===
+      """{"type": "integer", "format": "int64", "minimum": 1}""")
+    assert(sw(S.gt(6L)) === """{"type": "number", "exclusiveMinimum": 6}""")
+    assert(sw(S.lte(6L)) === """{"type": "number", "maximum": 6}""")
+    // base selection skips null-typed children but keeps them in x-anyOf
+    // (swagger_test.cljc:27-34)
+    assert(sw(S.or(S.nil, S.int)) ===
+      """{"type": "integer", "format": "int64", "x-anyOf": [{"type": "null"}, {"type": "integer", "format": "int64"}]}""")
+    assert(sw(S.and(S.int, S.posInt)) ===
+      """{"type": "integer", "format": "int64", "x-allOf": [{"type": "integer", "format": "int64"}, {"type": "integer", "format": "int64", "minimum": 1}]}""")
+    // :not → x-not; :maybe → base + x-nullable; tuple → x-items
+    assert(sw(S.not(S.string)) === """{"x-not": {"type": "string"}}""")
+    assert(sw(S.maybe(S.string)) ===
+      """{"type": "string", "x-nullable": true}""")
+    assert(sw(S.tuple(S.int, S.string)) ===
+      """{"type": "array", "items": {}, "x-items": [{"type": "integer", "format": "int64"}, {"type": "string"}]}""")
+    // containers recurse in swagger dialect (int keeps its format)
+    assert(sw(S.mapE(false, S.req("a", S.int), S.opt("b", S.string)))
+      .contains(""""a": {"type": "integer", "format": "int64"}"""))
+    // all-null alternatives have no legal swagger base
+    intercept[IllegalArgumentException](sw(S.or(S.nil, S.nil)))
+  }
+
   test("DOT emitter: entity extraction, labels, ref edges (dot_test.cljc shape)") {
     import mallispark.ir.Dot
     val order = S.scoped(

@@ -98,9 +98,11 @@ object SparkEntry {
     val synth = t(s, dir, "documents")
       .select(id, F.unhex(F.when(id % 2 === 0, bmpHex).otherwise(wavHex))
         .as("bin"))
+    // golden ids sit far outside any documents id range (1e9+) so no
+    // scale factor can collide them with synthesized rows
     val golden = Seq(
-      (9001L, GoldenBmpHex),
-      (9002L, "524946462C00000057415645" +
+      (1000000001L, GoldenBmpHex),
+      (1000000002L, "524946462C00000057415645" +
         "666D7420100000000100010040" + "1F0000803E000002001000" +
         "6461746108000000" + "E80330F8FF7F0080"))
       .toDF("doc_id", "fh")
@@ -2856,12 +2858,12 @@ object SparkEntry {
         |  CAST(8 AS BIGINT), CAST(16000 AS BIGINT), sum_sq, peak_abs
         |FROM wav
         |UNION ALL
-        |SELECT CAST(9001 AS BIGINT), 'bmp', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+        |SELECT CAST(1000000001 AS BIGINT), 'bmp', CAST(2 AS BIGINT), CAST(2 AS BIGINT),
         |  CAST(383 AS BIGINT), CAST(319 AS BIGINT), CAST(447 AS BIGINT),
         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |  CAST(NULL AS BIGINT)
         |UNION ALL
-        |SELECT CAST(9002 AS BIGINT), 'wav', CAST(NULL AS BIGINT),
+        |SELECT CAST(1000000002 AS BIGINT), 'wav', CAST(NULL AS BIGINT),
         |  CAST(NULL AS BIGINT), CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
         |  CAST(NULL AS BIGINT), CAST(4 AS BIGINT), CAST(8000 AS BIGINT),
         |  CAST(2152418113 AS BIGINT), CAST(32768 AS BIGINT)
@@ -2908,10 +2910,10 @@ object SparkEntry {
         |  8.0, 16000.0
         |FROM wav
         |UNION ALL
-        |SELECT CAST(9001 AS BIGINT), 'bmp', CAST(70 AS BIGINT),
+        |SELECT CAST(1000000001 AS BIGINT), 'bmp', CAST(70 AS BIGINT),
         |  95.75, 79.75, 111.75, 4.0
         |UNION ALL
-        |SELECT CAST(9002 AS BIGINT), 'wav', CAST(52 AS BIGINT),
+        |SELECT CAST(1000000002 AS BIGINT), 'wav', CAST(52 AS BIGINT),
         |  round(CAST(CAST(sqrt(2152418113/4.0) AS REAL) AS DOUBLE), 3),
         |  1.0, 4.0, 8000.0
         |ORDER BY doc_id""".stripMargin,

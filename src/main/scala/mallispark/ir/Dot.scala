@@ -51,7 +51,26 @@ object Dot {
         case STuple(cs) => STuple(cs.map(go(_, path)))
         case SAnd(cs) => SAnd(cs.map(go(_, path)))
         case SOr(cs) => SOr(cs.map(go(_, path)))
-        case other => other // leaves, refs, regex ops stay in place
+        // tagged branches contribute their tag to the entity path (the
+        // reference's m/walk does the same via the branch key); untagged
+        // positional regex ops keep the path — their members stay inline
+        case SOrn(bs) => SOrn(bs.map { case (t, c) => (t, go(c, path :+ t)) })
+        case SAndn(bs) =>
+          SAndn(bs.map { case (t, c) => (t, go(c, path :+ t)) })
+        case SMulti(dk, bs, d) =>
+          SMulti(dk, bs.map { case (t, c) => (t, go(c, path :+ t)) },
+            d.map(go(_, path)))
+        case SCat(cs) => SCat(cs.map(go(_, path)))
+        case SCatn(es) =>
+          SCatn(es.map { case (t, c) => (t, go(c, path :+ t)) })
+        case SAlt(cs) => SAlt(cs.map(go(_, path)))
+        case SAltn(es) =>
+          SAltn(es.map { case (t, c) => (t, go(c, path :+ t)) })
+        case SStar(c) => SStar(go(c, path))
+        case SPlus(c) => SPlus(go(c, path))
+        case SOpt(c) => SOpt(go(c, path))
+        case SRepeat(c, mn, mx) => SRepeat(go(c, path), mn, mx)
+        case other => other // leaves and refs stay in place
       }
       rewritten match {
         case m: SMap if path.nonEmpty =>

@@ -661,8 +661,11 @@ object Export {
     * `x-items` (no prefixItems). Everything else delegates to
     * [[toJsonSchema]] with swagger recursion through containers. */
   def toSwagger(ir: SchemaIR): String = {
+    // a child is null-typed only when ITS OWN top-level type is null
+    // (exact SNil rendering) — substring search would wrongly skip any
+    // child merely CONTAINING a null-typed descendant
     def base(children: Seq[String]): String =
-      children.find(c => !c.contains("\"type\": \"null\"")).getOrElse(
+      children.find(_ != """{"type": "null"}""").getOrElse(
         throw new IllegalArgumentException(
           s"swagger needs a non-null base: ${SchemaIR.form(ir)}"))
     def inject(baseJson: String, extra: String): String =

@@ -246,8 +246,11 @@ object Multimodal {
       val w = leU32(18)
       val h = leU32(22)
       val rowSize = ((w * 3 + 3) / 4) * 4
-      if (w >= 1 && h >= 1 && w * h <= MaxElems &&
-          off + rowSize * h <= n) {
+      // cap w/h INDIVIDUALLY before any product — u32 garbage headers
+      // would otherwise overflow Long in w*h / rowSize*h and sneak past
+      // the bounds as negatives (same guard as the Column path)
+      if (w >= 1 && w <= MaxElems && h >= 1 && h <= MaxElems &&
+          w * h <= MaxElems && off >= 0 && off + rowSize * h <= n) {
         var sb = 0L; var sg = 0L; var sr = 0L
         var y = 0L
         while (y < h) {
@@ -268,7 +271,11 @@ object Multimodal {
         u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V' &&
         u8(11) == 'E') {
       val fmtSize = leU32(16)
-      val dataTag = (20 + fmtSize).toInt
+      // bound the u32 chunk size BEFORE narrowing to Int: a garbage
+      // fmtSize near 2^31 would wrap dataTag negative (AIOOBE) or
+      // silently misparse
+      val dataTag = if (fmtSize >= 0 && fmtSize <= n) (20 + fmtSize).toInt
+                    else Int.MaxValue - 16
       if (leU16(20) == 1 && leU16(34) == 16 && dataTag + 8 <= n &&
           u8(dataTag) == 'd' && u8(dataTag + 1) == 'a' &&
           u8(dataTag + 2) == 't' && u8(dataTag + 3) == 'a') {

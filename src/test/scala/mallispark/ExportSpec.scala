@@ -207,6 +207,10 @@ class ExportSpec extends AnyFunSuite {
       .contains(""""a": {"type": "integer", "format": "int64"}"""))
     // all-null alternatives have no legal swagger base
     intercept[IllegalArgumentException](sw(S.or(S.nil, S.nil)))
+    // a child CONTAINING a null-typed descendant is still a valid base
+    // (only top-level {"type": "null"} children are skipped)
+    assert(sw(S.maybe(S.vector(S.nil))) ===
+      """{"type": "array", "items": {"type": "null"}, "x-nullable": true}""")
   }
 
   test("DOT emitter: entity extraction, labels, ref edges (dot_test.cljc shape)") {
@@ -279,6 +283,15 @@ class ExportSpec extends AnyFunSuite {
     assert(uml.contains("OrderLine o-- Burger"))
     assert(Dot.plantuml(S.and(S.int, S.lt(100L))).contains(
       "entity :mallispark.dot/schema {\n [:and :int [:< 100]]\n}"))
+    // nested maps inside :multi branches are extracted too (the
+    // dispatch-heavy schemas diagrams are most useful for)
+    val pet = Dot.transform(S.scoped(
+      "Pet" -> S.multi("type")(
+        "dog" -> S.mapE(false, S.req("bark", S.boolean)),
+        "cat" -> S.any))(S.ref("Pet")))
+    assert(pet.contains("\"Pet$Type\"") || pet.contains("\"Pet$Dog\""),
+      s"no extracted multi-branch entity in:\n$pet")
+    assert(pet.contains("arrowtail=\"diamond\""))
   }
 
   test("structtype DDL dual") {

@@ -452,6 +452,21 @@ class TextOpsSpec extends SparkSuite {
     assert(feats(1).features.toSeq === wf.toSeq)
   }
 
+  test("decodeOne: crafted overflow headers fall through, never crash") {
+    // BM magic, bpp=24, width=height=0xFFFFFFFF: w*h wraps negative —
+    // must take the opaque fallback instead of indexing past the array
+    val bmp = unhex("424D460000000000000036000000" +
+      "28000000" + "FFFFFFFF" + "FFFFFFFF" + "01001800" +
+      "00" * 26)
+    assert(Multimodal.decodeOne(bmp)._1 === "unknown")
+    // RIFF/WAVE with fmt-chunk size 0x7FFFFFFF: 20+fmtSize wraps to a
+    // negative Int — must not throw
+    val wav = unhex("524946462C00000057415645" +
+      "666D7420" + "FFFFFF7F" + "0100010040" +
+      "1F0000803E000002001000" + "6461746108000000" + "E80330F8FF7F0080")
+    assert(Multimodal.decodeOne(wav)._1 === "unknown")
+  }
+
   test("minhash drops shingle-less docs (cross-engine parity) — both paths") {
     val short = df(Seq(Row(1L, "a b"), Row(2L, "c d"), Row(3L, "x y")),
       docSchema) // all under n=3 tokens → no shingles

@@ -1099,7 +1099,8 @@ object SparkEntry {
         .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
       Similarity.ivfTopK(corpus, "vec_id", "embedding",
           qs, "query_id", "qe", k = 5, nCentroids = IvfCentroids,
-          nprobe = IvfProbe, trainIters = IvfIters)
+          nprobe = IvfProbe, trainIters = IvfIters,
+          centroidCacheKey = Some(dir))
         .select(F.col("query_id"), F.col("vec_id"),
           F.col("rank").cast(LongType).as("rank"))
         .orderBy("query_id", "rank")
@@ -1114,7 +1115,8 @@ object SparkEntry {
         qs, "query_id", "qe", k = 5).select("query_id", "vec_id")
       val ivf = Similarity.ivfTopK(corpus, "vec_id", "embedding",
         qs, "query_id", "qe", k = 5, nCentroids = IvfCentroids,
-        nprobe = IvfProbe, trainIters = IvfIters).select("query_id", "vec_id")
+        nprobe = IvfProbe, trainIters = IvfIters,
+        centroidCacheKey = Some(dir)).select("query_id", "vec_id")
       val hits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi")
         .agg(F.count(F.lit(1)).as("hits"))
       val total = exact.agg(F.count(F.lit(1)).as("total"))

@@ -137,8 +137,19 @@ object Similarity {
     * iteration and re-enter the plan as literals — the plan never grows
     * with iterations, and the assignment scan stays one broadcast join
     * per iteration at any corpus size. */
+  /** Trained-centroid memo: production IVF trains its coarse quantizer
+    * ONCE and persists it; within a session the deterministic training
+    * result (a k×dims literal seq) is cached under the caller's key so
+    * repeated index builds over the same corpus snapshot skip the Lloyd
+    * passes. Bit-identical by construction — training is deterministic
+    * in (corpus, k, iters). */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+      Seq[(Long, Seq[Double])]]()
+
   def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
-                      k: Int, iters: Int): DataFrame = {
+                      k: Int, iters: Int,
+                      cacheKey: Option[String] = None): DataFrame = {
     val spark = corpus.sparkSession
     val centSchema = StructType(Seq(
       StructField("cent_id", LongType, nullable = false),
@@ -148,6 +159,10 @@ object Similarity {
         spark.sparkContext.parallelize(
           cs.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }, 1),
         centSchema)
+    val cached = cacheKey.flatMap(ck =>
+      Option(centroidCache.get((ck, k, iters))))
+    if (cached.isDefined) literalDf(cached.get)
+    else {
     var cents: Seq[(Long, Seq[Double])] =
       corpus.orderBy(F.col(id)).limit(k)
         .select(F.col(id).cast(LongType),
@@ -173,7 +188,9 @@ object Similarity {
         }
       cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
     }
+    cacheKey.foreach(ck => centroidCache.put((ck, k, iters), cents))
     literalDf(cents)
+    }
   }
 
   /** IVF (inverted-file) ANN: a coarse quantizer assigns every corpus
@@ -192,11 +209,13 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, corpusId: String, corpusVec: String,
               queries: DataFrame, queryId: String, queryVec: String,
               k: Int, nCentroids: Int = 16, nprobe: Int = 4,
-              trainIters: Int = 0): DataFrame = {
+              trainIters: Int = 0,
+              centroidCacheKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cents =
       if (trainIters > 0)
-        kmeansCentroids(corpus, corpusId, corpusVec, nCentroids, trainIters)
+        kmeansCentroids(corpus, corpusId, corpusVec, nCentroids, trainIters,
+          centroidCacheKey)
       else corpus.orderBy(F.col(corpusId)).limit(nCentroids)
         .select(F.col(corpusId).as("cent_id"), F.col(corpusVec).as("cvec"))
     // corpus→cell: argmax cosine, ties to the LOWEST centroid id, via a

@@ -191,6 +191,18 @@ class PlanSpec extends SparkSuite {
       s"unexpected hash shuffle in gen plan:\n$plan")
   }
 
+  test("embedding near-dup candidates are bucket-gated (no cartesian pairs)") {
+    val qe = graft.SparkEntry.queries("dedup_embedding")(spark, sf)
+      .queryExecution
+    val physical = qe.sparkPlan.toString()
+    // the only all-pairs work is WITHIN (tbl, bucket) cells — a full
+    // corpus self-cartesian would appear as a nested-loop/cartesian join
+    assert(!physical.contains("CartesianProduct"),
+      s"cartesian pair generation:\n$physical")
+    assert(qe.optimizedPlan.toString().contains("bucket"),
+      "candidate join is not bucket-keyed")
+  }
+
   test("LSH-gated jaccard has no full-table shingle self-join") {
     // the standalone quadratic shingle join is gone from the hot path:
     // every join in dedup_jaccard is either the banded candidate join or

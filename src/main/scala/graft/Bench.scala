@@ -88,7 +88,8 @@ object Bench {
     }
     val results =
       if (benchOnly) Map.empty[String, Double]
-      else SparkEntry.queries.map { case (name, fn) =>
+      else (SparkEntry.queries ++ SparkEntry.benchOnlyQueries).map {
+        case (name, fn) =>
         val dir = if (streamingTrio(name)) smallSfDir else sfDir
         val t0 = System.nanoTime()
         try { fn(spark, dir).count() } catch {

@@ -7,7 +7,7 @@ import mallispark.ir.S
 import mallispark.ir.SchemaIR
 import mallispark.compile.{SchemaCompiler, Transform}
 import mallispark.checks.TableChecks
-import mallispark.run.{NestedDocs, ValidationJob, WebPages}
+import mallispark.run.{NestedDocs, SnapshotTable, ValidationJob, WebPages}
 import mallispark.text.{Dedup, Multimodal, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §4.
@@ -169,6 +169,11 @@ object SparkEntry {
   // neighbor cosine ≈ 0.32), the hardest case for hyperplane LSH — real
   // web embeddings cluster, so the same machinery prunes far harder
   // there; planes should grow ≈ log2(N/bucket) with corpus size.
+  /** One boilerplate body, injected 10^5 times by the degenerate-corpus
+    * dedup gate (shared verbatim with its DuckDB oracle literal). */
+  private val DegenerateText =
+    "click here to accept cookies and continue to the requested page"
+
   private val AnnPlanes = 3
   private val AnnTables = 10
   private val AnnDims = 64
@@ -325,6 +330,41 @@ object SparkEntry {
       ValidationJob.snapshotReport(curr, prev, WebPages.schema,
           "doc_id", F.col("text"), "lang")
         .orderBy("metric")
+    }),
+
+    // ---- REAL table-format surface: the from-scratch snapshot-log
+    //      format (SnapshotTable — parquet data files + atomic text
+    //      manifests). commit → logical-replace commit → diff on ACTUAL
+    //      snapshot ids, replacing the synthetic prev/curr pair: the
+    //      gate proves snapshot-isolated time travel (snapshot 1 reads
+    //      unchanged after commit 2) feeding the key+digest diff ----
+    "snapshot_table_diff" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("mallispark_snaptab_").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+      val s1 = SnapshotTable.commit(
+        docs.where(F.col("doc_id") % 3 =!= 0), tmp)
+      val curr = docs.withColumn("text",
+        F.when(F.col("doc_id") % 7 === 0,
+          F.concat(F.col("text"), F.lit("~v2"))).otherwise(F.col("text")))
+      val s2 = SnapshotTable.commit(curr, tmp, SnapshotTable.Overwrite)
+      SnapshotTable.diff(s, tmp, s1, s2, "doc_id", F.col("text"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- per-commit lineage + metrics manifest (parent id, mode, rows
+    //      added, running total, file count) — the resumability /
+    //      audit surface written alongside every snapshot commit ----
+    "snapshot_table_lineage" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("mallispark_snaplin_").toString
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      SnapshotTable.commit(docs.where(F.col("doc_id") % 3 =!= 0), tmp)
+      SnapshotTable.commit(docs.where(F.col("doc_id") % 3 === 0), tmp)
+      SnapshotTable.lineage(s, tmp)
+        .select(F.col("snapshot_id"), F.col("parent_id"), F.col("mode"),
+          F.col("rows_added"), F.col("total_rows"))
+        .orderBy("snapshot_id")
     }),
 
     // ---- collection / nested validation (vector/set/tuple/map-of) ----
@@ -765,16 +805,6 @@ object SparkEntry {
       TableChecks.ksExact(t(s, dir, "events"), "value",
         F.col("event_id") % 2 === 0)),
 
-    // rows-only (no oracle): the percentile_approx-sketch KS — the 100-TB
-    // scale path (ksExact above is the oracle path). Sketches differ per
-    // engine; exactness is covered by the TableChecksSpec unit bounds
-    "drift_ks_sketch" -> ((s, dir) => {
-      val ev = t(s, dir, "events")
-      TableChecks.ksStatistic(
-        ev.where(F.col("event_id") % 2 === 0),
-        ev.where(F.col("event_id") % 2 =!= 0), "value")
-    }),
-
     // ---- transformers (decode / coerce) ----
     "decode_strings" -> ((s, dir) => {
       import mallispark.ir.SchemaIR.{SInt, SBoolean}
@@ -989,6 +1019,27 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDupGroups(pages(s, dir), "doc_id", "text")
         .select("text_hash", "dup_cnt").orderBy("text_hash")),
+
+    // ---- degenerate-corpus gate: 10^5 injected copies of ONE
+    //      boilerplate text. The group output stays BOUNDED (the
+    //      maxMembers=100 smallest ids + the true dup_cnt) because the
+    //      member collect is a k-capped heap (BoundedCollectMin), never
+    //      a full collect_list — the one shape that would OOM an
+    //      executor at 100 TB on a boilerplate-heavy crawl ----
+    "dedup_degenerate" -> ((s, dir) => {
+      val base = pages(s, dir).select(F.col("doc_id"), F.col("text"))
+      val degen = s.range(100000).select(
+        (F.col("id") + 50000000L).as("doc_id"),
+        F.lit(DegenerateText).as("text"))
+      Dedup.exactDupGroups(base.unionByName(degen), "doc_id", "text",
+          maxMembers = 100)
+        .select(F.col("text_hash"), F.col("dup_cnt"),
+          F.size(F.col("doc_ids")).cast(LongType).as("kept"),
+          F.try_element_at(F.col("doc_ids"), F.lit(1)).as("id_first"),
+          F.try_element_at(F.col("doc_ids"), F.size(F.col("doc_ids")))
+            .as("id_last_kept"))
+        .orderBy("text_hash")
+    }),
 
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLSH(pages(s, dir).where(F.length(F.col("text")) > 0),
@@ -1289,32 +1340,6 @@ object SparkEntry {
         .orderBy("row_id")
     }),
 
-    // native-Expression MinHash (codegen xxhash64) — scale path,
-    // rows-only check (hashes are engine-native, not DuckDB-portable)
-    "dedup_minhash_fast" -> ((s, dir) =>
-      Dedup.minhashLSHFast(pages(s, dir).where(F.length(F.col("text")) > 0),
-          "doc_id", "text", k = 64, bands = 16, n = 3)
-        .select(F.col("band").cast(LongType).as("band"),
-          F.col("band_key"), F.col("dup_cnt"))
-        .orderBy("band", "band_key")),
-
-    // native-Expression SimHash (codegen xxhash64 votes) — scale path,
-    // rows-only check (engine-native hashes, not DuckDB-portable)
-    "dedup_simhash_fast" -> ((s, dir) =>
-      Dedup.simhashFastCandidates(
-          pages(s, dir).where(F.length(F.col("text")) > 0), "doc_id", "text")
-        .select(F.col("band").cast(LongType).as("band"),
-          F.col("band_key"), F.col("dup_cnt"))
-        .orderBy("band", "band_key")),
-
-    // HLL distinct + sketch stats — rows-only (approx algorithms differ
-    // from DuckDB's; exactness asserted separately in unit tests)
-    "stats_approx_distinct" -> ((s, dir) =>
-      t(s, dir, "lineitem").agg(
-          F.approx_count_distinct(F.col("l_orderkey")).as("approx_orders"),
-          F.approx_count_distinct(F.col("l_partkey")).as("approx_parts"))
-        .select(F.col("approx_orders"), F.col("approx_parts"))),
-
     // ---- SKETCH LAW GATES: the approx paths can't be value-matched
     //      cross-engine (sketches are engine-private), but their LAWS
     //      can — each gate emits an exact component DuckDB re-derives
@@ -1428,21 +1453,6 @@ object SparkEntry {
       } finally cached.unpersist(blocking = false)
     }),
 
-    // rows-only: the ONE-PASS approx inference mode (HLL distinct, no
-    // map-key explode, no enum collect) — the 100-TB default; sketch
-    // estimates aren't DuckDB-mirrorable, heuristics share the exact
-    // path's code (gated above)
-    "infer_schema_approx" -> ((s, dir) => {
-      import s.implicits._
-      val d = t(s, dir, "documents").select("doc_id", "lang", "text",
-        "n_chars")
-      val sch = mallispark.infer.Infer.infer(d,
-        mallispark.infer.Infer.Options(exact = false))
-      sch.entries.map(e =>
-          (e.key, inferTag(e.child), e.optional, enumCsv(e.child)))
-        .toDF("col", "inferred", "optional", "enum_vals").orderBy("col")
-    }),
-
     // ---- golden serialization gate: the flagship schema's vector form,
     //      AST JSON, and JSON-Schema, plus a scoped recursive schema's
     //      form — pinned as oracle literals so any drift in the
@@ -1473,7 +1483,10 @@ object SparkEntry {
     //      entries become :or (mu/union), `text` is renamed to `body`,
     //      `url` is dissoc'd (rows validate without it — a stale
     //      required entry would fail every row as missing-key);
-    //      injected empty bodies prove the kept :string{min 1} bites ----
+    //      injected empty bodies prove the kept :string{min 1} bites.
+    //      `lang` is REQUIRED in a but OPTIONAL in b — union's
+    //      merge-required is (and r1 r2) (util.cljc:110), so the unioned
+    //      entry must be optional: injected null langs must PASS ----
     "schema_ops_union" -> ((s, dir) => {
       import mallispark.ir.SchemaOps
       import mallispark.ir.SchemaIR.SMap
@@ -1481,13 +1494,15 @@ object SparkEntry {
         S.req("url", S.re("^https?://[^\\s]+$")),
         S.req("lang", S.enum_("en", "de")),
         S.req("text", S.string(1)))
-      val b = S.mapE(false, S.req("lang", S.enum_("fr", "es")))
+      val b = S.mapE(false, S.opt("lang", S.enum_("fr", "es")))
       val composed = SchemaOps.dissoc(
         SchemaOps.renameKeys(
           SchemaOps.union(a, b).asInstanceOf[SMap],
           Map("text" -> "body")),
         "url")
-      val p = pages(s, dir).select(F.col("doc_id"), F.col("lang"),
+      val p = pages(s, dir).select(F.col("doc_id"),
+        F.when(F.col("doc_id") % 37 === 3, F.lit(null).cast(StringType))
+          .otherwise(F.col("lang")).as("lang"),
         F.when(F.col("doc_id") % 41 === 5, F.lit(""))
           .otherwise(F.col("text")).as("body"))
       SchemaCompiler.validateDF(composed, p, "ok", exclude = Set("doc_id"))
@@ -1525,6 +1540,64 @@ object SparkEntry {
         .toDF("name", "text").orderBy("name")
     })
   )
+
+  /** Scale-path queries whose RAW outputs are engine-native sketches
+    * (xxhash64 bands, HLL estimates, percentile sketches) and therefore
+    * have no DuckDB value-oracle BY CONSTRUCTION. Each is law-gated in
+    * `queries` instead (native_hash_law, approx_distinct_law,
+    * ks_sketch_law, infer_approx_law — a full oracle re-derives the
+    * EXACT component and expects the engine-proved tolerance/agreement
+    * verdict to hold). Kept OUT of the driver's per-query oracle gate
+    * (no rows-only entries) but IN the Bench suite so the scale paths
+    * stay timed every round. */
+  def benchOnlyQueries: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      // native-Expression MinHash (codegen xxhash64) — scale path
+      "dedup_minhash_fast" -> ((s, dir) =>
+        Dedup.minhashLSHFast(pages(s, dir)
+            .where(F.length(F.col("text")) > 0),
+            "doc_id", "text", k = 64, bands = 16, n = 3)
+          .select(F.col("band").cast(LongType).as("band"),
+            F.col("band_key"), F.col("dup_cnt"))
+          .orderBy("band", "band_key")),
+
+      // native-Expression SimHash (codegen xxhash64 votes) — scale path
+      "dedup_simhash_fast" -> ((s, dir) =>
+        Dedup.simhashFastCandidates(
+            pages(s, dir).where(F.length(F.col("text")) > 0),
+            "doc_id", "text")
+          .select(F.col("band").cast(LongType).as("band"),
+            F.col("band_key"), F.col("dup_cnt"))
+          .orderBy("band", "band_key")),
+
+      // HLL distinct sketch (law gate: approx_distinct_law)
+      "stats_approx_distinct" -> ((s, dir) =>
+        t(s, dir, "lineitem").agg(
+            F.approx_count_distinct(F.col("l_orderkey"))
+              .as("approx_orders"),
+            F.approx_count_distinct(F.col("l_partkey")).as("approx_parts"))
+          .select(F.col("approx_orders"), F.col("approx_parts"))),
+
+      // percentile_approx-sketch KS (law gate: ks_sketch_law)
+      "drift_ks_sketch" -> ((s, dir) => {
+        val ev = t(s, dir, "events")
+        TableChecks.ksStatistic(
+          ev.where(F.col("event_id") % 2 === 0),
+          ev.where(F.col("event_id") % 2 =!= 0), "value")
+      }),
+
+      // ONE-PASS approx inference (law gate: infer_approx_law)
+      "infer_schema_approx" -> ((s, dir) => {
+        import s.implicits._
+        val d = t(s, dir, "documents").select("doc_id", "lang", "text",
+          "n_chars")
+        val sch = mallispark.infer.Infer.infer(d,
+          mallispark.infer.Infer.Options(exact = false))
+        sch.entries.map(e =>
+            (e.key, inferTag(e.child), e.optional, enumCsv(e.child)))
+          .toDF("col", "inferred", "optional", "enum_vals").orderBy("col")
+      })
+    )
 
   /** Compact malli-form tag of an inferred schema node (gate rendering —
     * enum members travel in their own column, see enumCsv). */
@@ -1888,7 +1961,7 @@ object SparkEntry {
     "schema_ops_union" ->
       s"""$P
          |SELECT doc_id,
-         |  (lang IN ('en','de') OR lang IN ('fr','es'))
+         |  (doc_id % 37 = 3 OR lang IN ('en','de') OR lang IN ('fr','es'))
          |  AND doc_id % 41 <> 5 AND length(text) >= 1 AS ok
          |FROM pages ORDER BY doc_id""".stripMargin,
 
@@ -2087,6 +2160,31 @@ object SparkEntry {
          |WHERE pv.doc_id IS NULL OR c.doc_id IS NULL
          |   OR c.payload IS DISTINCT FROM pv.payload
          |ORDER BY doc_id""".stripMargin,
+
+    // snapshot 1 = docs with doc_id%3<>0; snapshot 2 = ALL docs with
+    // %7==0 texts rewritten → added = %3==0, modified = %7==0 ∧ %3<>0
+    // (an appended %3==0 ∧ %7==0 row was absent from snapshot 1: added)
+    "snapshot_table_diff" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'added'
+        |       WHEN doc_id % 7 = 0 THEN 'modified' END AS change
+        |FROM documents
+        |WHERE doc_id % 3 = 0 OR doc_id % 7 = 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "snapshot_table_lineage" ->
+      """WITH c AS (SELECT
+        |    CAST(sum(CASE WHEN doc_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS base,
+        |    CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS added
+        |  FROM documents)
+        |SELECT CAST(1 AS BIGINT) AS snapshot_id,
+        |  CAST(NULL AS BIGINT) AS parent_id, 'append' AS mode,
+        |  base AS rows_added, base AS total_rows FROM c
+        |UNION ALL
+        |SELECT 2, 1, 'append', added, base + added FROM c
+        |ORDER BY snapshot_id""".stripMargin,
 
     "merge_schema_verdicts" ->
       s"""$P
@@ -2602,6 +2700,25 @@ object SparkEntry {
       s"""$P
          |SELECT md5(text) AS text_hash, CAST(count(*) AS BIGINT) AS dup_cnt
          |FROM pages GROUP BY 1 HAVING count(*) > 1 ORDER BY 1""".stripMargin,
+
+    // bounded group shape under a 10^5-copy degenerate corpus: the kept
+    // member list is exactly the 100 smallest ids (list_slice of the
+    // full sorted list — the engine side never materializes that full
+    // list; its aggregate state is a 100-capped heap)
+    "dedup_degenerate" ->
+      s"""$P,
+         |degen AS (
+         |  SELECT doc_id, text FROM pages
+         |  UNION ALL
+         |  SELECT 50000000 + CAST(i AS BIGINT), '$DegenerateText'
+         |  FROM range(100000) t(i)),
+         |grp AS (SELECT md5(text) AS text_hash,
+         |    CAST(count(*) AS BIGINT) AS dup_cnt,
+         |    list_slice(list_sort(list(doc_id)), 1, 100) AS ids
+         |  FROM degen GROUP BY 1 HAVING count(*) > 1)
+         |SELECT text_hash, dup_cnt, CAST(len(ids) AS BIGINT) AS kept,
+         |  ids[1] AS id_first, ids[len(ids)] AS id_last_kept
+         |FROM grp ORDER BY text_hash""".stripMargin,
 
     "v_custom_violations" ->
       """SELECT doc_id, 'n_chars' AS schema_path, ':user/even' AS error_key

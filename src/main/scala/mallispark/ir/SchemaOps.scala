@@ -32,7 +32,10 @@ object SchemaOps {
     case _ => r
   }
 
-  /** mu/union (util.cljc:103-112): colliding entries become `:or`. */
+  /** mu/union (util.cljc:103-112): colliding entries become `:or`; a
+    * colliding key stays REQUIRED only if required on BOTH sides —
+    * union's merge-required is `(and r1 r2)` (util.cljc:110), i.e.
+    * optional = optional-on-either-side. */
   def union(a: SchemaIR, b: SchemaIR): SchemaIR = (a, b) match {
     case (SMap(ea, ca, ra), SMap(eb, cb, rb)) =>
       val byKey = eb.map(e => e.key -> e).toMap
@@ -40,8 +43,8 @@ object SchemaOps {
         byKey.get(e.key) match {
           case Some(r) if r.child != e.child =>
             e.copy(child = SOr(Seq(e.child, r.child)),
-              optional = e.optional && r.optional)
-          case Some(r) => e.copy(optional = e.optional && r.optional)
+              optional = e.optional || r.optional)
+          case Some(r) => e.copy(optional = e.optional || r.optional)
           case None => e
         }
       } ++ eb.filterNot(e => ea.exists(_.key == e.key))

@@ -18,12 +18,30 @@ import TextOps._
   * All hashes are md5-derived (portable to the DuckDB oracle). */
 object Dedup {
 
-  /** Exact duplicate groups by md5(text): (text_hash, dup_cnt, doc_ids). */
-  def exactDupGroups(df: DataFrame, id: String, text: String): DataFrame =
+  /** Default member-list cap for group outputs: groups larger than this
+    * emit their `maxMembers` smallest ids plus the TRUE `dup_cnt`
+    * (truncation is visible as `dup_cnt > size(doc_ids)`). The aggregate
+    * state itself is bounded ([[mallispark.expressions.BoundedCollectMin]]
+    * — a k-capped max-heap, partial-merge-able), so a degenerate corpus
+    * (10^8 copies of one boilerplate page in one hash/bucket) costs O(k)
+    * executor memory, never a multi-GB row. */
+  val DefaultMaxMembers: Int = 10000
+
+  /** Bounded sorted member list — `slice(sort_array(collect_list(id)),1,k)`
+    * semantics with O(k) aggregation state. */
+  private def memberIds(id: String, maxMembers: Int): Column =
+    mallispark.expressions.BoundedCollectMin(
+      F.col(id).cast(LongType), maxMembers)
+
+  /** Exact duplicate groups by md5(text): (text_hash, dup_cnt, doc_ids).
+    * `doc_ids` holds the `maxMembers` smallest ids; `dup_cnt` is always
+    * the full group size. */
+  def exactDupGroups(df: DataFrame, id: String, text: String,
+                     maxMembers: Int = DefaultMaxMembers): DataFrame =
     df.select(F.col(id), F.md5(F.col(text)).as("text_hash"))
       .groupBy("text_hash")
       .agg(F.count(F.lit(1)).as("dup_cnt"),
-        F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
+        memberIds(id, maxMembers).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
 
   /** Modulus for the affine MinHash family: 2^61 - 1 (Mersenne prime).
@@ -59,6 +77,12 @@ object Dedup {
     * the sequential fold as a HUGEINT weighted sum
     * `Σ (mh % M) * mult^(rows-1-i) (mod M)`, which is the same
     * polynomial. Cross-band collision odds ~2^-62 per bucket pair. */
+  /** Observed-metric names must be unique within one query plan — a
+    * counter suffix lets the same operator appear twice in one query. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[text] def obsName(prefix: String): String =
+    s"${prefix}_${obsSeq.incrementAndGet()}"
+
   val BandM1: Long = 2147483647L // 2^31 - 1
   val BandM2: Long = 2147483629L
   val BandMult1: Long = 31L
@@ -89,11 +113,12 @@ object Dedup {
   }
 
   def minhashLSH(df: DataFrame, id: String, text: String,
-                 k: Int = 16, bands: Int = 4, n: Int = 3): DataFrame =
+                 k: Int = 16, bands: Int = 4, n: Int = 3,
+                 maxMembers: Int = DefaultMaxMembers): DataFrame =
     minhashBands(df, id, text, k, bands, n)
       .groupBy("band", "band_key")
       .agg(F.count(F.lit(1)).as("dup_cnt"),
-        F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
+        memberIds(id, maxMembers).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
 
   /** Pack per-bit votes (array of 32 longs) into a 32-bit key: bit i set
@@ -127,11 +152,12 @@ object Dedup {
     * and bucket-join downstream; NOT DuckDB-portable (use `minhashLSH`
     * for the oracle-checked path). */
   def minhashLSHFast(df: DataFrame, id: String, text: String,
-                     k: Int = 64, bands: Int = 16, n: Int = 3): DataFrame =
+                     k: Int = 64, bands: Int = 16, n: Int = 3,
+                     maxMembers: Int = DefaultMaxMembers): DataFrame =
     minhashBandsFast(df, id, text, k, bands, n)
       .groupBy("band", "band_key")
       .agg(F.count(F.lit(1)).as("dup_cnt"),
-        F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
+        memberIds(id, maxMembers).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
 
   /** 64-bit SimHash (two portable 32-bit halves) per document, via the
@@ -147,11 +173,12 @@ object Dedup {
   /** SimHash near-dup candidates: exact match on either 32-bit half
     * (standard block-permutation trick — a ≤32-bit-different pair shares a
     * half with high probability for small hamming distances). */
-  def simhashCandidates(df: DataFrame, id: String, text: String): DataFrame = {
+  def simhashCandidates(df: DataFrame, id: String, text: String,
+                        maxMembers: Int = DefaultMaxMembers): DataFrame = {
     val withSig = simhashDF(df, id, text)
     val byHalf = (half: String) => withSig.groupBy(F.col(half).as("half_key"))
       .agg(F.count(F.lit(1)).as("dup_cnt"),
-        F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
+        memberIds(id, maxMembers).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
       .withColumn("half", F.lit(half))
     byHalf("hi").unionAll(byHalf("lo"))
@@ -205,8 +232,8 @@ object Dedup {
   /** Candidates from the native signature: exact match on any of the four
     * 16-bit bands (block permutation — pairs within hamming distance 3
     * share at least one band). One shuffle of (band, band_key, id). */
-  def simhashFastCandidates(df: DataFrame, id: String,
-                            text: String): DataFrame = {
+  def simhashFastCandidates(df: DataFrame, id: String, text: String,
+                            maxMembers: Int = DefaultMaxMembers): DataFrame = {
     val withSig = simhashFast(df, id, text)
     val banded = withSig.select(F.col(id), F.explode(F.array(
       (0 until 4).map(b => F.struct(F.lit(b).as("band"),
@@ -216,7 +243,7 @@ object Dedup {
         F.col("bk.band_key").as("band_key"))
     banded.groupBy("band", "band_key")
       .agg(F.count(F.lit(1)).as("dup_cnt"),
-        F.sort_array(F.collect_list(F.col(id))).as("doc_ids"))
+        memberIds(id, maxMembers).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
   }
 
@@ -278,16 +305,29 @@ object Dedup {
                                 n: Int = 3, threshold: Double = 0.8,
                                 k: Int = 16, bands: Int = 8,
                                 maxShingleDf: Int = 0,
-                                portable: Boolean = false): DataFrame = {
+                                portable: Boolean = false,
+                                maxBucket: Int = 4096): DataFrame = {
     // candidate pairs from ONE pass over the banded signatures: group a
     // band bucket, explode its id pairs (bucket sizes are LSH-bounded, so
-    // the per-bucket pair expansion is small by construction)
+    // the per-bucket pair expansion is small by construction). HOT-BUCKET
+    // CAP (standard LSH practice): a pathological (band, band_key) bucket
+    // — e.g. an adversarial corpus of near-identical ≥n-token docs —
+    // would expand |bucket|² pairs; buckets over `maxBucket` are SKIPPED
+    // (recall degrades, the job survives), with the skip count exposed as
+    // the `lsh_dropped_buckets` observed metric on every action. The
+    // member collect is itself state-bounded (maxBucket+1-capped heap),
+    // so even the dropped bucket's aggregation state is O(maxBucket).
     val bd = (if (portable) minhashBands(df, id, text, k, bands, n)
               else minhashBandsFast(df, id, text, k, bands, n))
       .select(F.col(id).as("doc"), F.col("band"), F.col("band_key"))
     val buckets = bd.groupBy("band", "band_key")
-      .agg(F.sort_array(F.collect_list(F.col("doc"))).as("ids"))
-      .where(F.size(F.col("ids")) > 1)
+      .agg(mallispark.expressions.BoundedCollectMin(
+          F.col("doc").cast(LongType), maxBucket + 1).as("ids"),
+        F.count(F.lit(1)).as("bsz"))
+      .observe(obsName("jaccard_lsh_dropped_buckets"),
+        F.coalesce(F.sum(F.when(F.col("bsz") > maxBucket, 1L)
+          .otherwise(0L)), F.lit(0L)).as("dropped"))
+      .where(F.col("bsz") > 1 && F.col("bsz") <= maxBucket)
     val ids = F.col("ids")
     val cand = buckets.select(F.explode(F.flatten(F.transform(ids, (x, i) =>
         F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
@@ -355,7 +395,8 @@ object Dedup {
     *
     * Returns (cluster_id = min member id, sz, members = sorted csv). */
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
-                  maxIter: Int = 20): DataFrame = {
+                  maxIter: Int = 20,
+                  maxMembers: Int = DefaultMaxMembers): DataFrame = {
     val edges = pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
       .unionAll(pairs.select(F.col(bCol).as("a"), F.col(aCol).as("b")))
       .distinct().localCheckpoint(true)
@@ -384,11 +425,11 @@ object Dedup {
       labels = next
       it += 1
     }
-    // sort members NUMERICALLY before the string join (a string sort
-    // would put "10" before "2" — the oracle orders by the native id)
+    // members sort NUMERICALLY (a string sort would put "10" before "2");
+    // the list is state-bounded: maxMembers smallest ids + full sz
     labels.groupBy(F.col("label").as("cluster_id"))
       .agg(F.count(F.lit(1)).as("sz"),
-        F.array_join(F.transform(F.sort_array(F.collect_list(F.col("id"))),
+        F.array_join(F.transform(memberIds("id", maxMembers),
           x => x.cast(org.apache.spark.sql.types.StringType)), ",")
           .as("members"))
   }
@@ -404,7 +445,8 @@ object Dedup {
     * Identical output contract: (cluster_id = min member id, sz,
     * members = sorted csv). */
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
-                      maxIter: Int = 25): DataFrame = {
+                      maxIter: Int = 25,
+                      maxMembers: Int = DefaultMaxMembers): DataFrame = {
     // orientation invariant: edges always point larger → smaller
     var e = pairs.select(
         F.greatest(F.col(aCol), F.col(bCol)).as("a"),
@@ -433,25 +475,39 @@ object Dedup {
     }
 
     // fixpoint when a round leaves the edge set unchanged — detected by
-    // (count, order-independent hash-sum) riding the checkpoint job
-    var prevSig = (-1L, -1L)
+    // (count, pmod-hash sum, full-width hash xor) riding the checkpoint
+    // job (pmod before sum: raw 64-bit hashes overflow an ANSI sum; the
+    // xor keeps full 64-bit width — it cannot overflow). The sum+xor
+    // pair makes an accidental same-signature-different-set collision
+    // ~2^-94-scale; a TRUE fixpoint trivially reproduces its own
+    // signature, so convergence detection is exact in practice.
+    var prevSig = (-1L, -1L, -1L)
     var it = 0
     var done = false
     while (!done && it < maxIter) {
-      val obs = org.apache.spark.sql.Observation(s"star_round_$it")
+      val obs = org.apache.spark.sql.Observation(obsName("star_round"))
+      val h = F.xxhash64(F.col("a"), F.col("b"))
       val next = smallStar(largeStar(e))
         .observe(obs,
           F.coalesce(F.count(F.lit(1)), F.lit(0L)).as("cnt"),
-          F.coalesce(F.sum(F.pmod(F.xxhash64(F.col("a"), F.col("b")),
-            F.lit(1000000007L))), F.lit(0L)).as("hs"))
+          F.coalesce(F.sum(F.pmod(h, F.lit(1000000007L))), F.lit(0L))
+            .as("hs"),
+          F.coalesce(F.bit_xor(h), F.lit(0L)).as("hx"))
         .localCheckpoint(true)
       val sig = (obs.get("cnt").asInstanceOf[Long],
-        obs.get("hs").asInstanceOf[Long])
+        obs.get("hs").asInstanceOf[Long],
+        obs.get("hx").asInstanceOf[Long])
       done = sig == prevSig
       prevSig = sig
       e = next
       it += 1
     }
+    // a non-converged star forest would silently label clusters wrong —
+    // refuse instead (maxIter = 25 covers diameter ~2^25 graphs; hitting
+    // it means something is broken, not that the graph is large)
+    if (!done) throw new IllegalStateException(
+      s"dupClustersStar: star contraction did not converge in $maxIter " +
+        "rounds — raise maxIter or use dupClusters (min-label) instead")
 
     // converged star forest: each non-root points straight at its root
     val nodes = pairs.select(F.col(aCol).as("id"))
@@ -463,7 +519,7 @@ object Dedup {
       .agg(F.coalesce(F.min("root"), F.first("id")).as("label"))
     labels.groupBy(F.col("label").as("cluster_id"))
       .agg(F.count(F.lit(1)).as("sz"),
-        F.array_join(F.transform(F.sort_array(F.collect_list(F.col("id"))),
+        F.array_join(F.transform(memberIds("id", maxMembers),
           x => x.cast(org.apache.spark.sql.types.StringType)), ",")
           .as("members"))
   }

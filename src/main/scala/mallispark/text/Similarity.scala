@@ -16,6 +16,11 @@ import TextOps.h32
   * pairs; the embedding column moves only for in-bucket refinement. */
 object Similarity {
 
+  /** Observed-metric names must be unique within one query plan. */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+  private def obsName(prefix: String): String =
+    s"${prefix}_${obsSeq.incrementAndGet()}"
+
   /** Cosine similarity between two array<float/double> columns (summed in
     * DOUBLE, left-to-right, for cross-engine determinism). */
   def cosine(a: Column, b: Column): Column = {
@@ -101,11 +106,25 @@ object Similarity {
     * deterministic (both engines sum doubles in element order). */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, planes: Int, tables: Int,
-                   dims: Int): DataFrame = {
+                   dims: Int, maxBucket: Int = 4096): DataFrame = {
     val b = bucketed(df, idCol, vecCol, planes, tables, dims)
-    val cand = b.select(F.col(idCol).as("id_a"), F.col("tbl"),
+    // HOT-BUCKET CAP: a pathological (tbl, bucket) cell (e.g. a corpus of
+    // near-identical embeddings collapsing into one signature) would
+    // expand |cell|² candidate pairs; cells over `maxBucket` are skipped
+    // — recall degrades, the job survives — with the skip count exposed
+    // as an observed metric. The size pre-aggregation shuffles on the
+    // same (tbl, bucket) key as the self-join, so the exchange is reused.
+    val okCells = b.groupBy("tbl", "bucket")
+      .agg(F.count(F.lit(1)).as("bsz"))
+      .observe(obsName("embedding_lsh_dropped_buckets"),
+        F.coalesce(F.sum(F.when(F.col("bsz") > maxBucket, 1L)
+          .otherwise(0L)), F.lit(0L)).as("dropped"))
+      .where(F.col("bsz") <= maxBucket)
+      .select("tbl", "bucket")
+    val bg = b.join(okCells, Seq("tbl", "bucket"))
+    val cand = bg.select(F.col(idCol).as("id_a"), F.col("tbl"),
         F.col("bucket"))
-      .join(b.select(F.col(idCol).as("id_b"), F.col("tbl"),
+      .join(bg.select(F.col(idCol).as("id_b"), F.col("tbl"),
         F.col("bucket")), Seq("tbl", "bucket"))
       .where(F.col("id_a") < F.col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -139,13 +158,31 @@ object Similarity {
     * per iteration at any corpus size. */
   /** Trained-centroid memo: production IVF trains its coarse quantizer
     * ONCE and persists it; within a session the deterministic training
-    * result (a k×dims literal seq) is cached under the caller's key so
-    * repeated index builds over the same corpus snapshot skip the Lloyd
-    * passes. Bit-identical by construction — training is deterministic
-    * in (corpus, k, iters). */
+    * result (a k×dims literal seq) is cached so repeated index builds
+    * over the same corpus snapshot skip the Lloyd passes. The caller's
+    * key alone is NOT trusted to identify the corpus — a fingerprint
+    * (row count + commutative id checksum, ONE cheap aggregation job,
+    * far cheaper than the 2·iters corpus jobs it saves) is folded in,
+    * so data changing under a reused key/path retrains instead of
+    * serving stale centroids. Bit-identical by construction — training
+    * is deterministic in (corpus, k, iters). */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int),
       Seq[(Long, Seq[Double])]]()
+
+  /** (count, sum of pmod(xxhash64(id)), xor of xxhash64(id)) —
+    * order-independent corpus identity, robust to partitioning (pmod
+    * before sum: raw 64-bit hashes overflow an ANSI sum); collisions
+    * need an engineered corpus pair, acceptable for a training memo. */
+  private def corpusFingerprint(corpus: DataFrame, id: String): String = {
+    val h = F.xxhash64(F.col(id))
+    val r = corpus.agg(
+      F.count(F.lit(1)),
+      F.sum(F.pmod(h, F.lit(1000000007L))),
+      F.bit_xor(h)).collect()(0)
+    s"${r.getLong(0)}:${if (r.isNullAt(1)) 0L else r.getLong(1)}:" +
+      s"${if (r.isNullAt(2)) 0L else r.getLong(2)}"
+  }
 
   def kmeansCentroids(corpus: DataFrame, id: String, vec: String,
                       k: Int, iters: Int,
@@ -159,8 +196,9 @@ object Similarity {
         spark.sparkContext.parallelize(
           cs.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }, 1),
         centSchema)
+    val fp = cacheKey.map(_ => corpusFingerprint(corpus, id))
     val cached = cacheKey.flatMap(ck =>
-      Option(centroidCache.get((ck, k, iters))))
+      Option(centroidCache.get((ck, fp.get, k, iters))))
     if (cached.isDefined) literalDf(cached.get)
     else {
     var cents: Seq[(Long, Seq[Double])] =
@@ -188,7 +226,7 @@ object Similarity {
         }
       cents = cents.map { case (cid, old) => (cid, byCell.getOrElse(cid, old)) }
     }
-    cacheKey.foreach(ck => centroidCache.put((ck, k, iters), cents))
+    cacheKey.foreach(ck => centroidCache.put((ck, fp.get, k, iters), cents))
     literalDf(cents)
     }
   }

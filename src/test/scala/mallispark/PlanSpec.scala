@@ -203,6 +203,24 @@ class PlanSpec extends SparkSuite {
       "candidate join is not bucket-keyed")
   }
 
+  test("hot-bucket cap predicate + bounded member collect are in-plan") {
+    // the bucket-size cap must be a PLAN predicate (an adversarial
+    // corpus degrades recall, never the job), and group member lists
+    // must aggregate through the k-capped heap, not collect_list
+    val jac = graft.SparkEntry.queries("dedup_jaccard")(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    assert(jac.contains("bsz"), s"no bucket-size cap filter:\n$jac")
+    assert(jac.contains("bounded_collect_min"),
+      "bucket member collect is not state-bounded")
+    val degen = graft.SparkEntry.queries("dedup_degenerate")(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    assert(degen.contains("bounded_collect_min"),
+      "degenerate-group member collect is not state-bounded")
+    val emb = graft.SparkEntry.queries("dedup_embedding")(spark, sf)
+      .queryExecution.optimizedPlan.toString()
+    assert(emb.contains("bsz"), s"no embedding bucket cap:\n$emb")
+  }
+
   test("LSH-gated jaccard has no full-table shingle self-join") {
     // the standalone quadratic shingle join is gone from the hot path:
     // every join in dedup_jaccard is either the banded candidate join or

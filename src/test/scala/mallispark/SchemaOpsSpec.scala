@@ -28,6 +28,9 @@ class SchemaOpsSpec extends SparkSuite {
     val u = SchemaOps.union(A, B).asInstanceOf[SMap]
     assert(u.entries.find(_.key == "y").get.child ===
       SOr(Seq(SString(None, None), SInt())))
+    // y is optional in A, required in B: union's merge-required is
+    // (and r1 r2) (util.cljc:110) → optional-on-either-side wins
+    assert(u.entries.find(_.key == "y").get.optional)
     assert(!u.closed) // closed only if both closed
   }
 

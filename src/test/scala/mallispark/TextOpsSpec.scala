@@ -261,6 +261,65 @@ class TextOpsSpec extends SparkSuite {
       Set((1L, 2L)))
   }
 
+  test("BoundedCollectMin == slice(sort_array(collect_list),1,k) incl. merge") {
+    import mallispark.expressions.BoundedCollectMin
+    // 8 input partitions force the partial-aggregate merge path; group
+    // sizes (~143) straddle both k=10 (truncating) and k=10000 (full)
+    val rows = spark.range(0, 1000, 1, 8)
+      .select(F.pmod(F.col("id") * 37, F.lit(7L)).as("g"), F.col("id"))
+    for (k <- Seq(10, 10000)) {
+      val mismatches = rows.groupBy("g").agg(
+          BoundedCollectMin(F.col("id"), k).as("b"),
+          F.slice(F.sort_array(F.collect_list(F.col("id"))), 1, k).as("ref"))
+        .where(F.col("b") =!= F.col("ref")).count()
+      assert(mismatches === 0, s"k=$k")
+    }
+  }
+
+  test("degenerate corpus: 100k-copy group emits bounded rows + true count") {
+    val degen = spark.range(100000)
+      .select(F.col("id"), F.lit("one boilerplate body").as("text"))
+      .unionByName(d.select((F.col("id") + 1000000L).as("id"),
+        F.col("text")))
+    val g = Dedup.exactDupGroups(degen, "id", "text", maxMembers = 50)
+      .collect()
+    val big = g.find(_.getLong(1) === 100000L).get
+    assert(big.getSeq[Long](2) === (0L until 50L)) // 50 smallest ids only
+    val small = g.find(_.getLong(1) === 2L).get // base corpus's dup pair
+    assert(small.getSeq[Long](2) === Seq(1000001L, 1000002L))
+  }
+
+  test("hot-bucket cap: oversized LSH buckets are skipped, not expanded") {
+    // 50 identical ≥n-token docs → every band bucket holds all 50 ids
+    val many = spark.range(50).select(F.col("id"),
+      F.lit("alpha beta gamma delta epsilon zeta").as("text"))
+    val capped = Dedup.ngramJaccardWithinBuckets(many.toDF(), "id", "text",
+      n = 2, threshold = 0.5, k = 8, bands = 4, maxBucket = 10)
+    assert(capped.count() === 0) // buckets of 50 > 10: dropped, job alive
+    val open = Dedup.ngramJaccardWithinBuckets(many.toDF(), "id", "text",
+      n = 2, threshold = 0.5, k = 8, bands = 4, maxBucket = 100)
+    assert(open.count() === 50L * 49 / 2) // cap above bucket size: exact
+  }
+
+  test("embedding near-dup hot-bucket cap skips oversized cells") {
+    val emb = spark.range(20).select(F.col("id"),
+      F.array_repeat(F.lit(1.0f), 8).as("v"))
+    val capped = Similarity.nearDupPairs(emb.toDF(), "id", "v",
+      threshold = 0.9, planes = 2, tables = 2, dims = 8, maxBucket = 10)
+    assert(capped.count() === 0) // the single 20-member cell is skipped
+    val open = Similarity.nearDupPairs(emb.toDF(), "id", "v",
+      threshold = 0.9, planes = 2, tables = 2, dims = 8, maxBucket = 100)
+    assert(open.count() === 20L * 19 / 2)
+  }
+
+  test("dupClustersStar refuses to label from a non-converged forest") {
+    val pairs = df(Seq(Row(1L, 2L), Row(2L, 3L)),
+      StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
+    intercept[IllegalStateException] {
+      Dedup.dupClustersStar(pairs, "a", "b", maxIter = 0)
+    }
+  }
+
   test("brute-force cosine top-k: self-match ranks first") {
     val embSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))

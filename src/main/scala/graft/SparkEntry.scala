@@ -66,6 +66,21 @@ object SparkEntry {
       "FF000000FF000000" + // row 0: (B=FF)(G=FF px2) + 2 pad bytes
       "0000FF8040C00000"   // row 1: (R=FF)(80,40,C0) + 2 pad bytes
 
+  /** Hand-assembled 2×2 truecolor PNG (82 bytes): IHDR(2,2,8,2) + one
+    * IDAT holding a zlib stream with a single STORED deflate block
+    * (hand-derivable — no compressor needed) of the filtered scanlines
+    * `[0, (10,20,30),(40,50,60)] [2(Up), +100×6]` + IEND. Recon pixels
+    * (10,20,30),(40,50,60),(110,120,130),(140,150,160) → means
+    * r 75, g 85, b 95 over 4 px. */
+  private val GoldenPngHex =
+    "89504E470D0A1A0A" + // signature
+      "0000000D4948445200000002000000020802000000FDD49A73" + // IHDR + crc
+      "0000001949444154" + // IDAT len 25
+      "7801010E00F1FF" + // zlib hdr + stored-block framing (len 14)
+      "000A141E28323C02646464646464" + // filtered scanlines
+      "103E032D" + "F9247B34" + // adler32 + chunk crc
+      "0000000049454E44AE426082" // IEND
+
   /** doc_id + real container binary: BMP for even ids (w = 1 + id%3,
     * h = 2, pixels from md5(text) repeated), WAV PCM16 for odd ids
     * (8 samples = the 16 md5 bytes, 16 kHz), plus the two goldens. */
@@ -1298,7 +1313,13 @@ object SparkEntry {
     //      (BMP) / [rms, peak/32768, n, rate] (WAV); floats derived from
     //      exact integer sums so DuckDB mirrors them bit-for-bit ----
     "multimodal_features" -> ((s, dir) => {
-      val d = mediaCorpus(s, dir)
+      import s.implicits._
+      // + the golden PNG: the first COMPRESSED container through the
+      // codec slot (zlib inflate + de-filtering happen JVM-side only —
+      // no hex-arithmetic dual, so it joins this gate, not mediaCorpus)
+      val d = mediaCorpus(s, dir).unionByName(
+        Seq((1000000003L, GoldenPngHex)).toDF("doc_id", "fh")
+          .select(F.col("doc_id"), F.unhex(F.col("fh")).as("bin")))
       val feats = Multimodal.extractFeatures(d, "doc_id", "bin").toDF()
       def f(i: Int) =
         F.round(F.col("features").getItem(i).cast(DoubleType), 3).as(s"f$i")
@@ -1526,15 +1547,32 @@ object SparkEntry {
       mut.register("page", S.mapE(false, S.req("x", S.int)))
       val lz = new SchemaIR.LazyRegistry(
         n => if (n == "leaf") Some(S.intMin(0L)) else None)
+      // lite DSL + visual emitters + swagger: rendered here, pinned as
+      // oracle literals (multi-line emitter output travels with \n
+      // rewritten to the 2-char "\\n" so the golden stays one line)
+      val liteForm = SchemaIR.form(mallispark.ir.Lite.obj(
+        "id" -> ":int", "tag" -> mallispark.ir.Lite.optional(":string"),
+        "langs" -> mallispark.ir.Lite.vector(":string")))
+      val pageScoped = S.scoped(
+        "Page" -> S.mapE(false,
+          S.req("url", S.string),
+          S.req("meta", S.mapE(false,
+            S.req("lang", S.enum_("en", "de"))))))(S.ref("Page"))
       Seq(
         ("flagship_form", SchemaIR.form(WebPages.schema)),
         ("flagship_ast", Export.toJson(WebPages.schema)),
         ("flagship_jsonschema", Export.toJsonSchema(WebPages.schema)),
+        ("flagship_swagger", Export.toSwagger(WebPages.schema)),
         ("scoped_form", SchemaIR.form(scoped)),
         ("edn_roundtrip", SchemaIR.form(ednBack)),
         ("struct_ddl", ddl),
         ("registry_mutable_form", SchemaIR.form(mut.snapshot("page"))),
         ("registry_lazy_form", SchemaIR.form(lz.force("leaf")("leaf"))),
+        ("lite_form", liteForm),
+        ("dot_page", mallispark.ir.Dot.transform(pageScoped)
+          .replace("\n", "\\n")),
+        ("plantuml_page", mallispark.ir.Dot.plantuml(pageScoped)
+          .replace("\n", "\\n")),
         ("flagship_describe",
           mallispark.ir.Describe.describe(WebPages.schema)))
         .toDF("name", "text").orderBy("name")
@@ -1977,9 +2015,22 @@ object SparkEntry {
       val structDdl =
         "doc_id BIGINT,url STRING NOT NULL,warc_ts TIMESTAMP NOT NULL," +
           "html BINARY NOT NULL,text STRING NOT NULL,lang STRING NOT NULL"
+      val flagshipSwagger =
+        """{"type": "object", "properties": {"doc_id": {"type": "integer", "format": "int64"}, "url": {"type": "string", "pattern": "^https?://[^\\s]+$"}, "warc_ts": {"type": "string", "format": "date-time"}, "html": {"type": "string", "contentEncoding": "base64"}, "text": {"type": "string", "minLength": 1}, "lang": {"enum": ["en", "de", "fr", "es", "zh"]}}, "required": ["url", "warc_ts", "html", "text", "lang"], "additionalProperties": false}"""
+      val liteForm =
+        """[:map [:id :int] [:tag {:optional true} :string] [:langs [:vector :string]]]"""
+      val dotPage =
+        """digraph {\n  node [shape="record", style="filled", color="#000000"]\n  edge [dir="back", arrowtail="none"]\n  \n  "Page" [label="{Page|:url :string\l:meta Page$Meta\l}", fillcolor="#fff0cd"]\n  "Page$Meta" [label="{Page$Meta|:lang [:enum \"en\" \"de\"]\l}", fillcolor="#e6caab"]\n  \n  "Page" -> "Page$Meta" [arrowtail="diamond"]\n}\n"""
+      val umlPage =
+        """@startuml\nentity Page {\n :url :string\n :meta Page$Meta\n}\nabstract Page$Meta {\n :lang [:enum "en" "de"]\n}\nPage *-- Page$Meta\n@enduml\n"""
       def lit(x: String) = "'" + x.replace("'", "''") + "'"
       Seq("flagship_ast" -> flagshipAst, "flagship_form" -> flagshipForm,
-        "flagship_jsonschema" -> flagshipJs, "scoped_form" -> scopedForm,
+        "flagship_jsonschema" -> flagshipJs,
+        "flagship_swagger" -> flagshipSwagger,
+        "lite_form" -> liteForm,
+        "dot_page" -> dotPage,
+        "plantuml_page" -> umlPage,
+        "scoped_form" -> scopedForm,
         // fromForm∘form fixpoint: the round-trip must land back on the
         // flagship's own golden form literal
         "edn_roundtrip" -> flagshipForm,
@@ -3035,6 +3086,9 @@ object SparkEntry {
         |SELECT CAST(1000000002 AS BIGINT), 'wav', CAST(52 AS BIGINT),
         |  round(CAST(CAST(sqrt(2152418113/4.0) AS REAL) AS DOUBLE), 3),
         |  1.0, 4.0, 8000.0
+        |UNION ALL
+        |SELECT CAST(1000000003 AS BIGINT), 'png', CAST(82 AS BIGINT),
+        |  75.0, 85.0, 95.0, 4.0
         |ORDER BY doc_id""".stripMargin,
 
     "ann_cosine_topk" ->

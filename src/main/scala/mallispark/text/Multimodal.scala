@@ -14,7 +14,8 @@ import org.apache.spark.sql.types._
   *  - WAV (RIFF/WAVE, PCM signed 16-bit LE): fmt-chunk-parsed
   *    channels/rate/bits, per-sample sum of squares + peak amplitude.
   *
-  * Two execution paths with identical semantics:
+  * Two execution paths with identical semantics FOR VALID PAYLOADS
+  * (field values bit-agree; the golden fixtures pin both):
   *
   *  - [[decodeMedia]]: pure Column expressions over `hex(bin)` byte
   *    slices — whole-stage-codegen'd, DuckDB-mirrorable (the oracle
@@ -24,8 +25,17 @@ import org.apache.spark.sql.types._
   *  - [[extractFeatures]]: batched per-partition JVM decode
   *    (`ByteBuffer`, constant memory, no per-row codegen limit) — the
   *    scale path for large payloads, and the slot where a codec-backed
-  *    decoder (jpeg/mp3/h264) would plug in unchanged.
-  */
+  *    decoder plugs in unchanged (PNG inflate lives here — a zlib
+  *    stream has no hex-arithmetic Column dual).
+  *
+  * MALFORMED payloads diverge by design in how they are CLASSIFIED
+  * (never in decoded values — both paths refuse to emit stats for a
+  * failed parse): the Column path keeps the magic-sniffed kind with
+  * null stat structs (`kind = "bmp", img = null`) so schema validation
+  * downstream can distinguish "claims BMP, corrupt" from "not media";
+  * the JVM path folds failed parses into the opaque `"unknown"`
+  * fallback features, because its contract is "always produce a usable
+  * feature vector". */
 object Multimodal {
 
   /** Typed metadata extracted scan-side without decoding: size, sha,
@@ -276,7 +286,8 @@ object Multimodal {
       // silently misparse
       val dataTag = if (fmtSize >= 0 && fmtSize <= n) (20 + fmtSize).toInt
                     else Int.MaxValue - 16
-      if (leU16(20) == 1 && leU16(34) == 16 && dataTag + 8 <= n &&
+      if (leU16(20) == 1 && leU16(22) >= 1 && leU16(34) == 16 &&
+          dataTag + 8 <= n &&
           u8(dataTag) == 'd' && u8(dataTag + 1) == 'a' &&
           u8(dataTag + 2) == 't' && u8(dataTag + 3) == 'a') {
         val dataSize = leU32(dataTag + 4)
@@ -297,11 +308,119 @@ object Multimodal {
         }
       }
     }
+    if (n >= 33 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+        u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a &&
+        u8(7) == 0x0a) {
+      decodePng(bytes) match {
+        case Some(r) => return r
+        case None => // corrupt PNG: opaque fallback below
+      }
+    }
     var s = 0L
     var i = 0
     while (i < n) { s += (bytes(i) & 0xff); i += 1 }
     ("unknown",
       Array(if (n == 0) 0f else (s.toDouble / n).toFloat, n.toFloat, 0f, 0f))
+  }
+
+  /** PNG truecolor decode — the first COMPRESSED format through the
+    * codec slot: chunk walk (IHDR → IDAT* → IEND), zlib inflate via
+    * `java.util.zip.Inflater` (pure JVM, public spec), scanline
+    * de-filtering (types 0-4: None/Sub/Up/Average/Paeth), per-channel
+    * pixel means. Supports the canonical bit-depth-8 / color-type-2
+    * (truecolor RGB) / non-interlaced layout; anything else → None
+    * (caller falls back to opaque features). Feature layout:
+    * `[mean_r, mean_g, mean_b, n_pixels]` (PNG stores RGB; BMP's
+    * `[mean_b, mean_g, mean_r, ...]` keeps each container's native
+    * channel order — features are kind-tagged). */
+  private[mallispark] def decodePng(
+      bytes: Array[Byte]): Option[(String, Array[Float])] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def beU32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def tag(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    val n = bytes.length
+    if (beU32(8) != 13L || tag(12) != "IHDR") return None
+    val w = beU32(16)
+    val h = beU32(20)
+    val (depth, color, interlace) = (u8(24), u8(25), u8(28))
+    // w/h capped individually before the product (overflow guard — same
+    // discipline as the BMP header parse)
+    if (depth != 8 || color != 2 || interlace != 0 ||
+      w < 1 || w > MaxElems || h < 1 || h > MaxElems ||
+      w * h > MaxElems) return None
+    // chunk walk: concatenate IDAT payloads until IEND
+    val idat = new java.io.ByteArrayOutputStream()
+    var pos = 33 // 8 sig + 12 IHDR framing + 13 IHDR data
+    var ended = false
+    while (!ended) {
+      if (pos + 8 > n) return None
+      val len = beU32(pos)
+      if (len > n || pos + 12 + len > n) return None
+      val t = tag(pos + 4)
+      if (t == "IDAT") idat.write(bytes, pos + 8, len.toInt)
+      if (t == "IEND") ended = true
+      pos += 12 + len.toInt
+    }
+    if (idat.size == 0) return None
+    val stride = 3 * w.toInt
+    val raw = new Array[Byte]((stride + 1) * h.toInt)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    val complete =
+      try {
+        var off = 0
+        var stuck = false
+        while (!stuck && off < raw.length) {
+          val k = inf.inflate(raw, off, raw.length - off)
+          if (k == 0) stuck = true else off += k
+        }
+        off == raw.length && inf.finished()
+      } catch {
+        case _: java.util.zip.DataFormatException => false
+      } finally inf.end()
+    if (!complete) return None
+    // de-filter + accumulate channel sums (bpp = 3 → "left" is x-3)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var prev = new Array[Int](stride)
+    var cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val rowBase = y * (stride + 1)
+      val ft = raw(rowBase) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val rv = raw(rowBase + 1 + x) & 0xff
+        val a = if (x >= 3) cur(x - 3) else 0
+        val b = prev(x)
+        val c = if (x >= 3) prev(x - 3) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 => // Paeth
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b),
+              math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        cur(x) = (rv + pred) & 0xff
+        x += 1
+      }
+      var i = 0
+      while (i < stride) {
+        sr += cur(i); sg += cur(i + 1); sb += cur(i + 2)
+        i += 3
+      }
+      val t = prev; prev = cur; cur = t
+      y += 1
+    }
+    val npx = (w * h).toDouble
+    Some(("png", Array((sr / npx).toFloat, (sg / npx).toFloat,
+      (sb / npx).toFloat, npx.toFloat)))
   }
 
   /** Per-partition batched feature extraction — the Dataset analogue of

@@ -526,6 +526,73 @@ class TextOpsSpec extends SparkSuite {
     assert(Multimodal.decodeOne(wav)._1 === "unknown")
   }
 
+  test("PNG decode: deflated truecolor, all 5 filter types, split IDAT") {
+    import java.util.zip.{CRC32, Deflater}
+    def be32(v: Long): Array[Byte] = Array(
+      ((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def chunk(tag: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new CRC32()
+      crc.update(tag.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ tag.getBytes("US-ASCII") ++ data ++
+        be32(crc.getValue)
+    }
+    val (w, h) = (3, 5)
+    val px = Array.tabulate(h, w)((y, x) =>
+      Array(x * 40 + y, x * 7 + y * 11, 255 - x * 20 - y * 9))
+    val stride = 3 * w
+    val flat = px.map(_.flatten.map(_.toByte)) // per-row RGB bytes
+    // forward-filter row y with type y%5 (reference values = original
+    // bytes — filtering is lossless)
+    val filtered = (0 until h).flatMap { y =>
+      val ft = y % 5
+      val cur = flat(y).map(_ & 0xff)
+      val up = if (y > 0) flat(y - 1).map(_ & 0xff) else new Array[Int](stride)
+      ft.toByte +: (0 until stride).map { x =>
+        val a = if (x >= 3) cur(x - 3) else 0
+        val b = up(x)
+        val c = if (x >= 3) up(x - 3) else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => a
+          case 2 => b
+          case 3 => (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) =
+              (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+        }
+        ((cur(x) - pred) & 0xff).toByte
+      }
+    }.toArray
+    val defl = new Deflater()
+    defl.setInput(filtered); defl.finish()
+    val zbuf = new Array[Byte](filtered.length + 64)
+    val zlen = defl.deflate(zbuf); defl.end()
+    val z = zbuf.take(zlen)
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    val sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    // IDAT split across two chunks — the walk must concatenate them
+    val (z1, z2) = z.splitAt(z.length / 2)
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z1) ++
+      chunk("IDAT", z2) ++ chunk("IEND", Array.empty)
+    val (kind, feats) = Multimodal.decodeOne(png)
+    assert(kind === "png")
+    val all = px.flatten
+    def mean(i: Int) = all.map(_(i)).sum.toDouble / (w * h)
+    assert(feats(0) === mean(0).toFloat && feats(1) === mean(1).toFloat &&
+      feats(2) === mean(2).toFloat && feats(3) === (w * h).toFloat)
+    // truncated (no IEND) and unsupported color type → opaque fallback
+    val (k2, _) = Multimodal.decodeOne(png.dropRight(12))
+    assert(k2 === "unknown")
+    val rgba = sig ++ chunk("IHDR", be32(w) ++ be32(h) ++
+      Array[Byte](8, 6, 0, 0, 0)) ++ chunk("IDAT", z) ++
+      chunk("IEND", Array.empty)
+    assert(Multimodal.decodeOne(rgba)._1 === "unknown")
+  }
+
   test("minhash drops shingle-less docs (cross-engine parity) — both paths") {
     val short = df(Seq(Row(1L, "a b"), Row(2L, "c d"), Row(3L, "x y")),
       docSchema) // all under n=3 tokens → no shingles

@@ -19,7 +19,11 @@ import mallispark.ir.SchemaIR._
   *    on the entry — parquet conflates "key absent" with "value nil", so
   *    both of malli's signals are emitted
   *  - `:enum` for low-cardinality strings (the value-frequency map,
-  *    provider.cljc:33) under enumMaxCard/enumMaxRatio
+  *    provider.cljc:33) under enumMaxCard/enumMaxRatio — decided IN the
+  *    single pass via a bounded distinct-set aggregate
+  *    (`BoundedStringSet` with k = enumMaxCard+1: overflow proves
+  *    non-enum-hood, otherwise the result is the exact value set), so a
+  *    wide table never pays one distinct job per candidate column
   *  - `:uuid` for string columns whose every value is uuid-shaped — the
   *    physical-string analogue of malli's `::value-decoders` narrowing
   *    (provider.cljc:70-72, -decoded): a Clojure UUID object is `uuid?`
@@ -35,10 +39,10 @@ import mallispark.ir.SchemaIR._
   *  - observed min/max attached as bounds for numeric/timestamp columns
   *    (the observed duals of `:min`/`:max` props).
   *
-  * `exact = true` switches `approx_count_distinct` (HLL) to exact
-  * `count_distinct` and enables the map-key pass — deterministic across
-  * engines, so the result is DuckDB-oracle-checkable (the `infer_schema`
-  * gate); the approx path is the 100-TB default (one pass, sketches). */
+  * `exact = true` enables the per-map-column key pass (`:map-of` vs
+  * fixed-key `:map` needs a key explode) — everything else, including
+  * the enum decision, is exact and single-pass in BOTH modes; the
+  * approx path is the 100-TB default (one aggregation job total). */
 object Infer {
 
   final case class Options(enumMaxCard: Int = 16, enumMaxRatio: Double = 0.1,
@@ -58,16 +62,14 @@ object Infer {
       val c = F.col(f.name)
       Seq(F.count(c).as(s"${f.name}__cnt"),
         (f.dataType match {
-          // distinct feeds ONLY the string :enum decision — skip it for
-          // every other type (map isn't comparable anyway; arrays/longs
-          // would shuffle full payloads for an unused number)
-          case StringType if opts.exact =>
-            // md5-compressed distinct: same count modulo 2^-64 collisions,
-            // 16-byte shuffle keys instead of full document text
-            F.count_distinct(F.md5(c))
-          case StringType => F.approx_count_distinct(c)
-          case _ => F.lit(-1L)
-        }).as(s"${f.name}__dist")) ++
+          // the :enum decision rides the SAME pass as a bounded distinct
+          // set (k = enumMaxCard+1, O(k) agg state): an overflowing
+          // result proves non-enum-hood, a smaller one IS the exact
+          // value set — no per-column distinct job, exact in BOTH modes
+          case StringType =>
+            mallispark.expressions.BoundedStringSet(c, opts.enumMaxCard + 1)
+          case _ => F.array().cast(ArrayType(StringType))
+        }).as(s"${f.name}__enumv")) ++
         (if (isOrdered(f.dataType))
            Seq(F.min(c).cast(StringType).as(s"${f.name}__min"),
              F.max(c).cast(StringType).as(s"${f.name}__max"))
@@ -86,23 +88,21 @@ object Infer {
 
     val entries = cols.map { f =>
       val cnt = stats.getAs[Long](s"${f.name}__cnt")
-      val dist = stats.getAs[Long](s"${f.name}__dist")
       val optional = cnt < total
+      // exact distinct values when the column has ≤ enumMaxCard of them;
+      // an (enumMaxCard+1)-sized set means "more than enumMaxCard"
+      def enumVals: Seq[String] =
+        stats.getAs[scala.collection.Seq[String]](s"${f.name}__enumv")
+          .toSeq.sorted
       val base = f.dataType match {
         case StringType
             if opts.narrowStrings && cnt > 0 &&
               stats.getAs[Long](s"${f.name}__uuid") == cnt =>
           SUuid
         case StringType
-            if dist <= opts.enumMaxCard &&
-              total > 0 && dist.toDouble / math.max(cnt, 1) <= opts.enumMaxRatio =>
-          // with exact=false the HLL estimate gates this branch but can
-          // UNDERestimate — hard-limit the collect so a pathological
-          // column can never flood the driver; fall back to :string
-          val values = df.select(f.name).where(F.col(f.name).isNotNull)
-            .distinct().limit(opts.enumMaxCard + 1)
-            .collect().map(_.getString(0)).sorted.toSeq
-          if (values.size > opts.enumMaxCard) SString() else SEnum(values)
+            if enumVals.size <= opts.enumMaxCard && total > 0 &&
+              enumVals.size.toDouble / math.max(cnt, 1) <= opts.enumMaxRatio =>
+          SEnum(enumVals)
         case at: ArrayType =>
           val szMin = Option(stats.getAs[Any](s"${f.name}__szmin"))
             .map(_.asInstanceOf[Number].longValue)

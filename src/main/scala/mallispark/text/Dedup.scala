@@ -425,6 +425,13 @@ object Dedup {
       labels = next
       it += 1
     }
+    // labels that are still moving are NOT component ids — refuse to
+    // emit wrong clusters (min-label needs diameter rounds; raise
+    // maxIter or use dupClustersStar for adversarial chains)
+    if (changed > 0) throw new IllegalStateException(
+      s"dupClusters: min-label propagation did not converge in $maxIter " +
+        s"rounds ($changed labels still changing) — raise maxIter or use " +
+        "dupClustersStar (O(log d) rounds)")
     // members sort NUMERICALLY (a string sort would put "10" before "2");
     // the list is state-bounded: maxMembers smallest ids + full sz
     labels.groupBy(F.col("label").as("cluster_id"))

@@ -276,6 +276,20 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("BoundedStringSet: k smallest distinct strings across partitions") {
+    import mallispark.expressions.BoundedStringSet
+    val rows = spark.range(0, 300, 1, 6) // 6 partitions force merges
+      .select(F.concat(F.lit("v"), F.pmod(F.col("id"), F.lit(20L))).as("s"))
+    val got = rows.agg(BoundedStringSet(F.col("s"), 8).as("b"))
+      .collect()(0).getSeq[String](0)
+    val full = (0L until 20L).map(i => s"v$i").sorted
+    assert(got === full.take(8))
+    // k above the true cardinality: the COMPLETE distinct set
+    val all = rows.agg(BoundedStringSet(F.col("s"), 64).as("b"))
+      .collect()(0).getSeq[String](0)
+    assert(all === full)
+  }
+
   test("degenerate corpus: 100k-copy group emits bounded rows + true count") {
     val degen = spark.range(100000)
       .select(F.col("id"), F.lit("one boilerplate body").as("text"))
@@ -317,6 +331,12 @@ class TextOpsSpec extends SparkSuite {
       StructType(Seq(StructField("a", LongType), StructField("b", LongType))))
     intercept[IllegalStateException] {
       Dedup.dupClustersStar(pairs, "a", "b", maxIter = 0)
+    }
+    // min-label needs diameter rounds: a 4-chain cannot converge in 1
+    intercept[IllegalStateException] {
+      Dedup.dupClusters(df(Seq(Row(1L, 2L), Row(2L, 3L), Row(3L, 4L)),
+        StructType(Seq(StructField("a", LongType),
+          StructField("b", LongType)))), "a", "b", maxIter = 1)
     }
   }
 

@@ -192,6 +192,14 @@ object SparkEntry {
   private val AnnPlanes = 3
   private val AnnTables = 10
   private val AnnDims = 64
+
+  /** Near-dup LSH uses FINER buckets than ANN top-k: a 0.98-cosine pair
+    * still co-buckets in ≥1 of the 10 OR-tables with P ≈ 1-5e-5 at 6
+    * planes (miss prob per plane ≈ acos(0.98)/π ≈ 0.064), while the
+    * candidate-pair count drops ~8× vs planes=3 (cells shrink from
+    * n/8 to n/64 per table; pair cost is Σ|cell|²). The oracle replays
+    * the SAME plane count, so the gate stays exact. */
+  private val NearDupPlanes = 6
   // IVF params sized for recall ≥ 0.9 on the near-uniform test vectors
   // (measured 0.94/0.96 at the two gate scales): like the LSH path, the
   // worst-case data needs a high candidate fraction (nprobe/nCentroids ≈
@@ -1148,9 +1156,14 @@ object SparkEntry {
           F.array((F.element_at(F.col("embedding"), 1).cast(DoubleType)
             + 0.05).cast(FloatType)),
           F.slice(F.col("embedding"), 2, 1 << 20)).as("embedding"))
+      // gate-scale corpus is tiny — checkpoint it so the 5 downstream
+      // references (bucket sizes, both self-join sides, both vector
+      // re-joins) don't each re-scan parquet + recompute the union
+      // (at production scale the corpus arrives materialized anyway)
       val corpus = emb.unionByName(dup).unionByName(near)
+        .localCheckpoint(true)
       Similarity.nearDupPairs(corpus, "vec_id", "embedding",
-          threshold = 0.98, planes = AnnPlanes, tables = AnnTables,
+          threshold = 0.98, planes = NearDupPlanes, tables = AnnTables,
           dims = AnnDims)
         .orderBy("id_a", "id_b")
     }),
@@ -1717,9 +1730,10 @@ object SparkEntry {
   /** Per-table LSH bucket SELECTs with the SAME literal hyperplane signs
     * the Spark plan inlines (Similarity.planeSigns) — UNION ALL of one
     * SELECT per table producing (idCol, tbl, bucket). */
-  private def lshBucketSql(src: String, idCol: String, vecCol: String): String =
+  private def lshBucketSql(src: String, idCol: String, vecCol: String,
+                           planes: Int = AnnPlanes): String =
     (0 until AnnTables).map { tbl =>
-      val signs = Similarity.planeSigns(tbl, AnnPlanes, AnnDims)
+      val signs = Similarity.planeSigns(tbl, planes, AnnDims)
       val bits = signs.zipWithIndex.map { case (sv, p) =>
         val arr = sv.map(v => if (v > 0) "1.0" else "-1.0")
           .mkString("[", ", ", "]")
@@ -1865,7 +1879,8 @@ object SparkEntry {
          |    embedding[2:]) AS embedding FROM seeds),
          |corpus2 AS (SELECT * FROM base UNION ALL SELECT * FROM dup
          |            UNION ALL SELECT * FROM near),
-         |b2 AS (${lshBucketSql("corpus2", "vec_id", "embedding")}),
+         |b2 AS (${lshBucketSql("corpus2", "vec_id", "embedding",
+             NearDupPlanes)}),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM b2 a JOIN b2 b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),

@@ -21,9 +21,18 @@ object Similarity {
   private def obsName(prefix: String): String =
     s"${prefix}_${obsSeq.incrementAndGet()}"
 
-  /** Cosine similarity between two array<float/double> columns (summed in
-    * DOUBLE, left-to-right, for cross-engine determinism). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array<float/double> columns (summed
+    * in DOUBLE, left-to-right, for cross-engine determinism). Runs
+    * through the codegen [[mallispark.expressions.CosineSim]] kernel —
+    * bit-identical to [[cosineColumns]] (asserted in tests) but inside
+    * whole-stage codegen instead of interpreted per-element lambdas. */
+  def cosine(a: Column, b: Column): Column =
+    mallispark.expressions.CosineSim(a, b)
+
+  /** The Column/higher-order-function reference formulation of
+    * [[cosine]] — kept as the executable spec the kernel is asserted
+    * bit-identical against (the pattern every native kernel follows). */
+  private[mallispark] def cosineColumns(a: Column, b: Column): Column = {
     val dot = F.aggregate(
       F.zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       F.lit(0.0), (acc, x) => acc + x)

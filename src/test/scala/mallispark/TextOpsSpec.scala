@@ -340,6 +340,26 @@ class TextOpsSpec extends SparkSuite {
     }
   }
 
+  test("CosineSim kernel is BIT-identical to the Column HOF cosine") {
+    val vecs = (0L to 199L).map { i =>
+      Row(i,
+        Array.tabulate(64)(j => (((i * 31 + j * 7) % 23).toFloat - 11f)),
+        Array.tabulate(64)(j => (((i * 17 + j * 13) % 19).toFloat - 9f)))
+    }
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(FloatType)),
+      StructField("b", ArrayType(FloatType))))
+    val mismatches = df(vecs, schema)
+      .select(Similarity.cosine(F.col("a"), F.col("b")).as("k"),
+        Similarity.cosineColumns(F.col("a"), F.col("b")).as("c"))
+      .where(F.col("k") =!= F.col("c")).count() // exact double equality
+    assert(mismatches === 0)
+    // length mismatch → null (zip_with null-padding semantics)
+    val short = df(Seq(Row(1L, Array(1f, 2f), Array(1f, 2f, 3f))), schema)
+      .select(Similarity.cosine(F.col("a"), F.col("b")).as("k")).collect()
+    assert(short(0).isNullAt(0))
+  }
+
   test("brute-force cosine top-k: self-match ranks first") {
     val embSchema = StructType(Seq(StructField("vec_id", LongType),
       StructField("embedding", ArrayType(FloatType))))

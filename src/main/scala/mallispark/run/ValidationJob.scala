@@ -103,6 +103,28 @@ object ValidationJob {
     spark.read.parquet(manifestPath(dir)).where(F.col("run_id") === runId)
   }
 
+  /** Resumable validation of one SNAPSHOT of a snapshot-log table
+    * ([[SnapshotTable]]): the run id IS the snapshot id, so the
+    * per-partition manifest lives under the table directory alongside
+    * the commit manifests (the north-rule "checkpointed per-partition
+    * manifest with lineage + metrics written alongside each commit").
+    * Kill/rerun resumes the same snapshot's remaining partitions; a NEW
+    * commit validates under a fresh run id automatically. Returns the
+    * snapshot's committed manifest rows. */
+  def validateSnapshot(spark: SparkSession, tableDir: String,
+                       schema: SchemaIR, keyCols: Seq[String],
+                       snapshotId: Option[Long] = None,
+                       nParts: Int = 256,
+                       partIdOf: Option[Column] = None)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): DataFrame = {
+    val id = snapshotId.orElse(SnapshotTable.currentSnapshotId(tableDir))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no snapshots committed in $tableDir"))
+    runResumable(spark, SnapshotTable.read(spark, tableDir, Some(id)),
+      schema, keyCols, s"$tableDir/validation", f"snap-$id%06d",
+      nParts, partIdOf)
+  }
+
   /** Committed violation rows for a run: only partitions present in the
     * manifest count, and rows re-appended by a crash-retry collapse via
     * dropDuplicates (violation rows are deterministic per partition, so

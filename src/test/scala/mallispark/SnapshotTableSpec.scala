@@ -64,6 +64,59 @@ class SnapshotTableSpec extends SparkSuite {
     assert(d === Map(4L -> "added", 7L -> "removed", 2L -> "modified"))
   }
 
+  test("snapshot reads keep column pruning + filter pushdown at the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(1000)
+      .select(F.col("id"), (F.col("id") * 3).as("v"),
+        F.concat(F.lit("p"), F.col("id")).as("payload")), dir)
+    SnapshotTable.commit(spark.range(1000, 1500)
+      .select(F.col("id"), (F.col("id") * 3).as("v"),
+        F.concat(F.lit("p"), F.col("id")).as("payload")), dir)
+    // the explicit manifest file list must NOT defeat parquet pushdown:
+    // a 2-column filtered projection reads 2 columns + pushes the filter
+    val q = SnapshotTable.read(spark, dir)
+      .where(F.col("v") > 1200).select("id", "v")
+    val scans = q.queryExecution.executedPlan.collect {
+      case s: FileSourceScanExec => s
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.requiredSchema.fieldNames.toSet === Set("id", "v"),
+      s"payload not pruned: ${scans.head.requiredSchema}")
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("GreaterThan(v,1200)"), s"not pushed: $pushed")
+    assert(q.count() === 1099L) // both commits' files feed one scan
+  }
+
+  test("validateSnapshot: manifest rides the table dir, resumes per snapshot") {
+    import mallispark.ir.S
+    import mallispark.run.ValidationJob
+    val dir = freshDir()
+    val schema = S.mapE(false, S.req("id", S.int),
+      S.req("v", S.intMin(0L)))
+    val mk = (from: Long, until: Long) => spark.range(from, until)
+      .select(F.col("id"),
+        F.when(F.col("id") % 10 === 3, F.lit(-1L))
+          .otherwise(F.col("id")).as("v"))
+    SnapshotTable.commit(mk(0L, 100L), dir)
+    val m1 = ValidationJob.validateSnapshot(spark, dir, schema,
+      Seq("id"), nParts = 4)
+    assert(m1.agg(F.sum("rows")).collect()(0).getLong(0) === 100L)
+    assert(m1.where(F.col("pass")).count() < 4) // injected violations
+    // rerun of the SAME snapshot: fully resumed, nothing re-validated
+    val m1again = ValidationJob.validateSnapshot(spark, dir, schema,
+      Seq("id"), nParts = 4)
+    assert(m1again.count() === m1.count() &&
+      m1again.agg(F.sum("rows")).collect()(0).getLong(0) === 100L)
+    // a new commit validates under its own run id, previous kept
+    SnapshotTable.commit(mk(100L, 150L), dir)
+    val m2 = ValidationJob.validateSnapshot(spark, dir, schema,
+      Seq("id"), nParts = 4)
+    assert(m2.agg(F.sum("rows")).collect()(0).getLong(0) === 150L)
+    assert(m2.select("run_id").distinct().collect()(0)
+      .getString(0) === "snap-000002")
+  }
+
   test("read of an empty table fails fast") {
     intercept[IllegalArgumentException] {
       SnapshotTable.read(spark, freshDir())

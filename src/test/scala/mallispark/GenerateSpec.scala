@@ -126,6 +126,29 @@ class GenerateSpec extends SparkSuite {
       "function that takes input: [integer] and returns integer")
   }
 
+  test("check shrinks counterexamples to local minima (test.check law)") {
+    import mallispark.gen.FnSchemas
+    import mallispark.gen.FnSchemas.FnSchema
+    // law = f returns true ([:enum true] output); f fails iff a0 > 100:
+    // shrinking must land on exactly 101
+    val sch = FnSchema(Seq(S.int(0, 10000)), S.enum_(true))
+    val f: Seq[Any] => Any = args => args(0).asInstanceOf[Long] <= 100L
+    val cex = FnSchemas.check(spark, sch, f, n = 200, shrink = true)
+    assert(cex.isDefined)
+    assert(cex.get._1 === Seq(101L))
+    // string law: fails iff length > 5 — shrinks to length 6, and never
+    // below the schema's min length
+    val schS = FnSchema(Seq(S.string(2, 40)), S.enum_(true))
+    val fS: Seq[Any] => Any = args =>
+      args(0).asInstanceOf[String].length <= 5
+    val cexS = FnSchemas.check(spark, schS, fS, n = 200, shrink = true)
+    assert(cexS.isDefined)
+    assert(cexS.get._1.head.asInstanceOf[String].length === 6)
+    // shrunk args still satisfy the INPUT schema
+    assert(mallispark.eval.RowEval.validate(schS.input.head,
+      cexS.get._1.head))
+  }
+
   test("optional fields actually vary (nulls present but not universal)") {
     val s = schemas.head._2
     val df = Generate.dfFromSchema(spark, s, 2000, seed = 3)

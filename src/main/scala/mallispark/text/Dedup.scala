@@ -397,8 +397,12 @@ object Dedup {
   def dupClusters(pairs: DataFrame, aCol: String, bCol: String,
                   maxIter: Int = 20,
                   maxMembers: Int = DefaultMaxMembers): DataFrame = {
-    val edges = pairs.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
-      .unionAll(pairs.select(F.col(bCol).as("a"), F.col(aCol).as("b")))
+    // pairs is typically the OUTPUT of the whole LSH+refine pipeline and
+    // is referenced twice below — materialize it once (near-dup pairs
+    // are ≪ corpus, so the checkpoint is small at any scale)
+    val p = pairs.select(F.col(aCol), F.col(bCol)).localCheckpoint(true)
+    val edges = p.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
+      .unionAll(p.select(F.col(bCol).as("a"), F.col(aCol).as("b")))
       .distinct().localCheckpoint(true)
     var labels = edges.select(F.col("a").as("id"))
       .distinct().select(F.col("id"), F.col("id").as("label"))
@@ -454,8 +458,11 @@ object Dedup {
   def dupClustersStar(pairs: DataFrame, aCol: String, bCol: String,
                       maxIter: Int = 25,
                       maxMembers: Int = DefaultMaxMembers): DataFrame = {
+    // materialize the (usually pipeline-produced) pair list once: it is
+    // referenced by the oriented edge set AND the node set below
+    val p = pairs.select(F.col(aCol), F.col(bCol)).localCheckpoint(true)
     // orientation invariant: edges always point larger → smaller
-    var e = pairs.select(
+    var e = p.select(
         F.greatest(F.col(aCol), F.col(bCol)).as("a"),
         F.least(F.col(aCol), F.col(bCol)).as("b"))
       .where(F.col("a") =!= F.col("b")).distinct().localCheckpoint(true)
@@ -517,8 +524,8 @@ object Dedup {
         "rounds — raise maxIter or use dupClusters (min-label) instead")
 
     // converged star forest: each non-root points straight at its root
-    val nodes = pairs.select(F.col(aCol).as("id"))
-      .unionAll(pairs.select(F.col(bCol).as("id"))).distinct()
+    val nodes = p.select(F.col(aCol).as("id"))
+      .unionAll(p.select(F.col(bCol).as("id"))).distinct()
     val labels = nodes
       .join(e.select(F.col("a").as("id"), F.col("b").as("root")),
         Seq("id"), "left")

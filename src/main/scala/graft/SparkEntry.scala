@@ -1586,6 +1586,21 @@ object SparkEntry {
           .replace("\n", "\\n")),
         ("plantuml_page", mallispark.ir.Dot.plantuml(pageScoped)
           .replace("\n", "\\n")),
+        // m/walk postwalk fold + mu/subschemas path enumeration
+        ("walk_fold", {
+          val n = SchemaIR.fold(WebPages.schema, 0)((acc, _) => acc + 1)
+          val paths = mallispark.ir.SchemaOps.subschemas(WebPages.schema)
+            .map(_._1.mkString("/")).mkString(",")
+          s"nodes=$n;paths=$paths"
+        }),
+        // mu/get-in lens: top-level entry, nested path, missing path
+        ("lens_get_in", {
+          val nested = S.mapE(false,
+            S.req("a", S.mapE(false, S.req("b", S.int))))
+          SchemaIR.form(SchemaIR.getIn(WebPages.schema, Seq("lang")).get) +
+            "|" + SchemaIR.form(SchemaIR.getIn(nested, Seq("a", "b")).get) +
+            "|" + SchemaIR.getIn(WebPages.schema, Seq("nope")).isEmpty
+        }),
         ("flagship_describe",
           mallispark.ir.Describe.describe(WebPages.schema)))
         .toDF("name", "text").orderBy("name")
@@ -2045,6 +2060,12 @@ object SparkEntry {
         "lite_form" -> liteForm,
         "dot_page" -> dotPage,
         "plantuml_page" -> umlPage,
+        // flagship = closed map of 6 leaf entries → 7 nodes; subschema
+        // paths = root + one per entry, in declaration order
+        "walk_fold" ->
+          "nodes=7;paths=,doc_id,url,warc_ts,html,text,lang",
+        "lens_get_in" ->
+          """[:enum "en" "de" "fr" "es" "zh"]|:int|true""",
         "scoped_form" -> scopedForm,
         // fromForm∘form fixpoint: the round-trip must land back on the
         // flagship's own golden form literal

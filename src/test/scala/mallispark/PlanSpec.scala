@@ -221,6 +221,20 @@ class PlanSpec extends SparkSuite {
     assert(emb.contains("bsz"), s"no embedding bucket cap:\n$emb")
   }
 
+  test("bounded collects aggregate partial+final (map-side heap merge)") {
+    // the k-capped heap must combine map-side like any aggregate —
+    // per-task state ≤ k per group BEFORE the shuffle, so a degenerate
+    // group never ships its full membership across the exchange
+    val df = spark.range(0, 1000, 1, 4)
+      .select(F.pmod(F.col("id"), F.lit(5L)).as("g"), F.col("id"))
+    val plan = df.groupBy("g")
+      .agg(mallispark.expressions.BoundedCollectMin(F.col("id"), 3).as("b"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_bounded_collect_min"),
+      s"no partial aggregation for the bounded heap:\n$plan")
+    assert(plan.contains("bounded_collect_min"), s"kernel missing:\n$plan")
+  }
+
   test("LSH-gated jaccard has no full-table shingle self-join") {
     // the standalone quadratic shingle join is gone from the hot path:
     // every join in dedup_jaccard is either the banded candidate join or

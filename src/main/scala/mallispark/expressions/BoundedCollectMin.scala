@@ -84,6 +84,7 @@ case class BoundedCollectMin(
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val h = new BoundedCollectMin.Heap(k)
+    if (n > h.arr.length) h.arr = new Array[Long](n)
     var i = 0
     // serialized values are already a valid heap layout of size ≤ k
     while (i < n) { h.arr(i) = bb.getLong; i += 1 }
@@ -102,13 +103,23 @@ case class BoundedCollectMin(
 object BoundedCollectMin {
 
   /** Size-capped max-heap over a flat long array: insert keeps the k
-    * smallest values seen (replace-root when full and v < max). */
+    * smallest values seen (replace-root when full and v < max). The
+    * backing array grows GEOMETRICALLY toward k — a hash-aggregation
+    * over millions of small groups must cost O(group size) per buffer,
+    * not an eager 8·k bytes each (k defaults to 10⁴: preallocation
+    * would turn many-small-groups workloads into 80 KB × groups). */
   final class Heap(val k: Int) {
     var size: Int = 0
-    val arr: Array[Long] = new Array[Long](k)
+    var arr: Array[Long] = new Array[Long](math.min(k, 8))
+
+    private def ensure(): Unit =
+      if (size == arr.length && arr.length < k)
+        arr = java.util.Arrays.copyOf(arr,
+          math.min(k, math.max(arr.length * 2, 8)))
 
     def insert(v: Long): Unit =
       if (size < k) {
+        ensure()
         arr(size) = v
         size += 1
         var i = size - 1

@@ -68,11 +68,17 @@ case class BoundedStringSet(
     new GenericArrayData(out)
   }
 
+  // length-prefixed UTF-8 (NOT writeUTF — that caps strings at 64 KB,
+  // and an enum-candidate column's values can be arbitrary documents)
   override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.forEach(out.writeUTF)
+    buf.forEach { v =>
+      val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(b.length)
+      out.write(b)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -83,7 +89,12 @@ case class BoundedStringSet(
     val n = in.readInt()
     val s = new java.util.TreeSet[String]()
     var i = 0
-    while (i < n) { s.add(in.readUTF()); i += 1 }
+    while (i < n) {
+      val b = new Array[Byte](in.readInt())
+      in.readFully(b)
+      s.add(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      i += 1
+    }
     s
   }
 

@@ -57,9 +57,13 @@ object SnapshotTable {
     val id = parent.getOrElse(0L) + 1
     val subdir = f"data/snap-$id%06d"
     df.write.mode("overwrite").parquet(root.resolve(subdir).toString)
-    val newFiles = Files.list(root.resolve(subdir)).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .map(p => s"$subdir/${p.getFileName}").toSeq.sorted
+    val newFiles = {
+      val st = Files.list(root.resolve(subdir))
+      try st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => s"$subdir/${p.getFileName}").toSeq.sorted
+      finally st.close()
+    }
     // a production commit takes row counts from write metrics
     // (BasicWriteJobStatsTracker); a footer-only read-back keeps this
     // implementation dependency-free
@@ -87,11 +91,16 @@ object SnapshotTable {
   def currentSnapshotId(dir: String): Option[Long] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) None
-    else Files.list(root).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snap-") && s.endsWith(".manifest") =>
-        s.stripPrefix("snap-").stripSuffix(".manifest").toLong }
-      .maxOption
+    else {
+      val st = Files.list(root)
+      try st.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect {
+          case s if s.startsWith("snap-") && s.endsWith(".manifest") =>
+            s.stripPrefix("snap-").stripSuffix(".manifest").toLong }
+        .maxOption
+      finally st.close()
+    }
   }
 
   private def readManifest(dir: String, id: Long): Snapshot = {

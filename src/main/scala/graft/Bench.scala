@@ -55,6 +55,37 @@ object Bench {
     (totals.getLong(0), totals.getLong(1))
   }
 
+  /** Per-partition (task) wall-times of ONE validation run — the
+    * north-rule "per-partition pass/fail wall-time" metric. The
+    * heaviest stage by total task time is the scan+validate+partial-
+    * verdict stage; its tasks are the per-partition units. Durations
+    * come from a SparkListener (records would be deterministic, but
+    * wall-time IS the metric here). */
+  private def partitionWallTimes(s: SparkSession,
+                                 df: DataFrame): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val durs =
+      new java.util.concurrent.ConcurrentHashMap[(Int, Long), Long]()
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        durs.put((t.stageId, t.taskInfo.taskId), t.taskInfo.duration)
+    }
+    s.sparkContext.addSparkListener(l)
+    try {
+      validationJob(s, df)
+      var last = -1
+      var spins = 0
+      while (spins < 50 && durs.size != last) { // async listener bus
+        last = durs.size
+        Thread.sleep(100)
+        spins += 1
+      }
+      durs.asScala.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2))
+        .toSeq.maxBy(_._2.sum)._2.sorted
+    } finally s.sparkContext.removeSparkListener(l)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -188,6 +219,22 @@ object Bench {
     val l0 = minLevel(paired.map(_._1), paired.map(_._1))
     val l1 = minLevel(paired.map(_._2), paired.map(_._2).take(2))
     val l2 = timed(cpus, withParquet = true)
+
+    // north-rule metric: per-partition pass/fail wall-time at full
+    // parallelism (task durations of the validate stage, one extra
+    // untimed run so the scaling measurements above are undisturbed)
+    val partWalls = {
+      val sW = session(cpus)
+      try {
+        val cached = sW.read.parquet(pagesPath).persist()
+        validationJob(sW, cached) // warm + materialize cache
+        partitionWallTimes(sW, cached)
+      } finally sW.stop()
+    }
+    val (pwMin, pwMed, pwMax) =
+      if (partWalls.isEmpty) (0L, 0L, 0L)
+      else (partWalls.head, partWalls(partWalls.size / 2), partWalls.last)
+
     val pairedRatios = paired.map { case (a, b) => eff(a, b, _.memRate) }
     val pairedMedian = pairedRatios.sorted.apply(pairedRatios.size / 2)
     val rowsN = l0.rows
@@ -199,7 +246,7 @@ object Bench {
     // single shared local disk makes low-core parquet reads io-noise;
     // io-inclusive rates are reported alongside at 4N/full
     val scaling =
-      f"""{"rows":$rowsN,"cores_n":${l0.cores},"sec_n":${l0.memSec}%.3f,"docs_per_sec_n":${l0.memRate}%.0f,"cores_4n":${l1.cores},"sec_4n":${l1.memSec}%.3f,"docs_per_sec_4n":${l1.memRate}%.0f,"scaling_efficiency":${eff(l0, l1, _.memRate)}%.3f,"scaling_paired_median":$pairedMedian%.3f,"scaling_ceiling_norm":${eff(l0, l1, _.memRate) / eff(l0, l1, _.ceilingRate)}%.3f,"io_docs_per_sec_4n":${l1.pqRate}%.0f,"io_docs_per_sec_full":${l2.pqRate}%.0f,"io_eff_4n_full":${eff(l1, l2, _.pqRate)}%.3f,"full_cores":${l2.cores},"docs_per_sec_full":${l2.memRate}%.0f,"machine_ceiling_eff_n_4n":${eff(l0, l1, _.ceilingRate)}%.3f,"machine_ceiling_eff_4n_full":${eff(l1, l2, _.ceilingRate)}%.3f,"eff_4n_full":${eff(l1, l2, _.memRate)}%.3f}"""
+      f"""{"rows":$rowsN,"cores_n":${l0.cores},"sec_n":${l0.memSec}%.3f,"docs_per_sec_n":${l0.memRate}%.0f,"cores_4n":${l1.cores},"sec_4n":${l1.memSec}%.3f,"docs_per_sec_4n":${l1.memRate}%.0f,"scaling_efficiency":${eff(l0, l1, _.memRate)}%.3f,"scaling_paired_median":$pairedMedian%.3f,"scaling_ceiling_norm":${eff(l0, l1, _.memRate) / eff(l0, l1, _.ceilingRate)}%.3f,"io_docs_per_sec_4n":${l1.pqRate}%.0f,"io_docs_per_sec_full":${l2.pqRate}%.0f,"io_eff_4n_full":${eff(l1, l2, _.pqRate)}%.3f,"full_cores":${l2.cores},"docs_per_sec_full":${l2.memRate}%.0f,"machine_ceiling_eff_n_4n":${eff(l0, l1, _.ceilingRate)}%.3f,"machine_ceiling_eff_4n_full":${eff(l1, l2, _.ceilingRate)}%.3f,"eff_4n_full":${eff(l1, l2, _.memRate)}%.3f,"part_wall_ms":{"tasks":${partWalls.size},"min":$pwMin,"median":$pwMed,"max":$pwMax}}"""
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","scaling":$scaling}""")
@@ -241,6 +288,14 @@ object Bench {
          |(Parquet-read mode is skipped at local[${l0.cores}]: a single
          |shared local disk makes low-core reads io-noise; io-inclusive
          |rates appear in the table for the larger levels.)
+         |
+         |**Per-partition pass/fail wall-time** (north-rule metric; task
+         |durations of the validate stage at local[${l2.cores}], cached
+         |input): ${partWalls.size} tasks, min ${pwMin} ms / median
+         |${pwMed} ms / max ${pwMax} ms — max/median
+         |${if (pwMed > 0) f"${pwMax.toDouble / pwMed}%.2f" else "-"}×
+         |(balanced partitions; see SkewBalanceSpec for the salted-vs-not
+         |comparison on the skewed keys).
          |
          |**Machine calibration**: the same box runs a trivial
          |embarrassingly-parallel codegen job (range → xxhash64 → sum) at

@@ -81,8 +81,13 @@ object Bench {
         Thread.sleep(100)
         spins += 1
       }
-      durs.asScala.toSeq.groupBy(_._1._1).view.mapValues(_.map(_._2))
-        .toSeq.maxBy(_._2.sum)._2.sorted
+      val byStage = durs.asScala.toSeq.groupBy(_._1._1).view
+        .mapValues(_.map(_._2)).toSeq
+      // listener bus is best-effort: an empty capture (dropped events on
+      // a saturated bus) degrades to "no data", never a crash that
+      // discards the finished scaling measurements
+      if (byStage.isEmpty) Seq.empty
+      else byStage.maxBy(_._2.sum)._2.sorted
     } finally s.sparkContext.removeSparkListener(l)
   }
 

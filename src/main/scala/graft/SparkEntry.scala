@@ -200,6 +200,13 @@ object SparkEntry {
     * n/8 to n/64 per table; pair cost is Σ|cell|²). The oracle replays
     * the SAME plane count, so the gate stays exact. */
   private val NearDupPlanes = 6
+
+  /** Hot-bucket cap shared VERBATIM by the engine call and the oracle's
+    * bucket-size HAVING clause — the cap is part of the operator's
+    * semantics, so the SQL must replay it at any scale (gate corpora
+    * sit far below it; an adversarial cell would be dropped by BOTH
+    * engines identically). */
+  private val NearDupMaxBucket = 4096
   // IVF params sized for recall ≥ 0.9 on the near-uniform test vectors
   // (measured 0.94/0.96 at the two gate scales): like the LSH path, the
   // worst-case data needs a high candidate fraction (nprobe/nCentroids ≈
@@ -1080,7 +1087,12 @@ object SparkEntry {
     // scale-sane exact Jaccard: quadratic pair expansion gated to NATIVE
     // MinHash LSH buckets + ubiquitous-shingle frequency cap; the output
     // keeps only exactly-verified pairs, so the oracle is the capped full
-    // self-join (LSH miss probability for a 0.9-pair: (1-.9²)^8 ≈ 2e-8)
+    // self-join (LSH miss probability for a 0.9-pair: (1-.9²)^8 ≈ 2e-8).
+    // The hot-bucket cap (maxBucket=4096) is likewise a miss-probability
+    // term rather than an oracle clause — native xxhash bands aren't SQL-
+    // replayable — and cannot fire at gate scale: the largest possible
+    // bucket is the biggest exact-dup text group (≪ 4096 at any sf;
+    // TextOpsSpec covers cap behavior directly)
     "dedup_jaccard" -> ((s, dir) =>
       Dedup.ngramJaccardWithinBuckets(pages(s, dir), "doc_id", "text",
           n = 3, threshold = 0.9, k = 16, bands = 8, maxShingleDf = 20)
@@ -1164,7 +1176,7 @@ object SparkEntry {
         .localCheckpoint(true)
       Similarity.nearDupPairs(corpus, "vec_id", "embedding",
           threshold = 0.98, planes = NearDupPlanes, tables = AnnTables,
-          dims = AnnDims)
+          dims = AnnDims, maxBucket = NearDupMaxBucket)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1896,8 +1908,11 @@ object SparkEntry {
          |            UNION ALL SELECT * FROM near),
          |b2 AS (${lshBucketSql("corpus2", "vec_id", "embedding",
              NearDupPlanes)}),
+         |ok AS (SELECT tbl, bucket FROM b2 GROUP BY 1, 2
+         |       HAVING count(*) <= $NearDupMaxBucket),
+         |b3 AS (SELECT b2.* FROM b2 JOIN ok USING (tbl, bucket)),
          |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM b2 a JOIN b2 b
+         |  FROM b3 a JOIN b3 b
          |    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
          |scored AS (SELECT id_a, id_b,
          |    round(${cosSqlOf("va.embedding", "vb.embedding")}, 4) AS cos

@@ -19,8 +19,11 @@ import org.apache.spark.sql.types._
   * (brute-force top-k, LSH/IVF refinement, embedding near-dup) runs
   * millions of 64-dim cosines through it.
   *
-  * Null if either array is null or lengths differ (the HOF form yields
-  * null through zip_with's null padding in the same case). */
+  * Null if either array is null, lengths differ, or ANY element is
+  * null (the HOF form yields null through zip_with padding / null
+  * multiplication in the same cases, as does DuckDB list arithmetic —
+  * the element check is generated only when the array type admits
+  * nulls, so non-nullable schemas keep the unchecked tight loop). */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
 
@@ -43,6 +46,9 @@ case class CosineSim(left: Expression, right: Expression)
   private def elemType(e: Expression): DataType =
     e.dataType.asInstanceOf[ArrayType].elementType
 
+  private def containsNulls(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].containsNull
+
   override protected def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
@@ -50,9 +56,11 @@ case class CosineSim(left: Expression, right: Expression)
     if (b.numElements() != n) return null
     val aF = elemType(left) == FloatType
     val bF = elemType(right) == FloatType
+    val checkNulls = containsNulls(left) || containsNulls(right)
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
       val x = if (aF) a.getFloat(i).toDouble else a.getDouble(i)
       val y = if (bF) b.getFloat(i).toDouble else b.getDouble(i)
       dot += x * y
@@ -67,6 +75,7 @@ case class CosineSim(left: Expression, right: Expression)
                                    ev: ExprCode): ExprCode = {
     val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
     val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    val nullCheck = containsNulls(left) || containsNulls(right)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
@@ -75,6 +84,12 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val elemNullGuard =
+        if (nullCheck)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) {
+             |      ${ev.isNull} = true; break;
+             |    }""".stripMargin
+        else ""
       s"""
          |final int $n = $a.numElements();
          |if ($b.numElements() != $n) {
@@ -82,14 +97,17 @@ case class CosineSim(left: Expression, right: Expression)
          |} else {
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
+         |    $elemNullGuard
          |    final double $x = (double) $a.$aGet($i);
          |    final double $y = (double) $b.$bGet($i);
          |    $dot += $x * $y;
          |    $na += $x * $x;
          |    $nb += $y * $y;
          |  }
-         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na)
-         |    * java.lang.Math.sqrt($nb));
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na)
+         |      * java.lang.Math.sqrt($nb));
+         |  }
          |}
        """.stripMargin
     })

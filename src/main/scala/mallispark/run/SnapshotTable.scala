@@ -42,19 +42,35 @@ object SnapshotTable {
   /** Snapshot lineage record (mirrors an Iceberg snapshot summary). */
   final case class Snapshot(id: Long, parent: Option[Long], mode: String,
                             rowsAdded: Long, totalRows: Long,
-                            files: Seq[String])
+                            schemaDdl: String, files: Seq[String])
 
   private val Header = "mallispark-snapshot v1"
 
   /** Commit `df` to the table at `dir`; returns the new snapshot id.
     * Append keeps the parent's files and adds the new ones; Overwrite
     * starts the file list fresh (logical replace — parent files stay on
-    * disk for time travel, like Iceberg until expiry). */
+    * disk for time travel, like Iceberg until expiry).
+    *
+    * Concurrency: the snapshot id is CLAIMED up front by atomically
+    * creating the manifest file (create-fails-if-exists) BEFORE any
+    * data is written, so a racing committer gets an
+    * IllegalStateException instead of silently replacing the winner's
+    * manifest or clobbering its data directory (Linux rename(2) — and
+    * therefore ATOMIC_MOVE — replaces silently). A production
+    * implementation swaps a catalog pointer with the same
+    * claim-then-publish protocol. */
   def commit(df: DataFrame, dir: String, mode: Mode = Append): Long = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val parent = currentSnapshotId(dir)
     val id = parent.getOrElse(0L) + 1
+    val manifestPath = root.resolve(f"snap-$id%06d.manifest")
+    try Files.createFile(manifestPath) // atomic id claim
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"concurrent commit: snapshot $id already claimed in $dir")
+    }
     val subdir = f"data/snap-$id%06d"
     df.write.mode("overwrite").parquet(root.resolve(subdir).toString)
     val newFiles = {
@@ -66,9 +82,13 @@ object SnapshotTable {
     }
     // a production commit takes row counts from write metrics
     // (BasicWriteJobStatsTracker); a footer-only read-back keeps this
-    // implementation dependency-free
+    // implementation dependency-free. An all-empty write may produce
+    // ZERO part files — the manifest's schema line keeps the snapshot
+    // readable as an empty frame.
     val rowsAdded =
-      df.sparkSession.read.parquet(root.resolve(subdir).toString).count()
+      if (newFiles.isEmpty) 0L
+      else df.sparkSession.read.parquet(root.resolve(subdir).toString)
+        .count()
     val (files, total) = mode match {
       case Append =>
         val p = parent.map(readManifest(dir, _))
@@ -79,11 +99,13 @@ object SnapshotTable {
     val manifest = (Seq(Header, s"id $id",
       s"parent ${parent.map(_.toString).getOrElse("-")}",
       s"mode ${mode.name}", s"rows_added $rowsAdded", s"total_rows $total",
+      s"schema ${df.schema.toDDL}",
       s"files ${files.size}") ++ files).mkString("\n")
     val tmp = root.resolve(f"snap-$id%06d.manifest.tmp")
     Files.writeString(tmp, manifest)
-    Files.move(tmp, root.resolve(f"snap-$id%06d.manifest"),
-      StandardCopyOption.ATOMIC_MOVE)
+    // publish over our own claimed placeholder
+    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
     id
   }
 
@@ -106,15 +128,20 @@ object SnapshotTable {
   private def readManifest(dir: String, id: Long): Snapshot = {
     val p = Paths.get(dir).resolve(f"snap-$id%06d.manifest")
     val lines = Files.readAllLines(p).asScala.toSeq
-    require(lines.headOption.contains(Header), s"bad manifest $p")
-    val kv = lines.slice(1, 7).map { l =>
+    require(lines.headOption.contains(Header),
+      s"bad manifest $p (an empty file is a crashed in-flight commit)")
+    // key-value lines until `files N`, then exactly N path lines
+    val body = lines.drop(1)
+    val kvLines = body.takeWhile(!_.startsWith("files "))
+    val kv = kvLines.map { l =>
       val i = l.indexOf(' '); l.take(i) -> l.drop(i + 1)
     }.toMap
-    val nFiles = kv("files").toInt
+    val nFiles = body(kvLines.size).stripPrefix("files ").toInt
     Snapshot(kv("id").toLong,
       Some(kv("parent")).filter(_ != "-").map(_.toLong),
       kv("mode"), kv("rows_added").toLong, kv("total_rows").toLong,
-      lines.slice(7, 7 + nFiles))
+      kv("schema"),
+      body.slice(kvLines.size + 1, kvLines.size + 1 + nFiles))
   }
 
   /** Snapshot-isolated read; default = current snapshot (time travel via
@@ -124,8 +151,16 @@ object SnapshotTable {
     val id = snapshotId.orElse(currentSnapshotId(dir)).getOrElse(
       throw new IllegalArgumentException(s"no snapshots in $dir"))
     val m = readManifest(dir, id)
-    val abs = m.files.map(f => Paths.get(dir).resolve(f).toString)
-    spark.read.parquet(abs: _*)
+    if (m.files.isEmpty)
+      // a logically-empty snapshot stays READABLE: the manifest carries
+      // the schema, so downstream diffs/validation see an empty frame
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType.fromDDL(m.schemaDdl))
+    else {
+      val abs = m.files.map(f => Paths.get(dir).resolve(f).toString)
+      spark.read.parquet(abs: _*)
+    }
   }
 
   /** Lineage + metrics of every committed snapshot, oldest first —

@@ -28,7 +28,10 @@ object Dedup {
   val DefaultMaxMembers: Int = 10000
 
   /** Bounded sorted member list — `slice(sort_array(collect_list(id)),1,k)`
-    * semantics with O(k) aggregation state. */
+    * semantics with O(k) aggregation state. Ids must be INTEGRAL (the
+    * bounded heap is a long heap; output is array<bigint> regardless of
+    * the input's integral width) — map string/UUID ids to a numeric
+    * surrogate before deduping. */
   private def memberIds(id: String, maxMembers: Int): Column =
     mallispark.expressions.BoundedCollectMin(
       F.col(id).cast(LongType), maxMembers)
@@ -77,11 +80,7 @@ object Dedup {
     * the sequential fold as a HUGEINT weighted sum
     * `Σ (mh % M) * mult^(rows-1-i) (mod M)`, which is the same
     * polynomial. Cross-band collision odds ~2^-62 per bucket pair. */
-  /** Observed-metric names must be unique within one query plan — a
-    * counter suffix lets the same operator appear twice in one query. */
-  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
-  private[text] def obsName(prefix: String): String =
-    s"${prefix}_${obsSeq.incrementAndGet()}"
+  import TextOps.obsName
 
   val BandM1: Long = 2147483647L // 2^31 - 1
   val BandM2: Long = 2147483629L

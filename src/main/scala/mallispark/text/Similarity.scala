@@ -16,10 +16,7 @@ import TextOps.h32
   * pairs; the embedding column moves only for in-bucket refinement. */
 object Similarity {
 
-  /** Observed-metric names must be unique within one query plan. */
-  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
-  private def obsName(prefix: String): String =
-    s"${prefix}_${obsSeq.incrementAndGet()}"
+  import TextOps.obsName
 
   /** Cosine similarity between two array<float/double> columns (summed
     * in DOUBLE, left-to-right, for cross-engine determinism). Runs
@@ -179,12 +176,15 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(String, String, Int, Int),
       Seq[(Long, Seq[Double])]]()
 
-  /** (count, sum of pmod(xxhash64(id)), xor of xxhash64(id)) —
-    * order-independent corpus identity, robust to partitioning (pmod
-    * before sum: raw 64-bit hashes overflow an ANSI sum); collisions
-    * need an engineered corpus pair, acceptable for a training memo. */
-  private def corpusFingerprint(corpus: DataFrame, id: String): String = {
-    val h = F.xxhash64(F.col(id))
+  /** (count, sum of pmod(xxhash64(id, vec)), xor of xxhash64(id, vec))
+    * — order-independent corpus identity covering BOTH the ids and the
+    * vector contents (a re-embedded corpus under the same ids must
+    * retrain), robust to partitioning (pmod before sum: raw 64-bit
+    * hashes overflow an ANSI sum); collisions need an engineered corpus
+    * pair, acceptable for a training memo. */
+  private def corpusFingerprint(corpus: DataFrame, id: String,
+                                vec: String): String = {
+    val h = F.xxhash64(F.col(id), F.col(vec))
     val r = corpus.agg(
       F.count(F.lit(1)),
       F.sum(F.pmod(h, F.lit(1000000007L))),
@@ -205,7 +205,7 @@ object Similarity {
         spark.sparkContext.parallelize(
           cs.map { case (cid, v) => org.apache.spark.sql.Row(cid, v) }, 1),
         centSchema)
-    val fp = cacheKey.map(_ => corpusFingerprint(corpus, id))
+    val fp = cacheKey.map(_ => corpusFingerprint(corpus, id, vec))
     val cached = cacheKey.flatMap(ck =>
       Option(centroidCache.get((ck, fp.get, k, iters))))
     if (cached.isDefined) literalDf(cached.get)

@@ -13,6 +13,13 @@ import org.apache.spark.sql.types._
   * engines), never from engine-private hash functions. */
 object TextOps {
 
+  /** Observed-metric names must be unique within one query plan — a
+    * counter suffix lets the same operator appear twice in one query
+    * (shared by every text/ operator that attaches `observe` metrics). */
+  private val obsSeq = new java.util.concurrent.atomic.AtomicLong()
+  private[text] def obsName(prefix: String): String =
+    s"${prefix}_${obsSeq.incrementAndGet()}"
+
   /** 32-bit portable hash: first 8 hex chars of md5, as a BIGINT.
     * DuckDB equivalent: ('0x' || substring(md5(s),1,8))::BIGINT. */
   def h32(c: Column): Column =

@@ -122,4 +122,35 @@ class SnapshotTableSpec extends SparkSuite {
       SnapshotTable.read(spark, freshDir())
     }
   }
+
+  test("logically-empty commit stays readable via the manifest schema") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(5).toDF("id"), dir)
+    val s2 = SnapshotTable.commit(
+      spark.range(5).toDF("id").where(F.lit(false)), dir,
+      SnapshotTable.Overwrite)
+    val empty = SnapshotTable.read(spark, dir, Some(s2))
+    assert(empty.count() === 0L)
+    assert(empty.schema.fieldNames.toSeq === Seq("id"))
+    // diff against the empty snapshot: everything in snap-1 is removed
+    val d = SnapshotTable.diff(spark, dir, 1L, s2, "id", F.col("id"))
+      .collect().map(_.getString(1)).toSet
+    assert(d === Set("removed"))
+  }
+
+  test("an in-flight (claimed but unpublished) manifest fails fast") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(3).toDF("id"), dir)
+    // a concurrent committer's claim = an empty manifest for the next id
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir).resolve("snap-000002.manifest"))
+    // readers and appenders see a CLEAR error (bad manifest), never a
+    // silent overwrite of the in-flight commit or corrupted lineage
+    intercept[IllegalArgumentException] {
+      SnapshotTable.read(spark, dir)
+    }
+    intercept[IllegalArgumentException] {
+      SnapshotTable.commit(spark.range(3).toDF("id"), dir)
+    }
+  }
 }

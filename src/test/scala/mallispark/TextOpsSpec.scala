@@ -358,6 +358,19 @@ class TextOpsSpec extends SparkSuite {
     val short = df(Seq(Row(1L, Array(1f, 2f), Array(1f, 2f, 3f))), schema)
       .select(Similarity.cosine(F.col("a"), F.col("b")).as("k")).collect()
     assert(short(0).isNullAt(0))
+    // a null ELEMENT → null, matching the HOF form's null propagation
+    val nullable = StructType(Seq(StructField("id", LongType),
+      StructField("a", ArrayType(FloatType, containsNull = true)),
+      StructField("b", ArrayType(FloatType, containsNull = true))))
+    val withNull = df(Seq(
+      Row(1L, Seq[Any](1f, null, 2f), Seq[Any](1f, 1f, 1f)),
+      Row(2L, Seq[Any](1f, 2f, 3f), Seq[Any](1f, 1f, 1f))), nullable)
+      .select(F.col("id"), Similarity.cosine(F.col("a"), F.col("b")).as("k"),
+        Similarity.cosineColumns(F.col("a"), F.col("b")).as("c"))
+      .orderBy("id").collect()
+    assert(withNull(0).isNullAt(1) && withNull(0).isNullAt(2))
+    assert(!withNull(1).isNullAt(1) &&
+      withNull(1).getDouble(1) === withNull(1).getDouble(2))
   }
 
   test("brute-force cosine top-k: self-match ranks first") {

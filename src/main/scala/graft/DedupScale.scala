@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{functions => F}
+import mallispark.run.WebPages
+import mallispark.text.Dedup
+
+/** Scale diagnostic for the dedup family (not part of the driver
+  * contract): synthesizes an N-doc corpus with a 5× exact-duplication
+  * factor (each distinct body appears ~5 times — the boilerplate-heavy
+  * shape of a web crawl), then times the scale-path operators
+  * end-to-end at local[cpus]:
+  *
+  *  1. exact dedup (md5 groupBy through the bounded member collect);
+  *  2. native MinHash LSH candidate buckets (`minhashLSHFast`);
+  *  3. LSH-gated exact-Jaccard pair verification + min-label clustering
+  *     (`ngramJaccardWithinBuckets` → `dupClusters`).
+  *
+  * Prints ONE JSON line with per-stage seconds and docs/sec. Knobs:
+  * SPARK_GRAFT_SCALE_N (docs, default 1e6), SPARK_GRAFT_CPUS (32). */
+object DedupScale {
+  def main(args: Array[String]): Unit = {
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE_N", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    // 5× duplication: text keyed by id/5 instead of id. Vocabulary is
+    // 50k distinct tokens — realistic shingle diversity (a toy 14-word
+    // vocab makes EVERY 3-gram ubiquitous: all shingles df-capped away
+    // and LSH buckets merging unrelated docs — an adversarial corpus,
+    // not a representative one; the hot-bucket caps are what keep that
+    // case survivable, see TextOpsSpec)
+    val base = WebPages.synthesize(spark, n, partitions = cpus * 4)
+      .select("doc_id")
+    val grp = F.floor(F.col("doc_id") / 5)
+    val text = F.array_join(
+      F.transform(F.sequence(F.lit(0),
+          (F.abs(F.xxhash64(grp)) % 24 + 8).cast("int")),
+        i => F.concat(F.lit("w"),
+          (F.abs(F.xxhash64(grp * 131 + i.cast("long"))) % 50000)
+            .cast("string"))), " ")
+    val corpus = base.select(F.col("doc_id"), text.as("text"))
+      .localCheckpoint(true) // input materialized: stages time THEMSELVES
+
+    def timed(run: () => Long): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val out = run()
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+
+    val (tExact, nExact) = timed(() =>
+      Dedup.exactDupGroups(corpus, "doc_id", "text").count())
+    val (tLsh, nLsh) = timed(() =>
+      Dedup.minhashLSHFast(corpus, "doc_id", "text").count())
+    val (tCluster, nCluster) = timed(() =>
+      Dedup.dupClusters(
+        Dedup.ngramJaccardWithinBuckets(corpus, "doc_id", "text",
+          threshold = 0.9, maxShingleDf = 1000),
+        "id_a", "id_b").count())
+
+    println(f"""{"metric":"dedup_scale","docs":$n,"cpus":$cpus,"exact_sec":$tExact%.2f,"exact_groups":$nExact,"exact_docs_per_sec":${n / tExact}%.0f,"lsh_sec":$tLsh%.2f,"lsh_buckets":$nLsh,"lsh_docs_per_sec":${n / tLsh}%.0f,"cluster_sec":$tCluster%.2f,"clusters":$nCluster,"cluster_docs_per_sec":${n / tCluster}%.0f}""")
+    spark.stop()
+  }
+}

@@ -60,6 +60,44 @@ class SkewBalanceSpec extends SparkSuite {
 
   private def median(xs: Seq[Long]): Long = xs.sorted.apply(xs.size / 2)
 
+  test("AQE splits the skewed side of a lang join (runtime re-plan)") {
+    // salting handles skewed AGGREGATIONS; for skewed sort-merge JOINS
+    // the engine leans on AQE's OptimizeSkewedJoin — verify it actually
+    // fires on the Zipf lang distribution when a partition exceeds the
+    // (test-lowered) skew thresholds
+    val prev = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      // production defaults (256MB / 5× median) scaled to test data:
+      // the hot lang's partition must exceed BOTH thresholds
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "64KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "2")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "64KB")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val skewed = WebPages.synthesize(spark, Rows, partitions = 8)
+        .select("doc_id", "lang", "url")
+      val dim = WebPages.synthesize(spark, 200, partitions = 2)
+        .select(F.col("lang"), F.col("doc_id").as("dim_id"))
+      val joined = skewed.join(dim, "lang")
+      // drive THIS DataFrame's own adaptive execution (count() would
+      // plan a separate aggregate query and leave this plan unexecuted)
+      assert(joined.queryExecution.toRdd.count() > 0)
+      val plan = joined.queryExecution.executedPlan.toString()
+      assert(plan.contains("skew=true"),
+        s"AQE skew-join did not fire:\n${plan.take(4000)}")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
   test("salting bounds reduce-task imbalance on Zipf-skewed lang keys") {
     val skewed = WebPages.synthesize(spark, Rows, partitions = 8)
       .select("doc_id", "lang")

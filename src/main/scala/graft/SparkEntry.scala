@@ -1071,6 +1071,27 @@ object SparkEntry {
         .orderBy("text_hash")
     }),
 
+    // ---- the SQL surface for the custom kernels (SparkSessionExtensions
+    //      / live registrar): `shingle_minhash` invoked through
+    //      spark.sql must produce the exact md5+affine minima DuckDB
+    //      re-derives — proving the registered-function path end-to-end
+    //      against the oracle, not just SQL ≡ Column (ExtensionsSpec) ----
+    "sql_kernel_minhash" -> ((s, dir) => {
+      mallispark.expressions.MallisparkExtensions.register(s)
+      pages(s, dir).select("doc_id", "text")
+        .where(F.length(F.col("text")) > 0)
+        .createOrReplaceTempView("sqlk_pages")
+      s.sql(
+          "SELECT doc_id, shingle_minhash(text, 3, 4) AS sig FROM sqlk_pages")
+        .where(F.try_element_at(F.col("sig"), F.lit(1)) =!= Long.MaxValue)
+        .select(F.col("doc_id"),
+          F.try_element_at(F.col("sig"), F.lit(1)).as("mh0"),
+          F.try_element_at(F.col("sig"), F.lit(2)).as("mh1"),
+          F.try_element_at(F.col("sig"), F.lit(3)).as("mh2"),
+          F.try_element_at(F.col("sig"), F.lit(4)).as("mh3"))
+        .orderBy("doc_id")
+    }),
+
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLSH(pages(s, dir).where(F.length(F.col("text")) > 0),
           "doc_id", "text", k = 8, bands = 4, n = 3)
@@ -2869,6 +2890,25 @@ object SparkEntry {
     // band_key mirrors Dedup.bandKey: the Spark sequential fold
     // ((acc*m + x%M) % M) over the 2-row slice equals the HUGEINT
     // polynomial sum Σ (mh%M)*m^(rows-1-i) mod M; packed k1*M2+k2 < 2^62
+    // same md5+affine minima arithmetic as dedup_minhash_lsh's mins
+    // CTE, pivoted to one row per doc (k = 4 seeds)
+    "sql_kernel_minhash" ->
+      s"""$P,
+         |$shinglesCte,
+         |hs AS (SELECT doc_id, ${dh32("s")} AS h FROM sh),
+         |mins AS (
+         |  SELECT doc_id, seed,
+         |    min((h * (2 * seed + 1) + 99991 * seed)
+         |        % ${Dedup.MinhashP}) AS mh
+         |  FROM hs CROSS JOIN (SELECT unnest(range(4)) AS seed) seeds
+         |  GROUP BY doc_id, seed)
+         |SELECT doc_id,
+         |  max(CASE WHEN seed = 0 THEN mh END) AS mh0,
+         |  max(CASE WHEN seed = 1 THEN mh END) AS mh1,
+         |  max(CASE WHEN seed = 2 THEN mh END) AS mh2,
+         |  max(CASE WHEN seed = 3 THEN mh END) AS mh3
+         |FROM mins GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     "dedup_minhash_lsh" ->
       s"""$P,
          |$shinglesCte,

@@ -10,10 +10,28 @@ import SchemaIR._
   * mallispark.compile.Transform. */
 object SchemaOps {
 
-  /** mu/merge (util.cljc:53-101): right-biased map-entry merge; optionality
-    * of the right entry wins; non-map schemas → right wins (like malli's
-    * last-child-wins for non-merge-able shapes). */
+  /** mu/merge (util.cljc:53-101): right-biased map-entry merge;
+    * optionality of the right entry wins; `:multi` is DISTRIBUTIVE
+    * (right first, then left — util.cljc:85-88: [:merge [:multi M1 M2]
+    * M3] ⇒ [:multi [:merge M1 M3] [:merge M2 M3]]); `:and` joins on the
+    * FIRST child with the rest kept as-is (util.cljc:78-79 join —
+    * merging every child would duplicate the right side and destroy the
+    * kept predicates); anything else → right wins. */
   def merge(a: SchemaIR, b: SchemaIR): SchemaIR = (a, b) match {
+    // right-distributive: a is the dispatching schema
+    case (SMulti(d, bs, df), other) =>
+      SMulti(d, bs.map { case (t, c) => t -> merge(c, other) },
+        df.map(merge(_, other)))
+    case (SMultiExpr(n, f, fr, bs, df), other) =>
+      SMultiExpr(n, f, fr, bs.map { case (t, c) => t -> merge(c, other) },
+        df.map(merge(_, other)))
+    // left-distributive
+    case (l, SMulti(d, bs, df)) =>
+      SMulti(d, bs.map { case (t, c) => t -> merge(l, c) },
+        df.map(merge(l, _)))
+    case (l, SMultiExpr(n, f, fr, bs, df)) =>
+      SMultiExpr(n, f, fr, bs.map { case (t, c) => t -> merge(l, c) },
+        df.map(merge(l, _)))
     case (SMap(ea, ca, ra), SMap(eb, cb, rb)) =>
       val byKey = eb.map(e => e.key -> e).toMap
       val merged = ea.map { e =>
@@ -23,7 +41,11 @@ object SchemaOps {
         }
       } ++ eb.filterNot(e => ea.exists(_.key == e.key))
       SMap(merged, ca || cb, rb.orElse(ra)) // right-biased rest-entry
-    case (SAnd(cs), other) => SAnd(cs.map(merge(_, other))) // :and head merge
+    // the reference joins only when BOTH sides are :map/:and shapes
+    case (SAnd(cs1), SAnd(cs2)) =>
+      SAnd(merge(cs1.head, cs2.head) +: (cs1.tail ++ cs2.tail))
+    case (SAnd(cs), m: SMap) => SAnd(merge(cs.head, m) +: cs.tail)
+    case (m: SMap, SAnd(cs)) => SAnd(merge(m, cs.head) +: cs.tail)
     case (_, r) => r
   }
 

@@ -24,6 +24,36 @@ class SchemaOpsSpec extends SparkSuite {
     assert(!m.entries.find(_.key == "y").get.optional) // right's requiredness
   }
 
+  test("merge joins :and on the FIRST child, keeps the rest (util.cljc:78)") {
+    val withPred = SAnd(Seq(A, SNot(SNil)))
+    // and+map: the map merges into the head; the predicate survives ONCE
+    val m = SchemaOps.merge(withPred, B).asInstanceOf[SAnd]
+    assert(m.children.size === 2)
+    assert(m.children(1) === SNot(SNil)) // kept as-is, not right-overwritten
+    assert(m.children.head.asInstanceOf[SMap].entries.map(_.key) ===
+      Seq("x", "y", "z"))
+    // map+and mirrors; and+and concatenates the kept tails
+    val m2 = SchemaOps.merge(A, withPred).asInstanceOf[SAnd]
+    assert(m2.children(1) === SNot(SNil))
+    val m3 = SchemaOps.merge(withPred, withPred).asInstanceOf[SAnd]
+    assert(m3.children.count(_ == SNot(SNil)) === 2)
+  }
+
+  test("merge distributes over :multi, right then left (util.cljc:85-88)") {
+    val multi = SMulti("kind", Seq(
+      "a" -> S.mapE(false, S.req("x", S.int)),
+      "b" -> S.mapE(false, S.req("y", S.string))), None)
+    val extra = S.mapE(false, S.req("z", S.boolean)).asInstanceOf[SMap]
+    // [:merge multi extra]: every branch gains z
+    val r = SchemaOps.merge(multi, extra).asInstanceOf[SMulti]
+    assert(r.branches.forall(_._2.asInstanceOf[SMap]
+      .entries.exists(_.key == "z")))
+    // [:merge extra multi]: branches gain z on the LEFT (z first)
+    val l = SchemaOps.merge(extra, multi).asInstanceOf[SMulti]
+    assert(l.branches.head._2.asInstanceOf[SMap]
+      .entries.map(_.key) === Seq("z", "x"))
+  }
+
   test("union: colliding entries become :or (util.cljc:103-112)") {
     val u = SchemaOps.union(A, B).asInstanceOf[SMap]
     assert(u.entries.find(_.key == "y").get.child ===

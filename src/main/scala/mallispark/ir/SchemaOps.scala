@@ -193,6 +193,90 @@ object SchemaOps {
     go(ir, depth)
   }
 
+  /** mu/keys (util.cljc:301-305). */
+  def keys(m: SMap): Seq[String] = m.entries.map(_.key)
+
+  /** mu/find (util.cljc:311-314): the full entry (key, optionality,
+    * child) for a map key, or None. */
+  def find(m: SMap, key: String): Option[Entry] =
+    m.entries.find(_.key == key)
+
+  /** Setter dual of `SchemaIR.childrenWithPath` — rebuilds `s` with the
+    * child at segment `seg` replaced (same addressing: map keys, branch
+    * tags, element marker "0", positional indices). Throws on a segment
+    * the node does not have. */
+  private def replaceChild(s: SchemaIR, seg: String,
+                           c: SchemaIR): SchemaIR = {
+    def idx(n: Int): Int = {
+      val i = seg.toInt
+      require(i >= 0 && i < n, s"no child '$seg' in ${s.getClass.getSimpleName}")
+      i
+    }
+    s match {
+      case m: SMap if m.entries.exists(_.key == seg) =>
+        m.copy(entries = m.entries.map(e =>
+          if (e.key == seg) e.copy(child = c) else e))
+      case m: SMap if seg == "malli.core/default" && m.rest.isDefined =>
+        m.copy(rest = Some(c))
+      case SMaybe(_) if seg == "0" => SMaybe(c)
+      case SNot(_) if seg == "0" => SNot(c)
+      case SAnd(cs) => SAnd(cs.updated(idx(cs.size), c))
+      case SOr(cs) => SOr(cs.updated(idx(cs.size), c))
+      case SOrn(bs) if bs.exists(_._1 == seg) =>
+        SOrn(bs.map { case (t, x) => t -> (if (t == seg) c else x) })
+      case SAndn(bs) if bs.exists(_._1 == seg) =>
+        SAndn(bs.map { case (t, x) => t -> (if (t == seg) c else x) })
+      case SMapOf(k, v, mn, mx) if seg == "0" => SMapOf(c, v, mn, mx)
+      case SMapOf(k, v, mn, mx) if seg == "1" => SMapOf(k, c, mn, mx)
+      case SVector(_, mn, mx) if seg == "0" => SVector(c, mn, mx)
+      case SSet(_, mn, mx) if seg == "0" => SSet(c, mn, mx)
+      case SEvery(_, mn, mx, l) if seg == "0" => SEvery(c, mn, mx, l)
+      case STuple(cs) => STuple(cs.updated(idx(cs.size), c))
+      case m @ SMulti(_, bs, _) if bs.exists(_._1 == seg) =>
+        m.copy(branches = bs.map { case (t, x) =>
+          t -> (if (t == seg) c else x) })
+      case m @ SMulti(_, _, d) if seg == "malli.core/default" && d.isDefined =>
+        m.copy(default = Some(c))
+      case SScoped(l, _) if seg == "0" => SScoped(l, c)
+      case other => throw new IllegalArgumentException(
+        s"no child '$seg' in ${other.getClass.getSimpleName}")
+    }
+  }
+
+  /** mu/update-in (util.cljc:373-381): rewrite the subschema at a
+    * schema path through `f`, rebuilding the spine. A MISSING final map
+    * key is created (mu/assoc semantics) — required, child = f(:any)'s
+    * result caller-side via assocIn. */
+  def updateIn(ir: SchemaIR, path: Seq[String])(
+      f: SchemaIR => SchemaIR): SchemaIR = path match {
+    case Seq() => f(ir)
+    case seg +: rest =>
+      SchemaIR.childrenWithPath(ir).collectFirst {
+        case (p, c) if p == seg => c
+      } match {
+        case Some(child) => replaceChild(ir, seg, updateIn(child, rest)(f))
+        case None => ir match {
+          // creating through a missing MAP key (mu/assoc adds entries)
+          case m: SMap if rest.isEmpty =>
+            assoc(m, Entry(seg, f(SAny)))
+          case other => throw new IllegalArgumentException(
+            s"no child '$seg' in ${other.getClass.getSimpleName}")
+        }
+      }
+  }
+
+  /** mu/assoc-in (util.cljc:354-371). */
+  def assocIn(ir: SchemaIR, path: Seq[String], v: SchemaIR): SchemaIR =
+    updateIn(ir, path)(_ => v)
+
+  /** mu/in->paths (util.cljc:196-207): every SCHEMA path that addresses
+    * the given VALUE path — the inverse image of [[pathToIn]] (branch
+    * segments of and/or/multi vanish in value space, so one value path
+    * can map back to several schema paths; collection elements use the
+    * element marker "0", matching this engine's pathToIn convention). */
+  def inToPaths(ir: SchemaIR, in: Seq[String]): Seq[Seq[String]] =
+    subschemas(ir).map(_._1).filter(p => pathToIn(ir, p) == in)
+
   /** mu/subschemas (util.cljc:168-187): every (path, schema) pair. */
   def subschemas(ir: SchemaIR): Seq[(Seq[String], SchemaIR)] = {
     def go(s: SchemaIR, path: Seq[String]): Seq[(Seq[String], SchemaIR)] =

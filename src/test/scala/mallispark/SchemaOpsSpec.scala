@@ -3,7 +3,7 @@ package mallispark
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
-import mallispark.ir.{S, SchemaOps}
+import mallispark.ir.{S, SchemaIR, SchemaOps}
 import mallispark.ir.SchemaIR._
 import mallispark.compile.{GeneralRegex, SchemaCompiler}
 
@@ -72,6 +72,46 @@ class SchemaOpsSpec extends SparkSuite {
       Seq("x", "y", "w"))
     assert(SchemaOps.optionalKeys(A).entries.forall(_.optional))
     assert(SchemaOps.requiredKeys(A).entries.forall(!_.optional))
+  }
+
+  test("keys/find/assoc-in/update-in lenses (util.cljc:301-381)") {
+    assert(SchemaOps.keys(A) === Seq("x", "y"))
+    assert(SchemaOps.find(A, "y").get.optional)
+    assert(SchemaOps.find(A, "nope").isEmpty)
+    val nested = S.mapE(false,
+      S.req("a", S.mapE(false, S.req("b", S.vector(S.int)))))
+    // deep replace: the vector's ELEMENT schema via the "0" marker
+    val swapped = SchemaOps.assocIn(nested, Seq("a", "b", "0"), S.string)
+    assert(SchemaIR.getIn(swapped, Seq("a", "b", "0")).get ===
+      SString(None, None))
+    // spine preserved around the edit
+    assert(SchemaIR.form(SchemaIR.getIn(swapped, Seq("a")).get)
+      .startsWith("[:map"))
+    // update-in applies a function in place
+    val widened = SchemaOps.updateIn(nested, Seq("a", "b"))(v =>
+      SMaybe(v))
+    assert(SchemaIR.getIn(widened, Seq("a", "b")).get.isInstanceOf[SMaybe])
+    // creating through a missing FINAL map key (mu/assoc semantics)
+    val added = SchemaOps.assocIn(nested, Seq("a", "c"), S.boolean)
+    assert(SchemaIR.getIn(added, Seq("a", "c")).get === SBoolean)
+    // missing non-map segment refuses
+    intercept[IllegalArgumentException] {
+      SchemaOps.assocIn(nested, Seq("a", "b", "5"), S.int)
+    }
+  }
+
+  test("in->paths is the inverse image of path->in (util.cljc:196-207)") {
+    val s = S.mapE(false,
+      S.req("v", S.or(S.int, S.mapE(false, S.req("w", S.string)))))
+    // the :or's branches vanish in value space: value path v maps back
+    // to the schema paths v, v/0 and v/1 (plus nothing else)
+    assert(SchemaOps.inToPaths(s, Seq("v")).toSet ===
+      Set(Seq("v"), Seq("v", "0"), Seq("v", "1")))
+    assert(SchemaOps.inToPaths(s, Seq("v", "w")) === Seq(Seq("v", "1", "w")))
+    assert(SchemaOps.inToPaths(s, Seq("nope")) === Seq.empty)
+    // duality: every reported path maps forward to the same in
+    SchemaOps.inToPaths(s, Seq("v", "w")).foreach(p =>
+      assert(SchemaOps.pathToIn(s, p) === Seq("v", "w")))
   }
 
   test("closedSchema/openSchema walk nested maps (util.cljc:128-166)") {

@@ -131,6 +131,48 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  test("lens laws over random trees: get∘assoc, update-in fixpoint, in->paths") {
+    import mallispark.ir.SchemaOps
+    val leafGen: Gen[SchemaIR] = Gen.oneOf(
+      S.int(0L, 100L), S.string(min = 1, max = 6), S.boolean,
+      S.enum_("a", "b", "c"))
+    def nodeGen(d: Int): Gen[SchemaIR] =
+      if (d <= 0) leafGen
+      else Gen.frequency(
+        3 -> leafGen,
+        1 -> leafGen.map(S.maybe),
+        1 -> Gen.lzy(nodeGen(d - 1)).map(c => S.vector(c, max = Some(4))),
+        1 -> Gen.zip(leafGen, leafGen).map { case (a, b) => S.tuple(a, b) },
+        1 -> Gen.lzy(mapGen2(d - 1)))
+    def mapGen2(d: Int): Gen[SchemaIR] = for {
+      n <- Gen.chooseNum(1, 3)
+      cs <- Gen.listOfN(n, nodeGen(d))
+    } yield S.mapE(false,
+      cs.zipWithIndex.map { case (c, i) => S.req(s"f$i", c) }: _*)
+    val schemas = seeded(Gen.listOfN(25, mapGen2(2)), 50260817L)
+    schemas.foreach { sch =>
+      SchemaOps.subschemas(sch).foreach { case (path, sub) =>
+        // getIn addresses every enumerated subschema
+        assert(SchemaIR.getIn(sch, path).contains(sub),
+          s"getIn miss at $path in ${SchemaIR.form(sch)}")
+        // get∘assoc law: writing then reading returns the written value
+        if (path.nonEmpty) {
+          val written = SchemaOps.assocIn(sch, path, SBinary)
+          assert(SchemaIR.getIn(written, path).contains(SBinary),
+            s"assocIn/getIn broke at $path in ${SchemaIR.form(sch)}")
+        }
+        // update-in with identity is a fixpoint
+        assert(SchemaOps.updateIn(sch, path)(identity) === sch)
+        // in->paths is a true inverse image: it contains this path and
+        // everything it returns maps forward to the same value path
+        val in = SchemaOps.pathToIn(sch, path)
+        val back = SchemaOps.inToPaths(sch, in)
+        assert(back.contains(path))
+        back.foreach(p => assert(SchemaOps.pathToIn(sch, p) === in))
+      }
+    }
+  }
+
   test("random schema trees: generate→validate law, export fixpoints, duality") {
     import mallispark.ir.Export
     import mallispark.gen.Generate

@@ -33,7 +33,12 @@ object RowEval {
     case SNil => v == null
     case SSome => v != null
     case SString(mn, mx) => v match {
-      case s: String => mn.forall(s.length >= _) && mx.forall(s.length <= _)
+      // code points, not UTF-16 units — Spark's length() counts code
+      // points, and duality with the compiled validator must hold for
+      // supplementary characters (s.length would count an emoji as 2)
+      case s: String =>
+        val n = s.codePointCount(0, s.length)
+        mn.forall(n >= _) && mx.forall(n <= _)
       case _ => false
     }
     case SInt(mn, mx) => v match {
@@ -190,7 +195,10 @@ object RowEval {
     case SMulti(dk, bs, default) => asMap(v) match {
       case None => false
       case Some(m) =>
-        val dv = m.get(dk).map(String.valueOf).orNull
+        // a present-but-null dispatch value routes to the DEFAULT branch
+        // like the compiled twin (dv === lit(tag) is null there) — never
+        // to a branch literally tagged "null"
+        val dv = m.get(dk).flatMap(Option(_)).map(String.valueOf).orNull
         bs.find(_._1 == dv) match {
           case Some((_, c)) => validate(c, v)
           case None => default.exists(validate(_, v))
@@ -292,14 +300,21 @@ object RowEval {
         .flatMap(p => reMatchT(SStar(c), xs, p, path, df))
     case SOpt(c) => i #:: reMatchT(c, xs, i, path :+ "0", df)
     case SRepeat(c, mn, mx) =>
-      def go(pos: Int, n: Int): LazyList[Int] = {
+      // reference repeat phases: epsilon iterations COUNT toward :min
+      // (no progress requirement in compulsories); optionals need
+      // remaining input + progress (impl/regex.cljc:348-420)
+      def optionals(pos: Int, n: Int): LazyList[Int] = {
         val more =
-          if (n >= mx) LazyList.empty
+          if (n >= mx || pos >= xs.length) LazyList.empty
           else reMatchT(c, xs, pos, path :+ "0", df).filter(_ > pos)
-            .flatMap(p => go(p, n + 1))
-        if (n >= mn) pos #:: more else more
+            .flatMap(p => optionals(p, n + 1))
+        pos #:: more
       }
-      go(i, 0)
+      def compulsories(pos: Int, n: Int): LazyList[Int] =
+        if (n >= mn) optionals(pos, n)
+        else reMatchT(c, xs, pos, path :+ "0", df)
+          .flatMap(p => compulsories(p, n + 1))
+      compulsories(i, 0)
     case plain =>
       if (i < xs.length && validate(plain, xs(i))) LazyList(i + 1)
       else { df.record(i, plain, path); LazyList.empty }
@@ -334,25 +349,41 @@ object RowEval {
     case SAltn(es) => es.to(LazyList).flatMap { case (tag, c) =>
       parseAt(c, xs, i).map { case (t, p) => (RTag(tag, t): Any, p) }
     }
+    // GREEDY ordering throughout (the reference's ?- and *-parsers try
+    // the item parser FIRST and park epsilon as the fallback,
+    // impl/regex.cljc:278-321) — the first full match IS the reference
+    // parse tree for ambiguous schemas like [:cat [:* :int] [:* :int]]
     case SStar(c) =>
-      (Vector.empty[Any]: Any, i) #:: parseAt(c, xs, i).filter(_._2 > i)
+      parseAt(c, xs, i).filter(_._2 > i)
         .flatMap { case (t, p) => parseAt(SStar(c), xs, p).map { case (ts, p2) =>
-          ((t +: ts.asInstanceOf[Vector[Any]]): Any, p2) } }
+          ((t +: ts.asInstanceOf[Vector[Any]]): Any, p2) } } #:::
+        LazyList((Vector.empty[Any]: Any, i))
     case SPlus(c) =>
       parseAt(c, xs, i).flatMap { case (t, p) =>
         parseAt(SStar(c), xs, p).map { case (ts, p2) =>
           ((t +: ts.asInstanceOf[Vector[Any]]): Any, p2) } }
     case SOpt(c) =>
-      (null: Any, i) #:: parseAt(c, xs, i)
+      parseAt(c, xs, i) #::: LazyList((null: Any, i))
     case SRepeat(c, mn, mx) =>
-      def go(pos: Int, cnt: Int, acc: Vector[Any]): LazyList[(Any, Int)] = {
+      // reference repeat phases (impl/regex.cljc:348-420): compulsories
+      // run the child WITHOUT a progress requirement (an epsilon match
+      // still counts an iteration — [:repeat {:min 2} [:? :int]] accepts
+      // []); optionals require remaining input AND progress ("child
+      // consumes no elements → bail"), child-first = greedy
+      def optionals(pos: Int, cnt: Int,
+                    acc: Vector[Any]): LazyList[(Any, Int)] = {
         val more =
-          if (cnt >= mx) LazyList.empty
+          if (cnt >= mx || pos >= xs.length) LazyList.empty
           else parseAt(c, xs, pos).filter(_._2 > pos)
-            .flatMap { case (t, p) => go(p, cnt + 1, acc :+ t) }
-        if (cnt >= mn) (acc: Any, pos) #:: more else more
+            .flatMap { case (t, p) => optionals(p, cnt + 1, acc :+ t) }
+        more #::: LazyList((acc: Any, pos))
       }
-      go(i, 0, Vector.empty)
+      def compulsories(pos: Int, cnt: Int,
+                       acc: Vector[Any]): LazyList[(Any, Int)] =
+        if (cnt >= mn) optionals(pos, cnt, acc)
+        else parseAt(c, xs, pos)
+          .flatMap { case (t, p) => compulsories(p, cnt + 1, acc :+ t) }
+      compulsories(i, 0, Vector.empty)
     case plain =>
       if (i < xs.length && validate(plain, xs(i))) LazyList((xs(i), i + 1))
       else LazyList.empty
@@ -361,8 +392,13 @@ object RowEval {
   /** Inverse of `reParse` (impl/regex.cljc unparser): flattens the parse
     * tree back to the element sequence. `:alt` branches of PLAIN schemas
     * unparse as the element itself (the bounded-form deviation documented
-    * for the validator holds here too). */
-  def reUnparse(ir: SchemaIR, tree: Any): Seq[Any] = ir match {
+    * for the validator holds here too). Untagged `:alt` selects the
+    * FIRST branch whose unparse round-trips (the reference's
+    * alt-unparser tries children in order) — the head branch alone
+    * would crash or mis-nest when plain and regex branches mix. */
+  def reUnparse(ir: SchemaIR, tree: Any)(
+      implicit reg: Registry = Registry.empty,
+      depth: Int = 8): Seq[Any] = ir match {
     case SCat(cs) =>
       cs.zip(tree.asInstanceOf[Seq[Any]]).flatMap { case (c, t) =>
         reUnparse(c, t) }
@@ -374,10 +410,23 @@ object RowEval {
     case SRepeat(c, _, _) =>
       tree.asInstanceOf[Seq[Any]].flatMap(reUnparse(c, _))
     case SOpt(c) => if (tree == null) Seq.empty else reUnparse(c, tree)
-    case SAlt(cs) => cs match {
-      case _ if !SchemaIR.isRegexOp(cs.head) => Seq(tree) // plain element
-      case _ => reUnparse(cs.head, tree)
-    }
+    case SAlt(cs) =>
+      def attempt(c: SchemaIR): Option[Seq[Any]] =
+        try {
+          if (SchemaIR.isRegexOp(c)) {
+            val out = reUnparse(c, tree)
+            // the branch must ACCEPT what it produced — a tree from a
+            // different branch typically survives the cast but fails
+            // the re-match (e.g. a plain element fed to a :* branch)
+            if (reMatch(c, out, 0).contains(out.length)) Some(out)
+            else None
+          } else if (validate(c, tree)) Some(Seq(tree))
+          else None
+        } catch {
+          case _: ClassCastException | _: MatchError => None
+        }
+      cs.iterator.flatMap(attempt(_).iterator).nextOption()
+        .getOrElse(Seq(tree))
     case SAltn(es) => tree match {
       // the RTag names the branch to unparse through (tags 164-183)
       case RTag(tag, t) =>
@@ -407,13 +456,18 @@ object RowEval {
     case SPlus(c) => reMatch(c, xs, i).flatMap(p => reMatch(SStar(c), xs, p))
     case SOpt(c) => i #:: reMatch(c, xs, i)
     case SRepeat(c, mn, mx) =>
-      def go(pos: Int, n: Int): LazyList[Int] = {
+      // reference repeat phases — see reMatchT's SRepeat
+      def optionals(pos: Int, n: Int): LazyList[Int] = {
         val more =
-          if (n >= mx) LazyList.empty
-          else reMatch(c, xs, pos).filter(_ > pos).flatMap(p => go(p, n + 1))
-        if (n >= mn) pos #:: more else more
+          if (n >= mx || pos >= xs.length) LazyList.empty
+          else reMatch(c, xs, pos).filter(_ > pos)
+            .flatMap(p => optionals(p, n + 1))
+        pos #:: more
       }
-      go(i, 0)
+      def compulsories(pos: Int, n: Int): LazyList[Int] =
+        if (n >= mn) optionals(pos, n)
+        else reMatch(c, xs, pos).flatMap(p => compulsories(p, n + 1))
+      compulsories(i, 0)
     case plain =>
       if (i < xs.length && validate(plain, xs(i))) LazyList(i + 1)
       else LazyList.empty
@@ -495,7 +549,8 @@ object RowEval {
       case SMulti(dk, bs, default) => asMap(v) match {
         case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
         case Some(m) =>
-          val dv = m.get(dk).map(String.valueOf).orNull
+          // null dispatch → default branch, like validate (and Catalyst)
+          val dv = m.get(dk).flatMap(Option(_)).map(String.valueOf).orNull
           bs.find(_._1 == dv) match {
             case Some((tag, c)) => explain(c, v, path :+ tag, in)
             case None => default match {

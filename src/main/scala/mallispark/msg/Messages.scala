@@ -22,6 +22,18 @@ object Messages {
     ErrorKeys.EndOfInput -> "end of input", // error.cljc:66
     ErrorKeys.Limits -> "invalid count", // ::m/limits shape (error.cljc:47-52)
     ErrorKeys.DuplicateKey -> "duplicate key",
+    // the reference renders ::m/tuple-size and the comparators through
+    // :error/fn closures that splice the VALUE/bound into the string
+    // (error.cljc:53-55, 145-172); violation rows here carry only the
+    // KEY, so these render the reference phrasing without the number —
+    // pass an override with the bound for byte-exact reference strings
+    ErrorKeys.TupleSize -> "invalid tuple size",
+    ":>" -> "should be larger than the bound",
+    ":>=" -> "should be at least the bound",
+    ":<" -> "should be smaller than the bound",
+    ":<=" -> "should be at most the bound",
+    ":=" -> "should be the expected value",
+    ":not=" -> "should not be the expected value",
     ":string" -> "should be a string", // error.cljc:80
     ":int" -> "should be an int", // error.cljc:71
     ":double" -> "should be a double", // error.cljc:78
@@ -65,7 +77,12 @@ object Messages {
   /** `me/humanize` (error.cljc:379-395): errors → value-shaped nested map
     * of messages, keyed by the value path (`-push-in` semantics: messages
     * accumulate per path). Driver-side, for explain fixtures and report
-    * rendering — NOT part of the distributed plan. */
+    * rendering — NOT part of the distributed plan.
+    *
+    * `in` arrives in the engine-wide "/"-joined encoding (the same one
+    * violation rows and oracle SQL use); a data key CONTAINING a slash
+    * is therefore ambiguous in this representation — callers with such
+    * keys should pass pre-split paths through [[errorValue]] instead. */
   def humanize(errors: Seq[(String, String)],
                overrides: Map[String, String] = Map.empty)
       : Map[Seq[String], Seq[String]] =
@@ -87,6 +104,12 @@ object Messages {
     def go(v: Any, here: Seq[String]): Option[Any] = {
       val failingHere = errIns.contains(here)
       v match {
+        // Rows pair naturally with explain output at report time —
+        // convert to a field map so masking descends instead of
+        // treating the whole row as one leaf (which would return every
+        // column, defeating the masking)
+        case r: org.apache.spark.sql.Row if !failingHere =>
+          go(r.schema.fieldNames.zip(r.toSeq).toMap, here)
         case m: Map[_, _] if !failingHere =>
           val mm = m.asInstanceOf[Map[String, Any]]
           val kept = mm.flatMap { case (k, x) =>
@@ -120,10 +143,13 @@ object Messages {
       d(a.length)(b.length)
     }
     val tolerance = math.max(unknownKey.length / 3, 1)
+    // ties break LEXICOGRAPHICALLY, not by hash-set iteration order —
+    // adding an unrelated key to the schema must never flip the
+    // suggestion (cross-run determinism, like everything else here)
     knownKeys.toSeq
       .map(k => k -> lev(unknownKey, k))
       .filter(_._2 <= tolerance)
-      .sortBy(_._2)
+      .sortBy { case (k, d) => (d, k) }
       .headOption.map(_._1)
   }
 }

@@ -80,8 +80,21 @@ object StreamingValidator {
     // (the file source otherwise chunks >1000-file backlogs) so a
     // catch-up run emits the min over the entire backlog — the semantics
     // the oracle asserts. Steady-state micro-batches are unaffected.
+    // fail FAST when the backlog cannot fit one micro-batch: beyond
+    // maxFilesPerTrigger the source chunks the catch-up, and a key's
+    // first batch may not contain its global min id — silently weaker
+    // semantics than the oracle asserts. (Local-path check; remote URIs
+    // skip it and rely on the documented contract.)
+    val BacklogLimit = 1000000L
+    scala.util.Try {
+      val st = java.nio.file.Files.list(java.nio.file.Paths.get(sourceDir))
+      try st.limit(BacklogLimit + 1).count() finally st.close()
+    }.foreach(n => require(n <= BacklogLimit,
+      s"dedupStream: backlog exceeds $BacklogLimit files — the " +
+        "first-sighting min-id guarantee holds only when catch-up fits " +
+        "one micro-batch; compact the input or run incremental catch-ups"))
     val in = spark.readStream.schema(sourceSchema)
-      .option("maxFilesPerTrigger", 1000000)
+      .option("maxFilesPerTrigger", BacklogLimit)
       .parquet(sourceDir)
     in.select(F.col(keyCol).cast(org.apache.spark.sql.types.StringType),
         F.col(idCol).cast(org.apache.spark.sql.types.LongType))

@@ -189,6 +189,56 @@ class ParseMsgInferSpec extends SparkSuite {
       errs.forall(e => e.path.mkString("/").matches("0/(num|word)")))
   }
 
+  test("regex reference semantics: greedy parse, epsilon repeat, mixed alt") {
+    import mallispark.eval.RowEval
+    // GREEDY: the first :* consumes first (impl/regex.cljc:278-321 —
+    // item parser before the epsilon fallback)
+    val amb = S.cat(S.star(S.int), S.star(S.int))
+    assert(RowEval.reParse(amb, Seq(1L)) ===
+      Some(Vector(Vector(1L), Vector())))
+    assert(RowEval.reUnparse(amb,
+      RowEval.reParse(amb, Seq(1L, 2L)).get) === Seq(1L, 2L))
+    // repeat of a NULLABLE child: epsilon iterations count toward :min
+    // (reference compulsories phase runs the child with no progress
+    // requirement), so {:min 2} of [:? :int] accepts [] and [7]
+    val rep = S.repeat(S.optional(S.int), 2, 2)
+    assert(RowEval.validate(rep, Seq.empty))
+    assert(RowEval.validate(rep, Seq(7L)))
+    assert(RowEval.validate(rep, Seq(7L, 8L)))
+    assert(!RowEval.validate(rep, Seq(7L, 8L, 9L))) // over :max
+    // mixed plain/regex :alt unparses through the branch that MATCHED,
+    // not blindly through the head
+    val mixed = S.alt(S.star(S.int), S.string)
+    val viaString = RowEval.reParse(mixed, Seq("x")).get
+    assert(RowEval.reUnparse(mixed, viaString) === Seq("x"))
+    val viaStar = RowEval.reParse(mixed, Seq(1L, 2L)).get
+    assert(RowEval.reUnparse(mixed, viaStar) === Seq(1L, 2L))
+    // mixed the other way: plain first, regex second
+    val mixed2 = S.alt(S.int, S.plus(S.int))
+    val two = RowEval.reParse(mixed2, Seq(1L, 2L)).get
+    assert(RowEval.reUnparse(mixed2, two) === Seq(1L, 2L))
+  }
+
+  test("duality fixes: string code points, null dispatch, spellcheck ties") {
+    import mallispark.eval.RowEval
+    import mallispark.msg.Messages
+    // supplementary char counts as ONE like Spark's length()
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(RowEval.validate(S.string(1, 1), emoji))
+    // null dispatch value routes to the DEFAULT branch (compiled twin)
+    val multi = SMulti("k",
+      Seq("null" -> S.mapE(false, S.req("k", S.string))),
+      Some(S.any))
+    assert(RowEval.validate(multi, Map("k" -> null)))
+    // comparator + tuple-size keys humanize (not "unknown error")
+    assert(Messages.message(":>") === "should be larger than the bound")
+    assert(Messages.message(
+      ErrorKeys.TupleSize) === "invalid tuple size")
+    // levenshtein ties break lexicographically, set-order-independent
+    assert(Messages.spellCheck("ab", Set("bb", "aa")) === Some("aa"))
+    assert(Messages.spellCheck("ab", Set("zz", "bb", "aa")) === Some("aa"))
+  }
+
   test("infer: provider parity heuristics (uuid / tuple / map-of / maybe)") {
     // mirrors provider_test.cljc shapes in their Spark-physical form:
     // - a string column whose every value is uuid-shaped → :uuid

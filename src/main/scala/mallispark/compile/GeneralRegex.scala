@@ -22,10 +22,15 @@ object GeneralRegex {
     col => f(col)
   }
 
-  /** Validator over an array<long> column. */
+  /** Validator over an array<long> column. Boxed element type: a
+    * primitive Seq[Long] would NPE in the UDF deserializer on a null
+    * element (containsNull is the Spark default) — a null element must
+    * simply fail leaf validation like any other wrong value. */
   def validLongSeq(ir: SchemaIR): Column => Column = {
-    val f = F.udf((xs: Seq[Long]) =>
-      if (xs == null) false else RowEval.validate(ir, xs))
+    val f = F.udf((xs: Seq[java.lang.Long]) =>
+      if (xs == null) false
+      else RowEval.validate(ir,
+        xs.map(x => if (x == null) null else x.longValue())))
     col => f(col)
   }
 
@@ -52,8 +57,11 @@ object GeneralRegex {
 
   /** Positional explainer over an array<long> column. */
   def explainLongSeq(ir: SchemaIR): Column => Column = {
-    val f = F.udf((xs: Seq[Long]) =>
-      if (xs == null) nullErr else toRows(RowEval.reExplain(ir, xs)))
+    // boxed elements — see validLongSeq
+    val f = F.udf((xs: Seq[java.lang.Long]) =>
+      if (xs == null) nullErr
+      else toRows(RowEval.reExplain(ir,
+        xs.map(x => if (x == null) null else x.longValue()))))
     col => f(col)
   }
 

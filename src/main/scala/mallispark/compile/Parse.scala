@@ -66,13 +66,24 @@ object Parse {
           case _ => F.lit(null)
         }
 
-      case SMulti(dk, branches, _) =>
+      case SMulti(dk, branches, default) =>
         dt match {
           case _: StructType =>
             val dv = col.getField(dk)
             val out = StructType(Seq(StructField("tag", StringType),
               StructField("value", dt)))
-            branches.foldRight(F.lit(null).cast(out)) { case ((tag, c), acc) =>
+            // the ::m/default branch PARTICIPATES in parsing (a valid
+            // default-branch row must not parse to ::m/invalid when the
+            // validator accepts it) — tagged with the reserved segment,
+            // matching explain's path convention
+            val fallback = default match {
+              case Some(d) =>
+                F.when(SchemaCompiler.valid(d, col, dt),
+                  F.struct(F.lit("malli.core/default").as("tag"),
+                    col.as("value"))).otherwise(F.lit(null).cast(out))
+              case None => F.lit(null).cast(out)
+            }
+            branches.foldRight(fallback) { case ((tag, c), acc) =>
               F.when(dv === F.lit(tag) && SchemaCompiler.valid(c, col, dt),
                 F.struct(F.lit(tag).as("tag"), col.as("value"))).otherwise(acc)
             }

@@ -136,8 +136,13 @@ object SchemaCompiler {
     case SOrn(bs) => bs.headOption.map(b => dataTypeOf(b._2)).getOrElse(StringType)
     case SAndn(bs) => bs.headOption.map(b => dataTypeOf(b._2)).getOrElse(StringType)
     case SNot(c) => dataTypeOf(c)
+    // a REQUIRED key whose child accepts nil (:maybe/:nil/:any) is still
+    // a nullable field — valid() accepts null there, so the emitted
+    // StructType/DDL must not reject the very nulls the schema declares
+    // legal
     case SMap(entries, _, _) => StructType(entries.map(e =>
-      StructField(e.key, dataTypeOf(e.child), nullable = e.optional)))
+      StructField(e.key, dataTypeOf(e.child),
+        nullable = e.optional || acceptsNull(e.child))))
     case SMultiExpr(_, _, _, bs, d) =>
       (bs.map(_._2) ++ d).headOption.map(dataTypeOf).getOrElse(StringType)
     case SMapOf(k, v, _, _) => MapType(dataTypeOf(k), dataTypeOf(v))
@@ -243,7 +248,7 @@ object SchemaCompiler {
     val zoneOffset = "^([+-](0\\d|1[0-8]):[0-5]\\d(:[0-5]\\d)?|Z)$"
   }
 
-  private val uuidRe =
+  private[compile] val uuidRe =
     // canonical UUID regex — reference: /root/reference/src/malli/transform.cljc:115-116
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
 
@@ -347,10 +352,27 @@ object SchemaCompiler {
           case _ => F.lit(false)
         }
         case "local-time" =>
-          // fixed-width HH:mm:ss form ⇒ lexicographic compare IS time order
+          // compare as SECONDS-OF-DAY, not lexicographically: the form
+          // admits an optional fractional part, so widths can differ and
+          // "06:00:00" would string-compare BELOW a "06:00:00.0" bound
+          // despite being temporally equal (for canonical same-width
+          // values the two orders agree, so oracle parity holds)
           if (dt != StringType) F.lit(false)
-          else col.isNotNull && col.rlike(TimeRes.localTime) &&
-            between(col, mn, mx)
+          else {
+            def secs(c: Column): Column = {
+              val p = F.split(c, ":")
+              F.element_at(p, 1).cast(DoubleType) * 3600 +
+                F.element_at(p, 2).cast(DoubleType) * 60 +
+                F.coalesce(
+                  F.try_element_at(p, F.lit(3)).cast(DoubleType),
+                  F.lit(0.0))
+            }
+            def bound(s: String): Double =
+              java.time.LocalTime.parse(s).toNanoOfDay / 1e9
+            col.isNotNull && col.rlike(TimeRes.localTime) &&
+              F.coalesce(between(secs(col), mn.map(bound), mx.map(bound)),
+                F.lit(false))
+          }
         case "offset-date-time" =>
           if (dt != StringType) F.lit(false)
           else {
@@ -358,12 +380,17 @@ object SchemaCompiler {
               F.try_to_timestamp(col),
               F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
               F.try_to_timestamp(col, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")))
+            // coalesce(.., false): a regex-passing but UNPARSEABLE value
+            // (month 13, offset +18:30) makes `between(null, ..)` NULL,
+            // and valid() must never return null — null && true is null,
+            // which would make a coerce row vanish from BOTH outputs
             col.isNotNull && col.rlike(TimeRes.offsetDateTime) &&
-              between(parsed,
+              F.coalesce(between(parsed,
                 mn.map(s => java.sql.Timestamp.from(
                   java.time.OffsetDateTime.parse(s).toInstant)),
                 mx.map(s => java.sql.Timestamp.from(
-                  java.time.OffsetDateTime.parse(s).toInstant)))
+                  java.time.OffsetDateTime.parse(s).toInstant))),
+                F.lit(false))
           }
         case "offset-time" =>
           if (dt != StringType) F.lit(false)

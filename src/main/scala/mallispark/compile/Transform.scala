@@ -90,10 +90,9 @@ object Transform {
       case SUuid =>
         dt match {
           case StringType =>
-            // -string->uuid is regex-gated (transform.cljc:115-124)
-            F.when(col.rlike(
-              "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"),
-              col)
+            // -string->uuid is regex-gated (transform.cljc:115-124);
+            // ONE canonical pattern shared with validation
+            F.when(col.rlike(SchemaCompiler.uuidRe), col)
           case _ => col
         }
       // :time/* string decoders (experimental/time/transform.cljc:56-62
@@ -222,12 +221,17 @@ object Transform {
   }
 
   /** coerce = decode → validate → split (core.cljc:2750-2774): returns
-    * (accepted, rejected) without double-scanning logic at the caller. */
-  def coerce(ir: SMap, df: DataFrame, mode: Mode)(
+    * (accepted, rejected) without double-scanning logic at the caller.
+    * `exclude` passes through to the closed-map check like
+    * validateDF's — engine bookkeeping columns riding the frame must
+    * not fail every row as extra keys. */
+  def coerce(ir: SMap, df: DataFrame, mode: Mode,
+             exclude: Set[String] = Set.empty)(
       implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx())
       : (DataFrame, DataFrame) = {
     val decoded = decodeDF(ir, df, mode)
-    val flagged = SchemaCompiler.validateDF(ir, decoded, "__valid")
+    val flagged = SchemaCompiler.validateDF(ir, decoded, "__valid",
+      exclude = exclude)
     (flagged.where(F.col("__valid")).drop("__valid"),
       flagged.where(!F.col("__valid")).drop("__valid"))
   }

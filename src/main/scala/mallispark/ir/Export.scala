@@ -426,7 +426,8 @@ object Export {
     p.m.get(k).map { case Num(v, _) => v
                      case other => other.toString.toDouble }
   private def pStr(p: Props, k: String): Option[String] =
-    p.m.get(k).map { case SStr(v) => v; case Kw(n) => n
+    p.m.get(k).map { case SStr(v) => v; case Kw(n) => n; case Sym(s) => s
+                     case Num(v, true) => v.toLong.toString
                      case other => other.toString }
 
   private val emptyProps = Props(Map.empty)
@@ -457,6 +458,12 @@ object Export {
             case Kw(k) => k.drop(1)
             case Sym(s) => s
             case SStr(s) => s
+            // numeric/bool dispatch tags print bare in forms — render
+            // them CANONICALLY ("1", not "Num(1.0,true)") so the tag
+            // matches the dispatch value after a round-trip
+            case Num(v, true) => v.toLong.toString
+            case Num(v, false) => v.toString
+            case Bool(b) => b.toString
             case o => o.toString
           }
           val c = more match {
@@ -537,6 +544,19 @@ object Export {
         case ":repeat" => SRepeat(child,
           pInt(props, ":min").getOrElse(0),
           pInt(props, ":max").getOrElse(Int.MaxValue))
+        case ":custom" =>
+          // mirror fromJson: the validator lambda does not serialize —
+          // fail FAST at first compile instead of accepting everything
+          val nm = rest.head match {
+            case Sym(s) => s
+            case Kw(k) => k.drop(1)
+            case SStr(s) => s
+            case o => o.toString
+          }
+          def lost: Nothing = throw new IllegalArgumentException(
+            s"custom schema '$nm' was read from a form without its " +
+              "validator — re-register the custom type before compiling")
+          SCustom(nm, (_, _) => lost, _ => lost)
         case leaf => leafKw(leaf, props)
       }
     case other => throw new IllegalArgumentException(s"cannot convert $other")
@@ -594,7 +614,10 @@ object Export {
         case _ => "date-time"
       }
       obj("type" -> esc("string"), "format" -> esc(fmt))
-    case SEnum(vs) => obj("enum" -> arr(vs.map(v => esc(v.toString))))
+    // JSON literals, not stringifications: [:enum 1 2] must export as
+    // {"enum": [1, 2]} — a consumer validating against ["1", "2"] would
+    // reject the actual integers (strings keep their quoting via jsonLit)
+    case SEnum(vs) => obj("enum" -> arr(vs.map(jsonLit)))
     case SRegex(p) => obj("type" -> esc("string"), "pattern" -> esc(p))
     case SMaybe(c) => obj("oneOf" ->
       arr(Seq(toJsonSchema(c), obj("type" -> esc("null")))))

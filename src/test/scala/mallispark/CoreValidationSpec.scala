@@ -438,6 +438,47 @@ class CoreValidationSpec extends SparkSuite {
     assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"))
   }
 
+  test("time edge semantics: unparseable offsets are FALSE, fractional local-time") {
+    implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+    import scala.jdk.CollectionConverters._
+    // regex-passing but unparseable offset-date-time (month 13) must be
+    // FALSE, never NULL — a null verdict makes coerce rows vanish
+    val odt = S.offsetDateTime(
+      Some("2020-01-01T00:00:00Z"), Some("2030-01-01T00:00:00Z"))
+    val d = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](Seq(
+        org.apache.spark.sql.Row("2020-13-45T10:00:00Z"),
+        org.apache.spark.sql.Row("2025-06-01T10:00:00Z")).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val got = d.select(SchemaCompiler.valid(odt, F.col("v"),
+      org.apache.spark.sql.types.StringType).as("ok")).collect()
+    assert(!got(0).isNullAt(0) && !got(0).getBoolean(0)) // false, NOT null
+    assert(got(1).getBoolean(0))
+    // local-time bounds compare TEMPORALLY: "06:00:00" equals a
+    // "06:00:00.0"-style fractional rendering (string compare would
+    // order the shorter one below)
+    val lt = S.localTime(Some("06:00:00.0"), Some("18:00:00"))
+    val d2 = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](Seq(
+        org.apache.spark.sql.Row("06:00:00"),
+        org.apache.spark.sql.Row("05:59:59.9"),
+        org.apache.spark.sql.Row("17:30:00.5")).asJava),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.StringType))))
+    val got2 = d2.select(SchemaCompiler.valid(lt, F.col("v"),
+      org.apache.spark.sql.types.StringType).as("ok"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(got2 === Seq(true, false, true))
+    // required key with a :maybe child is a NULLABLE struct field
+    val st = SchemaCompiler.toStructType(
+      S.mapE(false, S.req("x", S.maybe(S.int)))
+        .asInstanceOf[mallispark.ir.SchemaIR.SMap])
+    assert(st("x").nullable)
+  }
+
   test("nested seq-regex auto-falls back to the general matcher") {
     // [:cat [:* int?] int?] — backtracking: star must leave one element
     val s = S.cat(S.star(S.int), S.int)

@@ -117,9 +117,14 @@ object TableChecks {
     * binary columns hash their bytes directly. */
   def byteIdentityViolations(curr: DataFrame, prev: DataFrame, key: String,
                              textCol: String): DataFrame = {
+    // null payloads digest to a sentinel (sha2 output is hex, so no
+    // collision): sha2(NULL) is NULL and `=!=` on a null side is NULL —
+    // a null↔value change would silently vanish from the violations
     val h = (d: DataFrame, tag: String) => d.select(
       F.col(key),
-      F.sha2(F.col(textCol).cast(BinaryType), 256).as(s"${tag}_sha"))
+      F.when(F.col(textCol).isNull, F.lit("__NULL__"))
+        .otherwise(F.sha2(F.col(textCol).cast(BinaryType), 256))
+        .as(s"${tag}_sha"))
     h(curr, "curr").join(h(prev, "prev"), Seq(key), "inner")
       .where(F.col("curr_sha") =!= F.col("prev_sha"))
   }
@@ -203,7 +208,11 @@ object TableChecks {
   def ksExact(df: DataFrame, valueCol: String, isA: Column,
               parts: Int = 32): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val g = df.groupBy(F.col(valueCol).as("v")).agg(
+    // nulls carry no order: they must not form a spurious first CDF step
+    // nor count toward n_a/n_b (the sketch path's percentile_approx
+    // ignores them too — the two paths must agree on the population)
+    val nn = df.where(F.col(valueCol).isNotNull)
+    val g = nn.groupBy(F.col(valueCol).as("v")).agg(
       F.sum(F.when(isA, 1L).otherwise(0L)).as("da"),
       F.sum(F.when(isA, 0L).otherwise(1L)).as("db"))
       .repartitionByRange(parts, F.col("v"))

@@ -100,8 +100,11 @@ object Infer {
               stats.getAs[Long](s"${f.name}__uuid") == cnt =>
           SUuid
         case StringType
-            if enumVals.size <= opts.enumMaxCard && total > 0 &&
+            if enumVals.nonEmpty && enumVals.size <= opts.enumMaxCard &&
+              total > 0 &&
               enumVals.size.toDouble / math.max(cnt, 1) <= opts.enumMaxRatio =>
+          // (nonEmpty: an all-null column must fall through to :string —
+          // [:enum] with zero members is degenerate and invalid malli)
           SEnum(enumVals)
         case at: ArrayType =>
           val szMin = Option(stats.getAs[Any](s"${f.name}__szmin"))
@@ -177,12 +180,19 @@ object Infer {
       case BooleanType => SBoolean
       case BinaryType => SBinary
       case TimestampType =>
-        if (opts.withBounds)
-          STimestamp(
-            minS.map(s => java.sql.Timestamp.valueOf(s).toInstant),
-            maxS.map(s => java.sql.Timestamp.valueOf(s).toInstant))
+        // the string came from `cast(col as string)` under the SESSION
+        // time zone (UTC engine-wide, CLAUDE.md); Timestamp.valueOf
+        // would re-interpret it in the JVM DEFAULT zone and shift the
+        // bound by the zone offset — parse explicitly as UTC
+        def utc(s: String): java.time.Instant =
+          java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC)
+        if (opts.withBounds) STimestamp(minS.map(utc), maxS.map(utc))
         else STimestamp()
-      case DateType => SDate()
+      case DateType =>
+        // observed duals like the numeric/timestamp leaves (the agg
+        // already pays for min/max; dropping them wasted the work)
+        if (opts.withBounds) SDate(minS, maxS) else SDate()
       case StringType => SString()
       case ArrayType(et, _) =>
         SVector(leafFor(et, name, stats, Options(withBounds = false)))

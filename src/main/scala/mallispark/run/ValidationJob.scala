@@ -54,7 +54,12 @@ object ValidationJob {
       spark.read.parquet(p).where(F.col("run_id") === runId)
         .select("part_id").distinct()
     } catch {
-      case _: Throwable =>
+      // ONLY a missing manifest means "first run" — a transient IO error
+      // or corrupt footer must FAIL the resume, not silently restart
+      // from zero and double-append already-committed partitions
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "PATH_NOT_FOUND" ||
+            e.getMessage.contains("Path does not exist") =>
         spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](),
           StructType(Seq(StructField("part_id", LongType))))
@@ -98,8 +103,14 @@ object ValidationJob {
     // uncommitted partitions; `readViolations` filters them out by joining
     // against the manifest, and the retry re-appends them under a now-
     // committed partition — exactly-once as observed through the reader.
-    violations.write.mode(SaveMode.Append).parquet(violationsPath(dir))
-    verdicts.write.mode(SaveMode.Append).parquet(manifestPath(dir))
+    // `todo` feeds BOTH writes — persist it so the scan + anti-join +
+    // compiled validation run once, not once per lineage (at the scale
+    // this module targets that halves the pass).
+    todo.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      violations.write.mode(SaveMode.Append).parquet(violationsPath(dir))
+      verdicts.write.mode(SaveMode.Append).parquet(manifestPath(dir))
+    } finally todo.unpersist(blocking = false)
     spark.read.parquet(manifestPath(dir)).where(F.col("run_id") === runId)
   }
 
@@ -167,8 +178,14 @@ object ValidationJob {
       .snapshotDiff(curr, prev, keyCol, payload)
       .groupBy(F.concat(F.lit("diff:"), F.col("change")).as("metric"))
       .agg(F.count(F.lit(1)).as("value"))
+    // null frequency values render as a literal bucket: concat
+    // null-propagates and a NULL metric key breaks the ORDER-BY-
+    // non-null-keys determinism rule (Spark sorts nulls first,
+    // DuckDB last)
     val freqs = curr.groupBy(
-        F.concat(F.lit(s"freq:$freqCol:"), F.col(freqCol)).as("metric"))
+        F.concat(F.lit(s"freq:$freqCol:"),
+          F.coalesce(F.col(freqCol).cast(StringType), F.lit("__NULL__")))
+          .as("metric"))
       .agg(F.count(F.lit(1)).as("value"))
     verdicts.unionByName(viols).unionByName(diff).unionByName(freqs)
       .select(F.col("metric"), F.col("value").cast(LongType).as("value"))

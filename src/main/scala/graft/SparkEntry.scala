@@ -37,6 +37,18 @@ object SparkEntry {
   private def pages(s: SparkSession, dir: String): DataFrame =
     WebPages.derive(t(s, dir, "documents"))
 
+  /** Corpus-scaled ubiquitous-shingle cap for the Jaccard family: a FIXED
+    * df cap stops meaning "ubiquitous" as the corpus grows (at web scale
+    * nearly every distinct shingle exceeds df 20, and the hot set itself
+    * grows with corpus content), so the cap tracks corpus size: a shingle
+    * is hot only past 1% of the shingled-document count, floor 20. The
+    * count() is a one-number driver aggregate; the SQL oracle computes
+    * the identical value as greatest(20, (SELECT count(*) FROM toks)//100)
+    * over the same length(text)>0 population. */
+  private def scaledShingleDf(p: DataFrame): Int =
+    math.max(20L,
+      p.where(F.length(F.col("text")) > 0).count() / 100L).toInt
+
   /** Portable logical partition: md5-derived hash of url, mod 32. */
   private def partId(url: Column): Column = TextOps.h32(url) % 32
 
@@ -1114,30 +1126,39 @@ object SparkEntry {
     // replayable — and cannot fire at gate scale: the largest possible
     // bucket is the biggest exact-dup text group (≪ 4096 at any sf;
     // TextOpsSpec covers cap behavior directly)
-    "dedup_jaccard" -> ((s, dir) =>
-      Dedup.ngramJaccardWithinBuckets(pages(s, dir), "doc_id", "text",
-          n = 3, threshold = 0.9, k = 16, bands = 8, maxShingleDf = 20)
+    "dedup_jaccard" -> ((s, dir) => {
+      val p = pages(s, dir)
+      Dedup.ngramJaccardWithinBuckets(p, "doc_id", "text",
+          n = 3, threshold = 0.9, k = 16, bands = 8,
+          maxShingleDf = scaledShingleDf(p))
         .select("id_a", "id_b", "inter", "sz_a", "sz_b")
-        .orderBy("id_a", "id_b")),
+        .orderBy("id_a", "id_b")
+    }),
 
     // near-dup components over the verified jaccard pairs: min-label
     // propagation to a fixpoint; oracle = DuckDB recursive transitive
     // closure over the identical pair set
-    "dedup_clusters" -> ((s, dir) =>
+    "dedup_clusters" -> ((s, dir) => {
+      val p = pages(s, dir)
       Dedup.dupClusters(
-          Dedup.ngramJaccardWithinBuckets(pages(s, dir), "doc_id", "text",
-            n = 3, threshold = 0.9, k = 16, bands = 8, maxShingleDf = 20),
+          Dedup.ngramJaccardWithinBuckets(p, "doc_id", "text",
+            n = 3, threshold = 0.9, k = 16, bands = 8,
+            maxShingleDf = scaledShingleDf(p)),
           "id_a", "id_b")
-        .orderBy("cluster_id")),
+        .orderBy("cluster_id")
+    }),
 
     // same pairs through the O(log d) large-star/small-star contraction —
     // must agree with the min-label fixpoint exactly
-    "dedup_clusters_star" -> ((s, dir) =>
+    "dedup_clusters_star" -> ((s, dir) => {
+      val p = pages(s, dir)
       Dedup.dupClustersStar(
-          Dedup.ngramJaccardWithinBuckets(pages(s, dir), "doc_id", "text",
-            n = 3, threshold = 0.9, k = 16, bands = 8, maxShingleDf = 20),
+          Dedup.ngramJaccardWithinBuckets(p, "doc_id", "text",
+            n = 3, threshold = 0.9, k = 16, bands = 8,
+            maxShingleDf = scaledShingleDf(p)),
           "id_a", "id_b")
-        .orderBy("cluster_id")),
+        .orderBy("cluster_id")
+    }),
 
     // ---- similarity search over embeddings ----
     "ann_cosine_topk" -> ((s, dir) => {
@@ -2958,7 +2979,7 @@ object SparkEntry {
       s"""$P,
          |$shinglesCte,
          |capped AS (SELECT sh.* FROM sh
-         |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20) ok
+         |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= greatest(20, (SELECT count(*) FROM toks) // 100)) ok
          |    ON sh.s = ok.s),
          |sizes AS (SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS sz
          |          FROM capped GROUP BY 1),
@@ -2977,7 +2998,7 @@ object SparkEntry {
       s"""${P.replaceFirst("^WITH ", "WITH RECURSIVE ")},
          |$shinglesCte,
          |capped AS (SELECT sh.* FROM sh
-         |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= 20) ok
+         |  JOIN (SELECT s FROM sh GROUP BY s HAVING count(*) <= greatest(20, (SELECT count(*) FROM toks) // 100)) ok
          |    ON sh.s = ok.s),
          |sizes AS (SELECT doc_id AS doc, CAST(count(*) AS BIGINT) AS sz
          |          FROM capped GROUP BY 1),

@@ -169,7 +169,14 @@ object TableChecks {
     *
     * Returns one row: (statistic, dof, n_a, n_b). Uses the standard
     * two-sample chi-square: sum over cells of (K1*R_b - K2*R_a)^2 /
-    * (R_a+R_b), K1=sqrt(N_b/N_a), K2=sqrt(N_a/N_b). */
+    * (R_a+R_b), K1=sqrt(N_b/N_a), K2=sqrt(N_a/N_b).
+    *
+    * FULLY DISTRIBUTIVE: totals (N_a, N_b, cell count) come from a first
+    * 1-row aggregation, broadcast back onto the cell table as constants,
+    * and the per-cell statistic then SUMS through ordinary partial+final
+    * aggregation — per-group state is a handful of scalars, so a
+    * high-cardinality category column streams through instead of packing
+    * every cell into one collect_list buffer. */
   def chiSquare(a: DataFrame, b: DataFrame, col: String): DataFrame = {
     val fa = a.groupBy(F.col(col)).agg(F.count(F.lit(1)).as("cnt_a"))
     val fb = b.groupBy(F.col(col)).agg(F.count(F.lit(1)).as("cnt_b"))
@@ -177,22 +184,19 @@ object TableChecks {
       .select(F.col(col),
         F.coalesce(F.col("cnt_a"), F.lit(0L)).as("ra"),
         F.coalesce(F.col("cnt_b"), F.lit(0L)).as("rb"))
-    joined.agg(
+    val totals = joined.agg(
       F.sum("ra").as("n_a"), F.sum("rb").as("n_b"),
-      F.count(F.lit(1)).as("cells"),
-      F.collect_list(F.struct(F.col("ra"), F.col("rb"))).as("cells_data"))
-      .select(
-        F.aggregate(F.col("cells_data"), F.lit(0.0),
-          (acc, cell) => {
-            val ra = cell.getField("ra").cast(DoubleType)
-            val rb = cell.getField("rb").cast(DoubleType)
-            val k1 = F.sqrt(F.col("n_b").cast(DoubleType) / F.col("n_a"))
-            val k2 = F.sqrt(F.col("n_a").cast(DoubleType) / F.col("n_b"))
-            acc + F.pow(k1 * ra - k2 * rb, 2.0) / (ra + rb)
-          }).as("statistic"),
-        (F.col("cells") - 1).cast(LongType).as("dof"),
-        F.col("n_a").cast(LongType).as("n_a"),
-        F.col("n_b").cast(LongType).as("n_b"))
+      F.count(F.lit(1)).as("cells"))
+    val ra = F.col("ra").cast(DoubleType)
+    val rb = F.col("rb").cast(DoubleType)
+    val k1 = F.sqrt(F.col("n_b").cast(DoubleType) / F.col("n_a"))
+    val k2 = F.sqrt(F.col("n_a").cast(DoubleType) / F.col("n_b"))
+    joined.crossJoin(F.broadcast(totals))
+      .agg(
+        F.sum(F.pow(k1 * ra - k2 * rb, 2.0) / (ra + rb)).as("statistic"),
+        (F.max("cells") - 1).cast(LongType).as("dof"),
+        F.max("n_a").cast(LongType).as("n_a"),
+        F.max("n_b").cast(LongType).as("n_b"))
   }
 
   /** EXACT two-sample KS: group by value, order, running CDFs, max diff.

@@ -336,10 +336,15 @@ object Dedup {
     // per-doc sorted 60-bit shingle-hash sets from the ShingleH60Set
     // kernel (bit-identical to md5 of the shingle strings; collision odds
     // 2^-60-scale — the DuckDB oracle counts the strings themselves).
-    // No per-(doc,shingle) shuffle: the hot-shingle set is tiny by
-    // construction, broadcast, and removed with array_except (order of
-    // the sorted left operand is preserved). Intersections are
-    // array_intersect on the candidate pair rows: shingles never join.
+    // Hot shingles (document frequency > maxShingleDf) are removed with an
+    // EXPLODED ANTI-JOIN, not a broadcast array: at web scale the hot set
+    // itself grows with the corpus, so materializing it into one
+    // collect_list row would be the last content-growing aggregation
+    // buffer in the engine. The anti-join keeps the hot set distributed;
+    // the per-doc re-collect is bounded by THAT DOCUMENT's own shingle
+    // count (the same bound the kernel output already has), never by
+    // corpus content. Intersections are array_intersect on the candidate
+    // pair rows: shingle rows never join against each other.
     val hs60 = df.select(F.col(id).as("doc"),
       mallispark.expressions.ShingleH60Set(F.col(text), n).as("hs0"))
       .where(F.size(F.col("hs0")) > 0)
@@ -347,14 +352,16 @@ object Dedup {
       if (maxShingleDf <= 0)
         hs60.select(F.col("doc"), F.col("hs0").as("hs"))
       else {
-        val hot = hs60.select(F.explode(F.col("hs0")).as("h"))
-          .groupBy("h").agg(F.count(F.lit(1)).as("df"))
+        val exploded = hs60.select(F.col("doc"), F.explode(F.col("hs0")).as("h"))
+        val hot = exploded.groupBy("h").agg(F.count(F.lit(1)).as("df"))
           .where(F.col("df") > maxShingleDf)
-          .agg(F.collect_list(F.col("h")).as("hot_arr"))
-        hs60.crossJoin(F.broadcast(hot))
-          .select(F.col("doc"),
-            F.array_except(F.col("hs0"), F.col("hot_arr")).as("hs"))
-          .where(F.size(F.col("hs")) > 0)
+          .select("h")
+        // sort_array restores the kernel's ascending set order (collect
+        // order after a shuffle is nondeterministic); docs whose every
+        // shingle is hot simply vanish, matching the old size(hs)>0 filter
+        exploded.join(hot, Seq("h"), "left_anti")
+          .groupBy("doc")
+          .agg(F.sort_array(F.collect_list(F.col("h"))).as("hs"))
       }
     val pairs = cand
       .join(docsets.select(F.col("doc").as("id_a"), F.col("hs").as("hs_a")),

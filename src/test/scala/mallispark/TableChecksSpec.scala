@@ -87,6 +87,24 @@ class TableChecksSpec extends SparkSuite {
     assert(statShift > 50.0) // massive shift
   }
 
+  test("chiSquare streams a 10^6-category column (distributive state)") {
+    // one distinct category per row: the pre-round-6 implementation
+    // packed all 10^6 cells into a single collect_list buffer; the
+    // distributive form sums per-cell statistics through ordinary
+    // partial+final aggregation, so this must complete with exact output
+    val n = 1000000L
+    val a = spark.range(n)
+      .select(F.concat(F.lit("c"), F.col("id")).as("v"))
+    val b = spark.range(n / 2, n + n / 2)
+      .select(F.concat(F.lit("c"), F.col("id")).as("v"))
+    val r = TableChecks.chiSquare(a, b, "v").collect()(0)
+    // identical halves contribute 0; each disjoint cell contributes
+    // (1*1 - 0)^2/1 = 1 (k1=k2=1 since n_a=n_b) → statistic = 10^6
+    assert(math.abs(r.getDouble(0) - n.toDouble) < 1e-6)
+    assert(r.getLong(1) === (n + n / 2 - 1)) // dof = cells-1
+    assert(r.getLong(2) === n && r.getLong(3) === n)
+  }
+
   test("ksExact matches a driver-side reference KS on seeded random samples") {
     val rnd = new scala.util.Random(20260817L)
     val schema = StructType(Seq(

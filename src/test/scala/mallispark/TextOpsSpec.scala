@@ -303,6 +303,30 @@ class TextOpsSpec extends SparkSuite {
     assert(small.getSeq[Long](2) === Seq(1000001L, 1000002L))
   }
 
+  test("adversarial vocab at maxShingleDf=1: hot removal stays per-doc bounded") {
+    // 2000 docs in 1000 identical pairs (doc 2j ≡ doc 2j+1): at df cap 1
+    // EVERY shingle in the corpus is hot (df ≥ 2), so the hot set is the
+    // whole ~3000-entry vocabulary — the shape that made the old
+    // single-row collect_list broadcast grow with corpus content. The
+    // exploded anti-join must drop them all: every doc's set empties,
+    // all 1000 dup pairs vanish, and the job completes with per-doc
+    // bounded aggregation state. Uncapped, the same corpus yields
+    // exactly the 1000 identical pairs.
+    val docs = spark.range(2000)
+      .select(F.col("id"),
+        F.concat(F.lit("common common u"), F.floor(F.col("id") / 2),
+          F.lit(" v"), F.floor(F.col("id") / 2),
+          F.lit(" w"), F.floor(F.col("id") / 2)).as("text"))
+    val capped = Dedup.ngramJaccardWithinBuckets(docs.toDF(), "id", "text",
+      n = 2, threshold = 0.5, k = 8, bands = 4, maxShingleDf = 1)
+    assert(capped.count() === 0)
+    val open = Dedup.ngramJaccardWithinBuckets(docs.toDF(), "id", "text",
+      n = 2, threshold = 0.5, k = 8, bands = 4, maxShingleDf = 0)
+    val pairs = open.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === (0L until 1000L).map(j => (2 * j, 2 * j + 1)).toSet)
+  }
+
   test("hot-bucket cap: oversized LSH buckets are skipped, not expanded") {
     // 50 identical ≥n-token docs → every band bucket holds all 50 ids
     val many = spark.range(50).select(F.col("id"),

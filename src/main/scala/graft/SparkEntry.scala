@@ -5,6 +5,7 @@ import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 import mallispark.ir.S
 import mallispark.ir.SchemaIR
+import mallispark.ir.SchemaIR.ValidateErr
 import mallispark.compile.{SchemaCompiler, Transform}
 import mallispark.checks.TableChecks
 import mallispark.run.{NestedDocs, SnapshotTable, ValidationJob, WebPages}
@@ -532,6 +533,32 @@ object SparkEntry {
           t(s, dir, "documents").select("doc_id", "n_chars"), Seq("doc_id"))
         .select("doc_id", "schema_path", "error_key")
         .orderBy("doc_id")
+    }),
+
+    // ---- :validate — error-RETURNING fn (experimental/validate.cljc):
+    //      each returned error carries its own type and in-suffix; one
+    //      call can emit several errors (notaurl rows whose doc number
+    //      is divisible by 3 produce BOTH) ----
+    "v_validate_violations" -> ((s, dir) => {
+      val urlChecks = S.validate(":url/checks") { x =>
+        val u = String.valueOf(x)
+        val scheme =
+          if (!u.startsWith("http"))
+            Seq(ValidateErr(Seq("scheme"), ":url/no-scheme", u))
+          else Nil
+        val digits = u.reverse.takeWhile(_.isDigit).reverse
+        val unlucky =
+          if (digits.nonEmpty && digits.toLong % 3 == 0)
+            Seq(ValidateErr(Seq("doc"), ":url/unlucky", digits))
+          else Nil
+        scheme ++ unlucky
+      }
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("url", urlChecks))
+      SchemaCompiler.violationsDF(sch,
+          pages(s, dir).select("doc_id", "url"), Seq("doc_id"))
+        .select("doc_id", "schema_path", "in_path", "error_key", "value")
+        .orderBy("doc_id", "in_path")
     }),
 
     // ---- composite explain paths (:and/:or branch indices,
@@ -2867,6 +2894,19 @@ object SparkEntry {
     "v_custom_violations" ->
       """SELECT doc_id, 'n_chars' AS schema_path, ':user/even' AS error_key
         |FROM documents WHERE n_chars % 2 = 1 ORDER BY doc_id""".stripMargin,
+
+    "v_validate_violations" ->
+      s"""$P
+         |SELECT * FROM (
+         |  SELECT doc_id, 'url' AS schema_path, 'url/scheme' AS in_path,
+         |         ':url/no-scheme' AS error_key, url AS value
+         |  FROM pages WHERE url NOT LIKE 'http%'
+         |  UNION ALL
+         |  SELECT doc_id, 'url', 'url/doc', ':url/unlucky',
+         |         regexp_extract(url, '([0-9]+)$$', 1)
+         |  FROM pages
+         |  WHERE CAST(regexp_extract(url, '([0-9]+)$$', 1) AS BIGINT) % 3 = 0)
+         |ORDER BY doc_id, in_path""".stripMargin,
 
     "sample_stratified" ->
       s"""SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled FROM documents

@@ -130,6 +130,7 @@ object SchemaCompiler {
     case SCompare(_, v) => litType(v)
     case _: SFn => StringType
     case _: SCustom => StringType
+    case _: SValidate => StringType
     case SMaybe(c) => dataTypeOf(c)
     case SAnd(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
     case SOr(cs) => cs.headOption.map(dataTypeOf).getOrElse(StringType)
@@ -439,6 +440,17 @@ object SchemaCompiler {
         // codegen path: the Column builder runs inline (coalesce keeps the
         // never-null contract when the pred null-propagates)
         F.coalesce(p(col, dt), F.lit(false))
+
+      case SValidate(_, f) =>
+        // :validate escape hatch — valid iff the error fn returns nothing
+        // (experimental/validate.cljc:28, -safe-pred over nil?∘f);
+        // a LOST fn (deserialized schema) fails fast, not safe-false
+        val safe = F.udf((v: Any) =>
+          try f(v).isEmpty catch {
+            case e: SchemaIR.LostFnException => throw e
+            case _: Throwable => false
+          })
+        safe(col)
 
       case SMaybe(c) => col.isNull || valid(c, col, dt)
       case SAnd(cs) => cs.map(valid(_, col, dt)).reduce(_ && _)
@@ -755,6 +767,32 @@ object SchemaCompiler {
       case SCompare(op, _) => leaf(s":$op")
       case SFn(name, _) => leaf(s":fn/$name")
       case SCustom(name, _, _) => leaf(name)
+
+      case SValidate(_, f) =>
+        // errors come from the fn itself (validate.cljc:31-37): each
+        // returned error carries its own error type and in-path SUFFIX,
+        // spliced after the enclosing in; an explainer exception degrades
+        // to one ":validate/error" row (the reference conj's an error
+        // typed (:type (ex-data e))). Violation-struct fields are
+        // coalesced to literals — violArrType's NOT NULL fields reject
+        // bare nullable refs.
+        val errsUdf = F.udf((v: Any) =>
+          try f(v).map(e => (e.in.mkString("/"), e.errType, e.value))
+          catch {
+            case e: SchemaIR.LostFnException => throw e
+            case _: Throwable =>
+              Seq(("", ":validate/error", String.valueOf(v)))
+          })
+        F.transform(errsUdf(col), e => F.struct(
+          F.lit(path).as("path"),
+          F.coalesce(
+            F.when(F.coalesce(F.length(e.getField("_1")), F.lit(0)) === 0,
+                F.coalesce(in, F.lit("")))
+              .otherwise(jin(F.coalesce(in, F.lit("")), e.getField("_1"))),
+            F.lit("")).as("in"),
+          F.coalesce(e.getField("_2"), F.lit(":validate/error"))
+            .as("error_key"),
+          e.getField("_3").as("value"))).cast(violArrType)
 
       case SMaybe(c) =>
         F.when(col.isNull, emptyViols)

@@ -148,6 +148,11 @@ object RowEval {
       }
     case SFn(_, f) => try f(v) catch { case _: Throwable => false }
     case SCustom(_, _, rp) => try rp(v) catch { case _: Throwable => false }
+    case SValidate(_, f) =>
+      try f(v).isEmpty catch {
+        case e: SchemaIR.LostFnException => throw e
+        case _: Throwable => false
+      }
     case SMaybe(c) => v == null || validate(c, v)
     case SAnd(cs) => cs.forall(validate(_, v))
     case SOr(cs) => cs.exists(validate(_, v))
@@ -608,6 +613,16 @@ object RowEval {
       case SOpt(c) => regexCollExplain(c, v, None, Some(1), path, in)
       case SRepeat(c, mn, mx) =>
         regexCollExplain(c, v, Some(mn), Some(mx), path, in)
+      // :validate splices each fn-returned error (type + in-suffix);
+      // exception → one ":validate/error" row (validate.cljc:31-37)
+      case SValidate(_, f) =>
+        try f(v).toVector.map(e =>
+          Err(path, in ++ e.in, e.errType, e.value))
+        catch {
+          case e: SchemaIR.LostFnException => throw e
+          case _: Throwable =>
+            Vector(Err(path, in, ":validate/error", v))
+        }
       case leaf =>
         if (validate(leaf, v)) Vector.empty
         else Vector(Err(path, in, leafKey(leaf), v))
@@ -691,6 +706,7 @@ object RowEval {
     case SCompare(op, _) => s":$op"
     case SFn(n, _) => s":fn/$n"
     case SCustom(n, _, _) => n
+    case SValidate(n, _) => s":validate/$n"
     case other => SchemaIR.form(other)
   }
 

@@ -142,6 +142,7 @@ object Describe {
       s"$body $inner"
     case SFn(_, _) => "function"
     case SCustom(name, _, _) => name // extension: custom leaf by name
+    case SValidate(_, _) => "function" // error-returning predicate
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
       go(mallispark.ir.SchemaOps.expand(alg)) // deref like :merge/:union
     case other => SchemaIR.form(other) // never silently empty

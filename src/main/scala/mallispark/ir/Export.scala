@@ -65,6 +65,7 @@ object Export {
         "value" -> obj("t" -> esc(defaultTag(v)), "v" -> esc(v.toString)))
     case SFn(n, _) => obj("type" -> esc("fn"), "name" -> esc(n))
     case SCustom(n, _, _) => obj("type" -> esc("custom"), "name" -> esc(n))
+    case SValidate(n, _) => obj("type" -> esc("validate"), "name" -> esc(n))
     case SMaybe(c) => obj("type" -> esc("maybe"), "child" -> toJson(c))
     case SNot(c) => obj("type" -> esc("not"), "child" -> toJson(c))
     case SAnd(cs) => obj("type" -> esc("and"), "children" -> arr(cs.map(toJson)))
@@ -264,6 +265,14 @@ object Export {
           s"custom schema '$nm' was deserialized without its validator — " +
             "re-register the custom type before compiling this schema")
         SCustom(nm, (_, _) => lost, _ => lost)
+      case "validate" =>
+        // same fail-fast contract as "custom": a `_ => Nil` rebuild would
+        // silently validate everything
+        val vn = m("name").toString
+        def vlost: Nothing = throw new SchemaIR.LostFnException(
+          s"validate schema '$vn' was deserialized without its error fn — " +
+            "re-register the :validate fn before compiling this schema")
+        SValidate(vn, _ => vlost)
       case "maybe" => SMaybe(child)
       case "not" => SNot(child)
       case "and" => SAnd(children)
@@ -500,6 +509,14 @@ object Export {
         case ":fn" => SFn(rest.headOption.map {
           case Sym(s) => s; case SStr(s) => s; case o => o.toString
         }.getOrElse("fn"), _ => true)
+        case ":validate" =>
+          val vn = rest.headOption.map {
+            case Sym(s) => s; case SStr(s) => s; case o => o.toString
+          }.getOrElse("validate")
+          def vlost: Nothing = throw new SchemaIR.LostFnException(
+            s"validate schema '$vn' was parsed without its error fn — " +
+              "re-register the :validate fn before compiling this schema")
+          SValidate(vn, _ => vlost)
         case ":maybe" => SMaybe(child)
         case ":not" => SNot(child)
         case ":and" => SAnd(children)

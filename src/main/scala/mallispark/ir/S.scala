@@ -89,6 +89,8 @@ object S {
   def neq(v: Any): SchemaIR = SCompare("not=", v)
 
   def fn(name: String)(f: Any => Boolean): SchemaIR = SFn(name, f)
+  def validate(name: String)(f: Any => Seq[ValidateErr]): SchemaIR =
+    SValidate(name, f)
 
   def maybe(c: SchemaIR): SchemaIR = SMaybe(c)
   def and(cs: SchemaIR*): SchemaIR = SAnd(cs)

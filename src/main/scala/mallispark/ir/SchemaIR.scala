@@ -18,6 +18,14 @@ sealed trait SchemaIR extends Serializable
 
 object SchemaIR {
 
+  /** Thrown when a deserialized function-carrying schema (`:custom`,
+    * `:validate`) is evaluated without its function having been
+    * re-registered. Deliberately NOT swallowed by the -safe-pred
+    * exception→invalid rule: a lost fn must fail fast, never silently
+    * reject (or accept) every value. */
+  final class LostFnException(msg: String)
+    extends IllegalArgumentException(msg)
+
   // ---- leaves ------------------------------------------------------------
 
   /** `:any` — always valid (core.cljc:821). */
@@ -115,6 +123,28 @@ object SchemaIR {
                              org.apache.spark.sql.types.DataType) =>
                              org.apache.spark.sql.Column,
                            rowPred: Any => Boolean) extends SchemaIR
+
+  /** One custom error returned by a `:validate` function: `in` is the
+    * value-path SUFFIX relative to the validated value (spliced after the
+    * enclosing in-path), `errType` the error keyword driving humanize
+    * lookup, `value` the offending sub-value already rendered to its
+    * violation-row string form. */
+  final case class ValidateErr(in: Seq[String], errType: String,
+                               value: String)
+
+  /** `:validate` — experimental error-RETURNING predicate
+    * (experimental/validate.cljc:9-59): `f` returns Nil for a valid value
+    * or the list of custom errors, each contributing its own error type
+    * and in-path suffix to explain output (validate_test.cljc:7-107).
+    * Validator = `f(v).isEmpty` under -safe-pred semantics (exception →
+    * invalid); an explainer exception yields ONE error keyed
+    * ":validate/error" (the reference splices `(:type (ex-data e))`,
+    * nil for plain exceptions — humanize renders "unknown error" either
+    * way). Like `SFn` the function is opaque (non-codegen UDF) and does
+    * not serialize — Export carries `name` only and deserialization
+    * fails fast like `SCustom`. */
+  final case class SValidate(name: String,
+                             f: Any => Seq[ValidateErr]) extends SchemaIR
 
   // ---- combinators -------------------------------------------------------
 
@@ -431,6 +461,7 @@ object SchemaIR {
     case SCompare(op, v) => s"[:$op ${lit(v)}]"
     case SFn(n, _) => s"[:fn $n]"
     case SCustom(n, _, _) => s"[:custom $n]"
+    case SValidate(n, _) => s"[:validate $n]"
     case SMaybe(c) => s"[:maybe ${form(c)}]"
     case SAnd(cs) => cs.map(form).mkString("[:and ", " ", "]")
     case SOr(cs) => cs.map(form).mkString("[:or ", " ", "]")

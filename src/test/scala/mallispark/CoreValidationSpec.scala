@@ -438,6 +438,58 @@ class CoreValidationSpec extends SparkSuite {
     assert(!out.queryExecution.executedPlan.toString.contains("ScalaUDF"))
   }
 
+  test(":validate — error-returning fn (experimental/validate.cljc:9-59)") {
+    // simple case (validate_test.cljc:8-23): fn returns Nil or errors
+    def evenErrs(x: Any): Seq[ValidateErr] = x match {
+      case n: Long if n % 2 == 0 => Nil
+      case n: Long => Seq(ValidateErr(Nil, ":not-even", n.toString))
+      case other => Seq(ValidateErr(Nil, ":not-int", String.valueOf(other)))
+    }
+    check(S.validate(":user/even")(evenErrs), LongType, Seq(
+      (4L, true, Set.empty),
+      (3L, false, Set(("", "", ":not-even")))))
+
+    // nested paths (validate_test.cljc:25-78): each returned error
+    // splices its own in-suffix after the enclosing in; multiple errors
+    // from one fn call all surface
+    def bothEven(x: Any): Seq[ValidateErr] = x match {
+      case r: Row => Seq(("a", 0), ("b", 1)).flatMap { case (k, i) =>
+        if (r.isNullAt(i) || r.getLong(i) % 2 != 0)
+          Seq(ValidateErr(Seq(k), ":not-even",
+            if (r.isNullAt(i)) "null" else r.getLong(i).toString))
+        else Nil
+      }
+      case other => Seq(ValidateErr(Nil, ":not-map", String.valueOf(other)))
+    }
+    val schema = S.map("value" -> S.validate(":user/both-even")(bothEven))
+    val dt = StructType(Seq(StructField("value", StructType(Seq(
+      StructField("a", LongType), StructField("b", LongType))))))
+    check(schema, dt, Seq(
+      (Row(Row(2L, 4L)), true, Set.empty),
+      (Row(Row(3L, 4L)), false, Set(("value", "value/a", ":not-even"))),
+      (Row(Row(2L, 3L)), false, Set(("value", "value/b", ":not-even"))),
+      (Row(Row(3L, 3L)), false, Set(("value", "value/a", ":not-even"),
+        ("value", "value/b", ":not-even")))))
+
+    // -safe-pred: a throwing fn is invalid with one ":validate/error" row
+    val boom = S.validate(":user/boom")(_ => throw new RuntimeException("x"))
+    check(boom, LongType, Seq((1L, false, Set(("", "", ":validate/error")))))
+
+    // humanize (validate_test.cljc:80-107): custom types are "unknown
+    // error" by default, overridable through the message lookup chain
+    assert(mallispark.msg.Messages.message(":not-even") === "unknown error")
+    assert(mallispark.msg.Messages.message(":not-even",
+      Map(":not-even" -> "a can not be!")) === "a can not be!")
+
+    // form + export round-trip carries the name; deserialization without
+    // the fn fails FAST at eval (same contract as :custom)
+    val even = S.validate(":user/even")(evenErrs)
+    assert(SchemaIR.form(even) === "[:validate :user/even]")
+    val back = mallispark.ir.Export.fromJson(mallispark.ir.Export.toJson(even))
+    assert(SchemaIR.form(back) === "[:validate :user/even]")
+    intercept[IllegalArgumentException] { RowEval.validate(back, 4L) }
+  }
+
   test("time edge semantics: unparseable offsets are FALSE, fractional local-time") {
     implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
     import scala.jdk.CollectionConverters._

@@ -384,15 +384,20 @@ object SparkEntry {
     "snapshot_table_diff" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("mallispark_snaptab_").toString
-      val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
-      val s1 = SnapshotTable.commit(
-        docs.where(F.col("doc_id") % 3 =!= 0), tmp)
-      val curr = docs.withColumn("text",
-        F.when(F.col("doc_id") % 7 === 0,
-          F.concat(F.col("text"), F.lit("~v2"))).otherwise(F.col("text")))
-      val s2 = SnapshotTable.commit(curr, tmp, SnapshotTable.Overwrite)
-      SnapshotTable.diff(s, tmp, s1, s2, "doc_id", F.col("text"))
-        .orderBy("doc_id")
+      try {
+        val docs = t(s, dir, "documents").select("doc_id", "text", "lang")
+        val s1 = SnapshotTable.commit(
+          docs.where(F.col("doc_id") % 3 =!= 0), tmp)
+        val curr = docs.withColumn("text",
+          F.when(F.col("doc_id") % 7 === 0,
+            F.concat(F.col("text"), F.lit("~v2"))).otherwise(F.col("text")))
+        val s2 = SnapshotTable.commit(curr, tmp, SnapshotTable.Overwrite)
+        val d = SnapshotTable.diff(s, tmp, s1, s2, "doc_id", F.col("text"))
+          .orderBy("doc_id")
+        // materialize before deleting the table dir the plan reads from
+        val rows = d.collect().toIndexedSeq
+        s.createDataFrame(s.sparkContext.parallelize(rows, 1), d.schema)
+      } finally deleteRecursively(tmp)
     }),
 
     // ---- per-commit lineage + metrics manifest (parent id, mode, rows
@@ -401,13 +406,16 @@ object SparkEntry {
     "snapshot_table_lineage" -> ((s, dir) => {
       val tmp = java.nio.file.Files
         .createTempDirectory("mallispark_snaplin_").toString
-      val docs = t(s, dir, "documents").select("doc_id", "text")
-      SnapshotTable.commit(docs.where(F.col("doc_id") % 3 =!= 0), tmp)
-      SnapshotTable.commit(docs.where(F.col("doc_id") % 3 === 0), tmp)
-      SnapshotTable.lineage(s, tmp)
-        .select(F.col("snapshot_id"), F.col("parent_id"), F.col("mode"),
-          F.col("rows_added"), F.col("total_rows"))
-        .orderBy("snapshot_id")
+      try {
+        val docs = t(s, dir, "documents").select("doc_id", "text")
+        SnapshotTable.commit(docs.where(F.col("doc_id") % 3 =!= 0), tmp)
+        SnapshotTable.commit(docs.where(F.col("doc_id") % 3 === 0), tmp)
+        // lineage is driver-built (manifests only) — safe to delete after
+        SnapshotTable.lineage(s, tmp)
+          .select(F.col("snapshot_id"), F.col("parent_id"), F.col("mode"),
+            F.col("rows_added"), F.col("total_rows"))
+          .orderBy("snapshot_id")
+      } finally deleteRecursively(tmp)
     }),
 
     // ---- collection / nested validation (vector/set/tuple/map-of) ----

@@ -23,7 +23,7 @@ case class BoundedStringSet(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[String]]
+  extends TypedImperativeAggregate[java.util.TreeSet[UTF8String]]
   with UnaryLike[Expression] {
 
   require(k > 0, "bounded_string_set needs k > 0")
@@ -38,44 +38,47 @@ case class BoundedStringSet(
   override def nullable: Boolean = false
   override def prettyName: String = "bounded_string_set"
 
-  override def createAggregationBuffer(): java.util.TreeSet[String] =
-    new java.util.TreeSet[String]()
+  override def createAggregationBuffer(): java.util.TreeSet[UTF8String] =
+    new java.util.TreeSet[UTF8String]()
 
-  private def insert(buf: java.util.TreeSet[String], v: String): Unit =
+  // caller must pass an OWNED UTF8String (update clones — values read
+  // off an InternalRow alias a reused unsafe buffer)
+  private def insert(buf: java.util.TreeSet[UTF8String],
+                     v: UTF8String): Unit =
     if (buf.size < k) { buf.add(v); () }
     else if (v.compareTo(buf.last) < 0) {
       if (buf.add(v)) buf.pollLast()
       ()
     }
 
-  override def update(buf: java.util.TreeSet[String],
-                      input: InternalRow): java.util.TreeSet[String] = {
+  override def update(buf: java.util.TreeSet[UTF8String],
+                      input: InternalRow): java.util.TreeSet[UTF8String] = {
     val v = child.eval(input)
-    if (v != null) insert(buf, v.asInstanceOf[UTF8String].toString)
+    if (v != null) insert(buf, v.asInstanceOf[UTF8String].clone())
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[String],
-                     other: java.util.TreeSet[String]): java.util.TreeSet[String] = {
+  override def merge(buf: java.util.TreeSet[UTF8String],
+                     other: java.util.TreeSet[UTF8String]): java.util.TreeSet[UTF8String] = {
     other.forEach(v => insert(buf, v))
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[String]): Any = {
+  override def eval(buf: java.util.TreeSet[UTF8String]): Any = {
     val out = new Array[Any](buf.size)
     var i = 0
-    buf.forEach { v => out(i) = UTF8String.fromString(v); i += 1 }
+    buf.forEach { v => out(i) = v; i += 1 }
     new GenericArrayData(out)
   }
 
   // length-prefixed UTF-8 (NOT writeUTF — that caps strings at 64 KB,
   // and an enum-candidate column's values can be arbitrary documents)
-  override def serialize(buf: java.util.TreeSet[String]): Array[Byte] = {
+  override def serialize(buf: java.util.TreeSet[UTF8String]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(bos)
     out.writeInt(buf.size)
     buf.forEach { v =>
-      val b = v.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = v.getBytes
       out.writeInt(b.length)
       out.write(b)
     }
@@ -83,16 +86,16 @@ case class BoundedStringSet(
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[String] = {
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[UTF8String] = {
     val in = new java.io.DataInputStream(
       new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
-    val s = new java.util.TreeSet[String]()
+    val s = new java.util.TreeSet[UTF8String]()
     var i = 0
     while (i < n) {
       val b = new Array[Byte](in.readInt())
       in.readFully(b)
-      s.add(new String(b, java.nio.charset.StandardCharsets.UTF_8))
+      s.add(UTF8String.fromBytes(b))
       i += 1
     }
     s

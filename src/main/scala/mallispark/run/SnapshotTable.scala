@@ -23,9 +23,13 @@ import org.apache.spark.sql.{functions => F}
   * A manifest is the COMPLETE file listing visible at that snapshot plus
   * lineage (parent id, commit mode, rows added, total rows) — reading a
   * snapshot never lists the data directory, so readers are isolated from
-  * in-flight writers exactly like Iceberg's metadata-tree reads. Commits
-  * are atomic via write-temp + rename; the current snapshot is the
-  * highest manifest id (a production implementation would swap a catalog
+  * in-flight writers exactly like Iceberg's metadata-tree reads: a
+  * manifest file EXISTS only once its snapshot is fully published
+  * (in-flight commits hold a `snap-N.claim` sidecar instead), so
+  * `currentSnapshotId` always resolves to the last committed snapshot
+  * even while a writer is mid-commit or after one crashed. Commits are
+  * atomic via write-temp + rename; the current snapshot is the highest
+  * manifest id (a production implementation would swap a catalog
   * pointer instead — same protocol, different atom).
   *
   * Scale: the manifest holds file PATHS only (one line per file — a
@@ -52,61 +56,108 @@ object SnapshotTable {
     * disk for time travel, like Iceberg until expiry).
     *
     * Concurrency: the snapshot id is CLAIMED up front by atomically
-    * creating the manifest file (create-fails-if-exists) BEFORE any
-    * data is written, so a racing committer gets an
+    * creating a SIDECAR marker `snap-N.claim` (create-fails-if-exists)
+    * BEFORE any data is written, so a racing committer gets an
     * IllegalStateException instead of silently replacing the winner's
     * manifest or clobbering its data directory (Linux rename(2) — and
-    * therefore ATOMIC_MOVE — replaces silently). A production
-    * implementation swaps a catalog pointer with the same
-    * claim-then-publish protocol. */
+    * therefore ATOMIC_MOVE — replaces silently). Because the claim is a
+    * sidecar and NOT the manifest itself, readers and `lineage()` keep
+    * resolving the last PUBLISHED snapshot throughout — Iceberg-style
+    * reader isolation. The claim is removed after publish (and on a
+    * clean in-JVM failure); a hard-crashed commit leaves an orphaned
+    * claim that blocks only future commits of that id — recover with
+    * [[expireClaims]]. A production implementation swaps a catalog
+    * pointer with the same claim-then-publish protocol. */
   def commit(df: DataFrame, dir: String, mode: Mode = Append): Long = {
     val root = Paths.get(dir)
     Files.createDirectories(root)
     val parent = currentSnapshotId(dir)
     val id = parent.getOrElse(0L) + 1
     val manifestPath = root.resolve(f"snap-$id%06d.manifest")
-    try Files.createFile(manifestPath) // atomic id claim
+    val claimPath = root.resolve(f"snap-$id%06d.claim")
+    try Files.createFile(claimPath) // atomic id claim (sidecar, not manifest)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
         throw new IllegalStateException(
-          s"concurrent commit: snapshot $id already claimed in $dir")
+          s"concurrent commit: snapshot $id already claimed in $dir " +
+            "(if the claimant crashed, recover with expireClaims)")
     }
-    val subdir = f"data/snap-$id%06d"
-    df.write.mode("overwrite").parquet(root.resolve(subdir).toString)
-    val newFiles = {
-      val st = Files.list(root.resolve(subdir))
-      try st.iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => s"$subdir/${p.getFileName}").toSeq.sorted
-      finally st.close()
+    try {
+      val subdir = f"data/snap-$id%06d"
+      df.write.mode("overwrite").parquet(root.resolve(subdir).toString)
+      val newFiles = {
+        val st = Files.list(root.resolve(subdir))
+        try st.iterator().asScala
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+          .map(p => s"$subdir/${p.getFileName}").toSeq.sorted
+        finally st.close()
+      }
+      // a production commit takes row counts from write metrics
+      // (BasicWriteJobStatsTracker); a footer-only read-back keeps this
+      // implementation dependency-free. An all-empty write may produce
+      // ZERO part files — the manifest's schema line keeps the snapshot
+      // readable as an empty frame.
+      val rowsAdded =
+        if (newFiles.isEmpty) 0L
+        else df.sparkSession.read.parquet(root.resolve(subdir).toString)
+          .count()
+      val (files, total) = mode match {
+        case Append =>
+          val p = parent.map(readManifest(dir, _))
+          (p.map(_.files).getOrElse(Seq.empty) ++ newFiles,
+            p.map(_.totalRows).getOrElse(0L) + rowsAdded)
+        case Overwrite => (newFiles, rowsAdded)
+      }
+      val manifest = (Seq(Header, s"id $id",
+        s"parent ${parent.map(_.toString).getOrElse("-")}",
+        s"mode ${mode.name}", s"rows_added $rowsAdded", s"total_rows $total",
+        s"schema ${df.schema.toDDL}",
+        s"files ${files.size}") ++ files).mkString("\n")
+      val tmp = root.resolve(f"snap-$id%06d.manifest.tmp")
+      Files.writeString(tmp, manifest)
+      // publish: the manifest appears fully-formed or not at all
+      Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE)
+      Files.deleteIfExists(claimPath)
+      id
+    } catch {
+      // clean in-JVM failure (analysis error, task abort): release the
+      // claim so the table is immediately committable again; only a hard
+      // crash leaves an orphan for expireClaims
+      case e: Throwable =>
+        if (!Files.exists(manifestPath)) Files.deleteIfExists(claimPath)
+        throw e
     }
-    // a production commit takes row counts from write metrics
-    // (BasicWriteJobStatsTracker); a footer-only read-back keeps this
-    // implementation dependency-free. An all-empty write may produce
-    // ZERO part files — the manifest's schema line keeps the snapshot
-    // readable as an empty frame.
-    val rowsAdded =
-      if (newFiles.isEmpty) 0L
-      else df.sparkSession.read.parquet(root.resolve(subdir).toString)
-        .count()
-    val (files, total) = mode match {
-      case Append =>
-        val p = parent.map(readManifest(dir, _))
-        (p.map(_.files).getOrElse(Seq.empty) ++ newFiles,
-          p.map(_.totalRows).getOrElse(0L) + rowsAdded)
-      case Overwrite => (newFiles, rowsAdded)
+  }
+
+  /** Remove orphaned claim sidecars — claims whose snapshot was published
+    * (stale leftovers) plus, when `olderThanMillis` has elapsed since the
+    * claim's mtime, claims from hard-crashed commits. Returns the ids
+    * whose claims were removed. The data directory of a crashed commit
+    * (if any) is left in place — it is unreachable (no manifest lists it)
+    * and the next commit of that id overwrites it. */
+  def expireClaims(dir: String, olderThanMillis: Long = 0L): Seq[Long] = {
+    val root = Paths.get(dir)
+    if (!Files.isDirectory(root)) Seq.empty
+    else {
+      val st = Files.list(root)
+      val claims =
+        try st.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("snap-") && n.endsWith(".claim")
+        }.toSeq
+        finally st.close()
+      val now = System.currentTimeMillis()
+      claims.flatMap { p =>
+        val id = p.getFileName.toString
+          .stripPrefix("snap-").stripSuffix(".claim").toLong
+        val published =
+          Files.exists(root.resolve(f"snap-$id%06d.manifest"))
+        val expired = now - Files.getLastModifiedTime(p).toMillis >=
+          olderThanMillis
+        if (published || expired) { Files.deleteIfExists(p); Some(id) }
+        else None
+      }.sorted
     }
-    val manifest = (Seq(Header, s"id $id",
-      s"parent ${parent.map(_.toString).getOrElse("-")}",
-      s"mode ${mode.name}", s"rows_added $rowsAdded", s"total_rows $total",
-      s"schema ${df.schema.toDDL}",
-      s"files ${files.size}") ++ files).mkString("\n")
-    val tmp = root.resolve(f"snap-$id%06d.manifest.tmp")
-    Files.writeString(tmp, manifest)
-    // publish over our own claimed placeholder
-    Files.move(tmp, manifestPath, StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
-    id
   }
 
   /** Highest committed snapshot id, if any. */

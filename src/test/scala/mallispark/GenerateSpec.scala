@@ -147,6 +147,22 @@ class GenerateSpec extends SparkSuite {
     // shrunk args still satisfy the INPUT schema
     assert(mallispark.eval.RowEval.validate(schS.input.head,
       cexS.get._1.head))
+    // non-BMP shrinking: candidates are CODE-POINT prefixes — never a
+    // split surrogate pair, and the code-point min is respected exactly
+    val supp = new String(Character.toChars(0x1F600)) // 😀, 2 code units
+    val start = supp * 8 // 8 code points, 16 code units
+    val schU = FnSchema(Seq(S.string(2, 40)), S.enum_(true))
+    val fU: Seq[Any] => Any = args => {
+      val s0 = args(0).asInstanceOf[String]
+      // a split surrogate pair would not survive a UTF-8 round-trip
+      require(new String(s0.getBytes("UTF-8"), "UTF-8") == s0,
+        "malformed candidate")
+      s0.codePointCount(0, s0.length) <= 2 // fails above 2 code points
+    }
+    val shrunk = FnSchemas.shrinkArgs(schU, fU, Seq(start))
+      .head.asInstanceOf[String]
+    assert(shrunk.codePointCount(0, shrunk.length) === 3) // local minimum
+    assert(shrunk === supp * 3) // well-formed pairs, no lone surrogates
   }
 
   test("optional fields actually vary (nulls present but not universal)") {

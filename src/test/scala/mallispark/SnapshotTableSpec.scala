@@ -138,19 +138,51 @@ class SnapshotTableSpec extends SparkSuite {
     assert(d === Set("removed"))
   }
 
-  test("an in-flight (claimed but unpublished) manifest fails fast") {
+  test("readers are isolated from in-flight and crashed commits") {
     val dir = freshDir()
     SnapshotTable.commit(spark.range(3).toDF("id"), dir)
-    // a concurrent committer's claim = an empty manifest for the next id
+    // a concurrent committer's claim = a SIDECAR marker for the next id
+    // (also what a hard-crashed commit leaves behind)
     java.nio.file.Files.createFile(
-      java.nio.file.Paths.get(dir).resolve("snap-000002.manifest"))
-    // readers and appenders see a CLEAR error (bad manifest), never a
-    // silent overwrite of the in-flight commit or corrupted lineage
-    intercept[IllegalArgumentException] {
-      SnapshotTable.read(spark, dir)
-    }
-    intercept[IllegalArgumentException] {
+      java.nio.file.Paths.get(dir).resolve("snap-000002.claim"))
+    // readers and lineage keep serving the last PUBLISHED snapshot —
+    // Iceberg-style isolation, never an error
+    assert(SnapshotTable.read(spark, dir).count() === 3L)
+    assert(SnapshotTable.lineage(spark, dir).count() === 1L)
+    // a racing committer of the claimed id fails fast, protecting the
+    // in-flight winner's data directory
+    intercept[IllegalStateException] {
       SnapshotTable.commit(spark.range(3).toDF("id"), dir)
     }
+    // recovery from a crashed claimant: expire the orphan, then commit
+    assert(SnapshotTable.expireClaims(dir) === Seq(2L))
+    val s2 = SnapshotTable.commit(spark.range(2).toDF("id"), dir)
+    assert(s2 === 2L)
+    assert(SnapshotTable.read(spark, dir).count() === 5L)
+    // a still-fresh claim survives a TTL'd expiry sweep
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(dir).resolve("snap-000003.claim"))
+    assert(SnapshotTable.expireClaims(dir, olderThanMillis = 60000L)
+      .isEmpty)
+    intercept[IllegalStateException] {
+      SnapshotTable.commit(spark.range(1).toDF("id"), dir)
+    }
+    assert(SnapshotTable.expireClaims(dir) === Seq(3L))
+  }
+
+  test("a failed commit releases its claim; a crashed publish does not " +
+      "wedge reads") {
+    val dir = freshDir()
+    SnapshotTable.commit(spark.range(3).toDF("id"), dir)
+    // an in-JVM write failure (ANSI overflow at execution time) must
+    // release the claim so the NEXT commit succeeds without manual expiry
+    intercept[Throwable] {
+      SnapshotTable.commit(
+        spark.range(3).toDF("id")
+          .selectExpr("CAST(id AS INT) + 2147483647 AS id"), dir)
+    }
+    val s2 = SnapshotTable.commit(spark.range(4).toDF("id"), dir)
+    assert(s2 === 2L)
+    assert(SnapshotTable.read(spark, dir).count() === 7L)
   }
 }

@@ -288,6 +288,24 @@ class TextOpsSpec extends SparkSuite {
     val all = rows.agg(BoundedStringSet(F.col("s"), 64).as("b"))
       .collect()(0).getSeq[String](0)
     assert(all === full)
+
+    // binary (UTF-8 byte) order, NOT UTF-16 code-unit order: U+FFFF is
+    // a 3-byte sequence (EF BF BF) and sorts BELOW supplementary-plane
+    // U+10000 (4-byte F0 90 80 80), while String.compareTo puts the
+    // surrogate pair 𐀀 (0xD800 < 0xFFFF) first. The k=1
+    // survivor must agree with Spark's own min() — and with DuckDB.
+    val bmp = "￿"            // U+FFFF
+    val supp = new String(Character.toChars(0x10000)) // U+10000
+    assert(bmp.compareTo(supp) > 0) // UTF-16 order would pick supp
+    val tricky = spark.createDataFrame(
+      Seq(Tuple1(bmp), Tuple1(supp))).toDF("s").repartition(2)
+    val one = tricky.agg(BoundedStringSet(F.col("s"), 1).as("b"),
+        F.min(F.col("s")).as("m")).collect()(0)
+    assert(one.getSeq[String](0) === Seq(one.getString(1)))
+    assert(one.getString(1) === bmp) // UTF-8 byte order
+    // both elements present and ascending in UTF-8 order at k=2
+    assert(tricky.agg(BoundedStringSet(F.col("s"), 2).as("b"))
+      .collect()(0).getSeq[String](0) === Seq(bmp, supp))
   }
 
   test("degenerate corpus: 100k-copy group emits bounded rows + true count") {

@@ -1,9 +1,10 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.{functions => F}
+import org.apache.spark.sql.types.{DoubleType, FloatType, LongType}
 import mallispark.run.WebPages
-import mallispark.text.Dedup
+import mallispark.text.{Dedup, Similarity}
 
 /** Scale diagnostic for the dedup family (not part of the driver
   * contract): synthesizes an N-doc corpus with a 5× exact-duplication
@@ -72,7 +73,37 @@ object DedupScale {
           threshold = 0.9, maxShingleDf = 1000),
         "id_a", "id_b").count())
 
-    println(f"""{"metric":"dedup_scale","docs":$n,"cpus":$cpus,"exact_sec":$tExact%.2f,"exact_groups":$nExact,"exact_docs_per_sec":${n / tExact}%.0f,"lsh_sec":$tLsh%.2f,"lsh_buckets":$nLsh,"lsh_docs_per_sec":${n / tLsh}%.0f,"cluster_sec":$tCluster%.2f,"clusters":$nCluster,"cluster_docs_per_sec":${n / tCluster}%.0f}""")
+    // ---- ANN families over N synthetic embeddings (64-dim float) ----
+    // Same 5× duplication shape: each group of 5 shares a base direction
+    // with a 1% per-member perturbation (pairwise cosine ≈ 0.9999 inside
+    // a group, ≈ 0 across groups). Hyperplane count scales with the
+    // corpus — planes ≈ log2(n) keeps expected bucket size O(1), so the
+    // random-collision candidate count n²/2^planes stays O(n); the
+    // in-group candidates are ~2n by construction. This is the knob a
+    // 100 TB deployment turns with corpus size, like maxShingleDf above.
+    val dims = 64
+    val gidE = F.floor(F.col("doc_id") / 5)
+    def u(seed: Column, j: Column) =
+      (F.pmod(F.xxhash64(seed, j), F.lit(2000L)).cast(DoubleType)
+        - 1000.0) / 1000.0
+    val vec = F.transform(F.sequence(F.lit(0), F.lit(dims - 1)), j =>
+      (u(gidE, j.cast(LongType))
+        + u(F.col("doc_id"), j.cast(LongType) + 1000000L) * 0.01)
+        .cast(FloatType))
+    val emb = base.select(F.col("doc_id").as("vec_id"), vec.as("embedding"))
+      .localCheckpoint(true)
+    val planes = (math.log(n.toDouble) / math.log(2.0)).ceil.toInt
+    val (tNear, nNear) = timed(() =>
+      Similarity.nearDupPairs(emb, "vec_id", "embedding",
+        threshold = 0.99, planes = planes, tables = 2, dims = dims).count())
+    val expectedPairs = (n / 5) * 10 // C(5,2) per group
+    val qs = emb.where(F.col("vec_id") < 100)
+      .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
+    val (tIvf, nIvf) = timed(() =>
+      Similarity.ivfTopK(emb, "vec_id", "embedding", qs, "query_id", "qe",
+        k = 10, nCentroids = 64, nprobe = 8, trainIters = 2).count())
+
+    println(f"""{"metric":"dedup_scale","docs":$n,"cpus":$cpus,"exact_sec":$tExact%.2f,"exact_groups":$nExact,"exact_docs_per_sec":${n / tExact}%.0f,"lsh_sec":$tLsh%.2f,"lsh_buckets":$nLsh,"lsh_docs_per_sec":${n / tLsh}%.0f,"cluster_sec":$tCluster%.2f,"clusters":$nCluster,"cluster_docs_per_sec":${n / tCluster}%.0f,"neardup_sec":$tNear%.2f,"neardup_pairs":$nNear,"neardup_pairs_expected":$expectedPairs,"neardup_planes":$planes,"neardup_docs_per_sec":${n / tNear}%.0f,"ivf_sec":$tIvf%.2f,"ivf_rows":$nIvf,"ivf_docs_per_sec":${n / tIvf}%.0f}""")
     spark.stop()
   }
 }

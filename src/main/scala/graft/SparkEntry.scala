@@ -1033,16 +1033,52 @@ object SparkEntry {
     }),
 
     // ---- humanized violations (error.cljc message table) ----
+    // ---- distributed humanize over the flagship schema: the message
+    //      lookup chain end-to-end (error.cljc:293-329) — a per-path
+    //      :error/message override (warc_ts) wins over the default
+    //      table, :string/:enum render the reference's SPLICED
+    //      :error/fn strings (bounds baked from the schema, value from
+    //      the row), the rest fall through to the defaults table ----
     "violations_humanized" -> ((s, dir) => {
       val viols = SchemaCompiler.violationsDF(WebPages.schema, pages(s, dir),
         Seq("doc_id", "url"))
-      val msgs = mallispark.msg.Messages.defaults.toSeq.sortBy(_._1)
-      val msgCol = msgs.foldRight(F.lit("unknown error")) {
-        case ((k, m), acc) =>
-          F.when(F.col("error_key") === k, F.lit(m)).otherwise(acc)
-      }
       viols.select(F.col("doc_id"), F.col("error_key"),
-        msgCol.as("message")).orderBy("doc_id", "error_key")
+          mallispark.msg.Messages.messageColumn(WebPages.schema,
+            pathOverrides =
+              Map("warc_ts" -> "capture time outside the crawl window"))
+            .as("message"))
+        .orderBy("doc_id", "error_key")
+    }),
+
+    // ---- byte-exact :error/fn splicing for the remaining reference
+    //      closures (error.cljc:47-55,145-172): comparator bounds,
+    //      tuple size actual+expected, collection ::m/limits, :int
+    //      range, := pr-str — all rendered inside codegen from
+    //      (schema_path, error_key, value) ----
+    "violations_spliced" -> ((s, dir) => {
+      val d = F.col("doc_id")
+      val base = t(s, dir, "documents").select(d,
+        F.when(d % 7 === 0, F.pmod(d, F.lit(800L)))
+          .otherwise(F.lit(801L) + F.pmod(d, F.lit(100L))).as("n"),
+        F.when(d % 5 === 0, F.array(F.col("lang"), F.lit("x"), F.lit("y")))
+          .otherwise(F.array(F.col("lang"), F.lit("x"))).as("pair"),
+        F.when(d % 11 === 0, F.sequence(F.lit(1L), F.lit(1L)))
+          .otherwise(F.when(d % 13 === 0, F.sequence(F.lit(1L), F.lit(5L)))
+            .otherwise(F.sequence(F.lit(1L), F.lit(3L)))).as("nums"),
+        F.when(d % 17 === 0, F.lit(5L))
+          .otherwise(F.when(d % 19 === 0, F.lit(95L)).otherwise(F.lit(50L)))
+          .as("score"),
+        F.when(d % 23 === 0, F.lit("bad")).otherwise(F.lit("ok")).as("flag"))
+      val sch = S.map(
+        "n" -> S.gt(800L),
+        "pair" -> S.tuple(S.string, S.string),
+        "nums" -> S.vector(S.int, min = Some(2), max = Some(4)),
+        "score" -> S.int(10L, 90L),
+        "flag" -> S.eq_("ok"))
+      SchemaCompiler.violationsDF(sch, base, Seq("doc_id"))
+        .select(F.col("doc_id"), F.col("schema_path"), F.col("error_key"),
+          mallispark.msg.Messages.messageColumn(sch).as("message"))
+        .orderBy("doc_id", "schema_path", "error_key")
     }),
 
     // ---- violation summary (explode -> aggregate) ----
@@ -1461,6 +1497,43 @@ object SparkEntry {
           F.array_join(F.col("tags"), ",").as("tags_s"), F.col("note"),
           F.col("ok"))
         .orderBy("row_id")
+    }),
+
+    // ---- generative function checking + shrinking (m/=> + mg/check +
+    //      test.check shrink): law `f(v) <= 100` over identity on
+    //      [:int {:min 0 :max 10000}]. Portable-RNG draws → the oracle
+    //      replays every generated argument in SQL, finds the FIRST
+    //      counterexample in generation order, and knows the law's true
+    //      minimal counterexample (101) — which the greedy step-down
+    //      shrinker must reach exactly. A law-abiding twin (clamp) pins
+    //      check() = None on the same draws. ----
+    "fn_check_shrink" -> ((s, dir) => {
+      import mallispark.gen.{FnSchemas, Generate}
+      import mallispark.ir.SchemaIR.{Entry, SInt, SMap}
+      val sch = FnSchemas.FnSchema(
+        Seq(SInt(Some(0L), Some(10000L))), SInt(None, Some(100L)))
+      val ident: Seq[Any] => Any = _.head
+      val clamp: Seq[Any] => Any =
+        args => math.min(args.head.asInstanceOf[Long], 100L)
+      def run(f: Seq[Any] => Any, shrink: Boolean) =
+        FnSchemas.check(s, sch, f, n = 100, seed = 7L, shrink = shrink,
+          rng = Generate.PortableRng)
+      val cex = run(ident, shrink = false)
+      val shrunk = run(ident, shrink = true)
+      def longOf(r: Option[(Seq[Any], Any)]) = r
+        .map(x => F.lit(x._1.head.asInstanceOf[Long]))
+        .getOrElse(F.lit(null)).cast(LongType)
+      // replay surface: the same 100 portable draws the checker consumed
+      val gen = Generate.dfFromSchema(s,
+        SMap(Seq(Entry("a0", sch.input.head))), 100L, 7L,
+        rng = Generate.PortableRng)
+      gen.agg(F.sum(F.when(F.col("a0") > 100, 1L).otherwise(0L))
+          .cast(LongType).as("n_fail"))
+        .select(F.col("n_fail"),
+          F.lit(cex.isDefined).as("found"),
+          longOf(cex).as("cex"),
+          longOf(shrunk).as("shrunk"),
+          F.lit(run(clamp, shrink = false).isDefined).as("clamped_found"))
     }),
 
     // ---- SKETCH LAW GATES: the approx paths can't be value-matched
@@ -2821,27 +2894,59 @@ object SparkEntry {
          |FROM scored ORDER BY doc_id""".stripMargin
     },
 
-    "violations_humanized" -> {
-      val cases = mallispark.msg.Messages.defaults.toSeq.sortBy(_._1)
-        .map { case (k, m) => s"WHEN error_key = '$k' THEN '$m'" }
-        .mkString(" ")
+    // The message lookup chain end-to-end: warc_ts carries a per-path
+    // :error/message override, text/lang render the reference's SPLICED
+    // :error/fn strings, url falls through to the defaults table.
+    "violations_humanized" ->
       s"""$P,
          |viols AS (
-         |  SELECT doc_id, ':re' AS error_key FROM pages
+         |  SELECT doc_id, ':re' AS error_key,
+         |         'should match regex' AS message FROM pages
          |    WHERE NOT regexp_matches(url, '^https?://[^\\s]+$$')
          |  UNION ALL
-         |  SELECT doc_id, ':time/instant' FROM pages
+         |  SELECT doc_id, ':time/instant',
+         |         'capture time outside the crawl window' FROM pages
          |    WHERE warc_ts < TIMESTAMP '2025-01-01 00:00:00'
          |       OR warc_ts > TIMESTAMP '2026-05-01 00:00:00'
          |  UNION ALL
-         |  SELECT doc_id, ':string' FROM pages WHERE length(text) < 1
+         |  SELECT doc_id, ':string',
+         |         'should be at least 1 character' FROM pages
+         |    WHERE length(text) < 1
          |  UNION ALL
-         |  SELECT doc_id, ':enum' FROM pages
+         |  SELECT doc_id, ':enum',
+         |         'should be either "en", "de", "fr", "es" or "zh"' FROM pages
          |    WHERE lang NOT IN ('en','de','fr','es','zh'))
-         |SELECT doc_id, error_key,
-         |  CASE $cases ELSE 'unknown error' END AS message
-         |FROM viols ORDER BY doc_id, error_key""".stripMargin
-    },
+         |SELECT doc_id, error_key, message
+         |FROM viols ORDER BY doc_id, error_key""".stripMargin,
+
+    // Byte-exact :error/fn splicing (error.cljc:47-55,145-172): every
+    // branch of messageColumn's CASE, mirrored as literal strings from
+    // the same doc_id arithmetic.
+    "violations_spliced" ->
+      """WITH viols AS (
+        |  SELECT doc_id, 'n' AS schema_path, ':>' AS error_key,
+        |         'should be larger than 800' AS message
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'pair', 'malli.core/tuple-size',
+        |         'invalid tuple size 3, expected 2'
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'nums', 'malli.core/limits',
+        |         CASE WHEN doc_id % 11 = 0
+        |              THEN 'should have at least 2 elements'
+        |              ELSE 'should have at most 4 elements' END
+        |  FROM documents WHERE doc_id % 11 = 0 OR doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'score', ':int',
+        |         CASE WHEN doc_id % 17 = 0 THEN 'should be at least 10'
+        |              ELSE 'should be at most 90' END
+        |  FROM documents WHERE doc_id % 17 = 0 OR doc_id % 19 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'flag', ':=', 'should be "ok"'
+        |  FROM documents WHERE doc_id % 23 = 0)
+        |SELECT doc_id, schema_path, error_key, message
+        |FROM viols ORDER BY doc_id, schema_path, error_key""".stripMargin,
 
     "violation_counts" ->
       s"""$P,
@@ -3145,6 +3250,30 @@ object SparkEntry {
         |         || 'xxxxxx', 1, CAST(2 + d94 AS INT)) END AS note,
         |  TRUE AS ok
         |FROM d ORDER BY row_id""".stripMargin,
+
+    // Replays the checker's 100 portable-RNG draws (rid = h32(i||'#'||seed),
+    // a0 = 0 + h32(rid||':14') % 10001 — map-entry salt 1+13*1), takes the
+    // first law violation in generation order as the counterexample, and
+    // pins the shrinker to the law's true minimum (101 is the smallest
+    // int > 100; the step-down candidate makes the greedy fixpoint exact).
+    "fn_check_shrink" ->
+      """WITH r AS (
+        |  SELECT i,
+        |    ('0x'||substring(md5(CAST(i AS VARCHAR)||'#7'),1,8))::BIGINT AS rid
+        |  FROM (SELECT unnest(range(100)) AS i) b),
+        |d AS (
+        |  SELECT i,
+        |    ('0x'||substring(md5(CAST(rid AS VARCHAR)||':14'),1,8))::BIGINT
+        |      % 10001 AS a0
+        |  FROM r),
+        |cex AS (SELECT a0 FROM d WHERE a0 > 100 ORDER BY i LIMIT 1)
+        |SELECT
+        |  CAST((SELECT count(*) FROM d WHERE a0 > 100) AS BIGINT) AS n_fail,
+        |  EXISTS(SELECT 1 FROM cex) AS found,
+        |  (SELECT CAST(a0 AS BIGINT) FROM cex) AS cex,
+        |  CASE WHEN EXISTS(SELECT 1 FROM cex)
+        |       THEN CAST(101 AS BIGINT) END AS shrunk,
+        |  FALSE AS clamped_found""".stripMargin,
 
     // Real-decode mirror, construction-based: the engine synthesizes a
     // BMP/WAV binary and parses it back with the generic header-driven

@@ -343,4 +343,44 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(describe(S.enum_("en", "de", "fr")) === "enum of en, de, fr")
     assert(describe(S.or(S.int, S.nil)) === "integer, or null")
   }
+
+  // messageColumn: the full error.cljc:293-329 lookup chain as ONE
+  // codegen CASE — path :error/message override > caller :errors table >
+  // :error/fn splicing (bound from schema, value from row) > defaults.
+  test("messageColumn: lookup chain precedence + :error/fn splicing") {
+    val sch = S.map(
+      "a" -> S.int(10L, 90L),
+      "b" -> S.eq_("ok"),
+      "c" -> S.string(min = 2),
+      "e" -> S.enum_("x", "y"))
+    val rows = Seq(
+      Row("a", ":int", "5"), Row("a", ":int", "95"),
+      Row("b", ":=", "bad"), Row("c", ":string", "z"),
+      Row("c", ":string", null), Row("e", ":enum", "q"),
+      Row("z", ":weird-key", "1"), Row("z", ":nil", "1"))
+    val d = df(rows, StructType(Seq(
+      StructField("schema_path", StringType),
+      StructField("error_key", StringType),
+      StructField("value", StringType))))
+
+    def render(pathO: Map[String, String] = Map.empty,
+               keyO: Map[String, String] = Map.empty): Seq[String] =
+      d.select(Messages.messageColumn(sch, pathO, keyO).as("m"))
+        .collect().toSeq.map(_.getString(0))
+
+    // spliced :error/fn strings + defaults fallthrough
+    assert(render() === Seq(
+      "should be at least 10", "should be at most 90",
+      "should be \"ok\"", "should be at least 2 characters",
+      "should be a string", "should be either \"x\" or \"y\"",
+      "unknown error", "should be nil"))
+    // caller :errors table beats splicing; path override beats both
+    assert(render(keyO = Map(":int" -> "K")).take(2) === Seq("K", "K"))
+    assert(render(pathO = Map("a" -> "P"),
+      keyO = Map(":int" -> "K")).take(2) === Seq("P", "P"))
+    // plan stays UDF-free (whole-stage codegen eligible)
+    val plan = d.select(Messages.messageColumn(sch).as("m"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf"))
+  }
 }

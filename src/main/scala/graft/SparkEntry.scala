@@ -1764,7 +1764,17 @@ object SparkEntry {
             "|" + SchemaIR.getIn(WebPages.schema, Seq("nope")).isEmpty
         }),
         ("flagship_describe",
-          mallispark.ir.Describe.describe(WebPages.schema)))
+          mallispark.ir.Describe.describe(WebPages.schema)),
+        // clj-kondo linter config (clj_kondo.cljc accept/linter-config):
+        // flagship type map + a two-fn namespace exercising the
+        // fixed-arity and varargs/:min-arity paths
+        ("kondo_flagship", mallispark.ir.CljKondo.edn(
+          mallispark.ir.CljKondo.transform(WebPages.schema))),
+        ("kondo_config", mallispark.ir.CljKondo.linterConfig(Seq(
+          mallispark.ir.CljKondo.FnDef("graft.pages", "valid-page?",
+            Seq(WebPages.schema), S.boolean),
+          mallispark.ir.CljKondo.FnDef("graft.pages", "merge-texts",
+            Seq(S.string), S.string, rest = Some(S.string))))))
         .toDF("name", "text").orderBy("name")
     })
   )
@@ -2218,8 +2228,16 @@ object SparkEntry {
         """digraph {\n  node [shape="record", style="filled", color="#000000"]\n  edge [dir="back", arrowtail="none"]\n  \n  "Page" [label="{Page|:url :string\l:meta Page$Meta\l}", fillcolor="#fff0cd"]\n  "Page$Meta" [label="{Page$Meta|:lang [:enum \"en\" \"de\"]\l}", fillcolor="#e6caab"]\n  \n  "Page" -> "Page$Meta" [arrowtail="diamond"]\n}\n"""
       val umlPage =
         """@startuml\nentity Page {\n :url :string\n :meta Page$Meta\n}\nabstract Page$Meta {\n :lang [:enum "en" "de"]\n}\nPage *-- Page$Meta\n@enduml\n"""
+      val kondoFlagship =
+        """{:op :keys, :opt {:doc_id :int}, :req {:url :string, :warc_ts :any, :html :char-sequence, :text :string, :lang :string}}"""
+      val kondoConfig =
+        """{:linters {:unresolved-symbol {:exclude [(malli.core/=>)]}, :type-mismatch {:namespaces {graft.pages {valid-page? {:arities {1 {:args [""" +
+          kondoFlagship +
+          """], :ret :boolean}}}, merge-texts {:arities {:varargs {:args [:string {:op :rest, :spec :string}], :ret :string, :min-arity 1}}}}}}}}"""
       def lit(x: String) = "'" + x.replace("'", "''") + "'"
       Seq("flagship_ast" -> flagshipAst, "flagship_form" -> flagshipForm,
+        "kondo_flagship" -> kondoFlagship,
+        "kondo_config" -> kondoConfig,
         "flagship_jsonschema" -> flagshipJs,
         "flagship_swagger" -> flagshipSwagger,
         "lite_form" -> liteForm,

@@ -305,7 +305,8 @@ object Dedup {
                                 k: Int = 16, bands: Int = 8,
                                 maxShingleDf: Int = 0,
                                 portable: Boolean = false,
-                                maxBucket: Int = 4096): DataFrame = {
+                                maxBucket: Int = 4096,
+                                maxHotBroadcast: Int = 1 << 20): DataFrame = {
     // candidate pairs from ONE pass over the banded signatures: group a
     // band bucket, explode its id pairs (bucket sizes are LSH-bounded, so
     // the per-bucket pair expansion is small by construction). HOT-BUCKET
@@ -336,15 +337,22 @@ object Dedup {
     // per-doc sorted 60-bit shingle-hash sets from the ShingleH60Set
     // kernel (bit-identical to md5 of the shingle strings; collision odds
     // 2^-60-scale — the DuckDB oracle counts the strings themselves).
-    // Hot shingles (document frequency > maxShingleDf) are removed with an
-    // EXPLODED ANTI-JOIN, not a broadcast array: at web scale the hot set
-    // itself grows with the corpus, so materializing it into one
-    // collect_list row would be the last content-growing aggregation
-    // buffer in the engine. The anti-join keeps the hot set distributed;
-    // the per-doc re-collect is bounded by THAT DOCUMENT's own shingle
-    // count (the same bound the kernel output already has), never by
-    // corpus content. Intersections are array_intersect on the candidate
-    // pair rows: shingle rows never join against each other.
+    // Hot shingles (document frequency > maxShingleDf) are removed
+    // ADAPTIVELY, the same small-side/big-side split AQE applies to
+    // joins. The hot set is materialized post-aggregation (it is tiny
+    // AFTER the df filter even when the corpus is huge) and counted:
+    //  - empty → the kernel arrays pass through untouched (no extra
+    //    shuffle at all — the common case for a healthy df cap);
+    //  - ≤ maxHotBroadcast → one bounded collect (k-capped, nothing can
+    //    be dropped because the count was just verified) broadcast to an
+    //    array_except over the intact per-doc arrays — ONE map-side pass,
+    //    no per-(doc,shingle) shuffle;
+    //  - larger → exploded anti-join + per-doc re-collect, whose
+    //    aggregation state is bounded by each document's own shingle
+    //    count, never by corpus content.
+    // Either way no aggregation buffer grows with corpus content.
+    // Intersections are array_intersect on the candidate pair rows:
+    // shingle rows never join against each other.
     val hs60 = df.select(F.col(id).as("doc"),
       mallispark.expressions.ShingleH60Set(F.col(text), n).as("hs0"))
       .where(F.size(F.col("hs0")) > 0)
@@ -352,16 +360,31 @@ object Dedup {
       if (maxShingleDf <= 0)
         hs60.select(F.col("doc"), F.col("hs0").as("hs"))
       else {
-        val exploded = hs60.select(F.col("doc"), F.explode(F.col("hs0")).as("h"))
+        val exploded = hs60.select(F.col("doc"),
+          F.explode(F.col("hs0")).as("h"))
+        // one pass over the exploded rows; what survives is small
         val hot = exploded.groupBy("h").agg(F.count(F.lit(1)).as("df"))
           .where(F.col("df") > maxShingleDf)
           .select("h")
-        // sort_array restores the kernel's ascending set order (collect
-        // order after a shuffle is nondeterministic); docs whose every
-        // shingle is hot simply vanish, matching the old size(hs)>0 filter
-        exploded.join(hot, Seq("h"), "left_anti")
-          .groupBy("doc")
-          .agg(F.sort_array(F.collect_list(F.col("h"))).as("hs"))
+          .localCheckpoint(true)
+        val nHot = hot.count() // free: runs on the checkpointed blocks
+        if (nHot == 0L)
+          hs60.select(F.col("doc"), F.col("hs0").as("hs"))
+        else if (nHot <= maxHotBroadcast) {
+          val hotArr = hot.agg(mallispark.expressions.BoundedCollectMin(
+            F.col("h").cast(LongType), maxHotBroadcast + 1).as("hot_arr"))
+          hs60.crossJoin(F.broadcast(hotArr))
+            .select(F.col("doc"),
+              F.array_except(F.col("hs0"), F.col("hot_arr")).as("hs"))
+            .where(F.size(F.col("hs")) > 0)
+        } else {
+          // sort_array restores the kernel's ascending set order (collect
+          // order after a shuffle is nondeterministic); docs whose every
+          // shingle is hot vanish, matching the size(hs)>0 filter above
+          exploded.join(hot, Seq("h"), "left_anti")
+            .groupBy("doc")
+            .agg(F.sort_array(F.collect_list(F.col("h"))).as("hs"))
+        }
       }
     val pairs = cand
       .join(docsets.select(F.col("doc").as("id_a"), F.col("hs").as("hs_a")),

@@ -338,6 +338,12 @@ class TextOpsSpec extends SparkSuite {
     val capped = Dedup.ngramJaccardWithinBuckets(docs.toDF(), "id", "text",
       n = 2, threshold = 0.5, k = 8, bands = 4, maxShingleDf = 1)
     assert(capped.count() === 0)
+    // force the big-hot-set branch (anti-join) with a tiny broadcast cap:
+    // same result, per-doc bounded state
+    val cappedAnti = Dedup.ngramJaccardWithinBuckets(docs.toDF(), "id",
+      "text", n = 2, threshold = 0.5, k = 8, bands = 4, maxShingleDf = 1,
+      maxHotBroadcast = 10)
+    assert(cappedAnti.count() === 0)
     val open = Dedup.ngramJaccardWithinBuckets(docs.toDF(), "id", "text",
       n = 2, threshold = 0.5, k = 8, bands = 4, maxShingleDf = 0)
     val pairs = open.select("id_a", "id_b").collect()

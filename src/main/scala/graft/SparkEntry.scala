@@ -1774,7 +1774,28 @@ object SparkEntry {
           mallispark.ir.CljKondo.FnDef("graft.pages", "valid-page?",
             Seq(WebPages.schema), S.boolean),
           mallispark.ir.CljKondo.FnDef("graft.pages", "merge-texts",
-            Seq(S.string), S.string, rest = Some(S.string))))))
+            Seq(S.string), S.string, rest = Some(S.string))))),
+        // malli.dev.pretty — the rendered Validation Error report for a
+        // fixed invalid value (plain colors; \n escaped for the one-line
+        // golden like dot_page)
+        ("pretty_page", mallispark.dev.Pretty.explain(
+          S.mapE(false,
+            S.req("url", S.string),
+            S.req("count", S.intMin(0L)),
+            S.opt("lang", S.enum_("en", "de"))),
+          Map("url" -> 42L, "count" -> 3L, "lang" -> "xx"))
+          .get.replace("\n", "\\n")),
+        // malli.destructure — arglist → schema extraction (vanilla,
+        // schematized+options, and the multi-arity function wrapper)
+        ("destructure_vararg", mallispark.ir.Destructure.parse(
+          "[url :- :string, opts [k vs & more] & pages]").schemaForm),
+        ("destructure_map", mallispark.ir.Destructure.parse(
+          "[{:keys [url lang] :or {lang \"en\"} :as page}]",
+          mallispark.ir.Destructure.Options(requiredKeys = true)).schemaForm),
+        ("destructure_fn", mallispark.ir.Destructure.Edn.print(
+          mallispark.ir.Destructure.functionSchema(Seq(
+            "[page :- :string]",
+            "[page :- :string & rest :- [:* :int]]")))))
         .toDF("name", "text").orderBy("name")
     })
   )
@@ -2234,10 +2255,34 @@ object SparkEntry {
         """{:linters {:unresolved-symbol {:exclude [(malli.core/=>)]}, :type-mismatch {:namespaces {graft.pages {valid-page? {:arities {1 {:args [""" +
           kondoFlagship +
           """], :ret :boolean}}}, merge-texts {:arities {:varargs {:args [:string {:op :rest, :spec :string}], :ret :string, :min-arity 1}}}}}}}}"""
+      // malli.destructure extraction goldens (reference
+      // destructure.cljc:59-119 fold semantics over the fixture bindings)
+      val destructVararg =
+        "[:cat :string :any [:maybe [:cat [:? :any] [:? :any] [:* :any]]] [:* :any]]"
+      val destructMap =
+        "[:cat [:orn [:map [:map [:url :any] [:lang :any]]]" +
+          " [:args [:schema [:* [:alt [:cat [:= :url] :any]" +
+          " [:cat [:= :lang] :any]" +
+          " [:cat [:not [:enum :url :lang]] :any]]]]]]]"
+      val destructFn =
+        "[:function [:=> [:cat :string] :any] [:=> [:cat :string [:* :int]] :any]]"
+      val prettyPage =
+        """-- Validation Error ----------------------------------------\n\n""" +
+          """Value\n\n  {:count ..., :lang "xx", :url 42}\n\n""" +
+          """Errors\n\n  {:lang ["should be one of the allowed values"],\n""" +
+          """   :url ["should be a string"]}\n\n""" +
+          """Schema\n\n  [:map\n   [:url :string]\n   [:count [:int {:min 0}]]\n""" +
+          """   [:lang {:optional true} [:enum "en" "de"]]]\n\n""" +
+          """More information\n\n  https://cljdoc.org/d/metosin/malli/CURRENT\n\n""" +
+          ("-" * 60)
       def lit(x: String) = "'" + x.replace("'", "''") + "'"
       Seq("flagship_ast" -> flagshipAst, "flagship_form" -> flagshipForm,
         "kondo_flagship" -> kondoFlagship,
         "kondo_config" -> kondoConfig,
+        "destructure_vararg" -> destructVararg,
+        "destructure_map" -> destructMap,
+        "destructure_fn" -> destructFn,
+        "pretty_page" -> prettyPage,
         "flagship_jsonschema" -> flagshipJs,
         "flagship_swagger" -> flagshipSwagger,
         "lite_form" -> liteForm,

@@ -207,6 +207,24 @@ object Pretty {
     render(section("Invalid Function Output", None, span(body: _*), p), p)
   }
 
+  /** `::m/invalid-guard` (pretty.cljc:70-77): the guard schema sees the
+    * `[args ret]` pair. */
+  def invalidGuard(guardIr: SchemaIR, args: Seq[Any], ret: Any,
+                   fnName: Option[String] = None,
+                   p: Printer = printer())(
+      implicit reg: Registry = Registry.empty): String = {
+    val pair = Seq(args, ret)
+    val body = fnName.toVector.map(n => group(
+      block("Function Var", visit(Destructure.Sym(n), p), p),
+      DBreak, DBreak)) :+
+      group(
+        block("Guard arguments", visit(toEdn(pair), p), p), DBreak, DBreak,
+        block("Guard Schema", visit(schemaEdn(guardIr), p), p), DBreak, DBreak,
+        block("Errors", errorMaps(guardIr, pair, p), p), DBreak, DBreak,
+        block("More information", link(MoreInfoFns, p), p))
+    render(section("Function Guard Error", None, span(body: _*), p), p)
+  }
+
   def invalidArity(args: Seq[Any], arity: Int, schemaForm: String,
                    p: Printer = printer()): String =
     render(section(p.title, None, group(

@@ -126,6 +126,39 @@ class GenerateSpec extends SparkSuite {
       "function that takes input: [integer] and returns integer")
   }
 
+  test("function guard validates the [args ret] pair (::m/invalid-guard)") {
+    import mallispark.gen.FnSchemas
+    import mallispark.gen.FnSchemas.FnSchema
+    // guard: the return value must be >= the first argument
+    // (the reference's :=> third child, core.cljc:2158-2196)
+    val guard = S.fn("ret-ge-first-arg") { v =>
+      val pair = v.asInstanceOf[Seq[Any]]
+      val args = pair(0).asInstanceOf[Seq[Any]]
+      pair(1).asInstanceOf[Long] >= args(0).asInstanceOf[Long]
+    }
+    val sch = FnSchema(Seq(S.int(0, 100), S.int(0, 100)), S.int(0, 200),
+      Some(guard))
+    val add = FnSchemas.wrap(sch, "add") { args =>
+      args(0).asInstanceOf[Long] + args(1).asInstanceOf[Long]
+    }
+    assert(add(Seq(2L, 3L)) === 5L) // output AND guard pass
+    // a function whose OUTPUT is in-schema but violates the guard
+    val zero = FnSchemas.wrap(sch, "zero")(_ => 0L)
+    assert(zero(Seq(0L, 7L)) === 0L) // guard holds at a0 = 0
+    val e = intercept[IllegalArgumentException](zero(Seq(5L, 1L)))
+    assert(e.getMessage.startsWith("zero: guard violated"))
+    // generative check catches guard-only violations too
+    assert(FnSchemas.check(spark, sch, _ => 0L).isDefined)
+    assert(FnSchemas.check(spark, sch, args =>
+      100L + args(0).asInstanceOf[Long]).isEmpty)
+    // the pretty ::m/invalid-guard report renders the [args ret] pair
+    val report = mallispark.dev.Pretty.invalidGuard(
+      guard, Seq(5L, 1L), 0L, Some("graft/zero"))
+    assert(report.contains("-- Function Guard Error "))
+    assert(report.contains("Guard arguments\n\n  [[5 1] 0]"))
+    assert(report.contains("Guard Schema\n\n  [:fn ret-ge-first-arg]"))
+  }
+
   test("check shrinks counterexamples to local minima (test.check law)") {
     import mallispark.gen.FnSchemas
     import mallispark.gen.FnSchemas.FnSchema

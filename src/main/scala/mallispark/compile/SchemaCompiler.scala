@@ -414,8 +414,15 @@ object SchemaCompiler {
 
       // malli :re uses re-find ⇒ PARTIAL match: do NOT anchor
       // (core.cljc:1730-1731). rlike is already find-semantics.
+      // Anchored prefix+class patterns (the url-check shape) compile to
+      // the AnchoredScan byte-scan kernel instead of java.util.regex —
+      // same find semantics (parity-tested incl. the `$`-before-final-
+      // newline nuance), no per-row String copy.
       case SRegex(p) =>
-        if (dt != StringType) F.lit(false) else col.isNotNull && col.rlike(p)
+        if (dt != StringType) F.lit(false)
+        else col.isNotNull &&
+          mallispark.expressions.AnchoredScan.column(col, p)
+            .getOrElse(col.rlike(p))
 
       case SCompare(op, v) =>
         val l = F.lit(v)

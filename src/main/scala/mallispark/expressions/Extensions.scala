@@ -2,7 +2,12 @@ package mallispark.expressions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  Literal, RLike}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SQL registration for the custom codegen kernels (SURVEY §2.12;
   * builder-contract "custom Expression ... registered via
@@ -24,9 +29,27 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * code, exactly like the Scala `Column` builders. */
 class MallisparkExtensions extends (SparkSessionExtensions => Unit) {
   import MallisparkExtensions._
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+    ext.injectOptimizerRule(_ => SimpleRegexRule)
+  }
+}
+
+/** Optimizer rule: any `RLike` against a LITERAL pattern in the
+  * anchored prefix+class subset becomes the [[AnchoredScanMatch]]
+  * byte-scan kernel — `spark.sql("url RLIKE '^https?://[^\\s]+$'")`
+  * plans run the kernel without the caller knowing it exists. Exact
+  * rlike semantics by construction (see AnchoredScan); idempotent
+  * (rewrites RLike nodes only, introduces none). */
+object SimpleRegexRule extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case RLike(child, Literal(p: UTF8String, _))
+          if child.dataType.isInstanceOf[StringType] &&
+            AnchoredScan.compile(p.toString).isDefined =>
+        AnchoredScanMatch(child, p.toString)
     }
 }
 
@@ -64,10 +87,15 @@ object MallisparkExtensions {
         MinHashFromText(es.head, litInt(es(1), "n"), litInt(es(2), "k"))))
 
   /** Register into a live session (the extension point only applies at
-    * session construction). */
-  def register(spark: SparkSession): Unit =
+    * session construction): SQL functions plus the RLike→AnchoredScan
+    * rewrite through the public `experimental.extraOptimizations` hook. */
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (name, inf, builder) =>
       spark.sessionState.functionRegistry.registerFunction(
         FunctionIdentifier(name), inf, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(SimpleRegexRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ SimpleRegexRule
+  }
 }

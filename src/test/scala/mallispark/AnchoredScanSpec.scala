@@ -1,0 +1,121 @@
+package mallispark
+
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.unsafe.types.UTF8String
+import mallispark.expressions.{AnchoredScan, MallisparkExtensions}
+
+/** AnchoredScan byte-scan kernel ≡ java.util.regex find semantics —
+  * the exactness contract behind the SchemaCompiler :re fast path and
+  * the SimpleRegexRule RLike rewrite. Parity is checked three ways:
+  * exhaustive fuzz against Pattern.find (driver-side), DataFrame
+  * codegen vs rlike on the same strings, and plan-shape assertions that
+  * the rewrite actually fires. */
+class AnchoredScanSpec extends SparkSuite {
+
+  private val compiling = Seq(
+    "^https?://[^\\s]+$",      // the flagship url check
+    "^[a-z]+$",
+    "^[a-z]*$",
+    "^abc$",                   // no class at all
+    "^ab?c?$",                 // optional expansion
+    "^x[0-9A-Fa-f]+$",         // ranges
+    "^v\\.[-a-z0-9_]*$",       // escaped literal + leading range dash
+    "^[^:/]+$")                // negated multi-char
+
+  private val nonCompiling = Seq(
+    "^(a|b)$",                 // alternation group
+    "^.*$",                    // dot
+    "^[^\\s]+://",             // unanchored tail
+    "https?://[^\\s]+$",       // unanchored head
+    "^[\\S]+$",                // negated escape class
+    "^a{2,3}$",                // bounded quantifier
+    "^[a-z]+[0-9]+$")          // two classes
+
+  private val strings = Seq(
+    "", "x", "http://x", "https://x", "http://", "https://",
+    "http://a b", "http://x\n", "http://x\r\n", "http://x\n\n",
+    "http://x\r", "http://x", "http://x ", "http://x ",
+    "https://ünïcode/路径", "HTTP://x", "xhttp://x", " http://x",
+    "http://x ", "abc", "abc\n", "abc\r\n", "ab", "ac", "abcd", "a", "c",
+    "xFF", "x", "xg", "x0f\n", "v.", "v.x-y_9", "v,x", "a:b", "a/b",
+    "aaa", "\n", "\r\n", " ", "httpss://x", "http:/x")
+
+  private def fuzzStrings: Seq[String] = {
+    val rnd = new scala.util.Random(7)
+    val alphabet = "ab :/htps\n\r\tü0-".toCharArray
+    Seq.fill(400) {
+      val n = rnd.nextInt(12)
+      new String(Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))))
+    }
+  }
+
+  test("the supported subset compiles; the rest is declined") {
+    compiling.foreach(p => assert(AnchoredScan.compile(p).isDefined, p))
+    nonCompiling.foreach(p => assert(AnchoredScan.compile(p).isEmpty, p))
+  }
+
+  test("kernel ≡ java.util.regex find on every (pattern, string) pair") {
+    val all = strings ++ fuzzStrings
+    compiling.foreach { p =>
+      val jre = java.util.regex.Pattern.compile(p)
+      val scan = AnchoredScan.compile(p).get
+      all.foreach { s =>
+        assert(scan.matches(UTF8String.fromString(s)) ===
+          jre.matcher(s).find(), s"pattern=$p string=${s.map(_.toInt)}")
+      }
+    }
+  }
+
+  test("DataFrame codegen parity: kernel column ≡ rlike column") {
+    import spark.implicits._
+    val df = (strings ++ fuzzStrings).toDF("s")
+    compiling.foreach { p =>
+      val mismatch = df.select(
+          col("s"),
+          AnchoredScan.column(col("s"), p).get.as("k"),
+          col("s").rlike(p).as("r"))
+        .where(col("k") =!= col("r"))
+        .count()
+      assert(mismatch === 0L, p)
+    }
+  }
+
+  test("null propagates like rlike") {
+    import spark.implicits._
+    val df = Seq(Some("http://x"), None).toDF("s")
+    val out = df.select(
+      AnchoredScan.column(col("s"), "^https?://[^\\s]+$").get.as("k"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getBoolean(0))
+    assert(out.toSeq === Seq(true, null))
+  }
+
+  test("SimpleRegexRule rewrites literal RLIKE in SQL plans") {
+    MallisparkExtensions.register(spark)
+    // the url must not be statically decidable — a CASE over literals
+    // lets constant folding evaluate the RLIKE before the rewrite runs
+    spark.range(2).selectExpr(
+      "concat('http://x', repeat(' ', CAST(id AS INT))) AS url")
+      .createOrReplaceTempView("asc_urls")
+    val q = spark.sql(
+      "SELECT url RLIKE '^https?://[^\\\\s]+$' AS ok FROM asc_urls")
+    val optimized = q.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("anchored_scan"), optimized)
+    assert(!optimized.contains("RLIKE"), optimized)
+    assert(q.orderBy("ok").collect().map(_.getBoolean(0)).toSeq ===
+      Seq(false, true))
+    // a pattern outside the subset keeps RLike
+    val q2 = spark.sql("SELECT url RLIKE '^(a|b)$' AS ok FROM asc_urls")
+    assert(!q2.queryExecution.optimizedPlan.toString.contains("anchored_scan"))
+  }
+
+  test("the compiled validator uses the kernel for the url :re leaf") {
+    import mallispark.ir.S
+    val df = spark.range(2).selectExpr(
+      "CASE WHEN id = 0 THEN 'bad url' ELSE 'http://ok' END AS url")
+    val schema = S.mapE(false, S.req("url", S.re("^https?://[^\\s]+$")))
+    val out = mallispark.compile.SchemaCompiler.validateDF(schema, df, "ok")
+    assert(out.queryExecution.optimizedPlan.toString.contains("anchored_scan"))
+    assert(out.orderBy("url").select("ok").collect().map(_.getBoolean(0))
+      .toSeq === Seq(false, true))
+  }
+}

@@ -304,8 +304,17 @@ object SchemaCompiler {
       case SBinary => if (dt == BinaryType) col.isNotNull else F.lit(false)
 
       case SUuid =>
+        // \z anchor, not $: RowEval full-matches and DuckDB's RE2 has no
+        // $-before-final-newline rule, so "<uuid>\n" must fail on all
+        // three engines. The anchored-scan kernel handles the {n}
+        // quantifiers (and \z) natively — rlike never runs here.
         if (dt != StringType) F.lit(false)
-        else col.isNotNull && col.rlike(uuidRe)
+        else {
+          val re = uuidRe.stripSuffix("$") + "\\z"
+          col.isNotNull &&
+            mallispark.expressions.AnchoredScan.column(col, re)
+              .getOrElse(col.rlike(re))
+        }
 
       case SIdent(kind) =>
         if (dt != StringType) F.lit(false)

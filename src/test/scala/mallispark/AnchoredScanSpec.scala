@@ -17,10 +17,19 @@ class AnchoredScanSpec extends SparkSuite {
     "^[a-z]+$",
     "^[a-z]*$",
     "^abc$",                   // no class at all
-    "^ab?c?$",                 // optional expansion
+    "^ab?c?$",                 // optional chars
     "^x[0-9A-Fa-f]+$",         // ranges
     "^v\\.[-a-z0-9_]*$",       // escaped literal + leading range dash
-    "^[^:/]+$")                // negated multi-char
+    "^[^:/]+$",                // negated multi-char
+    "^a{2,3}$",                // bounded quantifier
+    "^[a-z]+[0-9]+$",          // class sequence (needs the split DP)
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+    "^[ab]{2,}c?$",            // open-ended bound + optional tail
+    "^[a-z]*[0-9]*$")          // adjacent unbounded classes
+
+  private val zAnchored = Seq( // \z disables the final-terminator rule
+    "^https?://[^\\s]+\\z",
+    "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\z")
 
   private val nonCompiling = Seq(
     "^(a|b)$",                 // alternation group
@@ -28,8 +37,8 @@ class AnchoredScanSpec extends SparkSuite {
     "^[^\\s]+://",             // unanchored tail
     "https?://[^\\s]+$",       // unanchored head
     "^[\\S]+$",                // negated escape class
-    "^a{2,3}$",                // bounded quantifier
-    "^[a-z]+[0-9]+$")          // two classes
+    "^a*?b$",                  // reluctant quantifier
+    "^a[é]+$")                 // non-ASCII class member
 
   private val strings = Seq(
     "", "x", "http://x", "https://x", "http://", "https://",
@@ -38,7 +47,17 @@ class AnchoredScanSpec extends SparkSuite {
     "https://ünïcode/路径", "HTTP://x", "xhttp://x", " http://x",
     "http://x ", "abc", "abc\n", "abc\r\n", "ab", "ac", "abcd", "a", "c",
     "xFF", "x", "xg", "x0f\n", "v.", "v.x-y_9", "v,x", "a:b", "a/b",
-    "aaa", "\n", "\r\n", " ", "httpss://x", "http:/x")
+    "aaa", "\n", "\r\n", " ", "httpss://x", "http:/x",
+    "a", "aa", "aaaa", "ab12", "ab", "12", "a1b2",
+    "abc123", "aabbc", "aab", "abcc",
+    "550e8400-e29b-41d4-a716-446655440000",
+    "550E8400-E29B-41D4-A716-446655440000",
+    "550e8400-e29b-41d4-a716-44665544000",
+    "550e8400-e29b-41d4-a716-4466554400000",
+    "550e8400e29b41d4a716446655440000",
+    "550e8400-e29b-41d4-a716-446655440000\n",
+    "550e8400-e29b-41d4-a716-446655440000\r\n",
+    "zz0e8400-e29b-41d4-a716-446655440000")
 
   private def fuzzStrings: Seq[String] = {
     val rnd = new scala.util.Random(7)
@@ -56,7 +75,8 @@ class AnchoredScanSpec extends SparkSuite {
 
   test("kernel ≡ java.util.regex find on every (pattern, string) pair") {
     val all = strings ++ fuzzStrings
-    compiling.foreach { p =>
+    (compiling ++ zAnchored).foreach { p =>
+      assert(AnchoredScan.compile(p).isDefined, p)
       val jre = java.util.regex.Pattern.compile(p)
       val scan = AnchoredScan.compile(p).get
       all.foreach { s =>

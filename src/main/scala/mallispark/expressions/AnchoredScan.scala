@@ -52,6 +52,22 @@ object AnchoredScan {
                             min: Int, max: Int) extends Seg
   final case class BytesSeg(bytes: Array[Byte]) extends Seg
 
+  /** Post-parse execution form: fixed-length runs (every exactly-once
+    * position folded together — the whole uuid pattern is ONE run) and
+    * variable-count classes. Runs check `len` bytes from each reachable
+    * position; variable classes do the reachability DP. Fixed shapes
+    * keep the reachable set a single narrow window, so the matcher
+    * never touches positions outside it. */
+  private sealed trait Exec extends Serializable
+  /** exact(i) ≥ 0 → byte must equal it; else the mask class at i. */
+  private final case class FixedRun(exact: Array[Int],
+                                    m0: Array[Long], m1: Array[Long],
+                                    neg: Array[Boolean]) extends Exec {
+    val len: Int = exact.length
+  }
+  private final case class VarClass(m0: Long, m1: Long, neg: Boolean,
+                                    min: Int, max: Int) extends Exec
+
   /** Per-thread DP scratch — matches() stays allocation-free per row
     * (tasks are single-threaded; the buffers grow to the longest string
     * seen on the thread). */
@@ -71,97 +87,138 @@ object AnchoredScan {
     override def initialValue(): Scratch = new Scratch
   }
 
-  /** Compiled matcher (reachable-positions DP over segments). */
+  /** Compiled matcher: reachable-positions DP over the execution
+    * segments, bounded to the live window [lo, hi] of reachable
+    * positions (fixed runs keep it a point; only variable classes widen
+    * it), so the common all-fixed patterns (uuid) cost one byte-run
+    * check and the url shape costs one run + one tail scan. */
   final class Compiled(val segs: Array[Seg], val dollarTerm: Boolean)
       extends Serializable {
 
-    private def allowed(c: ClassSeg, b: Byte): Boolean = {
-      val in =
-        if (b < 0) false // non-ASCII byte is never in an ASCII set
-        else if (b < 64) (c.mask0 & (1L << b)) != 0
-        else (c.mask1 & (1L << (b - 64))) != 0
-      in != c.negated
-    }
+    private val execs: Array[Exec] = toExec(segs)
+
+    private def inMask(m0: Long, m1: Long, b: Byte): Boolean =
+      if (b < 0) false // non-ASCII byte is never in an ASCII set
+      else if (b < 64) (m0 & (1L << b)) != 0
+      else (m1 & (1L << (b - 64))) != 0
 
     def matches(s: UTF8String): Boolean = {
       val n = s.numBytes
       val sc = scratch.get()
       sc.ensure(n)
-      // reachable byte positions after consuming a prefix of segments
-      var cur = sc.cur
-      var nxt = sc.nxt
-      java.util.Arrays.fill(cur, 0, n + 1, false)
+      val cur = sc.cur
+      // live window: positions lo..hi, cur(p) valid only inside it
+      var lo = 0
+      var hi = 0
       cur(0) = true
       var si = 0
-      while (si < segs.length) {
-        java.util.Arrays.fill(nxt, 0, n + 1, false)
-        var any = false
-        segs(si) match {
-          case b: BytesSeg =>
-            val bs = b.bytes
-            var p = 0
-            while (p + bs.length <= n) {
-              if (cur(p)) {
-                var i = 0
-                var ok = true
-                while (ok && i < bs.length) {
-                  if (s.getByte(p + i) != bs(i)) ok = false
-                  i += 1
-                }
-                if (ok) { nxt(p + bs.length) = true; any = true }
+      while (si < execs.length) {
+        execs(si) match {
+          case f: FixedRun =>
+            // every reachable position shifts by len if its bytes match.
+            // HIGH→LOW so an output position (p+len) can never be
+            // re-read as an input of the same segment when the window
+            // is wider than the run
+            if (lo + f.len > n) return clearFail(cur, lo, hi)
+            val newHi = math.min(hi, n - f.len)
+            var p = hi
+            while (p > newHi) { cur(p) = false; p -= 1 }
+            var anyLo = -1
+            var anyHi = -2
+            while (p >= lo) {
+              val in = cur(p)
+              cur(p) = false // consumed
+              if (in && runMatches(f, s, p)) {
+                cur(p + f.len) = true
+                anyLo = p + f.len
+                if (anyHi < 0) anyHi = p + f.len
               }
-              p += 1
+              p -= 1
             }
-          case c: ClassSeg if c.min == 1 && c.max == 1 =>
-            // the common literal-char segment: a plain shift
-            var p = 0
-            while (p < n) {
-              if (cur(p) && allowed(c, s.getByte(p))) {
-                nxt(p + 1) = true; any = true
-              }
-              p += 1
-            }
-          case c: ClassSeg =>
-            // for each reachable p, mark p+min .. min(p+max, p+run(p));
-            // run(p) = maximal allowed run starting at p, computed once
-            // right-to-left
+            if (anyLo < 0) return false
+            lo = anyLo; hi = anyHi
+          case c: VarClass =>
+            // run(p) = maximal allowed run from p, computed right-to-left
+            // over [lo, n); reachable q = p+min .. min(p+max, p+run(p))
             val run = sc.run
             run(n) = 0
             var i = n - 1
-            while (i >= 0) {
-              run(i) = if (allowed(c, s.getByte(i))) run(i + 1) + 1 else 0
+            while (i >= lo) {
+              run(i) =
+                if (inMask(c.m0, c.m1, s.getByte(i)) != c.neg) run(i + 1) + 1
+                else 0
               i -= 1
             }
-            // range-marking via a diff array keeps this O(n) per segment
+            val newLo = lo + c.min
+            val newHiCap =
+              if (c.max == Int.MaxValue) n
+              else math.min(n, hi + c.max)
+            if (newLo > n) return clearFail(cur, lo, hi)
+            // clear the output range, then diff-mark
             val diff = sc.diff
-            java.util.Arrays.fill(diff, 0, n + 2, 0)
-            var p = 0
-            while (p <= n) {
+            java.util.Arrays.fill(diff, newLo, newHiCap + 2, 0)
+            var p = lo
+            var any = false
+            while (p <= hi) {
               if (cur(p)) {
-                val lo = p + c.min
-                val hiCap = if (c.max == Int.MaxValue) n
-                            else math.min(n, p + c.max)
-                val hi = math.min(hiCap, p + run(p))
-                if (lo <= hi) { diff(lo) += 1; diff(hi + 1) -= 1 }
+                val qlo = p + c.min
+                val qhiCap = if (c.max == Int.MaxValue) n
+                             else math.min(n, p + c.max)
+                val qhi = math.min(qhiCap, p + run(p))
+                if (qlo <= qhi) { diff(qlo) += 1; diff(qhi + 1) -= 1; any = true }
               }
+              cur(p) = false
               p += 1
             }
+            if (!any) return false
             var acc = 0
-            p = 0
-            while (p <= n) {
+            p = newLo
+            var anyLo = -1
+            var anyHi = -2
+            while (p <= newHiCap) {
               acc += diff(p)
-              if (acc > 0) { nxt(p) = true; any = true }
+              val r = acc > 0
+              cur(p) = r
+              if (r) { if (anyLo < 0) anyLo = p; anyHi = p }
               p += 1
             }
+            if (anyLo < 0) return false
+            lo = anyLo; hi = anyHi
         }
-        if (!any) return false
-        val t = cur; cur = nxt; nxt = t
         si += 1
       }
-      if (cur(n)) return true
-      if (!dollarTerm) return false
-      val p = termEnd(s, n)
-      p >= 0 && cur(p)
+      val ok = hi >= n && lo <= n && cur(n)
+      // clear the final window for the next call on this thread
+      var p = lo
+      val res =
+        if (ok) true
+        else if (!dollarTerm) false
+        else {
+          val t = termEnd(s, n)
+          t >= lo && t <= hi && cur(t)
+        }
+      while (p <= hi) { cur(p) = false; p += 1 }
+      res
+    }
+
+    /** Window positions must never leak into the next row's call on the
+      * same thread — every early exit clears what it read. */
+    private def clearFail(cur: Array[Boolean], lo: Int, hi: Int): Boolean = {
+      var p = lo
+      while (p <= hi) { cur(p) = false; p += 1 }
+      false
+    }
+
+    private def runMatches(f: FixedRun, s: UTF8String, p: Int): Boolean = {
+      var i = 0
+      while (i < f.len) {
+        val b = s.getByte(p + i)
+        val e = f.exact(i)
+        if (e >= 0) { if (b != e.toByte) return false }
+        else if (inMask(f.m0(i), f.m1(i), b) == f.neg(i)) return false
+        i += 1
+      }
+      true
     }
 
     /** Position before a single TERMINAL line terminator, or -1: `\n`,
@@ -179,6 +236,37 @@ object AnchoredScan {
                s.getByte(n - 2) == 0x80.toByte) n - 3
       else -1
     }
+  }
+
+  /** Parsed segments → execution form: consecutive exact-count pieces
+    * (literal bytes, multi-byte literals, `[x]{k}` with k ≤ 64) coalesce
+    * into one FixedRun; variable-count classes stay DP segments. */
+  private def toExec(segs: Array[Seg]): Array[Exec] = {
+    val out = Vector.newBuilder[Exec]
+    val exact = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val m0s = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val m1s = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val negs = scala.collection.mutable.ArrayBuffer.empty[Boolean]
+    def flush(): Unit = if (exact.nonEmpty) {
+      out += FixedRun(exact.toArray, m0s.toArray, m1s.toArray, negs.toArray)
+      exact.clear(); m0s.clear(); m1s.clear(); negs.clear()
+    }
+    def addMask(m0: Long, m1: Long, neg: Boolean): Unit = {
+      exact += -1; m0s += m0; m1s += m1; negs += neg
+    }
+    def addByte(b: Byte): Unit = {
+      exact += (b & 0xFF); m0s += 0L; m1s += 0L; negs += false
+    }
+    segs.foreach {
+      case BytesSeg(bs) => bs.foreach(addByte)
+      case ClassSeg(m0, m1, neg, min, max) if min == max && max <= 64 =>
+        var k = 0
+        while (k < min) { addMask(m0, m1, neg); k += 1 } // {0} drops out
+      case ClassSeg(m0, m1, neg, min, max) =>
+        flush(); out += VarClass(m0, m1, neg, min, max)
+    }
+    flush()
+    out.result().toArray
   }
 
   /** Parse the supported subset; None → caller keeps rlike. */

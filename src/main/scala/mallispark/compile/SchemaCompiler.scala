@@ -321,9 +321,14 @@ object SchemaCompiler {
         else IdentRes.forKind(kind) match {
           // Java-regex '$' (what rlike runs) matches BEFORE a final
           // newline; RE2 (DuckDB) and RowEval's full-match do not — swap
-          // the anchor for \z engine-side so ":en\n" fails on all three
+          // the anchor for \z engine-side so ":en\n" fails on all three.
+          // The anchored-scan kernel covers the ident shapes (their
+          // `(/segment)?` tails are one optional group)
           case Some(re) =>
-            col.isNotNull && col.rlike(re.stripSuffix("$") + "\\z")
+            val z = re.stripSuffix("$") + "\\z"
+            col.isNotNull &&
+              mallispark.expressions.AnchoredScan.column(col, z)
+                .getOrElse(col.rlike(z))
           // :char — exactly one code point (Spark length() counts code
           // points, as does DuckDB's; RowEval mirrors via codePointCount)
           case None => col.isNotNull && F.length(col) === 1

@@ -51,6 +51,9 @@ object AnchoredScan {
   final case class ClassSeg(mask0: Long, mask1: Long, negated: Boolean,
                             min: Int, max: Int) extends Seg
   final case class BytesSeg(bytes: Array[Byte]) extends Seg
+  /** `(...)?` — an optional group of segments (one level deep; the
+    * ident-leaf shapes `^:seg(/seg)?\z` need exactly this). */
+  final case class GroupOpt(inner: Array[Seg]) extends Seg
 
   /** Post-parse execution form: fixed-length runs (every exactly-once
     * position folded together — the whole uuid pattern is ONE run) and
@@ -67,18 +70,20 @@ object AnchoredScan {
   }
   private final case class VarClass(m0: Long, m1: Long, neg: Boolean,
                                     min: Int, max: Int) extends Exec
+  /** Optional block: result = skip-positions ∪ positions-after-inner. */
+  private final case class OptBlock(inner: Array[Exec]) extends Exec
 
   /** Per-thread DP scratch — matches() stays allocation-free per row
     * (tasks are single-threaded; the buffers grow to the longest string
     * seen on the thread). */
   private final class Scratch {
     var cur: Array[Boolean] = new Array[Boolean](256)
-    var nxt: Array[Boolean] = new Array[Boolean](256)
+    var sav: Array[Boolean] = new Array[Boolean](256)
     var run: Array[Int] = new Array[Int](256)
     var diff: Array[Int] = new Array[Int](256)
     def ensure(n: Int): Unit = if (cur.length < n + 2) {
       val cap = Integer.highestOneBit(n + 2) * 2
-      cur = new Array[Boolean](cap); nxt = new Array[Boolean](cap)
+      cur = new Array[Boolean](cap); sav = new Array[Boolean](cap)
       run = new Array[Int](cap); diff = new Array[Int](cap)
     }
   }
@@ -107,13 +112,58 @@ object AnchoredScan {
       val sc = scratch.get()
       sc.ensure(n)
       val cur = sc.cur
-      // live window: positions lo..hi, cur(p) valid only inside it
-      var lo = 0
-      var hi = 0
       cur(0) = true
+      val w = runExecs(execs, s, n, sc, 0, 0)
+      if (w < 0) return false
+      val lo = (w >>> 32).toInt
+      val hi = (w & 0xFFFFFFFFL).toInt
+      val ok = cur(n) && lo <= n && hi >= n
+      var p = lo
+      val res =
+        if (ok) true
+        else if (!dollarTerm) false
+        else {
+          val t = termEnd(s, n)
+          t >= lo && t <= hi && cur(t)
+        }
+      // clear the final window for the next call on this thread
+      while (p <= hi) { cur(p) = false; p += 1 }
+      res
+    }
+
+    /** Run a segment sequence from window [lo0, hi0]; returns the packed
+      * result window (lo << 32 | hi) or -1 with `cur` cleared. */
+    private def runExecs(es: Array[Exec], s: UTF8String, n: Int,
+                         sc: Scratch, lo0: Int, hi0: Int): Long = {
+      val cur = sc.cur
+      // live window: positions lo..hi, cur(p) valid only inside it
+      var lo = lo0
+      var hi = hi0
       var si = 0
-      while (si < execs.length) {
-        execs(si) match {
+      while (si < es.length) {
+        es(si) match {
+          case g: OptBlock =>
+            // save the skip path, run the inner sequence, union the two
+            val sav = sc.sav
+            var q = lo
+            while (q <= hi) { sav(q) = cur(q); q += 1 }
+            val w2 = runExecs(g.inner, s, n, sc, lo, hi)
+            if (w2 < 0) {
+              // inner dead end (cur cleared): the skip path remains
+              q = lo
+              while (q <= hi) { cur(q) = sav(q); sav(q) = false; q += 1 }
+            } else {
+              val l2 = (w2 >>> 32).toInt
+              val h2 = (w2 & 0xFFFFFFFFL).toInt
+              q = lo
+              while (q <= hi) {
+                if (sav(q)) cur(q) = true
+                sav(q) = false
+                q += 1
+              }
+              lo = math.min(lo, l2)
+              hi = math.max(hi, h2)
+            }
           case f: FixedRun =>
             // every reachable position shifts by len if its bytes match.
             // HIGH→LOW so an output position (p+len) can never be
@@ -135,7 +185,7 @@ object AnchoredScan {
               }
               p -= 1
             }
-            if (anyLo < 0) return false
+            if (anyLo < 0) return -1L
             lo = anyLo; hi = anyHi
           case c: VarClass =>
             // run(p) = maximal allowed run from p, computed right-to-left
@@ -170,7 +220,7 @@ object AnchoredScan {
               cur(p) = false
               p += 1
             }
-            if (!any) return false
+            if (!any) return -1L
             var acc = 0
             p = newLo
             var anyLo = -1
@@ -182,31 +232,20 @@ object AnchoredScan {
               if (r) { if (anyLo < 0) anyLo = p; anyHi = p }
               p += 1
             }
-            if (anyLo < 0) return false
+            if (anyLo < 0) return -1L
             lo = anyLo; hi = anyHi
         }
         si += 1
       }
-      val ok = hi >= n && lo <= n && cur(n)
-      // clear the final window for the next call on this thread
-      var p = lo
-      val res =
-        if (ok) true
-        else if (!dollarTerm) false
-        else {
-          val t = termEnd(s, n)
-          t >= lo && t <= hi && cur(t)
-        }
-      while (p <= hi) { cur(p) = false; p += 1 }
-      res
+      (lo.toLong << 32) | hi.toLong
     }
 
     /** Window positions must never leak into the next row's call on the
       * same thread — every early exit clears what it read. */
-    private def clearFail(cur: Array[Boolean], lo: Int, hi: Int): Boolean = {
+    private def clearFail(cur: Array[Boolean], lo: Int, hi: Int): Long = {
       var p = lo
       while (p <= hi) { cur(p) = false; p += 1 }
-      false
+      -1L
     }
 
     private def runMatches(f: FixedRun, s: UTF8String, p: Int): Boolean = {
@@ -264,6 +303,8 @@ object AnchoredScan {
         while (k < min) { addMask(m0, m1, neg); k += 1 } // {0} drops out
       case ClassSeg(m0, m1, neg, min, max) =>
         flush(); out += VarClass(m0, m1, neg, min, max)
+      case GroupOpt(inner) =>
+        flush(); out += OptBlock(toExec(inner))
     }
     flush()
     out.result().toArray
@@ -278,7 +319,15 @@ object AnchoredScan {
       else if (pattern.endsWith("$") && !pattern.endsWith("\\$"))
         (pattern.substring(1, pattern.length - 1), true)
       else return None
+    parseSegs(body, inGroup = false).collect {
+      case arr if arr.nonEmpty => new Compiled(arr.toArray, dollarTerm)
+    }
+  }
 
+  /** One segment-sequence level; `inGroup` forbids nesting (one level of
+    * `(...)?` is all the ident shapes need, and all the skip-union
+    * matcher supports with a single save buffer). */
+  private def parseSegs(body: String, inGroup: Boolean): Option[Vector[Seg]] = {
     val segs = Vector.newBuilder[Seg]
     var i = 0
     def parseQuant(): Option[(Int, Int)] = {
@@ -317,6 +366,22 @@ object AnchoredScan {
         if (reluctant()) return None
         val parsed = parseClass(cls).getOrElse(return None)
         segs += ClassSeg(parsed._1, parsed._2, parsed._3, q._1, q._2)
+      } else if (c == '(') {
+        if (inGroup) return None // one level only
+        val close = findGroupEnd(body, i)
+        if (close < 0) return None
+        var inner = body.substring(i + 1, close)
+        if (inner.startsWith("?:")) inner = inner.drop(2) // non-capturing
+        else if (inner.startsWith("?")) return None // lookaround etc
+        i = close + 1
+        // only `(...)?` — other group quantifiers would need repeat
+        // machinery beyond the one-save-buffer skip-union
+        if (i >= body.length || body.charAt(i) != '?') return None
+        i += 1
+        if (reluctant()) return None
+        val innerSegs = parseSegs(inner, inGroup = true).getOrElse(return None)
+        if (innerSegs.isEmpty) return None
+        segs += GroupOpt(innerSegs.toArray)
       } else if ("\\^$.|?*+(){}".contains(c) && c != '\\') {
         return None // bare metachar outside a class
       } else {
@@ -348,9 +413,26 @@ object AnchoredScan {
         }
       }
     }
-    val arr = segs.result()
-    if (arr.isEmpty) None
-    else Some(new Compiled(arr.toArray, dollarTerm))
+    Some(segs.result())
+  }
+
+  /** Matching `)` for the `(` at `open`, skipping escapes and classes;
+    * -1 when unbalanced or nested. */
+  private def findGroupEnd(s: String, open: Int): Int = {
+    var j = open + 1
+    while (j < s.length) {
+      s.charAt(j) match {
+        case '\\' => j += 2
+        case '[' =>
+          val ce = findClassEnd(s, j)
+          if (ce < 0) return -1
+          j = ce + 1
+        case '(' => return -1 // nested group: bail
+        case ')' => return j
+        case _ => j += 1
+      }
+    }
+    -1
   }
 
   private def findClassEnd(s: String, open: Int): Int = {

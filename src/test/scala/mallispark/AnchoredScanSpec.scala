@@ -25,7 +25,11 @@ class AnchoredScanSpec extends SparkSuite {
     "^[a-z]+[0-9]+$",          // class sequence (needs the split DP)
     "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
     "^[ab]{2,}c?$",            // open-ended bound + optional tail
-    "^[a-z]*[0-9]*$")          // adjacent unbounded classes
+    "^[a-z]*[0-9]*$",          // adjacent unbounded classes
+    "^:[^\\s/:]+(/[^\\s/:]+)?$",            // the keyword ident shape
+    "^[^\\s/:0-9][^\\s/:]*(/[^\\s/:]+)?$",  // the symbol ident shape
+    "^a(?:bc)?d$",             // non-capturing optional group
+    "^([0-9]{2}-)?[a-z]+$")    // optional group with inner bound
 
   private val zAnchored = Seq( // \z disables the final-terminator rule
     "^https?://[^\\s]+\\z",
@@ -38,7 +42,10 @@ class AnchoredScanSpec extends SparkSuite {
     "https?://[^\\s]+$",       // unanchored head
     "^[\\S]+$",                // negated escape class
     "^a*?b$",                  // reluctant quantifier
-    "^a[é]+$")                 // non-ASCII class member
+    "^a[é]+$",                 // non-ASCII class member
+    "^a(b(c)?)?$",             // nested group
+    "^(ab)+$",                 // non-optional group quantifier
+    "^(a|b)c$")                // alternation inside a group
 
   private val strings = Seq(
     "", "x", "http://x", "https://x", "http://", "https://",
@@ -57,7 +64,9 @@ class AnchoredScanSpec extends SparkSuite {
     "550e8400e29b41d4a716446655440000",
     "550e8400-e29b-41d4-a716-446655440000\n",
     "550e8400-e29b-41d4-a716-446655440000\r\n",
-    "zz0e8400-e29b-41d4-a716-446655440000")
+    "zz0e8400-e29b-41d4-a716-446655440000",
+    ":kw", ":a/b", ":a/b/c", "sym", "9sym", ":a/", "/a", ":", ":a\n",
+    "s/t", "s/", "abcd", "ad", "abd", "acd", "12-ab", "1-ab", "12-", "-ab")
 
   private def fuzzStrings: Seq[String] = {
     val rnd = new scala.util.Random(7)

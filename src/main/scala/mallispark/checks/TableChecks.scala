@@ -193,10 +193,16 @@ object TableChecks {
     val k2 = F.sqrt(F.col("n_a").cast(DoubleType) / F.col("n_b"))
     joined.crossJoin(F.broadcast(totals))
       .agg(
-        F.sum(F.pow(k1 * ra - k2 * rb, 2.0) / (ra + rb)).as("statistic"),
-        (F.max("cells") - 1).cast(LongType).as("dof"),
-        F.max("n_a").cast(LongType).as("n_a"),
-        F.max("n_b").cast(LongType).as("n_b"))
+        // degenerate (both frames empty) → zero cells: keep the original
+        // fold's contract of statistic 0.0 / dof -1 / zero totals, not an
+        // all-NULL row a threshold comparison would silently skip
+        F.coalesce(
+          F.sum(F.pow(k1 * ra - k2 * rb, 2.0) / (ra + rb)),
+          F.lit(0.0)).as("statistic"),
+        (F.coalesce(F.max("cells"), F.lit(0L)) - 1)
+          .cast(LongType).as("dof"),
+        F.coalesce(F.max("n_a"), F.lit(0L)).cast(LongType).as("n_a"),
+        F.coalesce(F.max("n_b"), F.lit(0L)).cast(LongType).as("n_b"))
   }
 
   /** EXACT two-sample KS: group by value, order, running CDFs, max diff.

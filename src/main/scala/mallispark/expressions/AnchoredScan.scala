@@ -165,12 +165,13 @@ object AnchoredScan {
               hi = math.max(hi, h2)
             }
           case f: FixedRun =>
-            // every reachable position shifts by len if its bytes match.
-            // HIGH→LOW so an output position (p+len) can never be
+            // every reachable position shifts by the bytes its f.len
+            // UNITS consume (negated entries eat whole multibyte chars).
+            // HIGH→LOW so an output position (always > p) can never be
             // re-read as an input of the same segment when the window
             // is wider than the run
             if (lo + f.len > n) return clearFail(cur, lo, hi)
-            val newHi = math.min(hi, n - f.len)
+            val newHi = math.min(hi, n - f.len) // each unit is ≥ 1 byte
             var p = hi
             while (p > newHi) { cur(p) = false; p -= 1 }
             var anyLo = -1
@@ -178,31 +179,33 @@ object AnchoredScan {
             while (p >= lo) {
               val in = cur(p)
               cur(p) = false // consumed
-              if (in && runMatches(f, s, p)) {
-                cur(p + f.len) = true
-                anyLo = p + f.len
-                if (anyHi < 0) anyHi = p + f.len
+              if (in) {
+                val end = runEnd(f, s, p, n)
+                if (end >= 0) {
+                  cur(end) = true
+                  anyLo = math.min(if (anyLo < 0) end else anyLo, end)
+                  anyHi = math.max(anyHi, end)
+                }
               }
               p -= 1
             }
             if (anyLo < 0) return -1L
             lo = anyLo; hi = anyHi
-          case c: VarClass =>
-            // run(p) = maximal allowed run from p, computed right-to-left
-            // over [lo, n); reachable q = p+min .. min(p+max, p+run(p))
+          case c: VarClass if !c.neg =>
+            // positive class — ASCII members only, so a multibyte char
+            // can never match and byte count ≡ char count. run(p) =
+            // maximal allowed run from p, computed right-to-left over
+            // [lo, n); reachable q = p+min .. min(p+max, p+run(p))
             val run = sc.run
             run(n) = 0
             var i = n - 1
             while (i >= lo) {
-              run(i) =
-                if (inMask(c.m0, c.m1, s.getByte(i)) != c.neg) run(i + 1) + 1
-                else 0
+              run(i) = if (inMask(c.m0, c.m1, s.getByte(i))) run(i + 1) + 1
+                       else 0
               i -= 1
             }
-            val newLo = lo + c.min
-            val newHiCap =
-              if (c.max == Int.MaxValue) n
-              else math.min(n, hi + c.max)
+            val newLo = clampAdd(lo, c.min, n + 1) // long math: {2^31}-ish bounds
+            val newHiCap = clampAdd(hi, c.max, n)
             if (newLo > n) return clearFail(cur, lo, hi)
             // clear the output range, then diff-mark
             val diff = sc.diff
@@ -211,10 +214,8 @@ object AnchoredScan {
             var any = false
             while (p <= hi) {
               if (cur(p)) {
-                val qlo = p + c.min
-                val qhiCap = if (c.max == Int.MaxValue) n
-                             else math.min(n, p + c.max)
-                val qhi = math.min(qhiCap, p + run(p))
+                val qlo = clampAdd(p, c.min, n + 1)
+                val qhi = math.min(clampAdd(p, c.max, n), p + run(p))
                 if (qlo <= qhi) { diff(qlo) += 1; diff(qhi + 1) -= 1; any = true }
               }
               cur(p) = false
@@ -234,11 +235,85 @@ object AnchoredScan {
             }
             if (anyLo < 0) return -1L
             lo = anyLo; hi = anyHi
+          case c: VarClass =>
+            // NEGATED class: the banned set is ASCII, so every multibyte
+            // char matches — units are chars, not bytes. Chain stepping:
+            // from a unit-start, step(p) = p + unitWidth(p); positions
+            // strictly between chain points are continuation bytes, so
+            // every unit-start inside [p, term(p)] lies ON p's chain and
+            // the ≥min tail of a chain is one contiguous byte interval
+            // filtered to non-continuation positions. term(p) computed
+            // right-to-left once; min-walks are ≤ 64 by compile guard.
+            val term = sc.run // reuse: term(p) = end of the unit chain at p
+            term(n) = n
+            var i = n - 1
+            while (i >= lo) {
+              val w = unitWidth(c, s, i, n)
+              term(i) = if (w > 0) term(i + w) else i
+              i -= 1
+            }
+            val newLo = lo + c.min // units are ≥ 1 byte each
+            val newHiCap = clampAdd(hi, 4 * c.max.toLong, n)
+            if (newLo > n) return clearFail(cur, lo, hi)
+            val diff = sc.diff
+            java.util.Arrays.fill(diff, newLo, newHiCap + 2, 0)
+            var p = lo
+            var any = false
+            while (p <= hi) {
+              if (cur(p)) {
+                // walk min units (≤ 64 by the compile guard)
+                var q = p
+                var k = 0
+                var dead = false
+                while (k < c.min && !dead) {
+                  val w = unitWidth(c, s, q, n)
+                  if (w <= 0) dead = true else { q += w; k += 1 }
+                }
+                if (!dead) {
+                  if (c.max == Int.MaxValue) {
+                    // whole remaining chain [q, term(p)] is reachable
+                    val t = term(p)
+                    if (q <= t) { diff(q) += 1; diff(t + 1) -= 1; any = true }
+                  } else {
+                    // bounded: walk and mark up to max-min more ends
+                    var j = c.min
+                    var qq = q
+                    var go = true
+                    while (go && j <= c.max) {
+                      diff(qq) += 1; diff(qq + 1) -= 1; any = true
+                      val w = unitWidth(c, s, qq, n)
+                      if (w <= 0) go = false else { qq += w; j += 1 }
+                    }
+                  }
+                }
+              }
+              cur(p) = false
+              p += 1
+            }
+            if (!any) return -1L
+            var acc = 0
+            p = newLo
+            var anyLo = -1
+            var anyHi = -2
+            while (p <= newHiCap) {
+              acc += diff(p)
+              // a marked CONTINUATION byte is mid-char, not a valid end
+              val r = acc > 0 &&
+                (p >= n || (s.getByte(p) & 0xC0) != 0x80)
+              cur(p) = r
+              if (r) { if (anyLo < 0) anyLo = p; anyHi = p }
+              p += 1
+            }
+            if (anyLo < 0) return -1L
+            lo = anyLo; hi = anyHi
         }
         si += 1
       }
       (lo.toLong << 32) | hi.toLong
     }
+
+    private def clampAdd(base: Int, add: Long, n: Int): Int =
+      math.min(n.toLong, base.toLong + add).toInt
 
     /** Window positions must never leak into the next row's call on the
       * same thread — every early exit clears what it read. */
@@ -248,16 +323,59 @@ object AnchoredScan {
       -1L
     }
 
-    private def runMatches(f: FixedRun, s: UTF8String, p: Int): Boolean = {
+    /** Width of the unit a NEGATED class consumes at pos: 1 for an
+      * allowed ASCII byte, the char width for a multibyte lead (always
+      * allowed — the banned set is ASCII), 0 when nothing matches here
+      * (banned byte, continuation byte, truncated char, end of input). */
+    private def unitWidth(c: VarClass, s: UTF8String, pos: Int, n: Int): Int = {
+      if (pos >= n) return 0
+      val b = s.getByte(pos)
+      if (b >= 0) { if (inMask(c.m0, c.m1, b)) 0 else 1 }
+      else {
+        val u = b & 0xFF
+        val w =
+          if (u >= 0xC0 && u < 0xE0) 2
+          else if (u >= 0xE0 && u < 0xF0) 3
+          else if (u >= 0xF0 && u < 0xF8) 4
+          else 0 // continuation or invalid lead
+        if (w > 0 && pos + w <= n) w else 0
+      }
+    }
+
+    /** End position after consuming f's units from p, or -1. Positive
+      * and exact entries consume one byte; negated entries consume one
+      * CHAR (units, like unitWidth — inlined here for the mixed run). */
+    private def runEnd(f: FixedRun, s: UTF8String, p: Int, n: Int): Int = {
+      var pos = p
       var i = 0
       while (i < f.len) {
-        val b = s.getByte(p + i)
+        if (pos >= n) return -1
+        val b = s.getByte(pos)
         val e = f.exact(i)
-        if (e >= 0) { if (b != e.toByte) return false }
-        else if (inMask(f.m0(i), f.m1(i), b) == f.neg(i)) return false
+        if (e >= 0) {
+          if (b != e.toByte) return -1
+          pos += 1
+        } else if (!f.neg(i)) {
+          if (!inMask(f.m0(i), f.m1(i), b)) return -1
+          pos += 1
+        } else {
+          if (b >= 0) {
+            if (inMask(f.m0(i), f.m1(i), b)) return -1
+            pos += 1
+          } else {
+            val u = b & 0xFF
+            val w =
+              if (u >= 0xC0 && u < 0xE0) 2
+              else if (u >= 0xE0 && u < 0xF0) 3
+              else if (u >= 0xF0 && u < 0xF8) 4
+              else 0
+            if (w == 0 || pos + w > n) return -1
+            pos += w
+          }
+        }
         i += 1
       }
-      true
+      pos
     }
 
     /** Position before a single TERMINAL line terminator, or -1: `\n`,
@@ -343,12 +461,16 @@ object AnchoredScan {
           val spec = body.substring(i + 1, close)
           i = close + 1
           val parts = spec.split(",", -1)
-          try parts match {
-            case Array(n) => Some((n.toInt, n.toInt))
-            case Array(n, "") => Some((n.toInt, Int.MaxValue))
-            case Array(n, m) => Some((n.toInt, m.toInt))
-            case _ => None
-          } catch { case _: NumberFormatException => None }
+          val range =
+            try parts match {
+              case Array(n) => Some((n.toInt, n.toInt))
+              case Array(n, "") => Some((n.toInt, Int.MaxValue))
+              case Array(n, m) => Some((n.toInt, m.toInt))
+              case _ => None
+            } catch { case _: NumberFormatException => None }
+          // Java REJECTS {-1} and {5,2} (PatternSyntaxException) — the
+          // kernel must not silently accept what rlike would throw on
+          range.filter { case (mn, mx) => mn >= 0 && mx >= mn }
         case _ => Some((1, 1))
       }
     }
@@ -365,6 +487,10 @@ object AnchoredScan {
         val q = parseQuant().getOrElse(return None)
         if (reluctant()) return None
         val parsed = parseClass(cls).getOrElse(return None)
+        // negated classes count CHARS (multibyte units): bounded counts
+        // run a per-position walk capped at 64 — larger bounds bail
+        if (parsed._3 && (q._1 > 64 || (q._2 != Int.MaxValue && q._2 > 64)))
+          return None
         segs += ClassSeg(parsed._1, parsed._2, parsed._3, q._1, q._2)
       } else if (c == '(') {
         if (inGroup) return None // one level only
@@ -463,30 +589,43 @@ object AnchoredScan {
     def addRange(a: Int, b: Int): Unit = {
       var x = a; while (x <= b) { add(x); x += 1 }
     }
+    // one endpoint: a raw ASCII char or a single-char escape. Class
+    // escapes (\s \d \w) return -1 — legal as members, not as range
+    // endpoints. A range is endpoint '-' endpoint regardless of which
+    // side is escaped (the old raw-char-only check mis-read [\t-\r] as
+    // three literals).
     var j = 0
-    while (j < cs.length) {
+    def endpoint(): Int = {
       val c = cs.charAt(j)
-      if (c >= 0x80) return None // non-ASCII member: byte scan unsound
+      if (c >= 0x80) { j = cs.length + 1; -2 } // force the caller to bail
       else if (c == '\\') {
-        if (j + 1 >= cs.length) return None
-        cs.charAt(j + 1) match {
-          case 's' => add(' '); add('\t'); add('\n'); add(0x0B); add('\f'); add('\r')
-          case 'd' => addRange('0', '9')
-          case 'w' => addRange('a', 'z'); addRange('A', 'Z'); addRange('0', '9'); add('_')
-          case 't' => add('\t'); case 'n' => add('\n'); case 'r' => add('\r')
-          case 'f' => add('\f')
-          case e @ ('\\' | ']' | '[' | '-' | '^' | '.' | '$' | '+' | '*' |
-                    '?' | '(' | ')' | '|' | '/') => add(e)
-          case _ => return None // \S \W \D \p{...}: bail
-        }
+        if (j + 1 >= cs.length) { j = cs.length + 1; return -2 }
+        val e = cs.charAt(j + 1)
         j += 2
-      } else if (j + 2 < cs.length && cs.charAt(j + 1) == '-' &&
-                 cs.charAt(j + 2) != ']') {
-        val hi = cs.charAt(j + 2)
-        if (hi == '\\' || hi >= 0x80 || hi < c) return None
-        addRange(c, hi)
-        j += 3
-      } else { add(c); j += 1 }
+        e match {
+          case 's' => add(' '); add('\t'); add('\n'); add(0x0B); add('\f'); add('\r'); -1
+          case 'd' => addRange('0', '9'); -1
+          case 'w' => addRange('a', 'z'); addRange('A', 'Z'); addRange('0', '9'); add('_'); -1
+          case 't' => '\t'.toInt; case 'n' => '\n'.toInt; case 'r' => '\r'.toInt
+          case 'f' => '\f'.toInt
+          case x if "\\][-^.$+*?()|/".contains(x) => x.toInt
+          case _ => -2 // \S \W \D \p{...}: bail
+        }
+      } else { j += 1; c.toInt }
+    }
+    while (j < cs.length) {
+      val markJ = j
+      val e1 = endpoint()
+      if (e1 == -2) return None
+      if (e1 >= 0 && j + 1 < cs.length && cs.charAt(j) == '-' &&
+          cs.charAt(j + 1) != ']') {
+        j += 1 // consume '-'
+        val e2 = endpoint()
+        if (e2 < 0 || e2 < e1) return None
+        addRange(e1, e2)
+      } else if (e1 >= 0) add(e1)
+      // class escapes (e1 == -1) already added their members
+      if (j <= markJ) return None // no progress: malformed
     }
     Some((m0, m1, negated))
   }

@@ -82,6 +82,17 @@ object SnapshotTable {
           s"concurrent commit: snapshot $id already claimed in $dir " +
             "(if the claimant crashed, recover with expireClaims)")
     }
+    // a racer that read the same parent may have already PUBLISHED this id
+    // and released its claim before ours was created — publish precedes
+    // release, so checking the manifest after a successful claim closes
+    // that window: without it we would clobber the racer's committed
+    // data directory before failing at the ATOMIC_MOVE
+    if (Files.exists(manifestPath)) {
+      Files.deleteIfExists(claimPath)
+      throw new IllegalStateException(
+        s"concurrent commit: snapshot $id was published while claiming " +
+          s"in $dir — re-read currentSnapshotId and retry")
+    }
     try {
       val subdir = f"data/snap-$id%06d"
       df.write.mode("overwrite").parquet(root.resolve(subdir).toString)
@@ -131,11 +142,15 @@ object SnapshotTable {
 
   /** Remove orphaned claim sidecars — claims whose snapshot was published
     * (stale leftovers) plus, when `olderThanMillis` has elapsed since the
-    * claim's mtime, claims from hard-crashed commits. Returns the ids
-    * whose claims were removed. The data directory of a crashed commit
-    * (if any) is left in place — it is unreachable (no manifest lists it)
-    * and the next commit of that id overwrites it. */
-  def expireClaims(dir: String, olderThanMillis: Long = 0L): Seq[Long] = {
+    * claim's mtime, claims from hard-crashed commits. The default is a
+    * 10-minute window: a zero default would expire the claim of a LIVE
+    * in-flight commit and re-open the concurrent-clobber the claim
+    * prevents — pass 0 explicitly only when no committer can be running.
+    * Returns the ids whose claims were removed. The data directory of a
+    * crashed commit (if any) is left in place — it is unreachable (no
+    * manifest lists it) and the next commit of that id overwrites it. */
+  def expireClaims(dir: String,
+                   olderThanMillis: Long = 10L * 60 * 1000): Seq[Long] = {
     val root = Paths.get(dir)
     if (!Files.isDirectory(root)) Seq.empty
     else {

@@ -378,12 +378,19 @@ object Dedup {
               F.array_except(F.col("hs0"), F.col("hot_arr")).as("hs"))
             .where(F.size(F.col("hs")) > 0)
         } else {
-          // sort_array restores the kernel's ascending set order (collect
-          // order after a shuffle is nondeterministic); docs whose every
+          // re-collect each doc's surviving shingles through the k-capped
+          // heap, never collect_list (the repo-wide bounded-group-state
+          // rule): the cap only bites a doc with > 2^20 DISTINCT
+          // shingles, and keeping the 2^20 SMALLEST hashes is exactly
+          // minhash truncation — Jaccard estimates for such pathological
+          // docs degrade gracefully instead of one agg buffer absorbing
+          // the whole document. BoundedCollectMin emits ascending order
+          // (the kernel's set order) by construction; docs whose every
           // shingle is hot vanish, matching the size(hs)>0 filter above
           exploded.join(hot, Seq("h"), "left_anti")
             .groupBy("doc")
-            .agg(F.sort_array(F.collect_list(F.col("h"))).as("hs"))
+            .agg(mallispark.expressions.BoundedCollectMin(
+              F.col("h").cast(LongType), 1 << 20).as("hs"))
         }
       }
     val pairs = cand

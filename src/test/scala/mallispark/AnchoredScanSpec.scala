@@ -29,7 +29,14 @@ class AnchoredScanSpec extends SparkSuite {
     "^:[^\\s/:]+(/[^\\s/:]+)?$",            // the keyword ident shape
     "^[^\\s/:0-9][^\\s/:]*(/[^\\s/:]+)?$",  // the symbol ident shape
     "^a(?:bc)?d$",             // non-capturing optional group
-    "^([0-9]{2}-)?[a-z]+$")    // optional group with inner bound
+    "^([0-9]{2}-)?[a-z]+$",    // optional group with inner bound
+    "^[^a]$",                  // negated single CHAR (multibyte unit!)
+    "^[^a]{2}$",               // negated bounded count in chars
+    "^[^a]{1,3}x$",            // negated {n,m} + tail
+    "^[^a]+[^b]+$",            // adjacent negated classes (char split)
+    "^[^a]*[^b]*$",            // adjacent negated, both optional
+    "^[\\t-\\r]+$",            // range with ESCAPED endpoints
+    "^[+-\\]]+$")              // range ending at an escaped bracket
 
   private val zAnchored = Seq( // \z disables the final-terminator rule
     "^https?://[^\\s]+\\z",
@@ -45,7 +52,10 @@ class AnchoredScanSpec extends SparkSuite {
     "^a[é]+$",                 // non-ASCII class member
     "^a(b(c)?)?$",             // nested group
     "^(ab)+$",                 // non-optional group quantifier
-    "^(a|b)c$")                // alternation inside a group
+    "^(a|b)c$",                // alternation inside a group
+    "^a{-1}b$",                // Java rejects: so must compile()
+    "^a{5,2}$",                // Java rejects: inverted bound
+    "^[^a]{100}$")             // negated bounded count over the walk cap
 
   private val strings = Seq(
     "", "x", "http://x", "https://x", "http://", "https://",
@@ -66,14 +76,22 @@ class AnchoredScanSpec extends SparkSuite {
     "550e8400-e29b-41d4-a716-446655440000\r\n",
     "zz0e8400-e29b-41d4-a716-446655440000",
     ":kw", ":a/b", ":a/b/c", "sym", "9sym", ":a/", "/a", ":", ":a\n",
-    "s/t", "s/", "abcd", "ad", "abd", "acd", "12-ab", "1-ab", "12-", "-ab")
+    "s/t", "s/", "abcd", "ad", "abd", "acd", "12-ab", "1-ab", "12-", "-ab",
+    // multibyte units for the negated-class char counting
+    "é", "éé", "ééé", "éx", "xé", "ééx", "路", "路径", "é路x", "🎉", "🎉🎉",
+    "é\n", ":é", ":é/ü", "ü/é", "\t", "", "\t\n\r", "a]b", "]]")
 
   private def fuzzStrings: Seq[String] = {
     val rnd = new scala.util.Random(7)
     val alphabet = "ab :/htps\n\r\tü0-".toCharArray
+    // whole code points (🎉 is a surrogate pair — keep it a unit)
+    val wide = Array("a", "b", "é", "路", "x", "🎉", ":", "/")
     Seq.fill(400) {
       val n = rnd.nextInt(12)
       new String(Array.fill(n)(alphabet(rnd.nextInt(alphabet.length))))
+    } ++ Seq.fill(200) {
+      val n = rnd.nextInt(6)
+      (0 until n).map(_ => wide(rnd.nextInt(wide.length))).mkString
     }
   }
 

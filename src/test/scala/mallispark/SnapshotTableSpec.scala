@@ -155,7 +155,9 @@ class SnapshotTableSpec extends SparkSuite {
       SnapshotTable.commit(spark.range(3).toDF("id"), dir)
     }
     // recovery from a crashed claimant: expire the orphan, then commit
-    assert(SnapshotTable.expireClaims(dir) === Seq(2L))
+    // (explicit 0 — the default keeps a 10-minute safety window so a
+    // sweep can never kill a LIVE in-flight commit's claim)
+    assert(SnapshotTable.expireClaims(dir, olderThanMillis = 0L) === Seq(2L))
     val s2 = SnapshotTable.commit(spark.range(2).toDF("id"), dir)
     assert(s2 === 2L)
     assert(SnapshotTable.read(spark, dir).count() === 5L)
@@ -167,7 +169,9 @@ class SnapshotTableSpec extends SparkSuite {
     intercept[IllegalStateException] {
       SnapshotTable.commit(spark.range(1).toDF("id"), dir)
     }
-    assert(SnapshotTable.expireClaims(dir) === Seq(3L))
+    // the default TTL also protects this fresh claim; 0 forces it out
+    assert(SnapshotTable.expireClaims(dir) === Seq.empty)
+    assert(SnapshotTable.expireClaims(dir, olderThanMillis = 0L) === Seq(3L))
   }
 
   test("a failed commit releases its claim; a crashed publish does not " +

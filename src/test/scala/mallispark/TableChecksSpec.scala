@@ -87,6 +87,18 @@ class TableChecksSpec extends SparkSuite {
     assert(statShift > 50.0) // massive shift
   }
 
+  test("chiSquare on empty inputs keeps the degenerate contract") {
+    // both frames empty → statistic 0.0, dof -1, zero totals (never an
+    // all-NULL row a threshold comparison would silently skip)
+    val e1 = df(Seq.empty[Row], kv)
+    val e2 = df(Seq.empty[Row], kv)
+    val r = TableChecks.chiSquare(e1, e2, "v").collect()(0)
+    assert(r.getDouble(0) === 0.0)
+    assert(r.getLong(1) === -1L)
+    assert(r.getLong(2) === 0L)
+    assert(r.getLong(3) === 0L)
+  }
+
   test("chiSquare streams a 10^6-category column (distributive state)") {
     // one distinct category per row: the pre-round-6 implementation
     // packed all 10^6 cells into a single collect_list buffer; the

@@ -30,6 +30,7 @@ object KernelAB {
       val dt = (System.nanoTime() - t0) / 1e9 / 3
       println(f"AB $name: $dt%.3f s/pass  (${8.0e6 / dt / 1e6}%.1f M rows/s) matched=$matched")
     }
+    time("floor len>7", F.length(F.col("url")) > 7)
     time("rlike      ", F.col("url").rlike(pat))
     time("anchored   ", mallispark.expressions.AnchoredScan.column(F.col("url"), pat).get)
     val uuidPat = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}\\z"

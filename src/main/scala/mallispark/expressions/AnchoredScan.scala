@@ -113,7 +113,8 @@ object AnchoredScan {
       sc.ensure(n)
       val cur = sc.cur
       cur(0) = true
-      val w = runExecs(execs, s, n, sc, 0, 0)
+      val te = if (dollarTerm) termEnd(s, n) else -1
+      val w = runExecs(execs, s, n, sc, 0, 0, te)
       if (w < 0) return false
       val lo = (w >>> 32).toInt
       val hi = (w & 0xFFFFFFFFL).toInt
@@ -121,20 +122,22 @@ object AnchoredScan {
       var p = lo
       val res =
         if (ok) true
-        else if (!dollarTerm) false
-        else {
-          val t = termEnd(s, n)
-          t >= lo && t <= hi && cur(t)
-        }
+        else te >= lo && te <= hi && cur(te)
       // clear the final window for the next call on this thread
       while (p <= hi) { cur(p) = false; p += 1 }
       res
     }
 
     /** Run a segment sequence from window [lo0, hi0]; returns the packed
-      * result window (lo << 32 | hi) or -1 with `cur` cleared. */
+      * result window (lo << 32 | hi) or -1 with `cur` cleared.
+      * `finalTe` enables the last-segment fast path: -2 = this is not
+      * the top-level sequence (OptBlock inner), else the terminal-suffix
+      * end position (or -1 when none) — the ONLY two positions the
+      * caller will accept are n and finalTe, so a trailing class can
+      * test them directly instead of marking every reachable end. */
     private def runExecs(es: Array[Exec], s: UTF8String, n: Int,
-                         sc: Scratch, lo0: Int, hi0: Int): Long = {
+                         sc: Scratch, lo0: Int, hi0: Int,
+                         finalTe: Int): Long = {
       val cur = sc.cur
       // live window: positions lo..hi, cur(p) valid only inside it
       var lo = lo0
@@ -147,7 +150,7 @@ object AnchoredScan {
             val sav = sc.sav
             var q = lo
             while (q <= hi) { sav(q) = cur(q); q += 1 }
-            val w2 = runExecs(g.inner, s, n, sc, lo, hi)
+            val w2 = runExecs(g.inner, s, n, sc, lo, hi, -2)
             if (w2 < 0) {
               // inner dead end (cur cleared): the skip path remains
               q = lo
@@ -188,6 +191,98 @@ object AnchoredScan {
                 }
               }
               p -= 1
+            }
+            if (anyLo < 0) return -1L
+            lo = anyLo; hi = anyHi
+          case c: VarClass if si == es.length - 1 && finalTe != -2 &&
+              (!c.neg || (c.min <= 1 && c.max == Int.MaxValue)) =>
+            // LAST-SEGMENT fast path: only n and finalTe can be accepted
+            // ends, so test those two directly — one backward allowed-
+            // suffix scan per candidate instead of term/diff/sweep
+            // machinery over the whole tail. E is reachable from p iff
+            // no disallowed byte sits in [p, E) (for a negated class the
+            // chain steps whole chars and E is a char boundary, so the
+            // byte condition is exact) and the count bound holds (chars
+            // for negated — but with min ≤ 1, units ≥ 1 ⟺ E > p; byte
+            // distance works for positive members, which are ASCII).
+            var found = -1
+            var cand = 0
+            while (found < 0 && cand < 2) {
+              val e = if (cand == 0) n else finalTe
+              if (e >= 0 && (cand == 0 || e != n)) {
+                // earliest start whose whole suffix [start, e) is allowed
+                var start = e
+                var scanning = true
+                while (scanning && start > lo) {
+                  val b = s.getByte(start - 1)
+                  val allowedB =
+                    if (c.neg) !(b >= 0 && inMask(c.m0, c.m1, b))
+                    else b >= 0 && inMask(c.m0, c.m1, b)
+                  if (allowedB) start -= 1 else scanning = false
+                }
+                // reachable p ∈ [start, e] ∩ window with the count bound;
+                // negated runs here only with min ≤ 1 / max = ∞ (a finite
+                // CHAR bound is not decidable from byte distance), so the
+                // byte arithmetic below is exact for both polarities
+                val pHi = math.min(hi, e - c.min)
+                val pLo = math.max(math.max(lo, start),
+                  if (c.max == Int.MaxValue) 0
+                  else math.max(0L, e.toLong - c.max).toInt)
+                var p = pLo
+                while (found < 0 && p <= pHi) {
+                  if (cur(p)) found = e
+                  p += 1
+                }
+              }
+              cand += 1
+            }
+            // consume the window either way
+            var p2 = lo
+            while (p2 <= hi) { cur(p2) = false; p2 += 1 }
+            if (found < 0) return -1L
+            cur(found) = true
+            lo = found; hi = found
+          case c: VarClass if !c.neg && c.max <= 64 =>
+            // small-bounded positive class (s?, a{2,5}...): walk ≤ max
+            // bytes forward per window position instead of the whole-tail
+            // run[] scan the unbounded case needs
+            val newLo = lo + c.min
+            val newHiCap = math.min(n, hi + c.max)
+            if (newLo > n) return clearFail(cur, lo, hi)
+            val diff = sc.diff
+            java.util.Arrays.fill(diff, newLo, newHiCap + 2, 0)
+            var p = lo
+            var any = false
+            while (p <= hi) {
+              if (cur(p)) {
+                var q = p
+                var k = 0
+                while (k < c.min && q < n &&
+                       inMask(c.m0, c.m1, s.getByte(q))) { q += 1; k += 1 }
+                if (k == c.min) {
+                  var go = true
+                  while (go && k <= c.max) {
+                    diff(q) += 1; diff(q + 1) -= 1; any = true
+                    if (k < c.max && q < n &&
+                        inMask(c.m0, c.m1, s.getByte(q))) { q += 1; k += 1 }
+                    else go = false
+                  }
+                }
+              }
+              cur(p) = false
+              p += 1
+            }
+            if (!any) return -1L
+            var acc = 0
+            p = newLo
+            var anyLo = -1
+            var anyHi = -2
+            while (p <= newHiCap) {
+              acc += diff(p)
+              val r = acc > 0
+              cur(p) = r
+              if (r) { if (anyLo < 0) anyLo = p; anyHi = p }
+              p += 1
             }
             if (anyLo < 0) return -1L
             lo = anyLo; hi = anyHi

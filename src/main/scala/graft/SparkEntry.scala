@@ -594,6 +594,29 @@ object SparkEntry {
     }),
 
     // ---- :multi keyword dispatch with ::m/default branch ----
+    // sci-subset string :fn schemas: MiniEval-compiled predicates ship to
+    // executors through the UDF escape hatch and round-trip through EDN
+    // forms — closing §2.3's ":fn escape hatch" row with a value oracle.
+    // Every fn is null-safe by construction so the SQL mirror is a plain
+    // coalesce-to-false conjunction.
+    "fn_string_verdicts" -> ((s, dir) => {
+      val sch = S.mapE(false,
+        S.req("text", S.fnS(
+          "(fn [t] (and (string? t) (> (count t) 120)))")),
+        S.req("lang", S.fnS(
+          "(fn [l] (or (= l \"en\") (= l \"de\") (= l \"fr\")))")),
+        S.req("n_chars", S.fnS(
+          "(fn [n] (and (int? n) (>= n 0) (< (mod n 7) 5)))")))
+      // the schema must survive an EDN round-trip WITH its functions —
+      // validate through the re-read schema, not the original (sci.cljc's
+      // serialized-schema contract)
+      val rt = mallispark.ir.Export.fromForm(SchemaIR.form(sch))
+      val src = t(s, dir, "documents").select("doc_id", "text", "lang",
+        "n_chars")
+      SchemaCompiler.validateDF(rt, src, "ok")
+        .select("doc_id", "ok").orderBy("doc_id")
+    }),
+
     "multi_key_verdicts" -> ((s, dir) => {
       val sch = S.multi("event_type",
         default = Some(S.mapE(false, S.req("value", S.double(0.0, 1e9)))))(
@@ -2508,6 +2531,13 @@ object SparkEntry {
          |  AND lang IN ('en','de','fr','es','zh')
          |  AND length(text) >= 1 AS ok
          |FROM pages ORDER BY doc_id""".stripMargin,
+
+    "fn_string_verdicts" ->
+      """SELECT doc_id,
+        |  coalesce(length(text) > 120, FALSE)
+        |  AND coalesce(lang IN ('en','de','fr'), FALSE)
+        |  AND coalesce(n_chars >= 0 AND (n_chars % 7) < 5, FALSE) AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "multi_key_verdicts" ->
       """SELECT event_id,

@@ -42,6 +42,10 @@ object Destructure {
   /** Insertion-ordered map literal. */
   final case class VMap(pairs: Vector[(Any, Any)])
 
+  /** A list form `(...)` — code, not data, in binding position (the
+    * grammar rejects it); [[mallispark.ir.MiniEval]] evaluates it. */
+  final case class VList(items: Vector[Any])
+
   /** Minimal EDN reader for binding forms: vectors, maps, keywords,
     * symbols, strings, integer longs, booleans, nil. Quote (') is
     * consumed transparently (fixtures come from quoted Clojure data). */
@@ -70,6 +74,13 @@ object Destructure {
             val (v, j2) = readOne(s, j); items += v; j = skipWs(s, j2)
           }
           (items.result(), j + 1)
+        case '(' =>
+          var j = skipWs(s, i + 1)
+          val items = Vector.newBuilder[Any]
+          while (s(j) != ')') {
+            val (v, j2) = readOne(s, j); items += v; j = skipWs(s, j2)
+          }
+          (VList(items.result()), j + 1)
         case '{' =>
           var j = skipWs(s, i + 1)
           val pairs = Vector.newBuilder[(Any, Any)]
@@ -91,7 +102,7 @@ object Destructure {
         case _ =>
           var j = i
           while (j < s.length && !s(j).isWhitespace &&
-                 !"[]{}\",'".contains(s(j))) j += 1
+                 !"[]{}()\",'".contains(s(j))) j += 1
           (atom(s.substring(i, j)), j)
       }
     }
@@ -101,6 +112,8 @@ object Destructure {
       else if (t == "false") java.lang.Boolean.FALSE
       else if (t == "nil") null
       else if (t.matches("-?\\d+")) java.lang.Long.valueOf(t)
+      else if (t.matches("-?\\d+\\.\\d+([eE][+-]?\\d+)?"))
+        java.lang.Double.valueOf(t)
       else if (t.startsWith(":")) ident(t.drop(1), Kw(_, _))
       else ident(t, Sym(_, _))
 
@@ -122,6 +135,7 @@ object Destructure {
       case n: Long => n.toString
       case n: Int => n.toString
       case xs: Vector[_] => xs.map(print).mkString("[", " ", "]")
+      case VList(items) => items.map(print).mkString("(", " ", ")")
       case VMap(ps) =>
         ps.map { case (k, x) => print(k) + " " + print(x) }
           .mkString("{", ", ", "}")

@@ -254,7 +254,12 @@ object Export {
       case "enum" => SEnum(m("values").asInstanceOf[Seq[Any]].map(readDefault))
       case "re" => SRegex(m("pattern").toString)
       case "compare" => SCompare(m("op").toString, readDefault(m("value")))
-      case "fn" => SFn(m("name").toString, _ => true) // fns don't serialize
+      case "fn" =>
+        val n = m("name").toString
+        // MiniEval sources DO serialize (sci round-trip); opaque Scala
+        // closures keep the permissive placeholder
+        if (MiniEval.isFnSource(n)) SFn(n, MiniEval.compile(n).pred)
+        else SFn(n, _ => true)
       case "custom" =>
         // the validator lambda does not serialize — fail FAST at first
         // compile/eval instead of silently accepting every value (the
@@ -506,9 +511,15 @@ object Export {
           case SStr(s) => s; case Sym(s) => s; case o => o.toString })
         case ":>" | ":>=" | ":<" | ":<=" | ":=" | ":not=" =>
           SCompare(head.drop(1), litOf(rest.head))
-        case ":fn" => SFn(rest.headOption.map {
-          case Sym(s) => s; case SStr(s) => s; case o => o.toString
-        }.getOrElse("fn"), _ => true)
+        case ":fn" =>
+          val n = rest.headOption.map {
+            case Sym(s) => s; case SStr(s) => s; case o => o.toString
+          }.getOrElse("fn")
+          // a MiniEval source string deserializes into a REAL predicate
+          // (the sci round-trip); opaque names get the permissive
+          // placeholder as before
+          if (MiniEval.isFnSource(n)) SFn(n, MiniEval.compile(n).pred)
+          else SFn(n, _ => true)
         case ":validate" =>
           val vn = rest.headOption.map {
             case Sym(s) => s; case SStr(s) => s; case o => o.toString

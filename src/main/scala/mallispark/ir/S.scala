@@ -89,6 +89,11 @@ object S {
   def neq(v: Any): SchemaIR = SCompare("not=", v)
 
   def fn(name: String)(f: Any => Boolean): SchemaIR = SFn(name, f)
+
+  /** String-sourced `:fn` — compiled by [[MiniEval]] (the sci-subset
+    * interpreter), so it serializes to executors and round-trips through
+    * EDN forms/AST as a REAL function. */
+  def fnS(src: String): SchemaIR = SFn(src, MiniEval.compile(src).pred)
   def validate(name: String)(f: Any => Seq[ValidateErr]): SchemaIR =
     SValidate(name, f)
 

@@ -459,7 +459,12 @@ object SchemaIR {
     case SEnum(vs) => vs.map(lit).mkString("[:enum ", " ", "]")
     case SRegex(p) => s"[:re ${q(p)}]"
     case SCompare(op, v) => s"[:$op ${lit(v)}]"
-    case SFn(n, _) => s"[:fn $n]"
+    // a MiniEval source "(fn [x] ...)" prints QUOTED so the form
+    // round-trips into a REAL function (sci.cljc's purpose); opaque
+    // Scala closures keep the bare name-only rendering
+    case SFn(n, _) =>
+      if (mallispark.ir.MiniEval.isFnSource(n)) s"[:fn ${q(n)}]"
+      else s"[:fn $n]"
     case SCustom(n, _, _) => s"[:custom $n]"
     case SValidate(n, _) => s"[:validate $n]"
     case SMaybe(c) => s"[:maybe ${form(c)}]"

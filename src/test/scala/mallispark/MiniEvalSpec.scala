@@ -1,0 +1,97 @@
+package mallispark
+
+import org.scalatest.funsuite.AnyFunSuite
+import mallispark.ir.{MiniEval, S, SchemaIR, Export}
+import mallispark.ir.MiniEval.MiniEvalException
+import mallispark.eval.RowEval
+
+/** The sci-subset interpreter behind string-sourced `:fn` schemas
+  * (reference src/malli/sci.cljc — malli evaluates string function forms
+  * so SERIALIZED schemas stay executable; this port covers the pure
+  * expression subset its fixtures use). */
+class MiniEvalSpec extends AnyFunSuite {
+
+  private def run(src: String, args: Any*): Any =
+    MiniEval.compile(src)(args.toSeq)
+
+  test("comparison, arithmetic, and numeric-tower semantics") {
+    assert(run("(fn [x] (> x 10))", 11L) === true)
+    assert(run("(fn [x] (> x 10))", 10L) === false)
+    assert(run("(fn [x y] (<= x y 100))", 5L, 50L) === true) // variadic chain
+    assert(run("(fn [x] (= x 3.0))", 3L) === true) // cross-type numeric =
+    assert(run("(fn [x] (+ x 1))", 2L) === 3L)
+    assert(run("(fn [x] (+ x 0.5))", 2L) === 2.5) // promote to double
+    assert(run("(fn [x] (- x))", 3L) === -3L) // unary minus
+    assert(run("(fn [x] (/ x 2))", 5L) === 2.5) // Clojure ratio → double
+    assert(run("(fn [x] (mod x 7))", -3L) === 4L) // sign of the DIVISOR
+    assert(run("(fn [x] (max 1 x 3))", 2L) === 3L)
+    assert(run("(fn [x] (abs (dec x)))", 0L) === 1L)
+  }
+
+  test("truthiness: false and nil are falsy; and/or return values") {
+    assert(run("(fn [x] (and x 42))", true) === 42L)
+    assert(run("(fn [x] (and x 42))", null) === null)
+    assert(run("(fn [x] (or x 42))", null) === 42L)
+    assert(run("(fn [x] (or x 42))", 7L) === 7L)
+    assert(run("(fn [x] (if x 1 2))", false) === 2L)
+    assert(run("(fn [x] (when (pos? x) :yes))", 1L).toString === ":yes")
+    assert(run("(fn [x] (not x))", null) === true)
+  }
+
+  test("collections: count is code points on strings; get is engine-keyed") {
+    assert(run("(fn [s] (count s))", "héllo") === 5L)
+    assert(run("(fn [s] (count s))", "🎉🎉") === 2L) // not 4 UTF-16 units
+    assert(run("(fn [s] (count s))", null) === 0L)
+    assert(run("(fn [xs] (first xs))", Seq(7L, 8L)) === 7L)
+    assert(run("(fn [xs] (nth xs 1))", Seq(7L, 8L)) === 8L)
+    assert(run("(fn [m] (get m :a))", Map("a" -> 1L)) === 1L)
+    assert(run("(fn [m] (get m :b 9))", Map("a" -> 1L)) === 9L)
+    assert(run("(fn [m] (contains? m :a))", Map("a" -> 1L)) === true)
+    assert(run("(fn [s] (empty? s))", "") === true)
+    assert(run("(fn [a] (str a \"-\" 1))", "x") === "x-1")
+  }
+
+  test("compile-time rejection: typos cannot silently validate") {
+    intercept[MiniEvalException](MiniEval.compile("(fn [x] (> y 10))"))
+    intercept[MiniEvalException](MiniEval.compile("(fn [x] (frob x))"))
+    intercept[MiniEvalException](MiniEval.compile("(fn [x] (fn [y] y))"))
+    intercept[MiniEvalException](MiniEval.compile("(> x 10)"))
+    intercept[MiniEvalException](MiniEval.compile("(fn [x] (clojure.core/inc x))"))
+  }
+
+  test("compiled fns are serializable (ship to executors)") {
+    val f = MiniEval.compile("(fn [x] (and (int? x) (> x 10)))")
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(f)
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[MiniEval.Fn]
+    assert(back(Seq(11L)) === true)
+    assert(back(Seq(5L)) === false)
+  }
+
+  test("string :fn schemas round-trip through form AND ast as real fns") {
+    val sch = S.mapE(false,
+      S.req("v", S.fnS("(fn [v] (and (int? v) (> v 10)))")))
+    val form = SchemaIR.form(sch)
+    assert(form === """[:map [:v [:fn "(fn [v] (and (int? v) (> v 10)))"]]]""")
+    val viaForm = Export.fromForm(form)
+    val viaAst = Export.fromJson(Export.toJson(sch))
+    for (s2 <- Seq(sch, viaForm, viaAst)) {
+      assert(RowEval.validate(s2, Map("v" -> 11L)) === true)
+      assert(RowEval.validate(s2, Map("v" -> 5L)) === false)
+      assert(RowEval.validate(s2, Map("v" -> "nope")) === false)
+    }
+    // opaque Scala closures still come back as permissive placeholders
+    val opaque = Export.fromForm(SchemaIR.form(
+      S.fn("my-pred")(_ => false)))
+    assert(RowEval.validate(opaque, 42L) === true)
+  }
+
+  test("exceptions inside the fn stay -safe-pred false, not crashes") {
+    // (count 42) throws in MiniEval; the :fn wrapper maps it to invalid
+    val sch = S.fnS("(fn [x] (> (count x) 1))")
+    assert(RowEval.validate(sch, 42L) === false)
+    assert(RowEval.validate(sch, "ab") === true)
+  }
+}

@@ -62,6 +62,13 @@ object Destructure {
       i
     }
 
+    /** true while the collection at `j` is still open; a clean error on
+      * unterminated input instead of StringIndexOutOfBounds. */
+    private def open(s: String, j: Int, close: Char): Boolean = {
+      require(j < s.length, s"unterminated EDN input (missing '$close')")
+      s(j) != close
+    }
+
     private def readOne(s: String, i0: Int): (Any, Int) = {
       val i = skipWs(s, i0)
       require(i < s.length, "unexpected end of EDN input")
@@ -70,21 +77,21 @@ object Destructure {
         case '[' =>
           var j = skipWs(s, i + 1)
           val items = Vector.newBuilder[Any]
-          while (s(j) != ']') {
+          while (open(s, j, ']')) {
             val (v, j2) = readOne(s, j); items += v; j = skipWs(s, j2)
           }
           (items.result(), j + 1)
         case '(' =>
           var j = skipWs(s, i + 1)
           val items = Vector.newBuilder[Any]
-          while (s(j) != ')') {
+          while (open(s, j, ')')) {
             val (v, j2) = readOne(s, j); items += v; j = skipWs(s, j2)
           }
           (VList(items.result()), j + 1)
         case '{' =>
           var j = skipWs(s, i + 1)
           val pairs = Vector.newBuilder[(Any, Any)]
-          while (s(j) != '}') {
+          while (open(s, j, '}')) {
             val (k, j2) = readOne(s, j)
             val (v, j3) = readOne(s, skipWs(s, j2))
             pairs += (k -> v); j = skipWs(s, j3)
@@ -93,7 +100,7 @@ object Destructure {
         case '"' =>
           val sb = new StringBuilder
           var j = i + 1
-          while (s(j) != '"') {
+          while (open(s, j, '"')) {
             if (s(j) == '\\') { j += 1; sb += (if (s(j) == 'n') '\n' else s(j)) }
             else sb += s(j)
             j += 1

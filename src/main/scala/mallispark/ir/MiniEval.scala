@@ -38,29 +38,47 @@ object MiniEval {
     def apply(args: Seq[Any]): Any = {
       if (args.length != params.length)
         fail(s"arity: expected ${params.length} args, got ${args.length}")
-      eval(body, params.zip(args).toMap)
+      // arity 1 is the :fn hot path (one UDF call per row) — a single
+      // Map1 allocation instead of zip + builder + map
+      val env =
+        if (params.length == 1) Map(params(0) -> args(0))
+        else params.zip(args).toMap
+      eval(body, env)
     }
     /** Single-argument truthiness view (the `:fn` predicate shape). */
     def pred: Any => Boolean = v => truthy(apply(Seq(v)))
   }
 
-  /** Parse + validate `"(fn [x] body)"`. Throws on malformed sources and
-    * on symbols that are neither parameters nor builtins. */
-  def compile(src: String): Fn = Edn.read(src) match {
-    case VList(Vector(Sym(None, "fn"), params: Vector[_], body)) =>
-      val names = params.map {
-        case Sym(None, n) => n
-        case other => fail(s"fn parameter must be a simple symbol: $other")
+  /** Parse + validate `"(fn [x] body)"`. Throws [[MiniEvalException]] on
+    * malformed sources (including unterminated input) and on symbols
+    * that are neither parameters nor builtins. */
+  def compile(src: String): Fn = {
+    val form =
+      try Edn.read(src)
+      catch {
+        case e: MiniEvalException => throw e
+        case e: Exception => fail(s"malformed fn source: ${e.getMessage}")
       }
-      checkSymbols(body, names.toSet)
-      Fn(names.toVector.asInstanceOf[Vector[String]], body)
-    case other => fail(s"not a (fn [args] body) form: ${Edn.print(other)}")
+    form match {
+      case VList(Vector(Sym(None, "fn"), params: Vector[_], body)) =>
+        val names = params.map {
+          case Sym(None, n) => n
+          case other => fail(s"fn parameter must be a simple symbol: $other")
+        }
+        checkSymbols(body, names.toSet)
+        Fn(names.toVector.asInstanceOf[Vector[String]], body)
+      case other => fail(s"not a (fn [args] body) form: ${Edn.print(other)}")
+    }
   }
 
   /** Whether a string looks like a compilable fn source (used by the
     * form/AST readers to decide between a REAL function and the
-    * name-only placeholder for opaque Scala closures). */
-  def isFnSource(s: String): Boolean = s.startsWith("(fn")
+    * name-only placeholder for opaque Scala closures). Requires a
+    * delimiter after "(fn" so legacy opaque NAMES like "(fn-check v2)"
+    * keep the placeholder path instead of failing to compile. */
+  def isFnSource(s: String): Boolean =
+    s.length > 3 && s.startsWith("(fn") &&
+      (s.charAt(3).isWhitespace || s.charAt(3) == '[')
 
   private def checkSymbols(form: Any, bound: Set[String]): Unit = form match {
     case Sym(None, n) =>
@@ -86,7 +104,7 @@ object MiniEval {
 
   private val builtins: Set[String] = Set(
     "fn", "if", "when", "and", "or", "not",
-    ">", ">=", "<", "<=", "=", "not=",
+    ">", ">=", "<", "<=", "=", "==", "not=",
     "+", "-", "*", "/", "mod", "min", "max", "inc", "dec", "abs",
     "count", "get", "first", "second", "nth", "contains?", "str",
     "nil?", "some?", "int?", "string?", "boolean?", "double?", "number?",
@@ -109,32 +127,49 @@ object MiniEval {
   }
 
   private def apply(items: Vector[Any], env: Map[String, Any]): Any = {
-    val op = items.head match {
-      case Sym(None, n) => n
+    items.head match {
+      // (:key m) / (:key m default) — the keyword-accessor idiom
+      case k: Kw =>
+        if (items.size < 2 || items.size > 3) fail(s"keyword call needs 1-2 args: $k")
+        val v = getIn(eval(items(1), env), k)
+        if (v == null && items.size == 3) eval(items(2), env) else v
+      case Sym(None, op) =>
+        // special forms first (short-circuit); everything else is routed
+        // through a guard that converts stray arity crashes into the
+        // documented MiniEvalException
+        op match {
+          case "if" =>
+            if (items.size < 3 || items.size > 4) fail("if needs 2-3 forms")
+            if (truthy(eval(items(1), env))) eval(items(2), env)
+            else if (items.size == 4) eval(items(3), env) else null
+          case "when" =>
+            if (items.size < 2) fail("when needs a condition")
+            if (!truthy(eval(items(1), env))) null
+            else if (items.size > 2) eval(items.last, env)
+            else null // Clojure: (when c) with an empty body is nil
+          case "and" =>
+            var r: Any = true
+            var i = 1
+            while (i < items.size && truthy(r)) { r = eval(items(i), env); i += 1 }
+            r
+          case "or" =>
+            var r: Any = null
+            var i = 1
+            while (i < items.size && !truthy(r)) { r = eval(items(i), env); i += 1 }
+            r
+          case "fn" => fail("nested fn forms are not supported")
+          case _ =>
+            val args = items.tail.map(eval(_, env))
+            try builtin(op, args)
+            catch {
+              case e: MiniEvalException => throw e
+              case _: IndexOutOfBoundsException |
+                   _: UnsupportedOperationException |
+                   _: NoSuchElementException =>
+                fail(s"wrong number of arguments to $op")
+            }
+        }
       case other => fail(s"cannot call ${Edn.print(other)}")
-    }
-    // special forms first (short-circuit)
-    op match {
-      case "if" =>
-        if (items.size < 3 || items.size > 4) fail("if needs 2-3 forms")
-        if (truthy(eval(items(1), env))) eval(items(2), env)
-        else if (items.size == 4) eval(items(3), env) else null
-      case "when" =>
-        if (truthy(eval(items(1), env))) eval(items.last, env) else null
-      case "and" =>
-        var r: Any = true
-        var i = 1
-        while (i < items.size && truthy(r)) { r = eval(items(i), env); i += 1 }
-        r
-      case "or" =>
-        var r: Any = null
-        var i = 1
-        while (i < items.size && !truthy(r)) { r = eval(items(i), env); i += 1 }
-        r
-      case "fn" => fail("nested fn forms are not supported")
-      case _ =>
-        val args = items.tail.map(eval(_, env))
-        builtin(op, args)
     }
   }
 
@@ -164,9 +199,16 @@ object MiniEval {
     if (args.forall(isIntegral)) args.map(asL).reduceLeft(l)
     else args.map(asD).reduceLeft(d)
 
+  /** Pairwise compare — EXACT for long/long pairs (doubles lose longs
+    * beyond 2^53, which would flip verdicts vs an exact BIGINT oracle). */
   private def cmp(args: Seq[Any], ok: Int => Boolean): Boolean =
     args.sliding(2).forall {
-      case Seq(a, b) => ok(java.lang.Double.compare(asD(a), asD(b)))
+      case Seq(a, b) =>
+        val c =
+          if (isIntegral(a) && isIntegral(b))
+            java.lang.Long.compare(asL(a), asL(b))
+          else java.lang.Double.compare(asD(a), asD(b))
+        ok(c)
       case _ => true
     }
 
@@ -195,13 +237,18 @@ object MiniEval {
     case "<" => cmp(args, _ < 0)
     case "<=" => cmp(args, _ <= 0)
     case "=" => args.sliding(2).forall {
+      // Clojure `=` is CATEGORY-strict on numbers: (= 3 3.0) is false;
+      // integral/integral compares exactly as longs
       case Seq(a, b) =>
         if ((a == null) != (b == null)) false
         else if (a == null) true
-        else if (isNum(a) && isNum(b)) asD(a) == asD(b)
+        else if (isIntegral(a) && isIntegral(b)) asL(a) == asL(b)
+        else if (isIntegral(a) != isIntegral(b) && isNum(a) && isNum(b))
+          false
         else a == b
       case _ => true
     }
+    case "==" => cmp(args, _ == 0) // Clojure `==`: cross-type numeric
     case "not=" => !builtin("=", args).asInstanceOf[Boolean]
     case "+" => numOp(args, _ + _, _ + _)
     case "-" =>

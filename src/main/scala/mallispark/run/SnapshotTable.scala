@@ -85,8 +85,9 @@ object SnapshotTable {
     // a racer that read the same parent may have already PUBLISHED this id
     // and released its claim before ours was created — publish precedes
     // release, so checking the manifest after a successful claim closes
-    // that window: without it we would clobber the racer's committed
-    // data directory before failing at the ATOMIC_MOVE
+    // that window. Without it we would overwrite the racer's committed
+    // data directory AND then silently replace its manifest (rename(2)
+    // and therefore ATOMIC_MOVE replace, they do not fail)
     if (Files.exists(manifestPath)) {
       Files.deleteIfExists(claimPath)
       throw new IllegalStateException(

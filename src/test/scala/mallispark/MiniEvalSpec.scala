@@ -18,7 +18,13 @@ class MiniEvalSpec extends AnyFunSuite {
     assert(run("(fn [x] (> x 10))", 11L) === true)
     assert(run("(fn [x] (> x 10))", 10L) === false)
     assert(run("(fn [x y] (<= x y 100))", 5L, 50L) === true) // variadic chain
-    assert(run("(fn [x] (= x 3.0))", 3L) === true) // cross-type numeric =
+    // Clojure `=` is category-strict on numbers; `==` is cross-type
+    assert(run("(fn [x] (= x 3.0))", 3L) === false)
+    assert(run("(fn [x] (== x 3.0))", 3L) === true)
+    assert(run("(fn [x] (= x 3))", 3L) === true)
+    // long/long comparisons are EXACT beyond 2^53 (no double routing)
+    assert(run("(fn [n] (>= n 9007199254740993))", 9007199254740992L) === false)
+    assert(run("(fn [n] (>= n 9007199254740993))", 9007199254740993L) === true)
     assert(run("(fn [x] (+ x 1))", 2L) === 3L)
     assert(run("(fn [x] (+ x 0.5))", 2L) === 2.5) // promote to double
     assert(run("(fn [x] (- x))", 3L) === -3L) // unary minus
@@ -35,7 +41,14 @@ class MiniEvalSpec extends AnyFunSuite {
     assert(run("(fn [x] (or x 42))", 7L) === 7L)
     assert(run("(fn [x] (if x 1 2))", false) === 2L)
     assert(run("(fn [x] (when (pos? x) :yes))", 1L).toString === ":yes")
+    assert(run("(fn [x] (when x))", 5L) === null) // empty body → nil
     assert(run("(fn [x] (not x))", null) === true)
+  }
+
+  test("keyword-accessor calls: (:key m) and (:key m default)") {
+    assert(run("(fn [m] (:a m))", Map("a" -> 7L)) === 7L)
+    assert(run("(fn [m] (:b m 9))", Map("a" -> 7L)) === 9L)
+    assert(run("(fn [m] (if (:flag m) 1 0))", Map("flag" -> true)) === 1L)
   }
 
   test("collections: count is code points on strings; get is engine-keyed") {
@@ -57,6 +70,26 @@ class MiniEvalSpec extends AnyFunSuite {
     intercept[MiniEvalException](MiniEval.compile("(fn [x] (fn [y] y))"))
     intercept[MiniEvalException](MiniEval.compile("(> x 10)"))
     intercept[MiniEvalException](MiniEval.compile("(fn [x] (clojure.core/inc x))"))
+    // unterminated input is the documented exception, not a raw crash
+    intercept[MiniEvalException](MiniEval.compile("(fn [x] (> x 1)"))
+    intercept[MiniEvalException](MiniEval.compile("(fn"))
+  }
+
+  test("arity mistakes fail as MiniEvalException, not raw crashes") {
+    val when0 = intercept[MiniEvalException](
+      run("(fn [x] (when))", 1L))
+    assert(when0.getMessage.contains("when"))
+    intercept[MiniEvalException](run("(fn [x] (+))", 1L))
+    intercept[MiniEvalException](run("(fn [x] (get x))", Map("a" -> 1L)))
+  }
+
+  test("opaque names that merely START with (fn keep the placeholder path") {
+    assert(!MiniEval.isFnSource("(fn-check v2)"))
+    assert(!MiniEval.isFnSource("(fn"))
+    assert(MiniEval.isFnSource("(fn [x] x)"))
+    assert(MiniEval.isFnSource("(fn\n[x] x)"))
+    val opaque = Export.fromForm("[:fn fn-check-v2]")
+    assert(RowEval.validate(opaque, 42L) === true)
   }
 
   test("compiled fns are serializable (ship to executors)") {

@@ -24,6 +24,14 @@ import org.apache.spark.sql.types._
   */
 object TableChecks {
 
+  /** Backtick-quote a column NAME for expression strings and F.col —
+    * bare dotted names would otherwise resolve as struct paths. */
+  private def bq(c: String): String = "`" + c.replace("`", "``") + "`"
+
+  /** SQL string literal for a column name inside stack(). */
+  private def sqlLit(c: String): String =
+    "'" + c.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
   // ---- column stats (count / null-rate / min / max / distinct) ----------
 
   /** One row per column: cnt, nulls, min, max, approx_distinct.
@@ -33,17 +41,20 @@ object TableChecks {
     val total = F.count(F.lit(1)).as("total")
     val aggs = cols.flatMap { c =>
       Seq(
-        F.count(F.col(c)).as(s"${c}__cnt"),
+        F.count(F.col(bq(c))).as(s"${c}__cnt"),
         // min/max on the NATIVE type (string-casting first would give
         // lexicographic extremes), stringified only for the long format
-        F.min(F.col(c)).cast(StringType).as(s"${c}__min"),
-        F.max(F.col(c)).cast(StringType).as(s"${c}__max"),
-        F.approx_count_distinct(F.col(c)).as(s"${c}__dist"))
+        F.min(F.col(bq(c))).cast(StringType).as(s"${c}__min"),
+        F.max(F.col(bq(c))).cast(StringType).as(s"${c}__max"),
+        F.approx_count_distinct(F.col(bq(c))).as(s"${c}__dist"))
     }
     val wide = df.agg(total, aggs: _*)
-    // unpivot driver-side-free: stack() into long format
+    // unpivot driver-side-free: stack() into long format. Names are
+    // backtick-quoted (and literals escaped) so dotted/quoted column
+    // names survive the SQL round-trip.
     val stackExpr = cols.map(c =>
-      s"'$c', `${c}__cnt`, `${c}__min`, `${c}__max`, `${c}__dist`")
+      s"${sqlLit(c)}, ${bq(c + "__cnt")}, ${bq(c + "__min")}, " +
+        s"${bq(c + "__max")}, ${bq(c + "__dist")}")
       .mkString(s"stack(${cols.length}, ", ", ",
         ") as (column_name, cnt, min_val, max_val, approx_distinct)")
     wide.select(F.col("total"), F.expr(stackExpr))
@@ -58,9 +69,9 @@ object TableChecks {
   /** Exact null counts per column (for the DuckDB oracle; single agg). */
   def nullCounts(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.map(c =>
-      F.sum(F.when(F.col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
+      F.sum(F.when(F.col(bq(c)).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"))
     val wide = df.agg(F.count(F.lit(1)).as("total"), aggs: _*)
-    val stackExpr = cols.map(c => s"'$c', `${c}__nulls`")
+    val stackExpr = cols.map(c => s"${sqlLit(c)}, ${bq(c + "__nulls")}")
       .mkString(s"stack(${cols.length}, ", ", ", ") as (column_name, null_cnt)")
     wide.select(F.col("total").cast(LongType).as("total"), F.expr(stackExpr))
       .select(F.col("column_name"), F.col("null_cnt").cast(LongType).as("null_cnt"),

@@ -29,6 +29,13 @@ object ValidationJob {
   def run(df: DataFrame, schema: SchemaIR, keyCols: Seq[String],
           nParts: Int = 256)(
       implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): Result = {
+    // part_id is this job's bookkeeping column in every output (verdicts,
+    // manifest, violation rows) — silently REPLACING a caller column of
+    // that name would corrupt both their data and the lineage, so the
+    // collision fails fast instead (rename upstream)
+    require(!df.columns.contains("part_id"),
+      "input already has a part_id column — rename it; part_id is the " +
+        "validation job's partition-lineage column")
     val withPart = df.withColumn("part_id",
       F.pmod(F.xxhash64(F.col(keyCols.head)), F.lit(nParts.toLong)))
     val flagged = SchemaCompiler.validateDF(schema, withPart, "valid",
@@ -79,6 +86,9 @@ object ValidationJob {
     // default partitioner: engine-native xxhash64 (fast); pass a portable
     // md5-derived Column (e.g. pmod(TextOps.h32(url), n)) when the
     // manifest must be reproducible by another engine (the oracle gate)
+    require(!df.columns.contains("part_id"),
+      "input already has a part_id column — rename it; part_id is the " +
+        "validation job's partition-lineage column")
     val withPart = df.withColumn("part_id", partIdOf.getOrElse(
       F.pmod(F.xxhash64(F.col(keyCols.head)), F.lit(nParts.toLong))))
     val done = completedPartitions(spark, dir, runId)

@@ -87,6 +87,24 @@ class TableChecksSpec extends SparkSuite {
     assert(statShift > 50.0) // massive shift
   }
 
+  test("columnStats and nullCounts survive dotted column names") {
+    import org.apache.spark.sql.types._
+    val sch = StructType(Seq(
+      StructField("a.b", LongType), StructField("plain", StringType)))
+    val rows = Seq(Row(1L, "x"), Row(null, "y"), Row(3L, null))
+    val d = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows), sch)
+    val stats = TableChecks.columnStats(d, Seq("a.b", "plain"))
+      .orderBy("column_name").collect()
+    assert(stats.map(_.getString(0)).toSeq === Seq("a.b", "plain"))
+    assert(stats(0).getLong(1) === 2L) // cnt of a.b
+    assert(stats(0).getLong(2) === 1L) // null_cnt of a.b
+    val nulls = TableChecks.nullCounts(d, Seq("a.b", "plain"))
+      .orderBy("column_name").collect()
+    assert(nulls.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("a.b", 1L), ("plain", 1L)))
+  }
+
   test("chiSquare on empty inputs keeps the degenerate contract") {
     // both frames empty → statistic 0.0, dof -1, zero totals (never an
     // all-NULL row a threshold comparison would silently skip)

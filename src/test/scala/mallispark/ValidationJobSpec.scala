@@ -22,6 +22,14 @@ class ValidationJobSpec extends SparkSuite {
     assert(distinctViolUrls === nInvalid) // ≤1 violation per injected row
   }
 
+  test("run fails fast when the input already carries a part_id column") {
+    // silently replacing it would corrupt caller data AND the lineage
+    val poisoned = pages.withColumn("part_id", F.lit(0L))
+    val e = intercept[IllegalArgumentException](
+      ValidationJob.run(poisoned, WebPages.schema, Seq("url")))
+    assert(e.getMessage.contains("part_id"))
+  }
+
   test("resume: partial manifest -> second pass completes; equals single run") {
     val dir = java.nio.file.Files.createTempDirectory("msresume").toString
     val runId = "r1"

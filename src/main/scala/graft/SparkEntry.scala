@@ -1522,6 +1522,48 @@ object SparkEntry {
         .orderBy("row_id")
     }),
 
+    // ---- :gen/... property overrides, oracle-gated (generator.cljc
+    //      455-476 -create precedence + 78-87 -min-max): every draw AND
+    //      every :gen/fmap is pure portable-Rng arithmetic the oracle
+    //      replays — elements via the same element_at index, fmap via its
+    //      SQL twin (concat_ws / arithmetic). The engine also validates
+    //      its own output (ok expected all-true: gen props here are
+    //      chosen INSIDE the child domains). ----
+    "gen_props_roundtrip" -> ((s, dir) => {
+      import mallispark.gen.Generate
+      import mallispark.ir.SchemaIR.{NodeProps, SProps}
+      val schema = S.map(
+        "pick" -> SProps(NodeProps(
+          genElements = Some(Seq("aa", "bb", "cc"))), S.string),
+        "tagged" -> SProps(NodeProps(genElements = Some(Seq(1L, 2L)),
+          genFmap = Some("(partial str \"v_\")")), S.string),
+        "ret" -> SProps(NodeProps(genReturn = Some(42L)), S.int(0, 100)),
+        "bounded" -> SProps(NodeProps(genMin = Some(10.0),
+          genMax = Some(20.0)), S.int(0, 100)),
+        "nested" -> SProps(NodeProps(
+          genSchema = Some(SProps(NodeProps(
+            genElements = Some(Seq(5L, 6L))), S.int)),
+          genFmap = Some("(fn [x] (str x \"!\"))")), S.string),
+        "mapped" -> SProps(NodeProps(genSchema = Some(S.int(0, 9)),
+          genFmap = Some("(fn [x] (+ (* x 2) 1))")), S.int(1, 19)))
+      implicit val rng: Generate.Rng = Generate.PortableRng
+      val rid = rng.mix(F.col("id"), F.lit(7L))
+      val row = Generate.gen(schema, rid, 1)
+      val gend = s.range(200).select(
+        F.col("id").as("row_id"),
+        row.getField("pick").as("pick"),
+        row.getField("tagged").as("tagged"),
+        row.getField("ret").as("ret"),
+        row.getField("bounded").as("bounded"),
+        row.getField("nested").as("nested"),
+        row.getField("mapped").as("mapped"))
+      SchemaCompiler.validateDF(schema, gend, "ok", exclude = Set("row_id"))
+        .select(F.col("row_id"), F.col("pick"), F.col("tagged"),
+          F.col("ret"), F.col("bounded"), F.col("nested"),
+          F.col("mapped"), F.col("ok"))
+        .orderBy("row_id")
+    }),
+
     // ---- generative function checking + shrinking (m/=> + mg/check +
     //      test.check shrink): law `f(v) <= 100` over identity on
     //      [:int {:min 0 :max 10000}]. Portable-RNG draws → the oracle
@@ -3341,6 +3383,36 @@ object SparkEntry {
         |  CASE WHEN d92 = 0 THEN NULL
         |       ELSE substring(['alpha','beta','gamma','delta','omega','kappa','sigma','theta'][CAST(d93 AS INT)+1]
         |         || 'xxxxxx', 1, CAST(2 + d94 AS INT)) END AS note,
+        |  TRUE AS ok
+        |FROM d ORDER BY row_id""".stripMargin,
+
+    // :gen/... override mirror — map-entry i draws at salt 1+13*(i+1)
+    // (pick 14, tagged 27, ret none, bounded 53, nested 66, mapped 79);
+    // :gen/elements indexes the literal array with the SAME salt,
+    // :gen/schema delegates at the same salt, :gen/min-max narrows the
+    // int span (10 + d%11), and each :gen/fmap replays as its SQL twin:
+    // (partial str "v_") = 'v_'||x, (fn [x] (str x "!")) = x||'!',
+    // (fn [x] (+ (* x 2) 1)) = 2*x+1.
+    "gen_props_roundtrip" ->
+      """WITH r AS (
+        |  SELECT i AS row_id,
+        |    ('0x'||substring(md5(CAST(i AS VARCHAR)||'#7'),1,8))::BIGINT AS rid
+        |  FROM (SELECT unnest(range(200)) AS i) b),
+        |d AS (
+        |  SELECT row_id,
+        |    ('0x'||substring(md5(rid_s||':14'),1,8))::BIGINT % 3 AS d14,
+        |    ('0x'||substring(md5(rid_s||':27'),1,8))::BIGINT % 2 AS d27,
+        |    ('0x'||substring(md5(rid_s||':53'),1,8))::BIGINT % 11 AS d53,
+        |    ('0x'||substring(md5(rid_s||':66'),1,8))::BIGINT % 2 AS d66,
+        |    ('0x'||substring(md5(rid_s||':79'),1,8))::BIGINT % 10 AS d79
+        |  FROM (SELECT row_id, CAST(rid AS VARCHAR) AS rid_s FROM r) rr)
+        |SELECT row_id,
+        |  ['aa','bb','cc'][CAST(d14 AS INT)+1] AS pick,
+        |  'v_' || CAST([1,2][CAST(d27 AS INT)+1] AS VARCHAR) AS tagged,
+        |  CAST(42 AS BIGINT) AS ret,
+        |  CAST(10 + d53 AS BIGINT) AS bounded,
+        |  CAST([5,6][CAST(d66 AS INT)+1] AS VARCHAR) || '!' AS nested,
+        |  CAST(2 * d79 + 1 AS BIGINT) AS mapped,
         |  TRUE AS ok
         |FROM d ORDER BY row_id""".stripMargin,
 

@@ -161,6 +161,7 @@ object SchemaCompiler {
       else StringType
     case SScoped(local, c) =>
       dataTypeOfD(c, d)(Registry(reg.schemas ++ local, reg.maxDepth))
+    case SProps(_, c) => dataTypeOfD(c, d)
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
       dataTypeOf(mallispark.ir.SchemaOps.expand(alg, reg))
     case SCat(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
@@ -207,6 +208,7 @@ object SchemaCompiler {
     * (malli: type errors at runtime; for us the column type is static so a
     * mismatched column fails every row — see SURVEY §7 hard-part 4). */
   private def typeOk(ir: SchemaIR, dt: DataType): Boolean = ir match {
+    case SProps(_, c) => typeOk(c, dt)
     case _: SString | SUuid | _: SRegex | _: SIdent => dt == StringType
     case _: SInt => isIntegral(dt)
     case _: SDouble => isFloating(dt)
@@ -632,6 +634,9 @@ object SchemaCompiler {
         valid(c, col, dt)(ctx.copy(registry =
           Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
 
+      // property wrapper: validation ignores non-structural props
+      case SProps(_, c) => valid(c, col, dt)
+
       // declarative :merge/:union/:select-keys (util.cljc:394-418):
       // structural expansion, then compile the result
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
@@ -1048,6 +1053,8 @@ object SchemaCompiler {
       case SScoped(local, c) =>
         errors(c, col, dt, path, in)(ctx.copy(registry =
           Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
+
+      case SProps(_, c) => errors(c, col, dt, path, in)
 
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
         errors(mallispark.ir.SchemaOps.expand(alg, ctx.registry),

@@ -45,6 +45,7 @@ object Transform {
     * Elision: if `dt` already matches, return the column untouched. */
   def decode(ir: SchemaIR, col: Column, dt: DataType, mode: Mode): Column =
     ir match {
+      case SProps(_, c) => decode(c, col, dt, mode)
       case SMaybe(c) => decode(c, col, dt, mode)
       case SAnd(cs) if cs.nonEmpty => decode(cs.head, col, dt, mode)
       case _: SInt =>
@@ -159,6 +160,7 @@ object Transform {
 
   /** Encode: schema type → string (transform.cljc date→string at 183-193). */
   def encode(ir: SchemaIR, col: Column, dt: DataType): Column = ir match {
+    case SProps(_, c) => encode(c, col, dt)
     case _: STimestamp =>
       F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
     case SIdent(kind) if kind.endsWith("keyword") =>

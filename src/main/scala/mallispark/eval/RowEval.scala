@@ -223,6 +223,7 @@ object RowEval {
       else validate(reg(name), v)(reg, depth - 1)
     case SScoped(local, c) =>
       validate(c, v)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
+    case SProps(_, c) => validate(c, v)
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
       validate(mallispark.ir.SchemaOps.expand(alg, reg), v)
     // standalone :alt over a single value behaves like :or (bounded-form
@@ -593,6 +594,7 @@ object RowEval {
       case SScoped(local, c) =>
         explain(c, v, path, in)(Registry(reg.schemas ++ local, reg.maxDepth),
           depth)
+      case SProps(_, c) => explain(c, v, path, in)
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
         explain(mallispark.ir.SchemaOps.expand(alg, reg), v, path, in)
       // general (tier-3) forms: positional backtracking explainer —
@@ -689,6 +691,7 @@ object RowEval {
   }
 
   private def leafKey(ir: SchemaIR): String = ir match {
+    case SProps(_, c) => leafKey(c)
     case SNil => ":nil"
     case SSome => ":some"
     case _: SString => ":string"

@@ -65,6 +65,42 @@ object Generate {
 
   def gen(ir: SchemaIR, id: Column, salt: Int = 1)
          (implicit rng: Rng = XxRng): Column = ir match {
+    // `:gen/...` property overrides — the reference's `-create` precedence
+    // (generator.cljc:455-476): return > elements > schema > the child's
+    // own generator (with `-min-max`-narrowed bounds, generator.cljc:78-87
+    // and `:gen/infinite?`/`:gen/NaN?` for doubles); `:gen/fmap` wraps
+    // LAST, over whichever base was chosen.
+    case SProps(p, c) =>
+      val base: Column =
+        if (p.genReturn.isDefined) litCol(p.genReturn.get, c)
+        else p.genElements match {
+          case Some(vs) => F.element_at(F.array(vs.map(litCol(_, c)): _*),
+            (rnd(id, salt, vs.size) + 1).cast(IntegerType))
+          case None => p.genSchema match {
+            case Some(s) => gen(s, id, salt)
+            case None =>
+              val g0 = gen(withGenBounds(c, p), id, salt)
+              // double specials ride dedicated draws so bounded schemas
+              // without the flags keep their exact value distribution
+              val g1 =
+                if (p.genInfinite && genTypeFor(c) == DoubleType)
+                  F.when(rnd(id, salt + 101, 8) === 0,
+                      F.lit(Double.PositiveInfinity))
+                    .when(rnd(id, salt + 101, 8) === 1,
+                      F.lit(Double.NegativeInfinity))
+                    .otherwise(g0)
+                else g0
+              if (p.genNaN && genTypeFor(c) == DoubleType)
+                F.when(rnd(id, salt + 103, 8) === 2, F.lit(Double.NaN))
+                  .otherwise(g1)
+              else g1
+          }
+        }
+      p.genFmap match {
+        case Some(src) =>
+          FmapColumns.compile(src, base, baseTypeOf(p, c))._1
+        case None => base
+      }
     case SAny => genString(id, salt, 1, 12)
     case SString(mn, mx) =>
       genString(id, salt, mn.getOrElse(0), mx.getOrElse(mn.getOrElse(0) + 12))
@@ -267,6 +303,78 @@ object Generate {
 
   private def lit1(b: Boolean): Column = if (b) F.lit(1) else F.lit(0)
 
+  /** A `:gen/return`/`:gen/elements` literal as a Column; nil takes the
+    * CHILD's physical type so CASE branches unify. */
+  private def litCol(v: Any, c: SchemaIR): Column = v match {
+    case null => F.lit(null).cast(genTypeFor(c))
+    case xs: Seq[_] => F.array(xs.map(x => litCol(x, c)): _*)
+    case m: Map[_, _] => throw new IllegalArgumentException(
+      s"map-valued :gen literals are not supported: $m")
+    case other => F.lit(other)
+  }
+
+  /** Physical type of a `:gen` literal (nil defers to the child). */
+  private def litTypeOf(v: Any, c: SchemaIR): DataType = v match {
+    case null => genTypeFor(c)
+    case _: String => StringType
+    case _: Long | _: Int => LongType
+    case _: Double => DoubleType
+    case _: Boolean => BooleanType
+    case xs: Seq[_] if xs.nonEmpty => ArrayType(litTypeOf(xs.head, c))
+    case other => throw new IllegalArgumentException(
+      s"cannot type :gen literal $other")
+  }
+
+  /** The type `:gen/fmap`'s INPUT has under the `-create` precedence. */
+  private def baseTypeOf(p: NodeProps, c: SchemaIR): DataType =
+    if (p.genReturn.isDefined) litTypeOf(p.genReturn.get, c)
+    else p.genElements match {
+      case Some(vs) => litTypeOf(vs.head, c)
+      case None => p.genSchema.map(genTypeFor).getOrElse(genTypeFor(c))
+    }
+
+  /** `-min-max` (generator.cljc:78-87): `:gen/min`/`:gen/max` NARROW the
+    * child's own bounds; a gen bound outside the validated range is an
+    * invalid property (the reference fails ::invalid-property — values
+    * drawn there could never validate). Applies to the bounded kinds;
+    * other children pass through untouched. */
+  private def withGenBounds(c: SchemaIR, p: NodeProps): SchemaIR =
+    if (p.genMin.isEmpty && p.genMax.isEmpty) c
+    else {
+      def chk[T](g: Option[T], b: Option[T], lo: Boolean)
+                (implicit ord: Ordering[T]): Unit =
+        for (gv <- g; bv <- b)
+          require(if (lo) ord.gteq(gv, bv) else ord.lteq(gv, bv),
+            s"invalid property: :gen/${if (lo) "min" else "max"} $gv " +
+              s"outside :${if (lo) "min" else "max"} $bv")
+      val gmnL = p.genMin.map(_.toLong); val gmxL = p.genMax.map(_.toLong)
+      val gmnI = p.genMin.map(_.toInt); val gmxI = p.genMax.map(_.toInt)
+      c match {
+        case SInt(mn, mx) =>
+          chk(gmnL, mn, lo = true); chk(gmxL, mx, lo = false)
+          SInt(gmnL.orElse(mn), gmxL.orElse(mx))
+        case SDouble(mn, mx) =>
+          chk(p.genMin, mn, lo = true); chk(p.genMax, mx, lo = false)
+          SDouble(p.genMin.orElse(mn), p.genMax.orElse(mx))
+        case SString(mn, mx) =>
+          chk(gmnI, mn, lo = true); chk(gmxI, mx, lo = false)
+          SString(gmnI.orElse(mn), gmxI.orElse(mx))
+        case SVector(ch, mn, mx) =>
+          chk(gmnI, mn, lo = true); chk(gmxI, mx, lo = false)
+          SVector(ch, gmnI.orElse(mn), gmxI.orElse(mx))
+        case SSet(ch, mn, mx) =>
+          chk(gmnI, mn, lo = true); chk(gmxI, mx, lo = false)
+          SSet(ch, gmnI.orElse(mn), gmxI.orElse(mx))
+        case SEvery(ch, mn, mx, l) =>
+          chk(gmnI, mn, lo = true); chk(gmxI, mx, lo = false)
+          SEvery(ch, gmnI.orElse(mn), gmxI.orElse(mx), l)
+        case SMapOf(k, v, mn, mx) =>
+          chk(gmnI, mn, lo = true); chk(gmxI, mx, lo = false)
+          SMapOf(k, v, gmnI.orElse(mn), gmxI.orElse(mx))
+        case other => other
+      }
+    }
+
   private def sizeIn(id: Column, salt: Int, mn: Option[Int],
                      mx: Option[Int])(implicit rng: Rng): Column = {
     val lo = mn.getOrElse(0)
@@ -312,6 +420,9 @@ object Generate {
     case SEvery(c, _, _, _) => ArrayType(genTypeFor(c))
     case SMaybe(c) => genTypeFor(c)
     case SScoped(_, c) => genTypeFor(c)
+    case SProps(p, c) =>
+      val bt = baseTypeOf(p, c)
+      p.genFmap.map(src => FmapColumns.outType(src, bt)).getOrElse(bt)
     case SMap(es, _, _) => StructType(es.map(e =>
       StructField(e.key, genTypeFor(e.child), nullable = true)))
     case SMapOf(k, v, _, _) => MapType(genTypeFor(k), genTypeFor(v))

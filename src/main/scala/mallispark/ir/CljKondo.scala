@@ -93,6 +93,7 @@ object CljKondo {
     case _: SRef => kw("any") // :107
     case SScoped(reg, c) => // :schema derefs then transforms (:108)
       transform(SchemaOps.expand(c, Registry(reg)), varargs)
+    case SProps(_, c) => transform(c, varargs)
     // :merge/:union/:select-keys deref to their expansion (:140-142)
     case d @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
       transform(SchemaOps.expand(d))

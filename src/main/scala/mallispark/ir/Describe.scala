@@ -57,6 +57,7 @@ object Describe {
   }
 
   private def go(ir: SchemaIR): String = ir match {
+    case SProps(_, c) => go(c) // describe ignores non-structural props
     case SAny => "anything"
     case SSome => "anything but null"
     case SNil => "null"

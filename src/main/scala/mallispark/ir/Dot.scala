@@ -70,6 +70,7 @@ object Dot {
         case SPlus(c) => SPlus(go(c, path))
         case SOpt(c) => SOpt(go(c, path))
         case SRepeat(c, mn, mx) => SRepeat(go(c, path), mn, mx)
+        case SProps(p, c) => SProps(p, go(c, path))
         case other => other // leaves and refs stay in place
       }
       rewritten match {

@@ -130,6 +130,11 @@ object Export {
     case SRepeat(c, mn, mx) =>
       obj("type" -> esc("repeat"), "child" -> toJson(c),
         "min" -> mn.toString, "max" -> mx.toString)
+    // the props slice serializes as ONE EDN prop-map string — the same
+    // rendering `form` splices, so ast and form readers share a parser
+    // (and :gen/schema round-trips as a real sub-schema inside it)
+    case SProps(p, c) => obj("type" -> esc("props"),
+      "props" -> esc(SchemaIR.propsStr(p)), "child" -> toJson(c))
   }
 
   private def defaultTag(d: Any): String = d match {
@@ -330,6 +335,11 @@ object Export {
       case "plus" => SPlus(child)
       case "opt" => SOpt(child)
       case "repeat" => SRepeat(child, num("min").get.toInt, num("max").get.toInt)
+      case "props" =>
+        val toks = tokenize("{" + m("props").toString + "}")
+        val (node, rest) = parseNode(toks)
+        require(rest.isEmpty, s"trailing prop tokens: $rest")
+        SProps(parseNodeProps(node.asInstanceOf[Props]), child)
       case t => throw new IllegalArgumentException(s"unknown ast type $t")
     }
   }
@@ -355,6 +365,7 @@ object Export {
   private final case class Bool(v: Boolean) extends Node
   private final case class Vec(items: Seq[Node]) extends Node
   private final case class Props(m: Map[String, Node]) extends Node
+  private case object NilN extends Node                         // nil
 
   private def tokenize(s: String): List[String] = {
     val out = List.newBuilder[String]
@@ -409,6 +420,7 @@ object Export {
     if (t.startsWith("\"")) SStr(unq(t))
     else if (t == "true") Bool(true)
     else if (t == "false") Bool(false)
+    else if (t == "nil") NilN
     else if (t.startsWith(":")) Kw(t)
     else if (t.matches("-?\\d+")) Num(t.toDouble, isInt = true)
     else if (t.matches("-?\\d*\\.\\d+([eE][+-]?\\d+)?")) Num(t.toDouble, isInt = false)
@@ -445,6 +457,69 @@ object Export {
                      case other => other.toString }
 
   private val emptyProps = Props(Map.empty)
+
+  /** EDN node → plain value for NON-STRUCTURAL property values
+    * (`:gen/return`, `:json-schema/...`, ...): keyword strings keep their
+    * colon, prop-maps become String-keyed Maps (keys keep the colon). */
+  private def nodeToValue(n: Node): Any = n match {
+    case SStr(v) => v
+    case Num(v, true) => v.toLong
+    case Num(v, false) => v
+    case Bool(b) => b
+    case NilN => null
+    case Kw(k) => k
+    case Sym(s) => s
+    case Vec(items) => items.map(nodeToValue)
+    case Props(m) => m.map { case (k, v) => k -> nodeToValue(v) }
+  }
+
+  /** Extract the [[NodeProps]] slice from a parsed prop map (the
+    * `:gen/...` / doc / `:json-schema(/...)` / `:swagger(/...)` /
+    * `:error/path` keys); structural keys (`:min`, `:closed`, ...) are
+    * left for the node constructors, which read only what they own. */
+  private def parseNodeProps(props: Props): NodeProps = {
+    val m = props.m
+    def unlift(prefix: String): Seq[(String, Any)] =
+      m.toSeq.filter(_._1.startsWith(prefix)).sortBy(_._1)
+        .map { case (k, v) => k.stripPrefix(prefix) -> nodeToValue(v) }
+    def dbl(k: String): Option[Double] = m.get(k).map {
+      case Num(v, _) => v
+      case other => other.toString.toDouble
+    }
+    NodeProps(
+      genReturn = m.get(":gen/return").map(nodeToValue),
+      genElements = m.get(":gen/elements").map {
+        case Vec(items) => items.map(nodeToValue)
+        case other => Seq(nodeToValue(other))
+      },
+      genFmap = m.get(":gen/fmap").map {
+        case SStr(s) => s
+        case Sym(s) => s // bare fn symbol, e.g. str
+        case other => throw new IllegalArgumentException(
+          s"unsupported :gen/fmap value: $other")
+      },
+      genSchema = m.get(":gen/schema").map(convert),
+      genMin = dbl(":gen/min"),
+      genMax = dbl(":gen/max"),
+      genInfinite = m.get(":gen/infinite?").contains(Bool(true)),
+      genNaN = m.get(":gen/NaN?").contains(Bool(true)),
+      title = m.get(":title").map { case SStr(s) => s; case o => o.toString },
+      description =
+        m.get(":description").map { case SStr(s) => s; case o => o.toString },
+      default = m.get(":default").map(nodeToValue),
+      jsonSchema = unlift(":json-schema/"),
+      jsonSchemaFull = m.get(":json-schema").map(nodeToValue),
+      swagger = unlift(":swagger/"),
+      swaggerFull = m.get(":swagger").map(nodeToValue),
+      errorPath = m.get(":error/path").map {
+        case Vec(items) => items.map {
+          case Kw(k) => k.drop(1); case SStr(s) => s; case Sym(s) => s
+          case o => o.toString
+        }
+        case other => throw new IllegalArgumentException(
+          s":error/path must be a path vector, got $other")
+      })
+  }
 
   private def litOf(n: Node): Any = n match {
     case SStr(v) => v
@@ -487,7 +562,7 @@ object Export {
           tag -> convert(c)
         case other => throw new IllegalArgumentException(s"bad branch $other")
       }
-      head match {
+      val base = head match {
         case ":map" =>
           var restSchema: Option[SchemaIR] = None
           val entries = rest.flatMap {
@@ -498,7 +573,14 @@ object Export {
                 case (p: Props) +: r2 => (p, r2)
                 case r2 => (emptyProps, r2)
               }
-              Some(Entry(key.drop(1), convert(es.head),
+              // map-ENTRY-level non-structural props (json_schema_test
+              // "map-entry overrides") wrap OUTSIDE the child's own
+              // wrapper, so entry keys override child keys and an
+              // entry-level :json-schema replaces the child output
+              val eNp = parseNodeProps(eProps)
+              val eChild0 = convert(es.head)
+              val eChild = if (eNp.isEmpty) eChild0 else SProps(eNp, eChild0)
+              Some(Entry(key.drop(1), eChild,
                 optional = eProps.m.get(":optional").contains(Bool(true))))
             case other =>
               throw new IllegalArgumentException(s"bad map entry $other")
@@ -587,6 +669,8 @@ object Export {
           SCustom(nm, (_, _) => lost, _ => lost)
         case leaf => leafKw(leaf, props)
       }
+      val np = parseNodeProps(props)
+      if (np.isEmpty) base else SProps(np, base)
     case other => throw new IllegalArgumentException(s"cannot convert $other")
   }
 
@@ -694,7 +778,81 @@ object Export {
         case "not=" => obj("not" -> obj("const" -> jsonLit(v)))
       }
     case SRef(n) => obj("$ref" -> esc(s"#$n"))
+    // property passthrough (json_schema.cljc:201-208): a whole
+    // `:json-schema` prop REPLACES the output; otherwise
+    // (merge (select-keys p [:title :description :default])
+    //        <generated> (-unlift-keys p :json-schema)) — later wins
+    case SProps(p, c) =>
+      p.jsonSchemaFull.map(jsonValue).getOrElse(
+        mergeJsonObjects(selectPairs(p) ++ topPairs(toJsonSchema(c)) ++
+          p.jsonSchema.map { case (k, v) => k -> jsonValue(v) }))
     case other => obj("$comment" -> esc(s"unmapped: ${SchemaIR.form(other)}"))
+  }
+
+  /** json_schema.cljc:39 `select` — the doc props every output carries. */
+  private def selectPairs(p: NodeProps): Seq[(String, String)] =
+    p.title.map(t => "title" -> esc(t)).toSeq ++
+      p.description.map(d => "description" -> esc(d)) ++
+      p.default.map(d => "default" -> jsonValue(d))
+
+  /** EDN-shaped property value → JSON: keyword strings drop their colon
+    * (Clojure's json encoders emit keyword NAMES), maps/vectors recurse. */
+  private def jsonValue(v: Any): String = v match {
+    case s: String if s.startsWith(":") => esc(s.drop(1))
+    case s: String => esc(s)
+    case null => "null"
+    case xs: Seq[_] => arr(xs.map(jsonValue))
+    case m: Map[_, _] => obj(m.asInstanceOf[Map[String, Any]].toSeq
+      .sortBy(_._1).map { case (k, x) =>
+        k.stripPrefix(":") -> jsonValue(x) }: _*)
+    case other => String.valueOf(other)
+  }
+
+  /** Split one of THIS module's own `obj(...)` rendered objects into its
+    * top-level (key, rawValueJson) pairs — a depth/string-aware scan, so
+    * merged outputs can drop overridden keys instead of duplicating them. */
+  private def topPairs(json: String): Seq[(String, String)] = {
+    val s = json.trim
+    require(s.startsWith("{") && s.endsWith("}"), s"not an object: $s")
+    val inner = s.substring(1, s.length - 1)
+    val out = Seq.newBuilder[(String, String)]
+    var i = 0
+    def skipWs(): Unit = while (i < inner.length && inner(i).isWhitespace) i += 1
+    while ({ skipWs(); i < inner.length }) {
+      require(inner(i) == '"', s"want key at $i in $inner")
+      val kStart = i; i += 1
+      while (inner(i) != '"') { if (inner(i) == '\\') i += 1; i += 1 }
+      i += 1
+      val key = inner.substring(kStart + 1, i - 1) // unescaped enough: keys
+      skipWs(); require(inner(i) == ':', s"want : at $i"); i += 1; skipWs()
+      val vStart = i
+      var depth = 0
+      var done = false
+      while (!done && i < inner.length) {
+        inner(i) match {
+          case '"' =>
+            i += 1
+            while (inner(i) != '"') { if (inner(i) == '\\') i += 1; i += 1 }
+          case '{' | '[' => depth += 1
+          case '}' | ']' => depth -= 1
+          case ',' if depth == 0 => done = true; i -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      out += key -> inner.substring(vStart, i).trim
+      if (i < inner.length && inner(i) == ',') i += 1
+    }
+    out.result()
+  }
+
+  /** Right-biased merge of (key, rawJson) pairs — LAST value wins, FIRST
+    * position kept — rendered back as one object. */
+  private def mergeJsonObjects(pairs: Seq[(String, String)]): String = {
+    val last = pairs.toMap
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    pairs.foreach { case (k, _) => seen += k }
+    seen.toSeq.map(k => s"${esc(k)}: ${last(k)}").mkString("{", ", ", "}")
   }
 
   private def jsonLit(v: Any): String = v match {
@@ -770,6 +928,13 @@ object Export {
               n -> obj("$anchor" -> esc(n),
                 "allOf" -> arr(Seq(toSwagger(s)))) }: _*),
           "allOf" -> arr(Seq(toSwagger(c))))
+      // swagger.cljc:74-81: whole `:swagger` prop replaces; else
+      // (merge (select p) <generated> :json-schema/... :swagger/...)
+      case SProps(p, c) =>
+        p.swaggerFull.map(jsonValue).getOrElse(
+          mergeJsonObjects(selectPairs(p) ++ topPairs(toSwagger(c)) ++
+            p.jsonSchema.map { case (k, v) => k -> jsonValue(v) } ++
+            p.swagger.map { case (k, v) => k -> jsonValue(v) }))
       case other => toJsonSchema(other) // identical leaves
     }
   }

@@ -71,6 +71,39 @@ object MiniEval {
     }
   }
 
+  /** Compile a `:gen/fmap` source. malli accepts any sci form there
+    * (generator.cljc:472-476 `-create-from-fmap` routes through
+    * `m/eval`); the common fixture shapes are a bare builtin symbol
+    * (`str`), a partial application (`(partial str "kikka_")`), and a
+    * full `(fn [x] ...)` — this normalizes the first two into the third
+    * (the value is appended as the LAST argument, matching `partial`).
+    * Anything else fails at compile like every unknown MiniEval symbol. */
+  def compileFmap(src: String): Fn = {
+    val s = src.trim
+    if (isFnSource(s)) compile(s)
+    else {
+      val form =
+        try Edn.read(s)
+        catch {
+          case e: MiniEvalException => throw e
+          case e: Exception => fail(s"malformed :gen/fmap source: ${e.getMessage}")
+        }
+      form match {
+        case Sym(None, f) if builtins.contains(f) =>
+          Fn(Vector("x"), VList(Vector(Sym(None, f), Sym(None, "x"))))
+        case VList(items)
+            if items.headOption.contains(Sym(None, "partial")) &&
+               items.size >= 2 =>
+          val body = VList(items.tail :+ Sym(None, "x"))
+          checkSymbols(body, Set("x"))
+          Fn(Vector("x"), body)
+        case other =>
+          fail(s":gen/fmap must be a builtin symbol, (partial f args...) " +
+            s"or (fn [x] body) — got ${Edn.print(other)}")
+      }
+    }
+  }
+
   /** Whether a string looks like a compilable fn source (used by the
     * form/AST readers to decide between a REAL function and the
     * name-only placeholder for opaque Scala closures). Requires a

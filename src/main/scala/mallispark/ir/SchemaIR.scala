@@ -245,6 +245,54 @@ object SchemaIR {
   final case class SScoped(registry: Map[String, SchemaIR],
                            child: SchemaIR) extends SchemaIR
 
+  /** Non-structural schema properties — the slice of malli's property map
+    * that validation IGNORES but other interpreters read:
+    *
+    *  - `:gen/...` generator overrides (generator.cljc:455-476 `-create`
+    *    precedence: return > elements > schema > default; then `:gen/fmap`
+    *    wraps; `:gen/min`/`:gen/max` narrow bounds per `-min-max`,
+    *    generator.cljc:78-87; `:gen/infinite?`/`:gen/NaN?` feed the double
+    *    generator). Consumed by [[mallispark.gen.Generate]].
+    *  - `:title` / `:description` / `:default` and namespaced
+    *    `:json-schema/...` keys, merged into JSON-Schema/Swagger output
+    *    (json_schema.cljc:39, 201-208). Consumed by [[Export]].
+    *  - `:error/path` — redirect a humanized message to a child path
+    *    (error.cljc:218-222). Consumed by [[mallispark.msg.Messages]].
+    *
+    * Values for `ret`/`elements`/`default`/`jsonSchema` are EDN-shaped:
+    * String | Long | Double | Boolean | Seq[Any] | Map[String, Any]
+    * (keyword strings keep their leading colon, like [[SEnum]] values). */
+  final case class NodeProps(
+      genReturn: Option[Any] = None,
+      genElements: Option[Seq[Any]] = None,
+      genFmap: Option[String] = None,
+      genSchema: Option[SchemaIR] = None,
+      genMin: Option[Double] = None,
+      genMax: Option[Double] = None,
+      genInfinite: Boolean = false,
+      genNaN: Boolean = false,
+      title: Option[String] = None,
+      description: Option[String] = None,
+      default: Option[Any] = None,
+      jsonSchema: Seq[(String, Any)] = Nil,
+      jsonSchemaFull: Option[Any] = None,
+      swagger: Seq[(String, Any)] = Nil,
+      swaggerFull: Option[Any] = None,
+      errorPath: Option[Seq[String]] = None) {
+    def isEmpty: Boolean = this == NodeProps.empty
+  }
+  object NodeProps { val empty: NodeProps = NodeProps() }
+
+  /** A property-carrying wrapper around any schema. In malli properties
+    * live in the schema's own map (`[:int {:gen/min 1}]` IS an `:int`);
+    * here the structural fields (`:min`/`:max`/`:closed`/...) stay on the
+    * typed nodes and the non-structural slice wraps. The wrapper is
+    * TRANSPARENT to validation, typing and error paths — every semantic
+    * matcher delegates to the child — and its `form`/`ast` rendering
+    * splices the properties back into the child's property map, so a
+    * round-trip through the EDN/JSON serializers is head-faithful. */
+  final case class SProps(props: NodeProps, child: SchemaIR) extends SchemaIR
+
   // ---- declarative schema-algebra nodes (malli.util proxy schemas,
   //      util.cljc:394-418) — expand structurally before compilation, so
   //      SERIALIZED schemas can carry merge/union/select-keys ----
@@ -416,6 +464,9 @@ object SchemaIR {
     case SOpt(c)        => Seq("0" -> c)
     case SRepeat(c, _, _) => Seq("0" -> c)
     case SScoped(_, c)  => Seq("0" -> c)
+    // properties never add a path level in malli — navigate straight
+    // through to the child's children (paths match the unwrapped schema)
+    case SProps(_, c)   => childrenWithPath(c)
     case _              => Seq.empty
   }
 
@@ -511,7 +562,66 @@ object SchemaIR {
     case SPlus(c) => s"[:+ ${form(c)}]"
     case SOpt(c) => s"[:? ${form(c)}]"
     case SRepeat(c, mn, mx) => s"[:repeat {:min $mn :max $mx} ${form(c)}]"
+    case SProps(p, c) => spliceProps(form(c), propsStr(p))
   }
+
+  /** Render a [[NodeProps]] as EDN prop-map ENTRIES (no braces) in a fixed
+    * key order, so forms are deterministic and `Export.fromForm` can read
+    * them back. */
+  def propsStr(p: NodeProps): String = {
+    def n(d: Double): String =
+      if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+    (p.genReturn.map(v => s":gen/return ${ednLit(v)}").toSeq ++
+     p.genElements.map(vs =>
+       vs.map(ednLit).mkString(":gen/elements [", " ", "]")) ++
+     p.genFmap.map(src => s":gen/fmap ${q(src)}") ++
+     p.genSchema.map(s => s":gen/schema ${form(s)}") ++
+     p.genMin.map(v => s":gen/min ${n(v)}") ++
+     p.genMax.map(v => s":gen/max ${n(v)}") ++
+     (if (p.genInfinite) Seq(":gen/infinite? true") else Nil) ++
+     (if (p.genNaN) Seq(":gen/NaN? true") else Nil) ++
+     p.title.map(t => s":title ${q(t)}") ++
+     p.description.map(d => s":description ${q(d)}") ++
+     p.default.map(d => s":default ${ednLit(d)}") ++
+     p.jsonSchemaFull.map(v => s":json-schema ${ednLit(v)}") ++
+     p.jsonSchema.map { case (k, v) => s":json-schema/$k ${ednLit(v)}" } ++
+     p.swaggerFull.map(v => s":swagger ${ednLit(v)}") ++
+     p.swagger.map { case (k, v) => s":swagger/$k ${ednLit(v)}" } ++
+     p.errorPath.map(segs =>
+       segs.map(":" + _).mkString(":error/path [", " ", "]"))
+    ).mkString(" ")
+  }
+
+  /** EDN literal for property VALUES: keyword strings print bare, other
+    * strings quoted; vectors/maps recurse (map keys must be keyword
+    * strings — the form reader's prop-map constraint). */
+  def ednLit(v: Any): String = v match {
+    case s: String if s.startsWith(":") => s
+    case s: String => q(s)
+    case null => "nil"
+    case xs: Seq[_] => xs.map(ednLit).mkString("[", " ", "]")
+    case m: Map[_, _] => m.asInstanceOf[Map[String, Any]].toSeq.sortBy(_._1)
+      .map { case (k, x) =>
+        s"${if (k.startsWith(":")) k else ":" + k} ${ednLit(x)}" }
+      .mkString("{", " ", "}")
+    case other => String.valueOf(other)
+  }
+
+  /** Splice extra prop-map entries into a rendered child form: bare leaf
+    * keywords gain a bracket+map, an existing head prop map gains the
+    * entries at its FRONT (no matching-brace scan needed), and headed
+    * forms without a prop map gain one after the head. Relies on this
+    * printer's own deterministic output shape. */
+  private def spliceProps(cf: String, gp: String): String =
+    if (gp.isEmpty) cf
+    else if (!cf.startsWith("[")) s"[$cf {$gp}]"
+    else {
+      val sp = cf.indexOf(' ')
+      if (sp < 0) s"${cf.dropRight(1)} {$gp}]"
+      else if (cf.charAt(sp + 1) == '{')
+        cf.substring(0, sp + 2) + gp + " " + cf.substring(sp + 2)
+      else cf.substring(0, sp + 1) + "{" + gp + "} " + cf.substring(sp + 1)
+    }
 
   private def bounds(mn: Option[_], mx: Option[_]): String =
     if (mn.isEmpty && mx.isEmpty) ""

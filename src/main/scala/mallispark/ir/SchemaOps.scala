@@ -128,6 +128,7 @@ object SchemaOps {
     // closed/open toggling reaches maps a recursive :ref re-enters
     case SScoped(l, c) => SScoped(
       l.map { case (n, s) => n -> mapMaps(s)(f) }, mapMaps(c)(f))
+    case SProps(p, c) => SProps(p, mapMaps(c)(f))
     case other => other
   }
 
@@ -147,6 +148,10 @@ object SchemaOps {
       // behind :ref as elsewhere)
       case SScoped(local, c) if d > 0 =>
         expand(c, Registry(reg.schemas ++ local, reg.maxDepth), d - 1)
+      // algebra over a props-wrapped map reaches through (the wrapper's
+      // non-structural props don't survive a merge — malli's -merge keeps
+      // only the LAST map's properties, which the rebuilt SMap mirrors)
+      case SProps(_, c) if d > 0 => deref(c, d - 1)
       case other => other
     }
     def go(s: SchemaIR, d: Int): SchemaIR = s match {
@@ -188,6 +193,7 @@ object SchemaOps {
         l.map { case (n, s2) =>
           n -> expand(s2, Registry(reg.schemas ++ l, reg.maxDepth), d) },
         expand(c, Registry(reg.schemas ++ l, reg.maxDepth), d))
+      case SProps(p, c) => SProps(p, go(c, d))
       case other => other
     }
     go(ir, depth)
@@ -238,6 +244,9 @@ object SchemaOps {
       case m @ SMulti(_, _, d) if seg == "malli.core/default" && d.isDefined =>
         m.copy(default = Some(c))
       case SScoped(l, _) if seg == "0" => SScoped(l, c)
+      // transparent like childrenWithPath: the segment addresses the
+      // CHILD's children (props never add a path level)
+      case SProps(p, inner) => SProps(p, replaceChild(inner, seg, c))
       case other => throw new IllegalArgumentException(
         s"no child '$seg' in ${other.getClass.getSimpleName}")
     }
@@ -280,8 +289,15 @@ object SchemaOps {
   /** mu/subschemas (util.cljc:168-187): every (path, schema) pair. */
   def subschemas(ir: SchemaIR): Seq[(Seq[String], SchemaIR)] = {
     def go(s: SchemaIR, path: Seq[String]): Seq[(Seq[String], SchemaIR)] =
-      (path, s) +: SchemaIR.childrenWithPath(s).flatMap { case (seg, c) =>
-        go(c, path :+ seg)
+      s match {
+        // the wrapper AND its child both surface at the same path (props
+        // never add a path level): consumers matching node types see the
+        // real node, while :error/path resolution can still find wrappers
+        case SProps(_, c) => (path, s) +: go(c, path)
+        case _ =>
+          (path, s) +: SchemaIR.childrenWithPath(s).flatMap { case (seg, c) =>
+            go(c, path :+ seg)
+          }
       }
     go(ir, Seq.empty)
   }

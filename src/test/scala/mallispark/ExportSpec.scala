@@ -28,7 +28,20 @@ class ExportSpec extends AnyFunSuite {
       S.req("ch", S.char)),
     "scoped-recursive" -> S.scoped("node" -> S.mapE(false,
       S.req("v", S.intMin(0L)),
-      S.opt("kids", S.vector(S.ref("node")))))(S.ref("node")))
+      S.opt("kids", S.vector(S.ref("node")))))(S.ref("node")),
+    "node-props" -> S.mapE(false,
+      S.req("a", SProps(NodeProps(genReturn = Some(1L)), S.int)),
+      S.req("b", SProps(NodeProps(genElements = Some(Seq("x", "y")),
+        genFmap = Some("(partial str \"p_\")")), S.string)),
+      S.req("c", SProps(NodeProps(genMin = Some(2.0), genMax = Some(5.0),
+        title = Some("c title"), description = Some("desc"),
+        default = Some(3L), jsonSchema = Seq("example" -> 42L)),
+        S.int(0, 10))),
+      S.req("d", SProps(NodeProps(
+        genSchema = Some(SProps(NodeProps(
+          genElements = Some(Seq(1L, 2L))), S.int)),
+        genNaN = true, errorPath = Some(Seq("a"))),
+        S.double(0.0, 1.0)))))
 
   test("ast JSON round-trips structurally (m/ast / m/from-ast)") {
     samples.foreach { case (name, s) =>
@@ -181,6 +194,67 @@ class ExportSpec extends AnyFunSuite {
     assert(SchemaIR.form(Lite.schema("[:string {:min 2}]")) ===
       "[:string {:min 2}]")
     intercept[IllegalArgumentException](Lite.schema(Lite.optional(":int")))
+  }
+
+  test("json-schema property passthrough (json_schema_test:183-204)") {
+    // [:and {:title "age" :description "blabla" :default 42} int?]
+    val s1 = SProps(NodeProps(title = Some("age"),
+      description = Some("blabla"), default = Some(42L)), S.and(S.int))
+    assert(Export.toJsonSchema(s1) ===
+      """{"title": "age", "description": "blabla", "default": 42, "allOf": [{"type": "integer"}]}""")
+    // :json-schema/... keys override the select keys (merge, later wins)
+    val s2 = SProps(NodeProps(title = Some("age"),
+      description = Some("blabla"), default = Some(42L),
+      jsonSchema = Seq("default" -> 422L, "description" -> "blabla2",
+        "example" -> 422L, "title" -> "age2")), S.and(S.int))
+    assert(Export.toJsonSchema(s2) ===
+      """{"title": "age2", "description": "blabla2", "default": 422, "allOf": [{"type": "integer"}], "example": 422}""")
+    // whole :json-schema prop REPLACES the output (json_schema_test:151-154)
+    val s3 = SProps(NodeProps(jsonSchemaFull = Some(Map(
+      ":type" -> "string", ":format" -> "custom-file-format"))),
+      S.mapE(false, S.req("file", S.any)))
+    assert(Export.toJsonSchema(s3) ===
+      """{"format": "custom-file-format", "type": "string"}""")
+  }
+
+  test("json-schema map-entry overrides (json_schema_test:167-181)") {
+    val ir = Export.fromForm(
+      "[:map " +
+        "[:x1 {:json-schema/title \"x\"} :string] " +
+        "[:x2 {:json-schema {:title \"x\"}} " +
+          "[:string {:json-schema/default \"x\"}]] " +
+        "[:x3 {:json-schema/title \"x\"} " +
+          "[:string {:json-schema/default \"x\"}]] " +
+        "[:x5 {:json-schema {:type \"number\"}} " +
+          "[:string {:json-schema {:default 3}}]]]")
+    val js = Export.toJsonSchema(ir)
+    // entry-level props wrap OUTSIDE the child's own:
+    assert(js.contains(""""x1": {"type": "string", "title": "x"}"""))
+    // entry-level full :json-schema replaces the child output entirely
+    assert(js.contains(""""x2": {"title": "x"}"""))
+    assert(js.contains(
+      """"x3": {"type": "string", "default": "x", "title": "x"}"""))
+    // entry full replacement beats child full replacement
+    assert(js.contains(""""x5": {"type": "number"}"""))
+  }
+
+  test("swagger property passthrough (swagger.cljc:74-81)") {
+    // :swagger/... keys merge on top (vendor extensions)
+    val s1 = SProps(NodeProps(title = Some("kind"),
+      swagger = Seq("x-ms-enum" -> Map(":modelAsString" -> false,
+        ":name" -> "Kind"))), S.enum_("a", "b"))
+    assert(Export.toSwagger(s1) ===
+      """{"title": "kind", "enum": ["a", "b"], "x-ms-enum": {"modelAsString": false, "name": "Kind"}}""")
+    // whole :swagger prop replaces
+    val s2 = SProps(NodeProps(swaggerFull = Some(Map(":type" -> "file"))),
+      S.string)
+    assert(Export.toSwagger(s2) === """{"type": "file"}""")
+    // :json-schema/... applies to swagger too, :swagger/... wins last
+    val s3 = SProps(NodeProps(
+      jsonSchema = Seq("example" -> 1L),
+      swagger = Seq("example" -> 2L)), S.int)
+    assert(Export.toSwagger(s3) ===
+      """{"type": "integer", "format": "int64", "example": 2}""")
   }
 
   test("swagger transform: base + x-allOf/x-anyOf/x-nullable (swagger_test.cljc)") {

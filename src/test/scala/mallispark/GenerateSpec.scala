@@ -204,4 +204,119 @@ class GenerateSpec extends SparkSuite {
     val nulls = df.where(F.col("c").isNull).count()
     assert(nulls > 0 && nulls < 2000)
   }
+
+  // ---- :gen/... property overrides (generator.cljc:455-476 -create;
+  //      fixtures: generator_test.cljc:237-253, 140-144, 212) -------------
+
+  /** Distinct values gen() emits for a standalone schema over n rows. */
+  private def draws(ir: mallispark.ir.SchemaIR, n: Int = 400): Set[Any] = {
+    val col = Generate.gen(ir, F.col("id"), 1)
+    spark.range(n).select(col.as("v")).collect().map(_.get(0)).toSet
+  }
+
+  test(":gen/return wins over everything but fmap (generator_test:237-240)") {
+    // (mg/sample [:and {:gen/return 1} int?]) => all 1
+    assert(draws(SProps(NodeProps(genReturn = Some(1L)), S.int)) === Set(1L))
+    // {:gen/return nil} => all nil
+    assert(draws(SProps(NodeProps(genReturn = Some(null)), S.int))
+      === Set(null))
+    // {:gen/return 1, :gen/fmap 'str} => all "1"
+    assert(draws(SProps(NodeProps(genReturn = Some(1L),
+      genFmap = Some("str")), S.int)) === Set("1"))
+  }
+
+  test(":gen/elements draws from the set; fmap maps it (gen_test:242-244)") {
+    assert(draws(SProps(NodeProps(genElements = Some(Seq(1L, 2L))), S.int))
+      === Set(1L, 2L))
+    assert(draws(SProps(NodeProps(genElements = Some(Seq(1L, 2L)),
+      genFmap = Some("str")), S.int)) === Set("1", "2"))
+  }
+
+  test(":gen/schema delegates; nested fmaps compose (gen_test:246-249)") {
+    // [:int {:gen/schema [:int {:gen/elements [1 2]}]}] => #{1 2}
+    val inner = SProps(NodeProps(genElements = Some(Seq(1L, 2L))), S.int)
+    assert(draws(SProps(NodeProps(genSchema = Some(inner)), S.int))
+      === Set(1L, 2L))
+    // inner fmap str, outer fmap (partial str "+") => #{"+1" "+2"}
+    val innerF = SProps(NodeProps(genElements = Some(Seq(1L, 2L)),
+      genFmap = Some("str")), S.int)
+    assert(draws(SProps(NodeProps(genSchema = Some(innerF),
+      genFmap = Some("(partial str \"+\")")), S.int)) === Set("+1", "+2"))
+  }
+
+  test(":gen/fmap over the child generator (gen_test:212 kikka_)") {
+    val vals = draws(SProps(NodeProps(
+      genFmap = Some("(partial str \"kikka_\")")), S.string(1, 4)))
+    assert(vals.nonEmpty)
+    assert(vals.forall(_.asInstanceOf[String].startsWith("kikka_")))
+    // full (fn [x] ...) sources compile too
+    val v2 = draws(SProps(NodeProps(
+      genFmap = Some("(fn [x] (str x \"!\"))")), S.enum_("a", "b")))
+    assert(v2 === Set("a!", "b!"))
+  }
+
+  test(":gen/min and :gen/max narrow bounds; invalid gen bounds throw") {
+    val vals = draws(SProps(NodeProps(genMin = Some(10.0),
+      genMax = Some(20.0)), S.int(0, 100))).map(_.asInstanceOf[Long])
+    assert(vals.forall(v => v >= 10L && v <= 20L))
+    assert(vals.size > 5) // actually draws a range, not one value
+    // gen/min BELOW :min is ::invalid-property (generator.cljc:79-83)
+    intercept[IllegalArgumentException] {
+      Generate.gen(SProps(NodeProps(genMin = Some(-5.0)), S.int(0, 100)),
+        F.col("id"), 1)
+    }
+    // string/vector length narrowing rides the same -min-max
+    val lens = draws(SProps(NodeProps(genMin = Some(3.0)),
+      S.string(1, 8))).map(_.asInstanceOf[String].length)
+    assert(lens.forall(_ >= 3))
+  }
+
+  test(":gen/infinite? and :gen/NaN? surface double specials (gen_test:70-73)") {
+    val vals = draws(SProps(NodeProps(genInfinite = true, genNaN = true),
+      S.double(0.0, 1.0)), n = 2000).map(_.asInstanceOf[Double])
+    assert(vals.exists(_.isPosInfinity))
+    assert(vals.exists(_.isNegInfinity))
+    assert(vals.exists(_.isNaN))
+    assert(vals.exists(v => !v.isInfinity && !v.isNaN)) // plus normal draws
+    // without the flags the same schema NEVER emits specials
+    val plain = draws(S.double(0.0, 1.0), n = 2000)
+      .map(_.asInstanceOf[Double])
+    assert(!plain.exists(v => v.isInfinity || v.isNaN))
+  }
+
+  test("SProps is transparent to validation (props never affect validity)") {
+    val wrapped = S.mapE(false,
+      S.req("a", SProps(NodeProps(genElements = Some(Seq(1L, 2L))),
+        S.int(0, 100)))).asInstanceOf[SMap]
+    val df = Generate.dfFromSchema(spark, wrapped, 500, seed = 7)
+    assert(SchemaCompiler.validateDF(wrapped, df, "ok")
+      .where(!F.col("ok")).count() === 0L)
+    // a :gen/return OUTSIDE the child's domain generates values the
+    // validator correctly REJECTS (malli parity: gen props can lie)
+    val lying = S.mapE(false,
+      S.req("a", SProps(NodeProps(genReturn = Some(999L)),
+        S.int(0, 100)))).asInstanceOf[SMap]
+    val df2 = Generate.dfFromSchema(spark, lying, 50, seed = 7)
+    assert(SchemaCompiler.validateDF(lying, df2, "ok")
+      .where(F.col("ok")).count() === 0L)
+  }
+
+  test("portable Rng draws of :gen/elements replay exactly (oracle arith)") {
+    // the gen_roundtrip gate depends on element_at draws being pure
+    // h32-arithmetic: recompute one here driver-side
+    import mallispark.text.TextOps
+    implicit val rng: Generate.Rng = Generate.PortableRng
+    val ir = SProps(NodeProps(genElements = Some(Seq("x", "y", "z"))),
+      S.string)
+    val col = Generate.gen(ir, F.col("id"), 5)
+    val got = spark.range(10).select(F.col("id"), col.as("v")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val twin = spark.range(10).select(F.col("id"),
+      F.element_at(F.array(F.lit("x"), F.lit("y"), F.lit("z")),
+        (F.pmod(TextOps.h32(F.concat(F.col("id").cast(
+          org.apache.spark.sql.types.StringType), F.lit(":5"))), F.lit(3L))
+          + 1).cast(org.apache.spark.sql.types.IntegerType)).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === twin)
+  }
 }

@@ -478,10 +478,17 @@ object SparkEntry {
           .otherwise(F.concat(F.lit("sym"),
             (F.col("doc_id") % 50).cast(StringType))).as("sym"),
         F.when(F.col("doc_id") % 103 === 13, F.lit("xx"))
-          .otherwise(F.substring(F.col("lang"), 1, 1)).as("ch"))
+          .otherwise(F.substring(F.col("lang"), 1, 1)).as("ch"),
+        // {:namespace :user} property (core.cljc:753-755): shape-valid
+        // qualified keywords under the WRONG namespace must also fail
+        F.when(F.col("doc_id") % 91 === 5,
+            F.concat(F.lit(":other/"), F.col("lang")))
+          .otherwise(F.concat(F.lit(":user/"), F.col("lang"))).as("nskw"))
       val sch = S.mapE(false, S.req("doc_id", S.int),
         S.req("kw", S.keyword), S.req("qkw", S.qualifiedKeyword),
-        S.req("sym", S.symbol), S.req("ch", S.char))
+        S.req("sym", S.symbol), S.req("ch", S.char),
+        S.req("nskw",
+          mallispark.ir.SchemaIR.SIdent("qualified-keyword", Some("user"))))
       SchemaCompiler.violationsDF(sch, src, Seq("doc_id"))
         .select("doc_id", "schema_path", "error_key")
         .orderBy("doc_id", "schema_path")
@@ -1073,6 +1080,36 @@ object SparkEntry {
         .orderBy("doc_id", "error_key")
     }),
 
+    // ---- :error/message + :error/path SCHEMA properties (error.cljc
+    //      218-226, 293-296; the error_test.cljc:623-631 "passwords
+    //      don't match" fixture, distributed): a MiniEval :fn over a
+    //      MapType column carries both props through an SProps wrapper —
+    //      the message resolves from the schema and the violation's IN
+    //      path REDIRECTS to creds/password2, all inside codegen ----
+    "v_error_path" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR.{NodeProps, SProps}
+      val d = F.col("doc_id")
+      val base = t(s, dir, "documents").select(d,
+        F.map_from_arrays(
+          F.array(F.lit("password"), F.lit("password2")),
+          F.array(F.col("lang"),
+            F.when(d % 7 === 0, F.lit("nope")).otherwise(F.col("lang"))))
+          .as("creds"))
+      val credsSchema = S.and(
+        S.mapOf(S.string, S.string),
+        SProps(NodeProps(errorMessage = Some("passwords don't match"),
+          errorPath = Some(Seq("password2"))),
+          S.fnS("(fn [m] (= (:password m) (:password2 m)))")))
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("creds", credsSchema))
+      SchemaCompiler.violationsDF(sch, base, Seq("doc_id"))
+        .select(d, F.col("schema_path"),
+          mallispark.msg.Messages.errorPathRedirect(sch,
+            F.col("schema_path"), F.col("in_path")).as("in_redirected"),
+          mallispark.msg.Messages.messageColumn(sch).as("message"))
+        .orderBy("doc_id", "schema_path")
+    }),
+
     // ---- byte-exact :error/fn splicing for the remaining reference
     //      closures (error.cljc:47-55,145-172): comparator bounds,
     //      tuple size actual+expected, collection ::m/limits, :int
@@ -1562,6 +1599,46 @@ object SparkEntry {
           F.col("ret"), F.col("bounded"), F.col("nested"),
           F.col("mapped"), F.col("ok"))
         .orderBy("row_id")
+    }),
+
+    // ---- :re + recursive :ref generation, law-gated (generator.cljc
+    //      -re-gen / -ref-gen analogues): regex draws reverse the
+    //      AnchoredScan segment parser; refs unroll with recursion decay.
+    //      Values aren't SQL-replayable (byte-level segment draws), so
+    //      the gate follows the sketch-law pattern: the ENGINE proves
+    //      validate∘generate plus depth/diversity and emits the verdicts
+    //      the oracle pins as literals — deterministic because every
+    //      draw is hash arithmetic. ----
+    "gen_re_recursive_law" -> ((s, dir) => {
+      import mallispark.gen.Generate
+      implicit val rng: Generate.Rng = Generate.PortableRng
+      implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+      val rid = rng.mix(F.col("id"), F.lit(11L))
+      val urlP = "^https?://[^\\s]+$"
+      val uuidP = "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-" +
+        "[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$"
+      val tree = S.scoped("node" -> S.mapE(false,
+        S.req("v", S.intMin(0L)),
+        S.opt("kids", S.vector(S.ref("node")))))(S.ref("node"))
+      val df = s.range(300).select(
+        Generate.gen(S.re(urlP), rid, 1).as("u"),
+        Generate.gen(S.re(uuidP), rid, 2).as("q"),
+        Generate.gen(tree, rid, 3).as("n"))
+      import org.apache.spark.sql.types.StringType
+      val uOk = SchemaCompiler.valid(S.re(urlP), F.col("u"), StringType)
+      val qOk = SchemaCompiler.valid(S.re(uuidP), F.col("q"), StringType)
+      val tOk = SchemaCompiler.valid(tree, F.col("n"),
+        df.schema("n").dataType)
+      val gkid = F.get(F.get(F.col("n.kids"), F.lit(0))
+        .getField("kids"), F.lit(0)).getField("v")
+      df.agg(
+        F.count(F.lit(1)).cast(LongType).as("n_rows"),
+        F.every(uOk).as("re_all_valid"),
+        (F.countDistinct(F.col("u")) > 100L).as("re_distinct_ok"),
+        F.every(qOk).as("uuid_all_valid"),
+        F.every(tOk).as("tree_all_valid"),
+        (F.sum(F.when(gkid.isNotNull, 1L).otherwise(0L)) > 0L)
+          .as("tree_has_depth2"))
     }),
 
     // ---- generative function checking + shrinking (m/=> + mg/check +
@@ -2405,7 +2482,9 @@ object SparkEntry {
          |    CASE WHEN doc_id % 101 = 11 THEN ':lead'
          |         ELSE 'sym' || CAST(doc_id % 50 AS VARCHAR) END AS sym,
          |    CASE WHEN doc_id % 103 = 13 THEN 'xx'
-         |         ELSE substring(lang, 1, 1) END AS ch
+         |         ELSE substring(lang, 1, 1) END AS ch,
+         |    CASE WHEN doc_id % 91 = 5 THEN ':other/' || lang
+         |         ELSE ':user/' || lang END AS nskw
          |  FROM documents)
          |SELECT doc_id, 'kw' AS schema_path, ':keyword' AS error_key FROM src
          |WHERE kw IS NULL OR NOT regexp_matches(kw, '^:[^\\s/:]+(/[^\\s/:]+)?$$')
@@ -2419,6 +2498,10 @@ object SparkEntry {
          |UNION ALL
          |SELECT doc_id, 'ch', ':char' FROM src
          |WHERE ch IS NULL OR length(ch) <> 1
+         |UNION ALL
+         |SELECT doc_id, 'nskw', ':qualified-keyword' FROM src
+         |WHERE nskw IS NULL
+         |   OR NOT regexp_matches(nskw, '^:user/[^\\s/:]+$$')
          |ORDER BY doc_id, schema_path""".stripMargin,
 
     // tier-3 explain: the trailing 'k9' matches the inner :cat's first
@@ -3054,6 +3137,15 @@ object SparkEntry {
          |SELECT doc_id, error_key, message
          |FROM viols ORDER BY doc_id, error_key""".stripMargin,
 
+    // :error/message resolves from the schema property; :error/path
+    // redirects the in-path to creds/password2 (mismatch iff doc_id%7=0).
+    "v_error_path" ->
+      """SELECT doc_id, 'creds/1' AS schema_path,
+        |  'creds/password2' AS in_redirected,
+        |  'passwords don''t match' AS message
+        |FROM documents WHERE doc_id % 7 = 0
+        |ORDER BY doc_id, schema_path""".stripMargin,
+
     // Byte-exact :error/fn splicing (error.cljc:47-55,145-172): every
     // branch of messageColumn's CASE, mirrored as literal strings from
     // the same doc_id arithmetic.
@@ -3415,6 +3507,15 @@ object SparkEntry {
         |  CAST(2 * d79 + 1 AS BIGINT) AS mapped,
         |  TRUE AS ok
         |FROM d ORDER BY row_id""".stripMargin,
+
+    // law gate (sketch-law pattern): the engine proves validate∘generate
+    // for :re (reverse AnchoredScan) and recursive :ref (unrollRefs) plus
+    // diversity/depth; the oracle pins the deterministic verdicts.
+    "gen_re_recursive_law" ->
+      """SELECT CAST(300 AS BIGINT) AS n_rows,
+        |  TRUE AS re_all_valid, TRUE AS re_distinct_ok,
+        |  TRUE AS uuid_all_valid, TRUE AS tree_all_valid,
+        |  TRUE AS tree_has_depth2""".stripMargin,
 
     // Replays the checker's 100 portable-RNG draws (rid = h32(i||'#'||seed),
     // a0 = 0 + h32(rid||':14') % 10001 — map-entry salt 1+13*1), takes the

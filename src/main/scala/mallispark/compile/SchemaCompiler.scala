@@ -318,9 +318,16 @@ object SchemaCompiler {
               .getOrElse(col.rlike(re))
         }
 
-      case SIdent(kind) =>
+      case SIdent(kind, ns) =>
+        // {:namespace ...} property-pred (core.cljc:753-755): the
+        // canonical string form pins the namespace as a literal prefix
+        val nsOk: Column = ns match {
+          case Some(n) if kind == "qualified-keyword" =>
+            col.startsWith(s":$n/")
+          case _ => F.lit(true)
+        }
         if (dt != StringType) F.lit(false)
-        else IdentRes.forKind(kind) match {
+        else nsOk && (IdentRes.forKind(kind) match {
           // Java-regex '$' (what rlike runs) matches BEFORE a final
           // newline; RE2 (DuckDB) and RowEval's full-match do not — swap
           // the anchor for \z engine-side so ":en\n" fails on all three.
@@ -334,7 +341,7 @@ object SchemaCompiler {
           // :char — exactly one code point (Spark length() counts code
           // points, as does DuckDB's; RowEval mirrors via codePointCount)
           case None => col.isNotNull && F.length(col) === 1
-        }
+        })
 
       case s: STimestamp if !typeOk(s, dt) => F.lit(false)
       case STimestamp(mn, mx) =>
@@ -784,7 +791,7 @@ object SchemaCompiler {
       case SBoolean => leaf(":boolean")
       case SBinary => leaf(":bytes")
       case SUuid => leaf(":uuid")
-      case SIdent(kind) => leaf(s":$kind")
+      case SIdent(kind, _) => leaf(s":$kind")
       case _: STimestamp => leaf(":time/instant")
       case _: SDate => leaf(":time/local-date")
       case STime(kind, _, _) => leaf(s":time/$kind")

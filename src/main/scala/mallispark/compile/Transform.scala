@@ -130,7 +130,7 @@ object Transform {
           case _ if mode == StringMode => col.cast(StringType) // encode dir
           case _ => col
         }
-      case SIdent(kind) if kind.endsWith("keyword") =>
+      case SIdent(kind, _) if kind.endsWith("keyword") =>
         dt match {
           // -string->keyword (transform.cljc:71-77): "abc" decodes to the
           // keyword :abc — in string-form terms, prepend the ':' when absent
@@ -163,7 +163,7 @@ object Transform {
     case SProps(_, c) => encode(c, col, dt)
     case _: STimestamp =>
       F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
-    case SIdent(kind) if kind.endsWith("keyword") =>
+    case SIdent(kind, _) if kind.endsWith("keyword") =>
       // keyword→string encode drops the leading ':' (m/encode keyword?
       // string-transformer — transform.cljc:432 -keyword->string)
       F.regexp_replace(col, "^:", "")

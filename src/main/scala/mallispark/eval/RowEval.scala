@@ -60,13 +60,16 @@ object RowEval {
         "[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}")
       case _ => false
     }
-    case SIdent(kind) => v match {
+    case SIdent(kind, ns) => v match {
       case s: String =>
-        mallispark.compile.SchemaCompiler.IdentRes.forKind(kind) match {
-          case Some(re) => s.matches(re.drop(1).dropRight(1))
-          // :char — one code point (mirrors Spark length() semantics)
-          case None => s.codePointCount(0, s.length) == 1
-        }
+        val nsOk = ns.forall(n =>
+          kind != "qualified-keyword" || s.startsWith(s":$n/"))
+        nsOk &&
+          (mallispark.compile.SchemaCompiler.IdentRes.forKind(kind) match {
+            case Some(re) => s.matches(re.drop(1).dropRight(1))
+            // :char — one code point (mirrors Spark length() semantics)
+            case None => s.codePointCount(0, s.length) == 1
+          })
       case _ => false
     }
     case STimestamp(mn, mx) =>
@@ -700,7 +703,7 @@ object RowEval {
     case SBoolean => ":boolean"
     case SBinary => ":bytes"
     case SUuid => ":uuid"
-    case SIdent(kind) => s":$kind"
+    case SIdent(kind, _) => s":$kind"
     case _: STimestamp => ":time/instant"
     case _: SDate => ":time/local-date"
     case STime(kind, _, _) => s":time/$kind"

@@ -125,12 +125,14 @@ object Generate {
         F.substring(h1, 1, 8), F.lit("-"), F.substring(h1, 9, 4),
         F.lit("-4"), F.substring(h1, 13, 3), F.lit("-a"),
         F.substring(h2, 1, 3), F.lit("-"), F.substring(h2, 4, 12)))
-    case SIdent(kind) =>
+    case SIdent(kind, ns) =>
       // hash-salted name segment — always matches the IdentRes shapes
       val nm = F.concat(F.lit("g"), rnd(id, salt, 10000).cast(StringType))
       kind match {
         case "keyword" | "simple-keyword" => F.concat(F.lit(":"), nm)
-        case "qualified-keyword" => F.concat(F.lit(":ns/"), nm)
+        case "qualified-keyword" =>
+          // honor the {:namespace ...} property when present
+          F.concat(F.lit(":" + ns.getOrElse("ns") + "/"), nm)
         case "symbol" | "simple-symbol" => nm
         case "qualified-symbol" => F.concat(F.lit("ns/"), nm)
         case "char" => F.element_at(
@@ -195,9 +197,13 @@ object Generate {
     case SEnum(vs) =>
       F.element_at(F.array(vs.map(v => F.lit(v)): _*),
         (rnd(id, salt, vs.size) + 1).cast(IntegerType))
-    // local registry scopes only refs, which generation doesn't support —
-    // generate the child (a non-ref-bearing child works transparently)
-    case SScoped(_, c) => gen(c, id, salt)
+    // :re — reverse AnchoredScan (the -re-gen analogue); anchored-subset
+    // patterns draw segment-by-segment, others fail fast as before
+    case SRegex(p) => ReGen.gen(p, id, salt)
+    // :schema + local registry: unroll refs with recursion decay
+    // (generator.cljc -ref-gen / recursion scaling), then generate the
+    // ref-free expansion; non-ref-bearing children pass through unchanged
+    case sc: SScoped => gen(unrollRefs(sc), id, salt)
     case SCompare(op, v) => op match {
       case ">" | ">=" => F.lit(v) + rnd(id, salt, 100) + lit1(op == ">")
       case "<" | "<=" => F.lit(v) - rnd(id, salt, 100) - lit1(op == "<")
@@ -302,6 +308,126 @@ object Generate {
   }
 
   private def lit1(b: Boolean): Column = if (b) F.lit(1) else F.lit(0)
+
+  /** `:ref` unroll depth for generation — the reference's `-ref-gen`
+    * scales recursion down with the generator size (generator.cljc
+    * `::rec-gen` / recursion scaling); three levels matches its
+    * small-size draws. Callers wanting deeper trees pre-expand with
+    * [[unrollRefs]] themselves. */
+  val RefDepth = 3
+
+  /** Statically unroll `:ref`s for generation: each level re-enters its
+    * target until `depth` is exhausted, then the target is TERMINATED —
+    * pruned to its non-recursive spine (optional ref-bearing map entries
+    * drop, ref-bearing `:maybe` becomes nil, zero-min ref-bearing
+    * collections go empty, or/multi prefer ref-free branches). The
+    * result is ref-free, so the Column generators apply unchanged, and
+    * every draw still validates: the validator treats missing optional
+    * entries, nulls under `:maybe`, and empty collections as valid at
+    * ANY unroll depth. Fails fast when a REQUIRED path cannot terminate
+    * (e.g. `[:map [:next [:ref "x"]]]` — such schemas admit no finite
+    * value at all). */
+  def unrollRefs(ir: SchemaIR, reg: Registry = Registry.empty,
+                 depth: Int = RefDepth): SchemaIR = ir match {
+    case SRef(n) =>
+      if (depth > 0) unrollRefs(reg(n), reg, depth - 1)
+      else terminate(reg(n), reg)
+    case SScoped(l, c) =>
+      unrollRefs(c, Registry(reg.schemas ++ l, reg.maxDepth), depth)
+    case other => mapChildrenIr(other)(unrollRefs(_, reg, depth))
+  }
+
+  private def terminate(ir: SchemaIR, reg: Registry): SchemaIR = ir match {
+    case SRef(n) => throw new IllegalArgumentException(
+      s"cannot generate: required recursive path through :ref $n never " +
+        "terminates (no finite value satisfies the schema)")
+    case SScoped(l, c) =>
+      terminate(c, Registry(reg.schemas ++ l, reg.maxDepth))
+    case m: SMap => m.copy(
+      entries = m.entries.flatMap { e =>
+        if (!containsRef(e.child)) Some(e)
+        else if (e.optional) None // prune the recursive branch
+        else Some(e.copy(child = terminate(e.child, reg)))
+      },
+      rest = m.rest.map(r => if (containsRef(r)) terminate(r, reg) else r))
+    case SMaybe(c) => if (containsRef(c)) SNil else SMaybe(c)
+    case SVector(c, mn, mx) if containsRef(c) =>
+      if (mn.forall(_ == 0)) SVector(SAny, Some(0), Some(0))
+      else SVector(terminate(c, reg), mn, mx)
+    case SSet(c, mn, mx) if containsRef(c) =>
+      if (mn.forall(_ == 0)) SSet(SAny, Some(0), Some(0))
+      else SSet(terminate(c, reg), mn, mx)
+    case SEvery(c, mn, mx, l) if containsRef(c) =>
+      if (mn.forall(_ == 0)) SEvery(SAny, Some(0), Some(0), l)
+      else SEvery(terminate(c, reg), mn, mx, l)
+    case SStar(c) if containsRef(c) => SVector(SAny, Some(0), Some(0))
+    case SMapOf(k, v, mn, mx) if containsRef(k) || containsRef(v) =>
+      SMapOf(terminate(k, reg), terminate(v, reg), mn, mx)
+    case SOr(cs) =>
+      val free = cs.filterNot(containsRef)
+      if (free.nonEmpty) SOr(free) else SOr(cs.map(terminate(_, reg)))
+    case SOrn(bs) =>
+      val free = bs.filterNot(b => containsRef(b._2))
+      if (free.nonEmpty) SOrn(free)
+      else SOrn(bs.map { case (t, c) => t -> terminate(c, reg) })
+    case SAlt(cs) =>
+      val free = cs.filterNot(containsRef)
+      if (free.nonEmpty) SAlt(free) else SAlt(cs.map(terminate(_, reg)))
+    case SAltn(es) =>
+      val free = es.filterNot(e => containsRef(e._2))
+      if (free.nonEmpty) SAltn(free)
+      else SAltn(es.map { case (t, c) => t -> terminate(c, reg) })
+    case SMulti(d, bs, df) =>
+      val free = bs.filterNot(b => containsRef(b._2))
+      if (free.nonEmpty) SMulti(d, free, df.filterNot(containsRef))
+      else SMulti(d, bs.map { case (t, c) => t -> terminate(c, reg) },
+        df.map(terminate(_, reg)))
+    case other if containsRef(other) =>
+      mapChildrenIr(other)(terminate(_, reg))
+    case other => other
+  }
+
+  private def containsRef(s: SchemaIR): Boolean = s match {
+    case _: SRef => true
+    // childrenWithPath is transparent over SProps (skips the child node
+    // itself) — look through explicitly
+    case SProps(_, c) => containsRef(c)
+    case _ => SchemaIR.childrenWithPath(s).exists {
+      case (_, c) => containsRef(c)
+    }
+  }
+
+  /** Structural one-level map over a node's children (leaves and the
+    * function-carrying nodes pass through untouched). */
+  private def mapChildrenIr(s: SchemaIR)(f: SchemaIR => SchemaIR): SchemaIR =
+    s match {
+      case SMaybe(c) => SMaybe(f(c))
+      case SNot(c) => SNot(f(c))
+      case SAnd(cs) => SAnd(cs.map(f))
+      case SOr(cs) => SOr(cs.map(f))
+      case SOrn(bs) => SOrn(bs.map { case (t, c) => t -> f(c) })
+      case SAndn(bs) => SAndn(bs.map { case (t, c) => t -> f(c) })
+      case m: SMap => m.copy(
+        entries = m.entries.map(e => e.copy(child = f(e.child))),
+        rest = m.rest.map(f))
+      case SMapOf(k, v, mn, mx) => SMapOf(f(k), f(v), mn, mx)
+      case SVector(c, mn, mx) => SVector(f(c), mn, mx)
+      case SSet(c, mn, mx) => SSet(f(c), mn, mx)
+      case SEvery(c, mn, mx, l) => SEvery(f(c), mn, mx, l)
+      case STuple(cs) => STuple(cs.map(f))
+      case SMulti(d, bs, df) =>
+        SMulti(d, bs.map { case (t, c) => t -> f(c) }, df.map(f))
+      case SCat(cs) => SCat(cs.map(f))
+      case SCatn(es) => SCatn(es.map { case (t, c) => t -> f(c) })
+      case SAlt(cs) => SAlt(cs.map(f))
+      case SAltn(es) => SAltn(es.map { case (t, c) => t -> f(c) })
+      case SStar(c) => SStar(f(c))
+      case SPlus(c) => SPlus(f(c))
+      case SOpt(c) => SOpt(f(c))
+      case SRepeat(c, mn, mx) => SRepeat(f(c), mn, mx)
+      case SProps(p, c) => SProps(p, f(c))
+      case leaf => leaf
+    }
 
   /** A `:gen/return`/`:gen/elements` literal as a Column; nil takes the
     * CHILD's physical type so CASE branches unify. */
@@ -419,7 +545,7 @@ object Generate {
     case SSet(c, _, _) => ArrayType(genTypeFor(c))
     case SEvery(c, _, _, _) => ArrayType(genTypeFor(c))
     case SMaybe(c) => genTypeFor(c)
-    case SScoped(_, c) => genTypeFor(c)
+    case sc: SScoped => genTypeFor(unrollRefs(sc))
     case SProps(p, c) =>
       val bt = baseTypeOf(p, c)
       p.genFmap.map(src => FmapColumns.outType(src, bt)).getOrElse(bt)

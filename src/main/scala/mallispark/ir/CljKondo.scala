@@ -48,7 +48,7 @@ object CljKondo {
     case SBoolean => kw("boolean")
     case SBinary => kw("char-sequence") // bytes? (:59)
     case SUuid => kw("any") // uuid? (:37)
-    case SIdent(k) => k match {
+    case SIdent(k, _) => k match {
       case "keyword" | "simple-keyword" | "qualified-keyword" => kw("keyword")
       case "char" => kw("char")
       case _ => kw("symbol")

@@ -67,7 +67,7 @@ object Describe {
     case SString(mn, mx) => "string" + lengthSuffix(mn, mx)
     case SInt(mn, mx) => "integer" + minMaxNumber(mn, mx)
     case SDouble(mn, mx) => "double" + minMaxNumber(mn, mx)
-    case SIdent(kind) => kind match {
+    case SIdent(kind, _) => kind match {
       case "keyword" => "keyword"
       case "simple-keyword" => "simple-keyword"
       case "qualified-keyword" => "qualified keyword"

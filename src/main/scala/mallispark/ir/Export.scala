@@ -36,7 +36,8 @@ object Export {
     case SBoolean => obj("type" -> esc("boolean"))
     case SBinary => obj("type" -> esc("bytes"))
     case SUuid => obj("type" -> esc("uuid"))
-    case SIdent(kind) => obj("type" -> esc(kind))
+    case SIdent(kind, ns) => obj(Seq("type" -> esc(kind)) ++
+      ns.map(n => "namespace" -> esc(n)): _*)
     case SString(mn, mx) =>
       obj(Seq("type" -> esc("string")) ++ optNum("min", mn) ++ optNum("max", mx): _*)
     case SInt(mn, mx) =>
@@ -244,7 +245,8 @@ object Export {
       case "bytes" => SBinary
       case "uuid" => SUuid
       case k @ ("keyword" | "simple-keyword" | "qualified-keyword" | "symbol" |
-           "simple-symbol" | "qualified-symbol" | "char") => SIdent(k)
+           "simple-symbol" | "qualified-symbol" | "char") =>
+        SIdent(k, m.get("namespace").map(_.toString))
       // :float shares :double's value space in the engine (core.cljc:825)
       case "float" => SDouble(dbl("min"), dbl("max"))
       case "string" => SString(num("min").map(_.toInt), num("max").map(_.toInt))
@@ -511,6 +513,8 @@ object Export {
       jsonSchemaFull = m.get(":json-schema").map(nodeToValue),
       swagger = unlift(":swagger/"),
       swaggerFull = m.get(":swagger").map(nodeToValue),
+      errorMessage = m.get(":error/message")
+        .map { case SStr(s) => s; case o => o.toString },
       errorPath = m.get(":error/path").map {
         case Vec(items) => items.map {
           case Kw(k) => k.drop(1); case SStr(s) => s; case Sym(s) => s
@@ -682,7 +686,8 @@ object Export {
     case ":bytes" => SBinary
     case ":uuid" => SUuid
     case ":keyword" | ":simple-keyword" | ":qualified-keyword" | ":symbol" |
-         ":simple-symbol" | ":qualified-symbol" | ":char" => SIdent(k.drop(1))
+         ":simple-symbol" | ":qualified-symbol" | ":char" =>
+      SIdent(k.drop(1), pStr(props, ":namespace").map(_.stripPrefix(":")))
     case ":float" => SDouble(pDbl(props, ":min"), pDbl(props, ":max"))
     case ":string" => SString(pInt(props, ":min"), pInt(props, ":max"))
     case ":int" => SInt(pLong(props, ":min"), pLong(props, ":max"))
@@ -712,10 +717,17 @@ object Export {
     case SBinary => obj("type" -> esc("string"),
       "contentEncoding" -> esc("base64"))
     case SUuid => obj("type" -> esc("string"), "format" -> esc("uuid"))
-    case SIdent("char") => obj("type" -> esc("string"),
+    case SIdent("char", _) => obj("type" -> esc("string"),
       "minLength" -> "1", "maxLength" -> "1")
-    case SIdent(kind) => obj("type" -> esc("string"), "pattern" -> esc(
-      mallispark.compile.SchemaCompiler.IdentRes.forKind(kind).get))
+    case SIdent(kind, ns) =>
+      // {:namespace n} narrows the pattern to the literal ns segment
+      val base = mallispark.compile.SchemaCompiler.IdentRes.forKind(kind).get
+      val re = ns match {
+        case Some(n) if kind == "qualified-keyword" =>
+          s"^:${java.util.regex.Pattern.quote(n)}/[^\\s/:]+$$"
+        case _ => base
+      }
+      obj("type" -> esc("string"), "pattern" -> esc(re))
     case STimestamp(_, _) => obj("type" -> esc("string"),
       "format" -> esc("date-time"))
     case SDate(_, _) => obj("type" -> esc("string"), "format" -> esc("date"))

@@ -69,8 +69,13 @@ object SchemaIR {
     * values take in a parquet column: ":name" / ":ns/name" for keywords,
     * "name" / "ns/name" for symbols (first char not ':' or a digit),
     * exactly one code point for :char. `kind` is one of the seven type
-    * names above (sans ':'). */
-  final case class SIdent(kind: String) extends SchemaIR
+    * names above (sans ':'). `ns` is the `{:namespace ...}` property on
+    * `:qualified-keyword` (core.cljc:753-755, 830
+    * -qualified-keyword-pred): the value's namespace segment must equal
+    * it exactly; other kinds ignore it (the reference wires the
+    * property-pred only into -qualified-keyword-schema). */
+  final case class SIdent(kind: String,
+                          ns: Option[String] = None) extends SchemaIR
 
   /** `:time/instant` with `:min`/`:max` range
     * (experimental/time.cljc:85-94, range compare 48-66). */
@@ -278,6 +283,7 @@ object SchemaIR {
       jsonSchemaFull: Option[Any] = None,
       swagger: Seq[(String, Any)] = Nil,
       swaggerFull: Option[Any] = None,
+      errorMessage: Option[String] = None,
       errorPath: Option[Seq[String]] = None) {
     def isEmpty: Boolean = this == NodeProps.empty
   }
@@ -500,7 +506,8 @@ object SchemaIR {
     case SBoolean => ":boolean"
     case SBinary => ":bytes"
     case SUuid => ":uuid"
-    case SIdent(kind) => s":$kind"
+    case SIdent(kind, ns) =>
+      ns.fold(s":$kind")(n => s"[:$kind {:namespace :$n}]")
     case STimestamp(mn, mx) =>
       leafForm(":time/instant",
         bounds(mn.map(i => q(i.toString)), mx.map(i => q(i.toString))))
@@ -587,6 +594,7 @@ object SchemaIR {
      p.jsonSchema.map { case (k, v) => s":json-schema/$k ${ednLit(v)}" } ++
      p.swaggerFull.map(v => s":swagger ${ednLit(v)}") ++
      p.swagger.map { case (k, v) => s":swagger/$k ${ednLit(v)}" } ++
+     p.errorMessage.map(m => s":error/message ${q(m)}") ++
      p.errorPath.map(segs =>
        segs.map(":" + _).mkString(":error/path [", " ", "]"))
     ).mkString(" ")

@@ -216,10 +216,48 @@ object Messages {
     val keyCase = keyOverrides.toSeq.sortBy(_._1).foldRight(splicedCase) {
       case ((k, m), acc) => F.when(keyCol === k, F.lit(m)).otherwise(acc)
     }
-    pathOverrides.toSeq.sortBy(_._1).foldRight(keyCase) {
-      case ((p, m), acc) => F.when(pathCol === p, F.lit(m)).otherwise(acc)
-    }
+    // schema-carried :error/message props (SProps wrappers) are the
+    // reference's property lookup (error.cljc:293-296); caller-supplied
+    // pathOverrides layer on top (the options table wins, error.cljc
+    // -resolve-direct-message order)
+    (schemaMessageOverrides(root) ++ pathOverrides).toSeq.sortBy(_._1)
+      .foldRight(keyCase) {
+        case ((p, m), acc) => F.when(pathCol === p, F.lit(m)).otherwise(acc)
+      }
   }
+
+  /** `:error/message` props carried by the schema itself, keyed by
+    * "/"-joined schema path (error.cljc:293-296 property lookup). */
+  def schemaMessageOverrides(root: SchemaIR): Map[String, String] =
+    mallispark.ir.SchemaOps.subschemas(root).collect {
+      case (p, SchemaIR.SProps(np, _)) if np.errorMessage.isDefined =>
+        p.mkString("/") -> np.errorMessage.get
+    }.toMap
+
+  /** `:error/path` redirects carried by the schema, keyed by schema
+    * path (error.cljc:218-222 `-path`). */
+  def schemaErrorPaths(root: SchemaIR): Map[String, Seq[String]] =
+    mallispark.ir.SchemaOps.subschemas(root).collect {
+      case (p, SchemaIR.SProps(np, _)) if np.errorPath.isDefined =>
+        p.mkString("/") -> np.errorPath.get
+    }.toMap
+
+  /** Distributed `:error/path` redirect: rewrites a violation row's IN
+    * path to `in ++ :error/path` when its schema node carries the prop —
+    * the error.cljc:218-226 `-path`-over-`:in` choice as a codegen CASE
+    * Column (no UDF). Apply to the `in` column before grouping /
+    * humanizing. */
+  def errorPathRedirect(root: SchemaIR,
+                        pathCol: Column = F.col("schema_path"),
+                        inCol: Column = F.col("in")): Column =
+    schemaErrorPaths(root).toSeq.sortBy(_._1).foldRight(inCol) {
+      case ((p, segs), acc) =>
+        val suffix = segs.mkString("/")
+        F.when(pathCol === p,
+          F.when(inCol === "", F.lit(suffix))
+            .otherwise(F.concat(inCol, F.lit("/" + suffix))))
+          .otherwise(acc)
+    }
 
   /** One humanized violation: (in-path, message). */
   final case class Humanized(in: Seq[String], message: String)
@@ -243,6 +281,27 @@ object Messages {
       }
       .groupBy(_._1)
       .view.mapValues(_.map(_._2)).toMap
+
+  /** Schema-aware humanize for explain output: each error arrives as
+    * (schema-path, in-path, error-key); the schema's own `:error/message`
+    * props resolve first (error.cljc:293-296) and `:error/path` props
+    * REDIRECT the message to `in ++ :error/path` (error.cljc:218-226 —
+    * the error_test.cljc:623-631 "passwords don't match" fixture). */
+  def humanizeErrors(root: SchemaIR,
+                     errors: Seq[(Seq[String], Seq[String], String)],
+                     overrides: Map[String, String] = Map.empty)
+      : Map[Seq[String], Seq[String]] = {
+    val msgs = schemaMessageOverrides(root)
+    val paths = schemaErrorPaths(root)
+    errors
+      .map { case (sp, in, key) =>
+        val spKey = sp.mkString("/")
+        (in ++ paths.getOrElse(spKey, Nil)) ->
+          msgs.getOrElse(spKey, message(key, overrides))
+      }
+      .groupBy(_._1)
+      .view.mapValues(_.map(_._2)).toMap
+  }
 
   /** `me/error-value` (error.cljc:397-408): the input reshaped to only its
     * FAILING parts — leaves whose `in` path appears in `errIns` are kept;

@@ -257,6 +257,15 @@ class CoreValidationSpec extends SparkSuite {
     check(S.qualifiedKeyword, StringType, Seq(
       (":ns/name", true, Set.empty),
       (":bare", false, Set(("", "", ":qualified-keyword")))))
+    // {:namespace :user} property-pred (core.cljc:753-755, 830;
+    // core_test.cljc:2237-2246: success [:user/abba], failure
+    // [:abba :zzz/abba nil "invalid"])
+    check(SIdent("qualified-keyword", Some("user")), StringType, Seq(
+      (":user/abba", true, Set.empty),
+      (":abba", false, Set(("", "", ":qualified-keyword"))),
+      (":zzz/abba", false, Set(("", "", ":qualified-keyword"))),
+      (null, false, Set(("", "", ":qualified-keyword"))),
+      ("invalid", false, Set(("", "", ":qualified-keyword")))))
     check(S.symbol, StringType, Seq(
       ("sym", true, Set.empty),
       ("ns/sym", true, Set.empty),

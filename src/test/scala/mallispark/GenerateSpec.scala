@@ -301,6 +301,75 @@ class GenerateSpec extends SparkSuite {
       .where(F.col("ok")).count() === 0L)
   }
 
+  test(":re generation — validate∘generate over the anchored subset") {
+    // reverse AnchoredScan (ReGen): full matches of the anchored pattern,
+    // pinned against java.util.regex FIND (malli's re-find semantics)
+    val patterns = Seq(
+      "^https?://[^\\s]+$", // the flagship url shape (GroupOpt-free)
+      "^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$",
+      "^[a-z]{2,5}:[0-9]+$",
+      "^:[^\\s/:]+(/[^\\s/:]+)?$", // keyword shape incl. optional group
+      "^ab\\.c[d-f]*$",
+      "[a-z]{3}") // unanchored: generation anchors, re-find still matches
+    patterns.foreach { p =>
+      val col = Generate.gen(S.re(p), F.col("id"), 1)
+      val vals = spark.range(300).select(col.as("v")).collect()
+        .map(_.getString(0))
+      val rx = java.util.regex.Pattern.compile(p)
+      vals.foreach(v => assert(rx.matcher(v).find(), s"'$v' !~ $p"))
+      // RowEval twin agrees (the duality interpreter)
+      vals.take(20).foreach(v =>
+        assert(mallispark.eval.RowEval.validate(S.re(p), v)))
+    }
+    // variable patterns actually vary
+    val vs = spark.range(300).select(
+      Generate.gen(S.re("^[a-z]{2,8}$"), F.col("id"), 1).as("v"))
+      .collect().map(_.getString(0)).toSet
+    assert(vs.size > 50)
+    // outside the anchored subset → fail-fast contract unchanged
+    intercept[IllegalArgumentException](
+      Generate.gen(S.re("^(a|b)+$"), F.col("id"), 1))
+    intercept[IllegalArgumentException](
+      Generate.gen(S.re("^a.*b$"), F.col("id"), 1))
+  }
+
+  test("recursive :ref generation (unrollRefs with recursion decay)") {
+    import mallispark.ir.SchemaIR.{SNil, SRef, SVector}
+    val node = S.scoped("node" -> S.mapE(false,
+      S.req("v", S.intMin(0L)),
+      S.opt("kids", S.vector(S.ref("node")))))(S.ref("node"))
+    val col = Generate.gen(node, F.col("id"), 1)
+    val df = spark.range(500).select(col.as("n"))
+    // every generated tree validates against the RECURSIVE schema
+    val okCol = SchemaCompiler.valid(node, F.col("n"),
+      df.schema("n").dataType)
+    assert(df.where(!okCol).count() === 0L)
+    // recursion actually happens: some rows carry grandchildren
+    val gkid = F.get(F.get(F.col("n.kids"), F.lit(0)).getField("kids"),
+      F.lit(0)).getField("v")
+    assert(df.where(gkid.isNotNull).count() > 0L)
+    // :maybe-shaped recursion terminates to nil at the bottom
+    val lst = S.scoped("l" -> S.mapE(false,
+      S.req("h", S.int(0, 9)),
+      S.req("t", S.maybe(S.ref("l")))))(S.ref("l"))
+    val df2 = spark.range(300).select(Generate.gen(lst, F.col("id"), 1).as("n"))
+    assert(df2.where(!SchemaCompiler.valid(lst, F.col("n"),
+      df2.schema("n").dataType)).count() === 0L)
+    // a REQUIRED unguarded recursion admits no finite value → fail fast
+    val bad = S.scoped("x" -> S.mapE(false,
+      S.req("next", S.ref("x"))))(S.ref("x"))
+    intercept[IllegalArgumentException](
+      Generate.gen(bad, F.col("id"), 1))
+    // the unrolled schema is ref-free and bottom-pruned
+    val un = Generate.unrollRefs(node)
+    def refs(s: mallispark.ir.SchemaIR): Boolean = s match {
+      case _: SRef => true
+      case other => mallispark.ir.SchemaIR.childrenWithPath(other)
+        .exists { case (_, c) => refs(c) }
+    }
+    assert(!refs(un))
+  }
+
   test("portable Rng draws of :gen/elements replay exactly (oracle arith)") {
     // the gen_roundtrip gate depends on element_at draws being pure
     // h32-arithmetic: recompute one here driver-side

@@ -109,6 +109,39 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(Messages.message(":int", Map(":int" -> "custom")) === "custom")
   }
 
+  test(":error/message + :error/path schema props (error_test.cljc:623-631)") {
+    import mallispark.ir.SchemaIR.{NodeProps, SProps}
+    // the reference's "passwords don't match" #554 fixture, driver-side:
+    // the :fn carries both props; humanize lands the message at
+    // [:password2] instead of the error's own (empty) in-path
+    val sch = S.and(
+      S.mapE(false,
+        S.req("password", S.string),
+        S.req("password2", S.string)),
+      SProps(NodeProps(errorMessage = Some("passwords don't match"),
+        errorPath = Some(Seq("password2"))),
+        S.fnS("(fn [m] (= (:password m) (:password2 m)))")))
+    val bad = Map("password" -> "secret", "password2" -> "faarao")
+    val errs = mallispark.eval.RowEval.explain(sch, bad)
+    assert(errs.nonEmpty)
+    val h = Messages.humanizeErrors(sch,
+      errs.map(e => (e.path.toSeq, e.in.toSeq, e.key)))
+    assert(h === Map(Seq("password2") -> Seq("passwords don't match")))
+    // matching passwords produce no errors at all
+    assert(mallispark.eval.RowEval.explain(sch,
+      Map("password" -> "s", "password2" -> "s")).isEmpty)
+    // without :error/path the same message lands at the error's own in
+    val plain = S.and(
+      S.mapE(false,
+        S.req("password", S.string), S.req("password2", S.string)),
+      SProps(NodeProps(errorMessage = Some("passwords don't match")),
+        S.fnS("(fn [m] (= (:password m) (:password2 m)))")))
+    val h2 = Messages.humanizeErrors(plain,
+      mallispark.eval.RowEval.explain(plain, bad)
+        .map(e => (e.path.toSeq, e.in.toSeq, e.key)))
+    assert(h2 === Map(Seq.empty -> Seq("passwords don't match")))
+  }
+
   test("spell-check: closest known key within tolerance (error.cljc:249-281)") {
     assert(Messages.spellCheck("typpe", Set("type", "name")) === Some("type"))
     assert(Messages.spellCheck("zzz", Set("type", "name")) === None)

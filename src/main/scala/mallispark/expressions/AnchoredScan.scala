@@ -392,9 +392,9 @@ object AnchoredScan {
             var anyHi = -2
             while (p <= newHiCap) {
               acc += diff(p)
-              // a marked CONTINUATION byte is mid-char, not a valid end
-              val r = acc > 0 &&
-                (p >= n || (s.getByte(p) & 0xC0) != 0x80)
+              // a marked position strictly inside a decode unit is not a
+              // valid end (stray continuation bytes ARE unit starts)
+              val r = acc > 0 && (p >= n || isUnitStart(s, p, n))
               cur(p) = r
               if (r) { if (anyLo < 0) anyLo = p; anyHi = p }
               p += 1
@@ -419,22 +419,70 @@ object AnchoredScan {
     }
 
     /** Width of the unit a NEGATED class consumes at pos: 1 for an
-      * allowed ASCII byte, the char width for a multibyte lead (always
-      * allowed — the banned set is ASCII), 0 when nothing matches here
-      * (banned byte, continuation byte, truncated char, end of input). */
+      * allowed ASCII byte, the DECODE-unit width for any non-ASCII byte
+      * (always allowed — the banned set is ASCII and a U+FFFD
+      * replacement char is not in it), 0 only for a banned ASCII byte
+      * or end of input. */
     private def unitWidth(c: VarClass, s: UTF8String, pos: Int, n: Int): Int = {
       if (pos >= n) return 0
       val b = s.getByte(pos)
       if (b >= 0) { if (inMask(c.m0, c.m1, b)) 0 else 1 }
-      else {
-        val u = b & 0xFF
-        val w =
-          if (u >= 0xC0 && u < 0xE0) 2
-          else if (u >= 0xE0 && u < 0xF0) 3
-          else if (u >= 0xF0 && u < 0xF8) 4
-          else 0 // continuation or invalid lead
-        if (w > 0 && pos + w <= n) w else 0
-      }
+      else rawUnitWidth(s, pos, n)
+    }
+
+    @inline private def isContByte(b: Byte): Boolean = (b & 0xC0) == 0x80
+
+    /** Width of the DECODE UNIT at pos (assumed to be a unit start) —
+      * mirrors Java's UTF-8 REPLACE decoding, which emits one U+FFFD per
+      * MAXIMAL ILL-FORMED SUBSEQUENCE (longest valid prefix, with the
+      * constrained first-continuation ranges for E0/ED/F0/F4). This is
+      * what `UTF8String.toString` feeds java.util.regex, so matching on
+      * raw bytes stays verdict-identical to stock `rlike` even on
+      * invalid UTF-8 (reachable via cast(binary as string)): a valid
+      * sequence consumes its full width, an ill-formed one consumes its
+      * valid prefix (≥ 1 byte) as a single always-allowed FFFD unit. */
+    private def rawUnitWidth(s: UTF8String, pos: Int, n: Int): Int = {
+      val u = s.getByte(pos) & 0xFF
+      if (u < 0xC2) 1 // ASCII, stray continuation, or overlong C0/C1 lead
+      else if (u < 0xE0) { // 2-byte lead
+        if (pos + 1 < n && isContByte(s.getByte(pos + 1))) 2 else 1
+      } else if (u < 0xF0) { // 3-byte lead; E0 has a narrowed c1 range.
+        // ED is deliberately GENERIC here: the JDK String decoder
+        // (probed on 17) consumes a whole surrogate-shaped sequence
+        // [ED A0-BF cont] as ONE U+FFFD, unlike the Unicode
+        // maximal-subsequence recommendation — width must follow the
+        // decoder rlike actually sees
+        val c1ok = pos + 1 < n && {
+          val c1 = s.getByte(pos + 1) & 0xFF
+          if (u == 0xE0) c1 >= 0xA0 && c1 <= 0xBF
+          else c1 >= 0x80 && c1 <= 0xBF
+        }
+        if (!c1ok) 1
+        else if (pos + 2 < n && isContByte(s.getByte(pos + 2))) 3 else 2
+      } else if (u <= 0xF4) { // 4-byte lead; F0/F4 have narrowed c1 ranges
+        val c1ok = pos + 1 < n && {
+          val c1 = s.getByte(pos + 1) & 0xFF
+          if (u == 0xF0) c1 >= 0x90 && c1 <= 0xBF
+          else if (u == 0xF4) c1 >= 0x80 && c1 <= 0x8F
+          else c1 >= 0x80 && c1 <= 0xBF
+        }
+        if (!c1ok) 1
+        else if (pos + 2 >= n || !isContByte(s.getByte(pos + 2))) 2
+        else if (pos + 3 < n && isContByte(s.getByte(pos + 3))) 4 else 3
+      } else 1 // F5-FF: invalid lead, one FFFD
+    }
+
+    /** Whether p is a decode-unit boundary: any non-continuation byte
+      * starts a unit; a continuation byte starts one iff it is STRAY —
+      * not covered by a valid-prefix sequence whose lead sits ≤ 3 bytes
+      * back (lead bytes are never themselves absorbed by an ill-formed
+      * run, so the back-scan is non-recursive). */
+    private def isUnitStart(s: UTF8String, p: Int, n: Int): Boolean = {
+      if (!isContByte(s.getByte(p))) return true
+      var k = 1
+      while (k < 4 && p - k >= 0 && isContByte(s.getByte(p - k))) k += 1
+      if (k >= 4 || p - k < 0) true // no lead within reach → stray FFFD unit
+      else rawUnitWidth(s, p - k, n) <= k
     }
 
     /** End position after consuming f's units from p, or -1. Positive
@@ -458,14 +506,9 @@ object AnchoredScan {
             if (inMask(f.m0(i), f.m1(i), b)) return -1
             pos += 1
           } else {
-            val u = b & 0xFF
-            val w =
-              if (u >= 0xC0 && u < 0xE0) 2
-              else if (u >= 0xE0 && u < 0xF0) 3
-              else if (u >= 0xF0 && u < 0xF8) 4
-              else 0
-            if (w == 0 || pos + w > n) return -1
-            pos += w
+            // any non-ASCII unit start is allowed (real char or FFFD);
+            // consume its decode-unit width
+            pos += rawUnitWidth(s, pos, n)
           }
         }
         i += 1
@@ -526,6 +569,9 @@ object AnchoredScan {
   /** Parse the supported subset; None → caller keeps rlike. */
   def compile(pattern: String): Option[Compiled] = {
     if (!pattern.startsWith("^")) return None
+    // a literal U+FFFD in the pattern would match DECODED invalid bytes
+    // under java.util.regex but not under byte comparison — bail
+    if (pattern.indexOf('\uFFFD') >= 0) return None
     val (body, dollarTerm) =
       if (pattern.endsWith("\\z"))
         (pattern.substring(1, pattern.length - 2), false)

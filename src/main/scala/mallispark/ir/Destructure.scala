@@ -101,7 +101,16 @@ object Destructure {
           val sb = new StringBuilder
           var j = i + 1
           while (open(s, j, '"')) {
-            if (s(j) == '\\') { j += 1; sb += (if (s(j) == 'n') '\n' else s(j)) }
+            if (s(j) == '\\') {
+              j += 1
+              // bounds-check: a backslash at end-of-input is an
+              // unterminated string, not an index crash
+              require(j < s.length, "unterminated EDN input (missing '\"')")
+              sb += (s(j) match {
+                case 'n' => '\n'; case 't' => '\t'; case 'r' => '\r'
+                case c => c // covers \\ and \" (Edn.print's own output)
+              })
+            }
             else sb += s(j)
             j += 1
           }

@@ -10,6 +10,17 @@ object Export {
 
   // ---- AST: JSON round-trip (m/ast / m/from-ast) --------------------------
 
+  /** Deserialize an `:fn` name: a MiniEval source compiles into a REAL
+    * predicate (the sci round-trip); an opaque name — or a source using
+    * symbols outside MiniEval's builtin table (e.g. a full-sci reference
+    * form like `(fn [x] (re-find ...))`) — keeps the permissive
+    * name-only placeholder rather than failing the whole schema load. */
+  private def fnFromName(n: String): SFn =
+    if (MiniEval.isFnSource(n))
+      try SFn(n, MiniEval.compile(n).pred)
+      catch { case _: MiniEval.MiniEvalException => SFn(n, _ => true) }
+    else SFn(n, _ => true)
+
   private def esc(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
@@ -262,11 +273,7 @@ object Export {
       case "re" => SRegex(m("pattern").toString)
       case "compare" => SCompare(m("op").toString, readDefault(m("value")))
       case "fn" =>
-        val n = m("name").toString
-        // MiniEval sources DO serialize (sci round-trip); opaque Scala
-        // closures keep the permissive placeholder
-        if (MiniEval.isFnSource(n)) SFn(n, MiniEval.compile(n).pred)
-        else SFn(n, _ => true)
+        fnFromName(m("name").toString)
       case "custom" =>
         // the validator lambda does not serialize — fail FAST at first
         // compile/eval instead of silently accepting every value (the
@@ -601,11 +608,7 @@ object Export {
           val n = rest.headOption.map {
             case Sym(s) => s; case SStr(s) => s; case o => o.toString
           }.getOrElse("fn")
-          // a MiniEval source string deserializes into a REAL predicate
-          // (the sci round-trip); opaque names get the permissive
-          // placeholder as before
-          if (MiniEval.isFnSource(n)) SFn(n, MiniEval.compile(n).pred)
-          else SFn(n, _ => true)
+          fnFromName(n)
         case ":validate" =>
           val vn = rest.headOption.map {
             case Sym(s) => s; case SStr(s) => s; case o => o.toString

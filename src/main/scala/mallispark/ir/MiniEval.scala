@@ -196,6 +196,11 @@ object MiniEval {
             try builtin(op, args)
             catch {
               case e: MiniEvalException => throw e
+              // (mod x 0), (/ x 0) with longs, addExact overflow — keep
+              // the documented exception contract (Clojure throws
+              // ArithmeticException here too; we normalize it)
+              case e: ArithmeticException =>
+                fail(s"arithmetic error in $op: ${e.getMessage}")
               case _: IndexOutOfBoundsException |
                    _: UnsupportedOperationException |
                    _: NoSuchElementException =>
@@ -283,19 +288,21 @@ object MiniEval {
     }
     case "==" => cmp(args, _ == 0) // Clojure `==`: cross-type numeric
     case "not=" => !builtin("=", args).asInstanceOf[Boolean]
-    case "+" => numOp(args, _ + _, _ + _)
+    // Clojure-faithful long arithmetic: +/-/* THROW on overflow rather
+    // than wrapping (normalized to MiniEvalException by the dispatcher)
+    case "+" => numOp(args, Math.addExact, _ + _)
     case "-" =>
-      if (args.size == 1) numOp(Seq(0L, args.head), _ - _, _ - _)
-      else numOp(args, _ - _, _ - _)
-    case "*" => numOp(args, _ * _, _ * _)
+      if (args.size == 1) numOp(Seq(0L, args.head), Math.subtractExact, _ - _)
+      else numOp(args, Math.subtractExact, _ - _)
+    case "*" => numOp(args, Math.multiplyExact, _ * _)
     case "/" => args.map(asD).reduceLeft(_ / _) // Clojure ratio → double here
     case "mod" => // Clojure mod: sign of the divisor
       val (a, b) = (asL(args(0)), asL(args(1)))
       ((a % b) + b) % b
     case "min" => numOp(args, math.min, math.min)
     case "max" => numOp(args, math.max, math.max)
-    case "inc" => numOp(Seq(args.head, 1L), _ + _, _ + _)
-    case "dec" => numOp(Seq(args.head, 1L), _ - _, _ - _)
+    case "inc" => numOp(Seq(args.head, 1L), Math.addExact, _ + _)
+    case "dec" => numOp(Seq(args.head, 1L), Math.subtractExact, _ - _)
     case "abs" => if (isIntegral(args.head)) math.abs(asL(args.head))
                   else math.abs(asD(args.head))
     case "count" => cnt(args.head)

@@ -95,6 +95,53 @@ class AnchoredScanSpec extends SparkSuite {
     }
   }
 
+  /** Invalid-UTF-8 byte sequences — reachable via cast(binary as
+    * string). Kernel parity target is java.util.regex over the REPLACE
+    * decoding (`UTF8String.toString`), which emits one U+FFFD per
+    * maximal ill-formed subsequence. */
+  private def invalidByteSeqs: Seq[Array[Byte]] = {
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    val atoms = Seq(
+      b(0x80), b(0xBF), b(0x80, 0x80),           // stray continuations
+      b(0xC2), b(0xE2), b(0xE2, 0x80), b(0xF0), b(0xF0, 0x9F),
+      b(0xF0, 0x9F, 0x8E),                        // truncated leads
+      b(0xC0, 0xAF), b(0xC1, 0x80),               // overlong 2-byte
+      b(0xE0, 0x9F, 0x80),                        // E0 constrained c1
+      b(0xED, 0xA0, 0x80),                        // surrogate (ED c1>9F)
+      b(0xF0, 0x80, 0x80), b(0xF4, 0x90, 0x80),   // F0/F4 constrained c1
+      b(0xF5, 0x80), b(0xFE), b(0xFF),            // invalid leads
+      b(0xC2, 0x41),                              // lead + ASCII (no cont)
+      b(0xE2, 0x80, 0x41))                        // 2-byte valid prefix + ASCII
+    val ascii = Seq("", "a", ":", "/", "ab", "http://x", ":k", "aa",
+      "\n", "0f")
+    val rnd = new scala.util.Random(13)
+    val combos = for {
+      pre <- ascii; a <- atoms; post <- Seq("", "a", ":", "/b", "\n")
+    } yield pre.getBytes("UTF-8") ++ a ++ post.getBytes("UTF-8")
+    val fuzz = Seq.fill(300) {
+      Array.fill(rnd.nextInt(10))((rnd.nextInt(256) - 128).toByte)
+    }
+    combos ++ fuzz ++ atoms.map(a => a ++ a) // doubled ill-formed runs
+  }
+
+  test("kernel ≡ java.util.regex on INVALID UTF-8 (FFFD replacement)") {
+    (compiling ++ zAnchored).foreach { p =>
+      val scan = AnchoredScan.compile(p).get
+      val jre = java.util.regex.Pattern.compile(p)
+      invalidByteSeqs.foreach { bytes =>
+        val us = UTF8String.fromBytes(bytes)
+        // us.toString is exactly what stock rlike matches against
+        assert(scan.matches(us) === jre.matcher(us.toString).find(),
+          s"pattern=$p bytes=${bytes.map(x => f"${x & 0xFF}%02X").mkString(" ")}")
+      }
+    }
+  }
+
+  test("a pattern containing a literal U+FFFD is declined") {
+    assert(AnchoredScan.compile("^a\uFFFDb$").isEmpty)
+    assert(AnchoredScan.compile("^[^\\s]+\uFFFD$").isEmpty)
+  }
+
   test("the supported subset compiles; the rest is declined") {
     compiling.foreach(p => assert(AnchoredScan.compile(p).isDefined, p))
     nonCompiling.foreach(p => assert(AnchoredScan.compile(p).isEmpty, p))

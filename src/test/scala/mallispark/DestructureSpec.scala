@@ -291,4 +291,19 @@ class DestructureSpec extends AnyFunSuite {
     intercept[InvalidArglist](Destructure.parse("[{:as 42}]"))   // :as non-symbol
     intercept[InvalidArglist](Destructure.parse("[{:or [b 0]}]")) // :or not a map
   }
+
+  test("Edn string reader: escape table + clean end-of-input errors") {
+    // every escape Edn.print emits reads back, plus \t and \r
+    assert(Edn.read("\"a\\\"b\"") === "a\"b")
+    assert(Edn.read("\"a\\\\b\"") === "a\\b")
+    assert(Edn.read("\"a\\nb\"") === "a\nb")
+    assert(Edn.read("\"a\\tb\"") === "a\tb")
+    assert(Edn.read("\"a\\rb\"") === "a\rb")
+    assert(Edn.read(Edn.print("q\\u\"o\tte")) === "q\\u\"o\tte") // round-trip
+    // a backslash at end-of-input is an unterminated string, not an
+    // index crash
+    val e = intercept[IllegalArgumentException](Edn.read("\"ab\\"))
+    assert(e.getMessage.contains("unterminated"))
+    assert(!e.isInstanceOf[StringIndexOutOfBoundsException])
+  }
 }

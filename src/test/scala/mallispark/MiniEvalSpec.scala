@@ -83,6 +83,33 @@ class MiniEvalSpec extends AnyFunSuite {
     intercept[MiniEvalException](run("(fn [x] (get x))", Map("a" -> 1L)))
   }
 
+  test("arithmetic edges fail as MiniEvalException (mod 0, long overflow)") {
+    val mod0 = intercept[MiniEvalException](run("(fn [x] (mod x 0))", 5L))
+    assert(mod0.getMessage.contains("mod"))
+    // Clojure-faithful: long +/-/* THROW on overflow instead of wrapping
+    intercept[MiniEvalException](
+      run("(fn [x] (+ x 1))", Long.MaxValue))
+    intercept[MiniEvalException](
+      run("(fn [x] (* x 3))", Long.MaxValue / 2))
+    intercept[MiniEvalException](
+      run("(fn [x] (- x 1))", Long.MinValue))
+    intercept[MiniEvalException](run("(fn [x] (inc x))", Long.MaxValue))
+    // doubles still flow (no exactness contract there)
+    assert(run("(fn [x] (+ x 1.0))", Long.MaxValue)
+      === Long.MaxValue.toDouble + 1.0)
+  }
+
+  test("a non-MiniEval fn source falls back to the placeholder on load") {
+    // a reference-sci form using symbols outside the builtin table must
+    // not make an exported schema UNLOADABLE — it loads with the
+    // permissive name-only placeholder (like opaque Scala closures)
+    val form = "[:fn \"(fn [x] (re-find my-pattern x))\"]"
+    val loaded = Export.fromForm(form)
+    assert(RowEval.validate(loaded, "anything") === true)
+    val ast = Export.toJson(Export.fromForm(form))
+    assert(RowEval.validate(Export.fromJson(ast), 42L) === true)
+  }
+
   test("opaque names that merely START with (fn keep the placeholder path") {
     assert(!MiniEval.isFnSource("(fn-check v2)"))
     assert(!MiniEval.isFnSource("(fn"))

@@ -15,7 +15,11 @@ import mallispark.text.{Dedup, Similarity}
   *  1. exact dedup (md5 groupBy through the bounded member collect);
   *  2. native MinHash LSH candidate buckets (`minhashLSHFast`);
   *  3. LSH-gated exact-Jaccard pair verification + min-label clustering
-  *     (`ngramJaccardWithinBuckets` → `dupClusters`).
+  *     (`ngramJaccardWithinBuckets` → `dupClusters`);
+  *  4. embedding near-dup pairs (`nearDupPairs`, hyperplane LSH);
+  *  5. ANN top-k wall + recall@5 at this corpus size: brute-force exact
+  *     baseline vs hyperplane-LSH (`annTopK`) vs IVF (`ivfTopK`) — run
+  *     at two N to evidence near-linear per-doc cost with flat recall.
   *
   * Prints ONE JSON line with per-stage seconds and docs/sec. Knobs:
   * SPARK_GRAFT_SCALE_N (docs, default 1e6), SPARK_GRAFT_CPUS (32). */
@@ -97,13 +101,46 @@ object DedupScale {
       Similarity.nearDupPairs(emb, "vec_id", "embedding",
         threshold = 0.99, planes = planes, tables = 2, dims = dims).count())
     val expectedPairs = (n / 5) * 10 // C(5,2) per group
+
+    // ---- ANN top-k: wall AND recall at this corpus size --------------
+    // 100 queries, k = 5: the ground-truth top-5 per query is exactly its
+    // duplication group (pairwise cosine ≈ 0.9999 inside, ≈ 0 across), so
+    // recall@5 measures whether the index actually finds the neighbors —
+    // ranks past the group are ~0-cosine noise that no ANN index should
+    // be graded on. Brute force is the exact baseline the indexes must
+    // beat on wall while holding recall as N grows.
+    val kTop = 5
     val qs = emb.where(F.col("vec_id") < 100)
       .select(F.col("vec_id").as("query_id"), F.col("embedding").as("qe"))
-    val (tIvf, nIvf) = timed(() =>
+      .localCheckpoint(true)
+    val nQ = qs.count()
+    def topk(run: () => org.apache.spark.sql.DataFrame)
+        : (Double, org.apache.spark.sql.DataFrame) = {
+      val t0 = System.nanoTime()
+      val out = run().select(F.col("query_id"), F.col("vec_id"))
+        .localCheckpoint(true) // eager: the wall includes the full job
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+    val (tBrute, gt) = topk(() =>
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        qs, "query_id", "qe", k = kTop))
+    // planes sized to the corpus (bucket ≈ 16 expected random members);
+    // tables add recall. IVF keeps FIXED 64 cells at both sizes — cells
+    // grow with N (the nprobe-scan cost line below shows it) while the
+    // group always lands in ONE cell, so recall must hold flat.
+    val searchPlanes = (math.log(n / 16.0) / math.log(2.0)).ceil.toInt
+    val (tLshQ, lshRes) = topk(() =>
+      Similarity.annTopK(emb, "vec_id", "embedding", qs, "query_id", "qe",
+        k = kTop, planes = searchPlanes, tables = 4, dims = dims))
+    val (tIvf, ivfRes) = topk(() =>
       Similarity.ivfTopK(emb, "vec_id", "embedding", qs, "query_id", "qe",
-        k = 10, nCentroids = 64, nprobe = 8, trainIters = 2).count())
+        k = kTop, nCentroids = 64, nprobe = 8, trainIters = 2))
+    def recall(res: org.apache.spark.sql.DataFrame): Double =
+      res.join(gt, Seq("query_id", "vec_id")).count().toDouble /
+        (nQ * kTop)
+    val (lshRecall, ivfRecall) = (recall(lshRes), recall(ivfRes))
 
-    println(f"""{"metric":"dedup_scale","docs":$n,"cpus":$cpus,"exact_sec":$tExact%.2f,"exact_groups":$nExact,"exact_docs_per_sec":${n / tExact}%.0f,"lsh_sec":$tLsh%.2f,"lsh_buckets":$nLsh,"lsh_docs_per_sec":${n / tLsh}%.0f,"cluster_sec":$tCluster%.2f,"clusters":$nCluster,"cluster_docs_per_sec":${n / tCluster}%.0f,"neardup_sec":$tNear%.2f,"neardup_pairs":$nNear,"neardup_pairs_expected":$expectedPairs,"neardup_planes":$planes,"neardup_docs_per_sec":${n / tNear}%.0f,"ivf_sec":$tIvf%.2f,"ivf_rows":$nIvf,"ivf_docs_per_sec":${n / tIvf}%.0f}""")
+    println(f"""{"metric":"dedup_scale","docs":$n,"cpus":$cpus,"exact_sec":$tExact%.2f,"exact_groups":$nExact,"exact_docs_per_sec":${n / tExact}%.0f,"lsh_sec":$tLsh%.2f,"lsh_buckets":$nLsh,"lsh_docs_per_sec":${n / tLsh}%.0f,"cluster_sec":$tCluster%.2f,"clusters":$nCluster,"cluster_docs_per_sec":${n / tCluster}%.0f,"neardup_sec":$tNear%.2f,"neardup_pairs":$nNear,"neardup_pairs_expected":$expectedPairs,"neardup_planes":$planes,"neardup_docs_per_sec":${n / tNear}%.0f,"ann_queries":$nQ,"ann_k":$kTop,"brute_sec":$tBrute%.2f,"ann_lsh_sec":$tLshQ%.2f,"ann_lsh_recall":$lshRecall%.3f,"ann_lsh_planes":$searchPlanes,"ann_ivf_sec":$tIvf%.2f,"ann_ivf_recall":$ivfRecall%.3f}""")
     spark.stop()
   }
 }

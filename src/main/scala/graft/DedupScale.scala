@@ -71,11 +71,18 @@ object DedupScale {
       Dedup.exactDupGroups(corpus, "doc_id", "text").count())
     val (tLsh, nLsh) = timed(() =>
       Dedup.minhashLSHFast(corpus, "doc_id", "text").count())
-    val (tCluster, nCluster) = timed(() =>
-      Dedup.dupClusters(
-        Dedup.ngramJaccardWithinBuckets(corpus, "doc_id", "text",
-          threshold = 0.9, maxShingleDf = 1000),
-        "id_a", "id_b").count())
+    // pair generation and clustering timed separately (the two scale
+    // differently: pairs with corpus shingle volume, clustering with
+    // the near-dup pair count)
+    val (tPairs, pairsDf) = {
+      val t0 = System.nanoTime()
+      val out = Dedup.ngramJaccardWithinBuckets(corpus, "doc_id", "text",
+        threshold = 0.9, maxShingleDf = 1000).localCheckpoint(true)
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+    val (tClusterOnly, nCluster) = timed(() =>
+      Dedup.dupClusters(pairsDf, "id_a", "id_b").count())
+    val tCluster = tPairs + tClusterOnly
 
     // ---- ANN families over N synthetic embeddings (64-dim float) ----
     // Same 5× duplication shape: each group of 5 shares a base direction
@@ -140,7 +147,7 @@ object DedupScale {
         (nQ * kTop)
     val (lshRecall, ivfRecall) = (recall(lshRes), recall(ivfRes))
 
-    println(f"""{"metric":"dedup_scale","docs":$n,"cpus":$cpus,"exact_sec":$tExact%.2f,"exact_groups":$nExact,"exact_docs_per_sec":${n / tExact}%.0f,"lsh_sec":$tLsh%.2f,"lsh_buckets":$nLsh,"lsh_docs_per_sec":${n / tLsh}%.0f,"cluster_sec":$tCluster%.2f,"clusters":$nCluster,"cluster_docs_per_sec":${n / tCluster}%.0f,"neardup_sec":$tNear%.2f,"neardup_pairs":$nNear,"neardup_pairs_expected":$expectedPairs,"neardup_planes":$planes,"neardup_docs_per_sec":${n / tNear}%.0f,"ann_queries":$nQ,"ann_k":$kTop,"brute_sec":$tBrute%.2f,"ann_lsh_sec":$tLshQ%.2f,"ann_lsh_recall":$lshRecall%.3f,"ann_lsh_planes":$searchPlanes,"ann_ivf_sec":$tIvf%.2f,"ann_ivf_recall":$ivfRecall%.3f}""")
+    println(f"""{"metric":"dedup_scale","docs":$n,"cpus":$cpus,"exact_sec":$tExact%.2f,"exact_groups":$nExact,"exact_docs_per_sec":${n / tExact}%.0f,"lsh_sec":$tLsh%.2f,"lsh_buckets":$nLsh,"lsh_docs_per_sec":${n / tLsh}%.0f,"cluster_sec":$tCluster%.2f,"pairs_sec":$tPairs%.2f,"cluster_only_sec":$tClusterOnly%.2f,"clusters":$nCluster,"cluster_docs_per_sec":${n / tCluster}%.0f,"neardup_sec":$tNear%.2f,"neardup_pairs":$nNear,"neardup_pairs_expected":$expectedPairs,"neardup_planes":$planes,"neardup_docs_per_sec":${n / tNear}%.0f,"ann_queries":$nQ,"ann_k":$kTop,"brute_sec":$tBrute%.2f,"ann_lsh_sec":$tLshQ%.2f,"ann_lsh_recall":$lshRecall%.3f,"ann_lsh_planes":$searchPlanes,"ann_ivf_sec":$tIvf%.2f,"ann_ivf_recall":$ivfRecall%.3f}""")
     spark.stop()
   }
 }

@@ -126,6 +126,82 @@ class GenerateSpec extends SparkSuite {
       "function that takes input: [integer] and returns integer")
   }
 
+  test("varargs :=> — [:cat fixed [:* rest]] input (always_test varargs)") {
+    import mallispark.gen.FnSchemas
+    import mallispark.gen.FnSchemas.FnSchema
+    // (mx/defn addition-varargs [& xs :- [:cat [:int {:min 0}] [:* :int]]])
+    val sch = FnSchema(Seq(S.intMin(0L)), S.intMin(0L), rest = Some(S.int))
+    def sum(args: Seq[Any]): Any = args.map(_.asInstanceOf[Long]).sum
+    val f = FnSchemas.wrap(sch, "add")(sum)
+    assert(f(Seq(1L, 2L)) === 3L)
+    assert(f(Seq(5L)) === 5L)                     // min arity alone
+    assert(f(Seq(1L, 2L, 3L, 4L)) === 10L)        // deep tail
+    // invalid-arity (below min), invalid-input (fixed and tail),
+    // invalid-output — the reference's three report kinds
+    assert(intercept[IllegalArgumentException](f(Seq.empty))
+      .getMessage.contains("at least 1"))
+    assert(intercept[IllegalArgumentException](f(Seq(-2L, 1L)))
+      .getMessage.contains("invalid argument 0"))
+    val eTail = intercept[IllegalArgumentException](f(Seq(1L, "x")))
+    assert(eTail.getMessage.contains("invalid argument 1"))
+    assert(intercept[IllegalArgumentException](f(Seq(2L, -3L)))
+      .getMessage.contains("invalid return"))
+    // generative check exercises tail arities 0-3 and finds the
+    // negative-sum law violation; shrink drops tail args first
+    val cex = FnSchemas.check(spark, sch, sum, shrink = true)
+    assert(cex.isDefined)
+    val (args, _) = cex.get
+    assert(args.map(_.asInstanceOf[Long]).sum < 0L)
+    assert(args.length <= 2, s"shrink should drop tail args: $args")
+    // describe renders the star tail
+    assert(FnSchemas.describe(sch).contains("zero or more integer"))
+  }
+
+  test(":function multi-arity dispatch (always_test addition-multiarity)") {
+    import mallispark.gen.FnSchemas
+    import mallispark.gen.FnSchemas.{FnSchema, FunctionSchema}
+    // ([x :- [:int {:min 0}], y :- :int] (+ x y))
+    // ([x :- [:int {:min 2}]] x)
+    val sch = FunctionSchema(Seq(
+      FnSchema(Seq(S.intMin(0L), S.int), S.intMin(0L)),
+      FnSchema(Seq(S.intMin(2L)), S.intMin(0L))))
+    val f = FnSchemas.wrapMulti(sch, "addm") {
+      args => args.map(_.asInstanceOf[Long]).sum
+    }
+    assert(f(Seq(1L, 2L)) === 3L)
+    assert(f(Seq(3L)) === 3L) // other arity
+    assert(intercept[IllegalArgumentException](f(Seq(-2L, 1L)))
+      .getMessage.contains("invalid argument 0"))
+    assert(intercept[IllegalArgumentException](f(Seq(2L, -3L)))
+      .getMessage.contains("invalid return"))
+    assert(intercept[IllegalArgumentException](f(Seq(1L)))
+      .getMessage.contains("invalid argument 0")) // 1-arity needs ≥ 2
+    assert(intercept[IllegalArgumentException](f(Seq(1L, 2L, 3L)))
+      .getMessage.contains("invalid arity 3"))
+    // exact arity beats a varargs arity that also covers the count
+    val mixed = FunctionSchema(Seq(
+      FnSchema(Seq(S.int), S.enum_("fixed")),
+      FnSchema(Seq.empty, S.enum_("var"), rest = Some(S.int))))
+    val g = FnSchemas.wrapMulti(mixed, "mix") {
+      args => if (args.length == 1) "fixed" else "var"
+    }
+    assert(g(Seq(7L)) === "fixed")
+    assert(g(Seq(7L, 8L)) === "var")
+    assert(g(Seq.empty) === "var")
+    // distinct-arity construction rules (core.cljc -group-by-arity!)
+    intercept[IllegalArgumentException](FunctionSchema(Seq(
+      FnSchema(Seq(S.int), S.int), FnSchema(Seq(S.string), S.int))))
+    intercept[IllegalArgumentException](FunctionSchema(Seq(
+      FnSchema(Seq.empty, S.int, rest = Some(S.int)),
+      FnSchema(Seq(S.int), S.int, rest = Some(S.int)))))
+    // checkMulti: the 1-arity law (identity ≥ 0 given min 2) holds,
+    // the 2-arity law fails on a negative y
+    val cex = FnSchemas.checkMulti(spark, sch,
+      args => args.map(_.asInstanceOf[Long]).sum)
+    assert(cex.isDefined)
+    assert(cex.get._1.input.length === 2)
+  }
+
   test("function guard validates the [args ret] pair (::m/invalid-guard)") {
     import mallispark.gen.FnSchemas
     import mallispark.gen.FnSchemas.FnSchema

@@ -52,6 +52,17 @@ class SchemaOpsSpec extends SparkSuite {
     val l = SchemaOps.merge(extra, multi).asInstanceOf[SMulti]
     assert(l.branches.head._2.asInstanceOf[SMap]
       .entries.map(_.key) === Seq("z", "x"))
+    // multi × multi NESTS: outer keeps the left dispatch, each branch
+    // becomes the right multi with the branch map merged in
+    // (distributive_test.cljc:123-138, different dispatch keys)
+    val multi2 = SMulti("other", Seq(
+      "c" -> S.mapE(false, S.req("w", S.int))), None)
+    val nested = SchemaOps.merge(multi, multi2).asInstanceOf[SMulti]
+    assert(nested.dispatchKey === "kind")
+    val innerA = nested.branches.head._2.asInstanceOf[SMulti]
+    assert(innerA.dispatchKey === "other")
+    assert(innerA.branches.head._2.asInstanceOf[SMap]
+      .entries.map(_.key) === Seq("x", "w"))
   }
 
   test("union: colliding entries become :or (util.cljc:103-112)") {

@@ -432,6 +432,34 @@ object SparkEntry {
         .select("doc_id", "schema_path", "in_path", "error_key")
         .orderBy("doc_id", "in_path")),
 
+    // ---- :seqable — the nil-tolerant collection (core_test.cljc:3482):
+    //      a NULL array is a VALID empty seqable ((seqable? nil) is
+    //      true, nil seqs empty) — only a :min bound reports on it;
+    //      non-null arrays element-check like :vector. Injections
+    //      (d = doc_id): d%7=1 → xs NULL (no violation — the point);
+    //      d%12=5 → xs[1] = -3 (element error); d%10=2 → need NULL
+    //      (violates {:min 1} → ::limits) ----
+    "v_seqable_violations" -> ((s, dir) => {
+      val id = F.col("doc_id")
+      val xs = F.when(id % 7 === 1,
+          F.lit(null).cast(ArrayType(LongType)))
+        .otherwise(F.transform(
+          F.sequence(F.lit(1), (id % 4 + 1).cast(IntegerType)), i =>
+            F.when(id % 12 === 5 && i === 2, F.lit(-3L))
+              .otherwise((id * 11 + i.cast(LongType)) % 40)))
+      val need = F.when(id % 10 === 2,
+          F.lit(null).cast(ArrayType(LongType)))
+        .otherwise(F.array(id % 9))
+      val base = t(s, dir, "documents")
+        .select(id.as("doc_id"), xs.as("xs"), need.as("need"))
+      val sch = S.mapE(false, S.req("doc_id", S.int),
+        S.req("xs", S.seqable(S.intMin(0L))),
+        S.req("need", S.seqable(S.intMin(0L), min = Some(1))))
+      SchemaCompiler.violationsDF(sch, base, Seq("doc_id"))
+        .select("doc_id", "schema_path", "in_path", "error_key")
+        .orderBy("doc_id", "in_path")
+    }),
+
     // ---- fixed-key :map over a PHYSICAL MapType column: missing-key /
     //      child errors on declared keys, ::m/default rest-entry over the
     //      runtime stray key (its name lands in the schema path) ----
@@ -2785,6 +2813,15 @@ object SparkEntry {
          |WHERE idx <= 2 AND x < 0
          |ORDER BY doc_id, in_path""".stripMargin
     },
+
+    "v_seqable_violations" ->
+      """SELECT doc_id, 'xs/0' AS schema_path, 'xs/1' AS in_path,
+        |       ':int' AS error_key
+        |FROM documents WHERE doc_id % 12 = 5 AND doc_id % 7 <> 1
+        |UNION ALL
+        |SELECT doc_id, 'need', 'need', 'malli.core/limits'
+        |FROM documents WHERE doc_id % 10 = 2
+        |ORDER BY doc_id, in_path""".stripMargin,
 
     "seq_regex_valid" -> {
       val NP = NestedDocs.OracleCte

@@ -148,6 +148,7 @@ object SchemaCompiler {
       (bs.map(_._2) ++ d).headOption.map(dataTypeOf).getOrElse(StringType)
     case SMapOf(k, v, _, _) => MapType(dataTypeOf(k), dataTypeOf(v))
     case SVector(c, _, _) => ArrayType(dataTypeOf(c))
+    case SSeqable(c, _, _) => ArrayType(dataTypeOf(c))
     case SSet(c, _, _) => ArrayType(dataTypeOf(c))
     case SEvery(c, _, _, _) => ArrayType(dataTypeOf(c))
     case STuple(cs) => ArrayType(cs.headOption.map(dataTypeOf).getOrElse(StringType))
@@ -579,18 +580,26 @@ object SchemaCompiler {
         }
 
       case SVector(c, mn, mx) => collValid(c, col, dt, mn, mx, unique = false)
+      // :seqable — NULL is valid ((seqable? nil) is true; it seqs to the
+      // empty sequence, so the :min bound must hold against size 0)
+      case SSeqable(c, mn, mx) =>
+        F.when(col.isNull, mn.forall(_ <= 0))
+          .otherwise(collValid(c, col, dt, mn, mx, unique = false))
       case SSet(c, mn, mx) => collValid(c, col, dt, mn, mx, unique = true)
 
       case SEvery(c, mn, mx, limit) =>
         dt match {
           case ArrayType(et, _) =>
             // bounded element checks: first max(min, max+1, limit)
-            // elements (core.cljc:745-751)
+            // elements (core.cljc:745-751). NULL is valid like the
+            // reference's `(m/validate [:every :int] nil)` — nil is
+            // seqable and seqs empty, so only a :min bound can fail it
             val eff = effectiveEveryLimit(mn, mx, limit)
             val bounded = F.slice(col, 1, eff)
-            col.isNotNull &&
+            F.when(col.isNull, mn.forall(_ <= 0)).otherwise(
               between(F.size(col), mn.map(_.toLong), mx.map(_.toLong)) &&
-              F.coalesce(F.forall(bounded, x => valid(c, x, et)), F.lit(true))
+                F.coalesce(F.forall(bounded, x => valid(c, x, et)),
+                  F.lit(true)))
           case _ => F.lit(false)
         }
 
@@ -738,6 +747,10 @@ object SchemaCompiler {
   /** Does the schema accept a null VALUE (vs null meaning missing-key)? */
   private def acceptsNull(ir: SchemaIR): Boolean = ir match {
     case SAny | SNil | _: SMaybe => true
+    // nil is a seqable VALUE (seqs empty) — a physical null under these
+    // reads as present-nil, never missing-key; the child itself reports
+    // ::limits when a :min bound needs size
+    case _: SSeqable | _: SEvery => true
     case SOr(cs) => cs.exists(acceptsNull)
     case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
     case SAnd(cs) => cs.forall(acceptsNull)
@@ -981,6 +994,13 @@ object SchemaCompiler {
         }
 
       case SVector(c, mn, mx) => collErrors(c, col, dt, mn, mx, path, in, unique = false)
+      // :seqable — NULL seqs empty: no error unless a :min bound fails
+      case SSeqable(c, mn, mx) =>
+        F.when(col.isNull,
+          if (mn.exists(_ > 0))
+            one(path, in, ErrorKeys.Limits, F.lit("0"))
+          else emptyViols)
+          .otherwise(collErrors(c, col, dt, mn, mx, path, in, unique = false))
       case SSet(c, mn, mx) => collErrors(c, col, dt, mn, mx, path, in, unique = true)
 
       case SEvery(c, mn, mx, limit) =>
@@ -992,8 +1012,11 @@ object SchemaCompiler {
             val bounded = F.slice(col, 1, effectiveEveryLimit(mn, mx, limit))
             val elemErrs = F.flatten(F.transform(bounded, (x, i) =>
               errors(c, x, et, j(path, "0"), jin(in, i))))
-            F.when(col.isNull, one(path, in, ErrorKeys.InvalidType,
-              F.lit(null).cast(StringType)))
+            // NULL is a valid empty seqable — only :min > 0 reports
+            F.when(col.isNull,
+              if (mn.exists(_ > 0))
+                one(path, in, ErrorKeys.Limits, F.lit("0"))
+              else emptyViols)
               .otherwise(concatViols(Seq(limitsErr, elemErrs)))
           case _ => one(path, in, ErrorKeys.InvalidType, valueStr(col, dt))
         }

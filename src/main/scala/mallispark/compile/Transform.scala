@@ -151,6 +151,11 @@ object Transform {
           case ArrayType(et, _) => F.transform(col, x => decode(c, x, et, mode))
           case _ => col
         }
+      case SSeqable(c, _, _) =>
+        dt match {
+          case ArrayType(et, _) => F.transform(col, x => decode(c, x, et, mode))
+          case _ => col
+        }
       case _ => col
     }
 

@@ -168,7 +168,10 @@ object RowEval {
         val entriesOk = entries.forall { e =>
           m.get(e.key) match {
             case None | Some(null) =>
-              e.optional || acceptsNull(e.child) // null value vs missing key
+              // null value vs missing key: a null-tolerant child still
+              // validates it (e.g. [:seqable {:min 1} ...] REJECTS nil)
+              e.optional ||
+                (acceptsNull(e.child) && validate(e.child, null))
             case Some(x) => validate(e.child, x)
           }
         }
@@ -192,12 +195,20 @@ object RowEval {
     case SVector(c, mn, mx) => asSeq(v).exists(xs =>
       mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
         xs.forall(validate(c, _)))
+    // :seqable — nil is seqable and seqs empty (count 0)
+    case SSeqable(c, mn, mx) =>
+      if (v == null) mn.forall(_ <= 0)
+      else asSeq(v).exists(xs =>
+        mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
+          xs.forall(validate(c, _)))
     case SSet(c, mn, mx) => asSeq(v).exists(xs =>
       mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
         xs.distinct.size == xs.size && xs.forall(validate(c, _)))
-    case SEvery(c, mn, mx, limit) => asSeq(v).exists(xs =>
-      mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
-        xs.take(everyLimit(mn, mx, limit)).forall(validate(c, _)))
+    case SEvery(c, mn, mx, limit) =>
+      if (v == null) mn.forall(_ <= 0) // nil is a valid empty seqable
+      else asSeq(v).exists(xs =>
+        mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
+          xs.take(everyLimit(mn, mx, limit)).forall(validate(c, _)))
     case STuple(cs) => asTupleSeq(v).exists(xs =>
       xs.size == cs.size && cs.zip(xs).forall { case (c, x) => validate(c, x) })
     case SMulti(dk, bs, default) => asMap(v) match {
@@ -513,8 +524,11 @@ object RowEval {
           val entryErrs = entries.toVector.flatMap { e =>
             m.get(e.key) match {
               case None | Some(null) =>
-                if (e.optional || acceptsNull(e.child)) Vector.empty
-                else Vector(Err(path :+ e.key, in :+ e.key, ErrorKeys.MissingKey, null))
+                if (e.optional) Vector.empty
+                else if (acceptsNull(e.child))
+                  explain(e.child, null, path :+ e.key, in :+ e.key)
+                else Vector(Err(path :+ e.key, in :+ e.key,
+                  ErrorKeys.MissingKey, null))
               case Some(x) => explain(e.child, x, path :+ e.key, in :+ e.key)
             }
           }
@@ -534,7 +548,16 @@ object RowEval {
           entryErrs ++ extraErrs ++ restErrs
       }
       case SVector(c, mn, mx) => collExplain(c, v, mn, mx, path, in, unique = false)
+      // nil is a valid EMPTY seqable: only a :min bound reports
+      case SSeqable(c, mn, mx) =>
+        if (v == null)
+          if (mn.exists(_ > 0)) Vector(Err(path, in, ErrorKeys.Limits, 0))
+          else Vector.empty
+        else collExplain(c, v, mn, mx, path, in, unique = false)
       case SSet(c, mn, mx) => collExplain(c, v, mn, mx, path, in, unique = true)
+      case SEvery(c, mn, mx, limit) if v == null =>
+        if (mn.exists(_ > 0)) Vector(Err(path, in, ErrorKeys.Limits, 0))
+        else Vector.empty
       case SEvery(c, mn, mx, limit) => asSeq(v) match {
         case None => Vector(Err(path, in, ErrorKeys.InvalidType, v))
         case Some(xs) =>
@@ -723,6 +746,9 @@ object RowEval {
   /** Does the schema accept a null VALUE (mirror of the compiler's rule). */
   private def acceptsNull(ir: SchemaIR): Boolean = ir match {
     case SAny | SNil | _: SMaybe => true
+    // nil is a seqable VALUE: present-nil, never missing-key (the child
+    // still validates it — :min bounds see size 0)
+    case _: SSeqable | _: SEvery => true
     case SOr(cs) => cs.exists(acceptsNull)
     case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
     case SAnd(cs) => cs.forall(acceptsNull)

@@ -252,6 +252,7 @@ object Generate {
       F.map_from_arrays(keys,
         F.transform(F.sequence(F.lit(1), n), i => gen(v, rng.mix(id, i), salt + 5)))
     case SVector(c, mn, mx) => genColl(c, id, salt, mn, mx)
+    case SSeqable(c, mn, mx) => genColl(c, id, salt, mn, mx)
     case SEvery(c, mn, mx, _) => genColl(c, id, salt, mn, mx)
     case SSet(c, mn, mx) =>
       // element distinctness must be BY CONSTRUCTION where possible:
@@ -354,6 +355,9 @@ object Generate {
     case SVector(c, mn, mx) if containsRef(c) =>
       if (mn.forall(_ == 0)) SVector(SAny, Some(0), Some(0))
       else SVector(terminate(c, reg), mn, mx)
+    case SSeqable(c, mn, mx) if containsRef(c) =>
+      if (mn.forall(_ == 0)) SSeqable(SAny, Some(0), Some(0))
+      else SSeqable(terminate(c, reg), mn, mx)
     case SSet(c, mn, mx) if containsRef(c) =>
       if (mn.forall(_ == 0)) SSet(SAny, Some(0), Some(0))
       else SSet(terminate(c, reg), mn, mx)
@@ -397,37 +401,10 @@ object Generate {
     }
   }
 
-  /** Structural one-level map over a node's children (leaves and the
-    * function-carrying nodes pass through untouched). */
+  /** Structural one-level map over a node's children — delegates to the
+    * shared [[SchemaIR.mapChildren]]. */
   private def mapChildrenIr(s: SchemaIR)(f: SchemaIR => SchemaIR): SchemaIR =
-    s match {
-      case SMaybe(c) => SMaybe(f(c))
-      case SNot(c) => SNot(f(c))
-      case SAnd(cs) => SAnd(cs.map(f))
-      case SOr(cs) => SOr(cs.map(f))
-      case SOrn(bs) => SOrn(bs.map { case (t, c) => t -> f(c) })
-      case SAndn(bs) => SAndn(bs.map { case (t, c) => t -> f(c) })
-      case m: SMap => m.copy(
-        entries = m.entries.map(e => e.copy(child = f(e.child))),
-        rest = m.rest.map(f))
-      case SMapOf(k, v, mn, mx) => SMapOf(f(k), f(v), mn, mx)
-      case SVector(c, mn, mx) => SVector(f(c), mn, mx)
-      case SSet(c, mn, mx) => SSet(f(c), mn, mx)
-      case SEvery(c, mn, mx, l) => SEvery(f(c), mn, mx, l)
-      case STuple(cs) => STuple(cs.map(f))
-      case SMulti(d, bs, df) =>
-        SMulti(d, bs.map { case (t, c) => t -> f(c) }, df.map(f))
-      case SCat(cs) => SCat(cs.map(f))
-      case SCatn(es) => SCatn(es.map { case (t, c) => t -> f(c) })
-      case SAlt(cs) => SAlt(cs.map(f))
-      case SAltn(es) => SAltn(es.map { case (t, c) => t -> f(c) })
-      case SStar(c) => SStar(f(c))
-      case SPlus(c) => SPlus(f(c))
-      case SOpt(c) => SOpt(f(c))
-      case SRepeat(c, mn, mx) => SRepeat(f(c), mn, mx)
-      case SProps(p, c) => SProps(p, f(c))
-      case leaf => leaf
-    }
+    SchemaIR.mapChildren(s)(f)
 
   /** A `:gen/return`/`:gen/elements` literal as a Column; nil takes the
     * CHILD's physical type so CASE branches unify. */
@@ -488,6 +465,9 @@ object Generate {
         case SVector(ch, mn, mx) =>
           chk(gmnI, mn, lo = true); chk(gmxI, mx, lo = false)
           SVector(ch, gmnI.orElse(mn), gmxI.orElse(mx))
+        case SSeqable(ch, mn, mx) =>
+          chk(gmnI, mn, lo = true); chk(gmxI, mx, lo = false)
+          SSeqable(ch, gmnI.orElse(mn), gmxI.orElse(mx))
         case SSet(ch, mn, mx) =>
           chk(gmnI, mn, lo = true); chk(gmxI, mx, lo = false)
           SSet(ch, gmnI.orElse(mn), gmxI.orElse(mx))
@@ -542,6 +522,7 @@ object Generate {
       else StructType(ts.zipWithIndex.map { case (t, i) =>
         StructField(s"_${i + 1}", t) })
     case SVector(c, _, _) => ArrayType(genTypeFor(c))
+    case SSeqable(c, _, _) => ArrayType(genTypeFor(c))
     case SSet(c, _, _) => ArrayType(genTypeFor(c))
     case SEvery(c, _, _, _) => ArrayType(genTypeFor(c))
     case SMaybe(c) => genTypeFor(c)

@@ -86,6 +86,7 @@ object CljKondo {
         req.map(e => e.key -> transform(e.child)))
     case _: SMapOf => kw("map") // :80
     case _: SVector => kw("vector")
+    case _: SSeqable => kw("seqable") // clj_kondo.cljc :seqable accept
     case _: SSet => kw("set")
     case _: SEvery => kw("any") // :every has no accept → ::default
     case _: STuple => kw("seqable") // :103

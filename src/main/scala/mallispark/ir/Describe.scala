@@ -100,6 +100,8 @@ object Describe {
         cs.map(go).mkString(", ")
     case SVector(c, mn, mx) =>
       "vector" + lengthSuffix(mn, mx) + " of " + go(c)
+    case SSeqable(c, mn, mx) =>
+      "seqable" + lengthSuffix(mn, mx) + " of " + go(c)
     case SEvery(c, mn, mx, _) =>
       "sequence" + lengthSuffix(mn, mx) + " of " + go(c)
     case SSet(c, mn, mx) => "set" + lengthSuffix(mn, mx) + " of " + go(c)

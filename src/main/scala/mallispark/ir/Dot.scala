@@ -44,6 +44,7 @@ object Dot {
         case m: SMap => m.copy(entries = m.entries.map(e =>
           e.copy(child = go(e.child, path :+ e.key))))
         case SVector(c, mn, mx) => SVector(go(c, path), mn, mx)
+        case SSeqable(c, mn, mx) => SSeqable(go(c, path), mn, mx)
         case SSet(c, mn, mx) => SSet(go(c, path), mn, mx)
         case SEvery(c, mn, mx, l) => SEvery(go(c, path), mn, mx, l)
         case SMaybe(c) => SMaybe(go(c, path))

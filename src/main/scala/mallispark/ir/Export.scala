@@ -102,6 +102,9 @@ object Export {
     case SVector(c, mn, mx) =>
       obj(Seq("type" -> esc("vector"), "child" -> toJson(c)) ++
         optNum("min", mn) ++ optNum("max", mx): _*)
+    case SSeqable(c, mn, mx) =>
+      obj(Seq("type" -> esc("seqable"), "child" -> toJson(c)) ++
+        optNum("min", mn) ++ optNum("max", mx): _*)
     case SSet(c, mn, mx) =>
       obj(Seq("type" -> esc("set"), "child" -> toJson(c)) ++
         optNum("min", mn) ++ optNum("max", mx): _*)
@@ -313,6 +316,7 @@ object Export {
         fromAst(m("value").asInstanceOf[Map[String, Any]]),
         num("min").map(_.toInt), num("max").map(_.toInt))
       case "vector" => SVector(child, num("min").map(_.toInt), num("max").map(_.toInt))
+      case "seqable" => SSeqable(child, num("min").map(_.toInt), num("max").map(_.toInt))
       case "set" => SSet(child, num("min").map(_.toInt), num("max").map(_.toInt))
       case "every" => SEvery(child, num("min").map(_.toInt),
         num("max").map(_.toInt), num("limit").map(_.toInt).getOrElse(101))
@@ -628,6 +632,8 @@ object Export {
             pInt(props, ":min"), pInt(props, ":max"))
         case ":vector" | ":sequential" =>
           SVector(child, pInt(props, ":min"), pInt(props, ":max"))
+        case ":seqable" =>
+          SSeqable(child, pInt(props, ":min"), pInt(props, ":max"))
         case ":set" => SSet(child, pInt(props, ":min"), pInt(props, ":max"))
         case ":every" => SEvery(child, pInt(props, ":min"),
           pInt(props, ":max"), pInt(props, ":limit").getOrElse(101))
@@ -768,6 +774,7 @@ object Export {
       "items" -> toJsonSchema(c), "uniqueItems" -> "true") ++
       optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
     case SEvery(c, mn, mx, _) => toJsonSchema(SVector(c, mn, mx))
+    case SSeqable(c, mn, mx) => toJsonSchema(SVector(c, mn, mx))
     case STuple(cs) => obj("type" -> esc("array"),
       "prefixItems" -> arr(cs.map(toJsonSchema)),
       "minItems" -> cs.length.toString, "maxItems" -> cs.length.toString)
@@ -937,6 +944,7 @@ object Export {
         "items" -> toSwagger(c), "uniqueItems" -> "true") ++
         optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
       case SEvery(c, mn, mx, _) => toSwagger(SVector(c, mn, mx))
+      case SSeqable(c, mn, mx) => toSwagger(SVector(c, mn, mx))
       case SScoped(reg, c) =>
         obj("$defs" -> obj(reg.toSeq.sortBy(_._1)
             .map { case (n, s) =>

@@ -130,6 +130,8 @@ object S {
              max: Option[Int] = None): SchemaIR = SVector(c, min, max)
   def set(c: SchemaIR, min: Option[Int] = None,
           max: Option[Int] = None): SchemaIR = SSet(c, min, max)
+  def seqable(c: SchemaIR, min: Option[Int] = None,
+              max: Option[Int] = None): SchemaIR = SSeqable(c, min, max)
   def every(c: SchemaIR, min: Option[Int] = None, max: Option[Int] = None,
             limit: Int = 101): SchemaIR = SEvery(c, min, max, limit)
   def tuple(cs: SchemaIR*): SchemaIR = STuple(cs)

@@ -201,6 +201,16 @@ object SchemaIR {
   final case class SVector(child: SchemaIR, min: Option[Int] = None,
                            max: Option[Int] = None) extends SchemaIR
 
+  /** `:seqable` (core.cljc:3034-3036; core_test.cljc:3482) — like
+    * `:sequential` but `seqable?`-gated, so a NULL value is VALID (in
+    * Clojure `(seqable? nil)` is true: nil seqs to the empty sequence —
+    * which also means the count bounds see nil as size 0). Elements are
+    * fully checked like `:vector` (the reference's bounded window
+    * applies only to UNCOUNTED lazy seqs, which have no ArrayType
+    * analogue). */
+  final case class SSeqable(child: SchemaIR, min: Option[Int] = None,
+                            max: Option[Int] = None) extends SchemaIR
+
   /** `:set` — unique elements (core.cljc:3038); on ArrayType payloads
     * uniqueness is part of the check. */
   final case class SSet(child: SchemaIR, min: Option[Int] = None,
@@ -440,6 +450,41 @@ object SchemaIR {
   /** Children of a node paired with their schema-path segment (malli `:path`
     * uses entry keys for maps and branch indices for and/or — see
     * core_test.cljc:239-250 where `[:and int? [:or ...]]` errors at [1 0]). */
+  /** Structural one-level map over a node's children (leaves and the
+    * function-carrying nodes pass through untouched; `SScoped` maps the
+    * BODY only — callers that must walk the local registry handle it
+    * themselves, like SchemaOps.mapMaps does). */
+  def mapChildren(s: SchemaIR)(f: SchemaIR => SchemaIR): SchemaIR =
+    s match {
+      case SMaybe(c) => SMaybe(f(c))
+      case SNot(c) => SNot(f(c))
+      case SAnd(cs) => SAnd(cs.map(f))
+      case SOr(cs) => SOr(cs.map(f))
+      case SOrn(bs) => SOrn(bs.map { case (t, c) => t -> f(c) })
+      case SAndn(bs) => SAndn(bs.map { case (t, c) => t -> f(c) })
+      case m: SMap => m.copy(
+        entries = m.entries.map(e => e.copy(child = f(e.child))),
+        rest = m.rest.map(f))
+      case SMapOf(k, v, mn, mx) => SMapOf(f(k), f(v), mn, mx)
+      case SVector(c, mn, mx) => SVector(f(c), mn, mx)
+      case SSeqable(c, mn, mx) => SSeqable(f(c), mn, mx)
+      case SSet(c, mn, mx) => SSet(f(c), mn, mx)
+      case SEvery(c, mn, mx, l) => SEvery(f(c), mn, mx, l)
+      case STuple(cs) => STuple(cs.map(f))
+      case SMulti(d, bs, df) =>
+        SMulti(d, bs.map { case (t, c) => t -> f(c) }, df.map(f))
+      case SCat(cs) => SCat(cs.map(f))
+      case SCatn(es) => SCatn(es.map { case (t, c) => t -> f(c) })
+      case SAlt(cs) => SAlt(cs.map(f))
+      case SAltn(es) => SAltn(es.map { case (t, c) => t -> f(c) })
+      case SStar(c) => SStar(f(c))
+      case SPlus(c) => SPlus(f(c))
+      case SOpt(c) => SOpt(f(c))
+      case SRepeat(c, mn, mx) => SRepeat(f(c), mn, mx)
+      case SProps(p, c) => SProps(p, f(c))
+      case leaf => leaf
+    }
+
   def childrenWithPath(ir: SchemaIR): Seq[(String, SchemaIR)] = ir match {
     case SMaybe(c)      => Seq("0" -> c)
     case SNot(c)        => Seq("0" -> c)
@@ -451,6 +496,7 @@ object SchemaIR {
       rest.map("malli.core/default" -> _)
     case SMapOf(k, v, _, _) => Seq("0" -> k, "1" -> v)
     case SVector(c, _, _)   => Seq("0" -> c)
+    case SSeqable(c, _, _)  => Seq("0" -> c)
     case SSet(c, _, _)      => Seq("0" -> c)
     case SEvery(c, _, _, _) => Seq("0" -> c)
     case STuple(cs)     => cs.zipWithIndex.map { case (c, i) => i.toString -> c }
@@ -542,6 +588,7 @@ object SchemaIR {
       }.mkString(s"[:map$props ", " ", s"$restStr]")
     case SMapOf(k, v, _, _) => s"[:map-of ${form(k)} ${form(v)}]"
     case SVector(c, mn, mx) => s"[:vector${bounds(mn, mx)} ${form(c)}]"
+    case SSeqable(c, mn, mx) => s"[:seqable${bounds(mn, mx)} ${form(c)}]"
     case SSet(c, mn, mx) => s"[:set${bounds(mn, mx)} ${form(c)}]"
     case SEvery(c, mn, mx, _) => s"[:every${bounds(mn, mx)} ${form(c)}]"
     case STuple(cs) => cs.map(form).mkString("[:tuple ", " ", "]")

@@ -118,6 +118,7 @@ object SchemaOps {
     case SAndn(bs) => SAndn(bs.map { case (t, c) => t -> mapMaps(c)(f) })
     case SNot(c) => SNot(mapMaps(c)(f))
     case SVector(c, mn, mx) => SVector(mapMaps(c)(f), mn, mx)
+    case SSeqable(c, mn, mx) => SSeqable(mapMaps(c)(f), mn, mx)
     case SSet(c, mn, mx) => SSet(mapMaps(c)(f), mn, mx)
     case SEvery(c, mn, mx, l) => SEvery(mapMaps(c)(f), mn, mx, l)
     case STuple(cs) => STuple(cs.map(mapMaps(_)(f)))
@@ -138,6 +139,30 @@ object SchemaOps {
     * algebra above, dereferencing `:ref` children through `reg` (depth 8)
     * where the algebra needs a concrete map. Runs once per schema before
     * compilation — serialized schemas can therefore carry these nodes. */
+  /** m/deref-recursive (core.cljc:2534-2553 `-deref-recursive`): expand
+    * every `:ref` whose target is NOT already on the current expansion
+    * path — a genuinely recursive ref stays a literal `[:ref name]`
+    * (the ::user fixture in core_test.cljc:3434: non-recursive ::address
+    * inlines fully, the self-referential friends ref survives). Also
+    * resolves the declarative algebra nodes on the way (the reference's
+    * "util schemas" leg of the same test). The `::m/ref-key` id
+    * annotation variant is host-specific metadata and stays out of
+    * scope. */
+  def derefRecursive(ir: SchemaIR, reg: Registry = Registry.empty): SchemaIR = {
+    def go(s: SchemaIR, reg: Registry, stack: Set[String]): SchemaIR =
+      s match {
+        case SScoped(local, c) =>
+          go(c, Registry(reg.schemas ++ local, reg.maxDepth), stack)
+        case SRef(n) =>
+          if (stack.contains(n) || !reg.schemas.contains(n)) SRef(n)
+          else go(reg(n), reg, stack + n)
+        case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+          go(expand(alg, reg), reg, stack)
+        case other => SchemaIR.mapChildren(other)(go(_, reg, stack))
+      }
+    go(ir, reg, Set.empty)
+  }
+
   def expand(ir: SchemaIR, reg: Registry = Registry.empty,
              depth: Int = 8): SchemaIR = {
     def deref(s: SchemaIR, d: Int): SchemaIR = s match {

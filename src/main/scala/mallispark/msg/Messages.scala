@@ -196,6 +196,8 @@ object Messages {
                 F.lit(s", expected ${cs.size}"))))
           case SVector(_, mn, mx) if mn.nonEmpty || mx.nonEmpty =>
             Seq(at(ErrorKeys.Limits, limits(mn, mx)))
+          case SSeqable(_, mn, mx) if mn.nonEmpty || mx.nonEmpty =>
+            Seq(at(ErrorKeys.Limits, limits(mn, mx)))
           case SSet(_, mn, mx) if mn.nonEmpty || mx.nonEmpty =>
             Seq(at(ErrorKeys.Limits, limits(mn, mx)))
           case SEvery(_, mn, mx, _) if mn.nonEmpty || mx.nonEmpty =>

@@ -294,6 +294,27 @@ class CoreValidationSpec extends SparkSuite {
     // min=4 with limit=2 must still examine the 3rd element
     check(S.every(S.posInt, min = Some(4), limit = 2), ArrayType(LongType), Seq(
       (Seq(1L, 2L, -5L, 3L), false, Set(("0", "2", ":int")))))
+    // nil is SEQABLE (seqs empty) — (m/validate [:every :int] nil) is
+    // true (core_test.cljc:3512); a :min bound sees size 0
+    check(S.every(S.int), ArrayType(LongType), Seq(
+      (null, true, Set.empty)))
+    check(S.every(S.int, min = Some(1)), ArrayType(LongType), Seq(
+      (null, false, Set(("", "", ErrorKeys.Limits)))))
+  }
+
+  test(":seqable — nil-tolerant element-checked collection (core_test:3482)") {
+    check(S.seqable(S.int), ArrayType(LongType), Seq(
+      (null, true, Set.empty), // (m/validate [:seqable :int] nil)
+      (Seq(1L, 2L, 3L), true, Set.empty),
+      (Seq.empty[Long], true, Set.empty)))
+    // elements are FULLY checked (no bounded window — ArrayType is
+    // counted, and the reference validates counted colls completely)
+    check(S.seqable(S.posInt), ArrayType(LongType), Seq(
+      (Seq(1L, 2L, -1L), false, Set(("0", "2", ":int")))))
+    // nil seqs empty: :min 1 fails on nil, passes on [x]
+    check(S.seqable(S.int, min = Some(1)), ArrayType(LongType), Seq(
+      (null, false, Set(("", "", ErrorKeys.Limits))),
+      (Seq(5L), true, Set.empty)))
   }
 
   test("enum against a mismatched column type degrades to false, not a throw") {

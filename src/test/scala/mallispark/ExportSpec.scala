@@ -22,6 +22,9 @@ class ExportSpec extends AnyFunSuite {
       "a" -> S.mapE(false, S.req("kind", S.string))),
     "every-repeat" -> S.cat(S.every(S.int, limit = 7),
       S.repeat(S.string, 1, 3), S.ref("other")),
+    "seqable" -> S.mapE(false,
+      S.req("xs", S.seqable(S.int)),
+      S.opt("bounded", S.seqable(S.string, min = Some(1), max = Some(5)))),
     "idents" -> S.mapE(false,
       S.req("kw", S.keyword), S.req("qkw", S.qualifiedKeyword),
       S.req("sym", S.symbol), S.req("qsym", S.qualifiedSymbol),

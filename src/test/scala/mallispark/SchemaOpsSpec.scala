@@ -65,6 +65,32 @@ class SchemaOpsSpec extends SparkSuite {
       .entries.map(_.key) === Seq("x", "w"))
   }
 
+  test("derefRecursive keeps only genuinely-recursive refs (core_test:3434)") {
+    // the ::user fixture: ::address inlines fully, the self-referential
+    // friends ref stays a literal [:ref ...]
+    val schema = S.scoped(
+      "user-id" -> S.uuid,
+      "address" -> S.mapE(false,
+        S.req("street", S.string),
+        S.opt("lonlat", S.tuple(S.double, S.double))),
+      "user" -> S.mapE(false,
+        S.req("id", S.ref("user-id")),
+        S.req("name", S.string),
+        S.opt("friends", S.set(S.ref("user"))),
+        S.req("address", S.ref("address"))))(S.ref("user"))
+    val d = SchemaOps.derefRecursive(schema)
+    assert(SchemaIR.form(d) ===
+      "[:map [:id :uuid] [:name :string] " +
+        "[:friends {:optional true} [:set [:ref user]]] " +
+        "[:address [:map [:street :string] " +
+        "[:lonlat {:optional true} [:tuple :double :double]]]]]")
+    // util-schema leg: the declarative :merge resolves on the way
+    val merged = SchemaOps.derefRecursive(
+      SMergeOf(Seq(S.mapE(false, S.req("x", S.int)),
+        S.mapE(false, S.req("y", S.int)))))
+    assert(SchemaIR.form(merged) === "[:map [:x :int] [:y :int]]")
+  }
+
   test("union: colliding entries become :or (util.cljc:103-112)") {
     val u = SchemaOps.union(A, B).asInstanceOf[SMap]
     assert(u.entries.find(_.key == "y").get.child ===

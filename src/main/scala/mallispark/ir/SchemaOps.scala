@@ -225,6 +225,44 @@ object SchemaOps {
   }
 
   /** mu/keys (util.cljc:301-305). */
+  /** mu/find-first (util.cljc:37-50): prewalk, first non-None result. */
+  def findFirst[A](ir: SchemaIR)(
+      f: (SchemaIR, Seq[String]) => Option[A]): Option[A] =
+    subschemas(ir).iterator
+      .flatMap { case (p, s) => f(s, p) }.nextOption()
+
+  /** mu/update-properties (util.cljc:114-118) over the engine's
+    * [[SchemaIR.NodeProps]] wrapper: updates the node's property map,
+    * adding the wrapper when absent and dropping it when the result is
+    * empty. */
+  def updateProperties(ir: SchemaIR)(f: NodeProps => NodeProps): SchemaIR = {
+    val (p, c) = ir match {
+      case SProps(p0, c0) => (p0, c0)
+      case other => (NodeProps.empty, other)
+    }
+    val p2 = f(p)
+    if (p2.isEmpty) c else SProps(p2, c)
+  }
+
+  /** mu/transform-entries (util.cljc:238-244): rebuild the map from a
+    * function of its whole entry list. */
+  def transformEntries(m: SMap)(f: Seq[Entry] => Seq[Entry]): SMap =
+    m.copy(entries = f(m.entries))
+
+  /** mu/update (util.cljc:342-348): update the entry's VALUE schema by a
+    * function of the current one (None when absent — the new entry is
+    * REQUIRED, like mu/assoc's default). */
+  def update(m: SMap, key: String)(
+      f: Option[SchemaIR] => SchemaIR): SMap = {
+    val existing = m.entries.find(_.key == key)
+    val child = f(existing.map(_.child))
+    existing match {
+      case Some(e) => m.copy(entries =
+        m.entries.map(x => if (x.key == key) e.copy(child = child) else x))
+      case None => assoc(m, Entry(key, child))
+    }
+  }
+
   def keys(m: SMap): Seq[String] = m.entries.map(_.key)
 
   /** mu/find (util.cljc:311-314): the full entry (key, optionality,

@@ -111,6 +111,34 @@ class SchemaOpsSpec extends SparkSuite {
     assert(SchemaOps.requiredKeys(A).entries.forall(!_.optional))
   }
 
+  test("findFirst/updateProperties/transformEntries/update (util.cljc)") {
+    val nested = S.mapE(false,
+      S.req("a", S.mapE(false, S.req("b", S.vector(S.int)))))
+    // find-first: prewalk, first hit wins (util_test.cljc:681)
+    assert(SchemaOps.findFirst(nested) {
+      case (_: SVector, p) => Some(p); case _ => None
+    } === Some(Seq("a", "b")))
+    assert(SchemaOps.findFirst(nested) {
+      case (SBoolean, _) => Some(1); case _ => None
+    } === None)
+    // update-properties adds/updates/drops the SProps wrapper
+    val titled = SchemaOps.updateProperties(S.int)(
+      _.copy(title = Some("t")))
+    assert(titled === SProps(NodeProps(title = Some("t")), S.int))
+    assert(SchemaOps.updateProperties(titled)(_.copy(title = None))
+      === S.int)
+    // transform-entries (util_test.cljc:642): rename every key
+    val m = A
+    val renamed = SchemaOps.transformEntries(m)(
+      _.map(e => e.copy(key = "p_" + e.key)))
+    assert(renamed.entries.map(_.key) === Seq("p_x", "p_y"))
+    // update: fn of the existing child; absent key creates REQUIRED
+    val widened = SchemaOps.update(A, "x")(c => SMaybe(c.get))
+    assert(widened.entries.find(_.key == "x").get.child === SMaybe(S.int))
+    val added = SchemaOps.update(A, "w")(c => { assert(c.isEmpty); S.boolean })
+    assert(added.entries.find(_.key == "w").exists(!_.optional))
+  }
+
   test("keys/find/assoc-in/update-in lenses (util.cljc:301-381)") {
     assert(SchemaOps.keys(A) === Seq("x", "y"))
     assert(SchemaOps.find(A, "y").get.optional)

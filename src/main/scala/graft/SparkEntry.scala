@@ -2405,14 +2405,14 @@ object SparkEntry {
       val flagshipAst =
         """{"type": "map", "closed": true, "entries": [{"key": "doc_id", "optional": true, "schema": {"type": "int"}}, {"key": "url", "optional": false, "schema": {"type": "re", "pattern": "^https?://[^\\s]+$"}}, {"key": "warc_ts", "optional": false, "schema": {"type": "instant", "min": "2025-01-01T00:00:00Z", "max": "2026-05-01T00:00:00Z"}}, {"key": "html", "optional": false, "schema": {"type": "bytes"}}, {"key": "text", "optional": false, "schema": {"type": "string", "min": 1}}, {"key": "lang", "optional": false, "schema": {"type": "enum", "values": [{"t": "string", "v": "en"}, {"t": "string", "v": "de"}, {"t": "string", "v": "fr"}, {"t": "string", "v": "es"}, {"t": "string", "v": "zh"}]}}]}"""
       val flagshipJs =
-        """{"type": "object", "properties": {"doc_id": {"type": "integer"}, "url": {"type": "string", "pattern": "^https?://[^\\s]+$"}, "warc_ts": {"type": "string", "format": "date-time"}, "html": {"type": "string", "contentEncoding": "base64"}, "text": {"type": "string", "minLength": 1}, "lang": {"enum": ["en", "de", "fr", "es", "zh"]}}, "required": ["url", "warc_ts", "html", "text", "lang"], "additionalProperties": false}"""
+        """{"type": "object", "properties": {"doc_id": {"type": "integer"}, "url": {"type": "string", "pattern": "^https?://[^\\s]+$"}, "warc_ts": {"type": "string", "format": "date-time"}, "html": {"type": "string", "contentEncoding": "base64"}, "text": {"type": "string", "minLength": 1}, "lang": {"type": "string", "enum": ["en", "de", "fr", "es", "zh"]}}, "required": ["url", "warc_ts", "html", "text", "lang"], "additionalProperties": false}"""
       val scopedForm =
         """[:schema {:registry {:node [:map [:v [:int {:min 0}]] [:kids {:optional true} [:vector [:ref node]]]]}} [:ref node]]"""
       val structDdl =
         "doc_id BIGINT,url STRING NOT NULL,warc_ts TIMESTAMP NOT NULL," +
           "html BINARY NOT NULL,text STRING NOT NULL,lang STRING NOT NULL"
       val flagshipSwagger =
-        """{"type": "object", "properties": {"doc_id": {"type": "integer", "format": "int64"}, "url": {"type": "string", "pattern": "^https?://[^\\s]+$"}, "warc_ts": {"type": "string", "format": "date-time"}, "html": {"type": "string", "contentEncoding": "base64"}, "text": {"type": "string", "minLength": 1}, "lang": {"enum": ["en", "de", "fr", "es", "zh"]}}, "required": ["url", "warc_ts", "html", "text", "lang"], "additionalProperties": false}"""
+        """{"type": "object", "properties": {"doc_id": {"type": "integer", "format": "int64"}, "url": {"type": "string", "pattern": "^https?://[^\\s]+$"}, "warc_ts": {"type": "string", "format": "date-time"}, "html": {"type": "string", "contentEncoding": "base64"}, "text": {"type": "string", "minLength": 1}, "lang": {"type": "string", "enum": ["en", "de", "fr", "es", "zh"]}}, "required": ["url", "warc_ts", "html", "text", "lang"], "additionalProperties": false}"""
       val liteForm =
         """[:map [:id :int] [:tag {:optional true} :string] [:langs [:vector :string]]]"""
       val dotPage =

@@ -726,17 +726,13 @@ object Export {
     case SBinary => obj("type" -> esc("string"),
       "contentEncoding" -> esc("base64"))
     case SUuid => obj("type" -> esc("string"), "format" -> esc("uuid"))
-    case SIdent("char", _) => obj("type" -> esc("string"),
-      "minLength" -> "1", "maxLength" -> "1")
-    case SIdent(kind, ns) =>
-      // {:namespace n} narrows the pattern to the literal ns segment
-      val base = mallispark.compile.SchemaCompiler.IdentRes.forKind(kind).get
-      val re = ns match {
-        case Some(n) if kind == "qualified-keyword" =>
-          s"^:${java.util.regex.Pattern.quote(n)}/[^\\s/:]+$$"
-        case _ => base
-      }
-      obj("type" -> esc("string"), "pattern" -> esc(re))
+    // bare ident kinds render the reference's plain {:type "string"}
+    // (json_schema.cljc:62-78 — keyword?/symbol?/char? carry no pattern);
+    // only the engine's {:namespace n} extension narrows with a pattern
+    case SIdent(kind, Some(n)) if kind == "qualified-keyword" =>
+      obj("type" -> esc("string"),
+        "pattern" -> esc(s"^:${java.util.regex.Pattern.quote(n)}/[^\\s/:]+$$"))
+    case SIdent(_, _) => obj("type" -> esc("string"))
     case STimestamp(_, _) => obj("type" -> esc("string"),
       "format" -> esc("date-time"))
     case SDate(_, _) => obj("type" -> esc("string"), "format" -> esc("date"))
@@ -749,8 +745,12 @@ object Export {
       obj("type" -> esc("string"), "format" -> esc(fmt))
     // JSON literals, not stringifications: [:enum 1 2] must export as
     // {"enum": [1, 2]} — a consumer validating against ["1", "2"] would
-    // reject the actual integers (strings keep their quoting via jsonLit)
-    case SEnum(vs) => obj("enum" -> arr(vs.map(jsonLit)))
+    // reject the actual integers (strings keep their quoting via jsonLit).
+    // Homogeneous value sets also carry the inferred base type
+    // (json_schema.cljc:160 merges (m/-infer children) under :enum)
+    case SEnum(vs) =>
+      obj(inferEnumLeaf(vs).map(l => topPairs(toJsonSchema(l)))
+        .getOrElse(Seq.empty) :+ ("enum" -> arr(vs.map(jsonLit))): _*)
     case SRegex(p) => obj("type" -> esc("string"), "pattern" -> esc(p))
     case SMaybe(c) => obj("oneOf" ->
       arr(Seq(toJsonSchema(c), obj("type" -> esc("null")))))
@@ -759,14 +759,11 @@ object Export {
     case SOrn(bs) => obj("anyOf" -> arr(bs.map(b => toJsonSchema(b._2))))
     case SAndn(bs) => obj("allOf" -> arr(bs.map(b => toJsonSchema(b._2))))
     case SNot(c) => obj("not" -> toJsonSchema(c))
-    case SMap(es, closed, rest) =>
-      obj("type" -> esc("object"),
-        "properties" -> obj(es.map(e => e.key -> toJsonSchema(e.child)): _*),
-        "required" -> arr(es.filterNot(_.optional).map(e => esc(e.key))),
-        "additionalProperties" ->
-          rest.map(toJsonSchema).getOrElse((!closed).toString))
-    case SMapOf(_, v, _, _) =>
-      obj("type" -> esc("object"), "additionalProperties" -> toJsonSchema(v))
+    case SMap(es, closed, rest) => mapObject(es, closed, rest, toJsonSchema)
+    case SMapOf(_, v, mn, mx) =>
+      obj(Seq("type" -> esc("object"),
+        "additionalProperties" -> toJsonSchema(v)) ++
+        optNum("minProperties", mn) ++ optNum("maxProperties", mx): _*)
     case SVector(c, mn, mx) => obj(Seq("type" -> esc("array"),
       "items" -> toJsonSchema(c)) ++
       optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
@@ -775,9 +772,10 @@ object Export {
       optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
     case SEvery(c, mn, mx, _) => toJsonSchema(SVector(c, mn, mx))
     case SSeqable(c, mn, mx) => toJsonSchema(SVector(c, mn, mx))
+    // draft 2020-12 tuples: prefixItems + items:false forbids extras
+    // (json_schema.cljc:162) — tighter than min/maxItems alone
     case STuple(cs) => obj("type" -> esc("array"),
-      "prefixItems" -> arr(cs.map(toJsonSchema)),
-      "minItems" -> cs.length.toString, "maxItems" -> cs.length.toString)
+      "prefixItems" -> arr(cs.map(toJsonSchema)), "items" -> "false")
     // recursive schemas: local registry → $defs with $anchor'd entries,
     // refs → plain-name anchor refs ("#name"). Anchors resolve
     // DOCUMENT-WIDE in draft 2020-12, so a non-root SScoped still
@@ -800,6 +798,22 @@ object Export {
         case "not=" => obj("not" -> obj("const" -> jsonLit(v)))
       }
     case SRef(n) => obj("$ref" -> esc(s"#$n"))
+    // :multi → oneOf over branch outputs, the ::m/default branch last
+    // (json_schema.cljc:126; fixture json_schema_test.cljc:75-91)
+    case SMulti(_, bs, d) =>
+      obj("oneOf" -> arr((bs.map(_._2) ++ d).map(toJsonSchema)))
+    case SMultiExpr(_, _, _, bs, d) =>
+      obj("oneOf" -> arr((bs.map(_._2) ++ d).map(toJsonSchema)))
+    // opaque predicates carry no JSON-Schema contract (:fn → {},
+    // json_schema.cljc:164) — any SProps wrapper still contributes
+    // passthrough keys on top
+    case _: SFn | _: SCustom | _: SValidate => "{}"
+    // declarative util proxies export their EXPANSION
+    // (json_schema_test.cljc:206-243 — :merge/:union/:select-keys render
+    // as the resolved object)
+    case m: SMergeOf => toJsonSchema(SchemaOps.expand(m))
+    case u: SUnionOf => toJsonSchema(SchemaOps.expand(u))
+    case sk: SSelectKeysOf => toJsonSchema(SchemaOps.expand(sk))
     // property passthrough (json_schema.cljc:201-208): a whole
     // `:json-schema` prop REPLACES the output; otherwise
     // (merge (select-keys p [:title :description :default])
@@ -809,6 +823,47 @@ object Export {
         mergeJsonObjects(selectPairs(p) ++ topPairs(toJsonSchema(c)) ++
           p.jsonSchema.map { case (k, v) => k -> jsonValue(v) }))
     case other => obj("$comment" -> esc(s"unmapped: ${SchemaIR.form(other)}"))
+  }
+
+  /** `m/-infer` (core.cljc:243) — the base leaf a homogeneous enum value
+    * set implies, rendered through the CALLING dialect so swagger enums
+    * keep their int64/double formats. */
+  private def inferEnumLeaf(vs: Seq[Any]): Option[SchemaIR] =
+    if (vs.isEmpty) None
+    else if (vs.forall(_.isInstanceOf[String])) Some(SString())
+    else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]))
+      Some(SInt())
+    else if (vs.forall(v => v.isInstanceOf[Double] || v.isInstanceOf[Float]))
+      Some(SDouble())
+    else None
+
+  /** The `:map` accept (json_schema.cljc:108-123), shared by both
+    * dialects via `render`: explicit entries become properties/required;
+    * the `::m/default` rest schema's rendered OUTPUT is merged in — its
+    * properties/required HOIST into the parent's (rest wins on key
+    * conflict, required concatenates distinct), its additionalProperties
+    * (or any other key, e.g. a passthrough :default) rides along at the
+    * top level, which is what flattens nested ::m/default map chains.
+    * Empty `required` is OMITTED (Draft 4 forbids []); an open map with
+    * no rest carries no additionalProperties key at all. */
+  private def mapObject(es: Seq[Entry], closed: Boolean,
+                        rest: Option[SchemaIR],
+                        render: SchemaIR => String): String = {
+    val restPairs = rest.map(r => topPairs(render(r))).getOrElse(Seq.empty)
+    val restMap = restPairs.toMap
+    val propsJson = mergeJsonObjects(
+      es.map(e => e.key -> render(e.child)) ++
+        restMap.get("properties").map(topPairs).getOrElse(Seq.empty))
+    val req = (es.filterNot(_.optional).map(e => esc(e.key)) ++
+      restMap.get("required").map(topElems).getOrElse(Seq.empty)).distinct
+    val addl = restMap.get("additionalProperties")
+      .orElse(if (closed) Some("false") else None)
+    val others = restPairs.filterNot { case (k, _) =>
+      k == "properties" || k == "required" ||
+        k == "additionalProperties" || k == "type" }
+    obj(others ++ Seq("type" -> esc("object"), "properties" -> propsJson) ++
+      (if (req.nonEmpty) Seq("required" -> arr(req)) else Seq.empty) ++
+      addl.map("additionalProperties" -> _): _*)
   }
 
   /** json_schema.cljc:39 `select` — the doc props every output carries. */
@@ -865,6 +920,32 @@ object Export {
       out += key -> inner.substring(vStart, i).trim
       if (i < inner.length && inner(i) == ',') i += 1
     }
+    out.result()
+  }
+
+  /** Split one of this module's own `arr(...)` rendered arrays into its
+    * raw element strings — the array dual of [[topPairs]]. */
+  private def topElems(json: String): Seq[String] = {
+    val s = json.trim
+    require(s.startsWith("[") && s.endsWith("]"), s"not an array: $s")
+    val inner = s.substring(1, s.length - 1).trim
+    if (inner.isEmpty) return Seq.empty
+    val out = Seq.newBuilder[String]
+    var i = 0; var start = 0; var depth = 0
+    while (i < inner.length) {
+      inner(i) match {
+        case '"' =>
+          i += 1
+          while (inner(i) != '"') { if (inner(i) == '\\') i += 1; i += 1 }
+        case '{' | '[' => depth += 1
+        case '}' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          out += inner.substring(start, i).trim; start = i + 1
+        case _ => ()
+      }
+      i += 1
+    }
+    out += inner.substring(start).trim
     out.result()
   }
 
@@ -929,14 +1010,19 @@ object Export {
       case SNot(c) => obj("x-not" -> toSwagger(c))
       case STuple(cs) => obj("type" -> esc("array"), "items" -> "{}",
         "x-items" -> arr(cs.map(toSwagger)))
-      case SMap(es, closed, rest) =>
-        obj("type" -> esc("object"),
-          "properties" -> obj(es.map(e => e.key -> toSwagger(e.child)): _*),
-          "required" -> arr(es.filterNot(_.optional).map(e => esc(e.key))),
-          "additionalProperties" ->
-            rest.map(toSwagger).getOrElse((!closed).toString))
-      case SMapOf(_, v, _, _) =>
-        obj("type" -> esc("object"), "additionalProperties" -> toSwagger(v))
+      case SMap(es, closed, rest) => mapObject(es, closed, rest, toSwagger)
+      case SMapOf(_, v, mn, mx) =>
+        obj(Seq("type" -> esc("object"),
+          "additionalProperties" -> toSwagger(v)) ++
+          optNum("minProperties", mn) ++ optNum("maxProperties", mx): _*)
+      // enum inference renders through THIS dialect so int/double enums
+      // keep their swagger formats
+      case SEnum(vs) =>
+        obj(inferEnumLeaf(vs).map(l => topPairs(toSwagger(l)))
+          .getOrElse(Seq.empty) :+ ("enum" -> arr(vs.map(jsonLit))): _*)
+      case m: SMergeOf => toSwagger(SchemaOps.expand(m))
+      case u: SUnionOf => toSwagger(SchemaOps.expand(u))
+      case sk: SSelectKeysOf => toSwagger(SchemaOps.expand(sk))
       case SVector(c, mn, mx) => obj(Seq("type" -> esc("array"),
         "items" -> toSwagger(c)) ++
         optNum("minItems", mn) ++ optNum("maxItems", mx): _*)

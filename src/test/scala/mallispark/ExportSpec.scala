@@ -241,13 +241,77 @@ class ExportSpec extends AnyFunSuite {
     assert(js.contains(""""x5": {"type": "number"}"""))
   }
 
+  test("json-schema fixture parity (json_schema_test.cljc expectations)") {
+    def js(s: mallispark.ir.SchemaIR) = Export.toJsonSchema(s)
+    // enum type inference (fixtures :99-104): homogeneous sets carry the
+    // inferred base type, mixed sets stay bare
+    assert(js(SEnum(Seq(1L, 2L, 3L))) ===
+      """{"type": "integer", "enum": [1, 2, 3]}""")
+    assert(js(SEnum(Seq(1.1, 2.2, 3.3))) ===
+      """{"type": "number", "enum": [1.1, 2.2, 3.3]}""")
+    assert(js(SEnum(Seq("kikka", "kukka"))) ===
+      """{"type": "string", "enum": ["kikka", "kukka"]}""")
+    assert(js(SEnum(Seq(1L, 2L, "3"))) === """{"enum": [1, 2, "3"]}""")
+    // tuple → prefixItems + items:false (fixture :106-108)
+    assert(js(S.tuple(S.string, S.string)) ===
+      """{"type": "array", "prefixItems": [{"type": "string"}, {"type": "string"}], "items": false}""")
+    // bare idents are plain strings (fixtures :118-121); char too (:78)
+    assert(js(S.keyword) === """{"type": "string"}""")
+    assert(js(S.qualifiedSymbol) === """{"type": "string"}""")
+    assert(js(S.char) === """{"type": "string"}""")
+    // all-optional maps emit NO required key at all (fixture :156-165)
+    assert(js(S.mapE(false, S.opt("s", S.string), S.opt("i", S.int))) ===
+      """{"type": "object", "properties": {"s": {"type": "string"}, "i": {"type": "integer"}}}""")
+    // open maps carry no additionalProperties; closed maps say false
+    // (fixtures :39-47, :339-344)
+    assert(js(S.mapE(false, S.req("a", S.string), S.opt("b", S.string))) ===
+      """{"type": "object", "properties": {"a": {"type": "string"}, "b": {"type": "string"}}, "required": ["a"]}""")
+    assert(js(S.mapE(true, S.req("name", S.string))) ===
+      """{"type": "object", "properties": {"name": {"type": "string"}}, "required": ["name"], "additionalProperties": false}""")
+    // ::m/default rest: map-of rest → additionalProperties (fixture
+    // :48-54); NESTED default-map chains flatten properties/required up
+    // and hoist the innermost rest (fixture :62-74)
+    assert(js(SMap(Seq(Entry("x", SInt())),
+      rest = Some(S.mapOf(S.int, S.int)))) ===
+      """{"type": "object", "properties": {"x": {"type": "integer"}}, "required": ["x"], "additionalProperties": {"type": "integer"}}""")
+    assert(js(SMap(Seq(Entry("x", SInt())), rest = Some(
+      SMap(Seq(Entry("y", SInt())), rest = Some(
+        SMap(Seq(Entry("z", SInt())),
+          rest = Some(S.mapOf(S.int, S.int)))))))) ===
+      """{"type": "object", "properties": {"x": {"type": "integer"}, "y": {"type": "integer"}, "z": {"type": "integer"}}, "required": ["x", "y", "z"], "additionalProperties": {"type": "integer"}}""")
+    // a rest :fn whose passthrough default rides to the top (fixture
+    // :55-61) — :fn itself renders {} (fixture :110)
+    assert(js(SMap(Seq(Entry("x", SInt())), rest = Some(
+      SProps(NodeProps(jsonSchema = Seq("default" -> Map(":x" -> 1L))),
+        S.fn("map?")(_ => true))))) ===
+      """{"default": {"x": 1}, "type": "object", "properties": {"x": {"type": "integer"}}, "required": ["x"]}""")
+    assert(js(S.fn("int?")(_ => true)) === "{}")
+    // :multi → oneOf over branches, ::m/default last (fixture :75-91)
+    assert(js(S.multi("type", default = Some(S.string))(
+      "sized" -> S.mapE(false, S.req("type", S.keyword),
+        S.req("size", S.int)))) ===
+      """{"oneOf": [{"type": "object", "properties": {"type": {"type": "string"}, "size": {"type": "integer"}}, "required": ["type", "size"]}, {"type": "string"}]}""")
+    // :map-of :min/:max → minProperties/maxProperties (json_schema.cljc
+    // minmax-properties)
+    assert(js(S.mapOf(S.string, S.int, min = Some(1), max = Some(4))) ===
+      """{"type": "object", "additionalProperties": {"type": "integer"}, "minProperties": 1, "maxProperties": 4}""")
+    // util proxies render their expansion (fixtures :206-243)
+    val base = S.mapE(false, S.req("x", S.int), S.req("y", S.int))
+    assert(js(SMergeOf(Seq(base, S.mapE(false, S.req("z", S.int))))) ===
+      """{"type": "object", "properties": {"x": {"type": "integer"}, "y": {"type": "integer"}, "z": {"type": "integer"}}, "required": ["x", "y", "z"]}""")
+    assert(js(SSelectKeysOf(base, Seq("x"))) ===
+      """{"type": "object", "properties": {"x": {"type": "integer"}}, "required": ["x"]}""")
+    assert(js(SUnionOf(Seq(base, S.mapE(false, S.req("x", S.string)))))
+      .startsWith("""{"type": "object", "properties": {"x": {"anyOf": [{"type": "integer"}, {"type": "string"}]}"""))
+  }
+
   test("swagger property passthrough (swagger.cljc:74-81)") {
     // :swagger/... keys merge on top (vendor extensions)
     val s1 = SProps(NodeProps(title = Some("kind"),
       swagger = Seq("x-ms-enum" -> Map(":modelAsString" -> false,
         ":name" -> "Kind"))), S.enum_("a", "b"))
     assert(Export.toSwagger(s1) ===
-      """{"title": "kind", "enum": ["a", "b"], "x-ms-enum": {"modelAsString": false, "name": "Kind"}}""")
+      """{"title": "kind", "type": "string", "enum": ["a", "b"], "x-ms-enum": {"modelAsString": false, "name": "Kind"}}""")
     // whole :swagger prop replaces
     val s2 = SProps(NodeProps(swaggerFull = Some(Map(":type" -> "file"))),
       S.string)

@@ -1909,6 +1909,22 @@ object SparkEntry {
         ("flagship_jsonschema", Export.toJsonSchema(WebPages.schema)),
         ("flagship_swagger", Export.toSwagger(WebPages.schema)),
         ("scoped_form", SchemaIR.form(scoped)),
+        // registry refs render as #/definitions pointers with the defs
+        // collected at the document root (json_schema.cljc:17-37)
+        ("scoped_jsonschema", Export.toJsonSchema(scoped)),
+        ("scoped_swagger", Export.toSwagger(scoped)),
+        // swagger-spec: body keeps its $ref (definitions hoist to root),
+        // query/header flatten one parameter per map entry
+        ("swagger_spec", Export.swaggerSpec(
+          parameters = Seq(
+            "body" -> S.scoped("req-body" -> S.mapOf(S.keyword, S.any))(
+              S.ref("req-body")),
+            "query" -> S.mapE(false, S.req("a", S.int),
+              S.req("b", S.string(min = 10))),
+            "header" -> S.mapE(false, S.req("c", S.string))),
+          responses = Seq(
+            (200, Some(S.mapE(false, S.req("bar", S.keyword))), None),
+            (500, None, Some("fail"))))),
         ("edn_roundtrip", SchemaIR.form(ednBack)),
         ("struct_ddl", ddl),
         ("registry_mutable_form", SchemaIR.form(mut.snapshot("page"))),
@@ -2408,6 +2424,17 @@ object SparkEntry {
         """{"type": "object", "properties": {"doc_id": {"type": "integer"}, "url": {"type": "string", "pattern": "^https?://[^\\s]+$"}, "warc_ts": {"type": "string", "format": "date-time"}, "html": {"type": "string", "contentEncoding": "base64"}, "text": {"type": "string", "minLength": 1}, "lang": {"type": "string", "enum": ["en", "de", "fr", "es", "zh"]}}, "required": ["url", "warc_ts", "html", "text", "lang"], "additionalProperties": false}"""
       val scopedForm =
         """[:schema {:registry {:node [:map [:v [:int {:min 0}]] [:kids {:optional true} [:vector [:ref node]]]]}} [:ref node]]"""
+      val scopedJs =
+        """{"$ref": "#/definitions/node", "definitions": {"node": {"type": "object", "properties": {"v": {"type": "integer", "minimum": 0}, "kids": {"type": "array", "items": {"$ref": "#/definitions/node"}}}, "required": ["v"]}}}"""
+      val scopedSwagger =
+        """{"$ref": "#/definitions/node", "definitions": {"node": {"type": "object", "properties": {"v": {"type": "integer", "format": "int64", "minimum": 0}, "kids": {"type": "array", "items": {"$ref": "#/definitions/node"}}}, "required": ["v"]}}}"""
+      val swaggerSpec =
+        """{"parameters": [{"in": "body", "name": "body", "description": "", "required": true, "schema": {"$ref": "#/definitions/req-body"}}, """ +
+          """{"in": "query", "name": "a", "description": "", "required": true, "type": "integer", "format": "int64"}, """ +
+          """{"in": "query", "name": "b", "description": "", "required": true, "type": "string", "minLength": 10}, """ +
+          """{"in": "header", "name": "c", "description": "", "required": true, "type": "string"}], """ +
+          """"responses": {"200": {"description": "", "schema": {"type": "object", "properties": {"bar": {"type": "string"}}, "required": ["bar"]}}, "500": {"description": "fail"}}, """ +
+          """"definitions": {"req-body": {"type": "object", "additionalProperties": {}}}}"""
       val structDdl =
         "doc_id BIGINT,url STRING NOT NULL,warc_ts TIMESTAMP NOT NULL," +
           "html BINARY NOT NULL,text STRING NOT NULL,lang STRING NOT NULL"
@@ -2465,6 +2492,9 @@ object SparkEntry {
         "lens_get_in" ->
           """[:enum "en" "de" "fr" "es" "zh"]|:int|true""",
         "scoped_form" -> scopedForm,
+        "scoped_jsonschema" -> scopedJs,
+        "scoped_swagger" -> scopedSwagger,
+        "swagger_spec" -> swaggerSpec,
         // fromForm∘form fixpoint: the round-trip must land back on the
         // flagship's own golden form literal
         "edn_roundtrip" -> flagshipForm,

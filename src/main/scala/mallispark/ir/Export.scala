@@ -712,7 +712,43 @@ object Export {
 
   // ---- JSON-Schema export (json_schema.cljc:210-225) ----------------------
 
-  def toJsonSchema(ir: SchemaIR): String = ir match {
+  /** Per-transform reference state (json_schema.cljc:17-37 `-ref`): the
+    * lexical registry scope, the collected root `definitions`, and the
+    * recursion stopper. `path` is the reference's configurable
+    * `::definitions-path` (default `#/definitions/`). */
+  private final class RefCtx(val path: String) {
+    var scope: Map[String, SchemaIR] = Map.empty
+    val defs = scala.collection.mutable.LinkedHashMap[String, String]()
+    /** Resolve `n`: register its definition once (placeholder first, so
+      * parents precede children like the reference's recursion-stopper
+      * swap), then emit the pointer. Unresolvable names still point —
+      * a dangling ref is the caller's registry bug, not a render crash. */
+    def refTo(n: String, render: SchemaIR => String): String = {
+      scope.get(n).foreach { target =>
+        if (!defs.contains(n)) {
+          defs(n) = "{}"
+          defs(n) = render(target)
+        }
+      }
+      obj("$ref" -> esc(path + n.replace("/", "~1")))
+    }
+  }
+
+  /** Merge the collected `definitions` (if any) into the root output
+    * (json_schema.cljc:225 `cond-> ... (assoc :definitions ...)`). */
+  private def finishDefs(out: String, ctx: RefCtx): String =
+    if (ctx.defs.isEmpty) out
+    else mergeJsonObjects(topPairs(out) :+
+      ("definitions" -> obj(ctx.defs.toSeq: _*)))
+
+  def toJsonSchema(ir: SchemaIR): String = toJsonSchema(ir, "#/definitions/")
+
+  def toJsonSchema(ir: SchemaIR, definitionsPath: String): String = {
+    implicit val ctx: RefCtx = new RefCtx(definitionsPath)
+    finishDefs(jsonBody(ir), ctx)
+  }
+
+  private def jsonBody(ir: SchemaIR)(implicit ctx: RefCtx): String = ir match {
     case SAny | SSome => "{}"
     case SNil => obj("type" -> esc("null"))
     case SString(mn, mx) => obj(Seq("type" -> esc("string")) ++
@@ -749,44 +785,42 @@ object Export {
     // Homogeneous value sets also carry the inferred base type
     // (json_schema.cljc:160 merges (m/-infer children) under :enum)
     case SEnum(vs) =>
-      obj(inferEnumLeaf(vs).map(l => topPairs(toJsonSchema(l)))
+      obj(inferEnumLeaf(vs).map(l => topPairs(jsonBody(l)))
         .getOrElse(Seq.empty) :+ ("enum" -> arr(vs.map(jsonLit))): _*)
     case SRegex(p) => obj("type" -> esc("string"), "pattern" -> esc(p))
     case SMaybe(c) => obj("oneOf" ->
-      arr(Seq(toJsonSchema(c), obj("type" -> esc("null")))))
-    case SAnd(cs) => obj("allOf" -> arr(cs.map(toJsonSchema)))
-    case SOr(cs) => obj("anyOf" -> arr(cs.map(toJsonSchema)))
-    case SOrn(bs) => obj("anyOf" -> arr(bs.map(b => toJsonSchema(b._2))))
-    case SAndn(bs) => obj("allOf" -> arr(bs.map(b => toJsonSchema(b._2))))
-    case SNot(c) => obj("not" -> toJsonSchema(c))
-    case SMap(es, closed, rest) => mapObject(es, closed, rest, toJsonSchema)
+      arr(Seq(jsonBody(c), obj("type" -> esc("null")))))
+    case SAnd(cs) => obj("allOf" -> arr(cs.map(jsonBody(_))))
+    case SOr(cs) => obj("anyOf" -> arr(cs.map(jsonBody(_))))
+    case SOrn(bs) => obj("anyOf" -> arr(bs.map(b => jsonBody(b._2))))
+    case SAndn(bs) => obj("allOf" -> arr(bs.map(b => jsonBody(b._2))))
+    case SNot(c) => obj("not" -> jsonBody(c))
+    case SMap(es, closed, rest) => mapObject(es, closed, rest, jsonBody)
     case SMapOf(_, v, mn, mx) =>
       obj(Seq("type" -> esc("object"),
-        "additionalProperties" -> toJsonSchema(v)) ++
+        "additionalProperties" -> jsonBody(v)) ++
         optNum("minProperties", mn) ++ optNum("maxProperties", mx): _*)
     case SVector(c, mn, mx) => obj(Seq("type" -> esc("array"),
-      "items" -> toJsonSchema(c)) ++
+      "items" -> jsonBody(c)) ++
       optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
     case SSet(c, mn, mx) => obj(Seq("type" -> esc("array"),
-      "items" -> toJsonSchema(c), "uniqueItems" -> "true") ++
+      "items" -> jsonBody(c), "uniqueItems" -> "true") ++
       optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
-    case SEvery(c, mn, mx, _) => toJsonSchema(SVector(c, mn, mx))
-    case SSeqable(c, mn, mx) => toJsonSchema(SVector(c, mn, mx))
+    case SEvery(c, mn, mx, _) => jsonBody(SVector(c, mn, mx))
+    case SSeqable(c, mn, mx) => jsonBody(SVector(c, mn, mx))
     // draft 2020-12 tuples: prefixItems + items:false forbids extras
     // (json_schema.cljc:162) — tighter than min/maxItems alone
     case STuple(cs) => obj("type" -> esc("array"),
-      "prefixItems" -> arr(cs.map(toJsonSchema)), "items" -> "false")
-    // recursive schemas: local registry → $defs with $anchor'd entries,
-    // refs → plain-name anchor refs ("#name"). Anchors resolve
-    // DOCUMENT-WIDE in draft 2020-12, so a non-root SScoped still
-    // produces resolvable references (a "#/$defs/<n>" pointer would
-    // dangle unless the scoped node were the document root).
+      "prefixItems" -> arr(cs.map(jsonBody(_))), "items" -> "false")
+    // recursive schemas (json_schema.cljc:17-37): the local registry
+    // extends the lexical scope; refs render as "#/definitions/<n>"
+    // pointers and register their definition in the root `definitions`
+    // map (the transform wrapper attaches it). Only REACHED names are
+    // emitted — the reference registers on deref, not on declaration.
     case SScoped(reg, c) =>
-      obj("$defs" -> obj(reg.toSeq.sortBy(_._1)
-          .map { case (n, s) =>
-            n -> obj("$anchor" -> esc(n),
-              "allOf" -> arr(Seq(toJsonSchema(s)))) }: _*),
-        "allOf" -> arr(Seq(toJsonSchema(c))))
+      val saved = ctx.scope
+      ctx.scope = ctx.scope ++ reg
+      try jsonBody(c) finally ctx.scope = saved
     case SCompare(op, v) =>
       val num = String.valueOf(v)
       op match {
@@ -797,13 +831,13 @@ object Export {
         case "=" => obj("const" -> jsonLit(v))
         case "not=" => obj("not" -> obj("const" -> jsonLit(v)))
       }
-    case SRef(n) => obj("$ref" -> esc(s"#$n"))
+    case SRef(n) => ctx.refTo(n, jsonBody)
     // :multi → oneOf over branch outputs, the ::m/default branch last
     // (json_schema.cljc:126; fixture json_schema_test.cljc:75-91)
     case SMulti(_, bs, d) =>
-      obj("oneOf" -> arr((bs.map(_._2) ++ d).map(toJsonSchema)))
+      obj("oneOf" -> arr((bs.map(_._2) ++ d).map(jsonBody(_))))
     case SMultiExpr(_, _, _, bs, d) =>
-      obj("oneOf" -> arr((bs.map(_._2) ++ d).map(toJsonSchema)))
+      obj("oneOf" -> arr((bs.map(_._2) ++ d).map(jsonBody(_))))
     // opaque predicates carry no JSON-Schema contract (:fn → {},
     // json_schema.cljc:164) — any SProps wrapper still contributes
     // passthrough keys on top
@@ -811,16 +845,16 @@ object Export {
     // declarative util proxies export their EXPANSION
     // (json_schema_test.cljc:206-243 — :merge/:union/:select-keys render
     // as the resolved object)
-    case m: SMergeOf => toJsonSchema(SchemaOps.expand(m))
-    case u: SUnionOf => toJsonSchema(SchemaOps.expand(u))
-    case sk: SSelectKeysOf => toJsonSchema(SchemaOps.expand(sk))
+    case m: SMergeOf => jsonBody(SchemaOps.expand(m))
+    case u: SUnionOf => jsonBody(SchemaOps.expand(u))
+    case sk: SSelectKeysOf => jsonBody(SchemaOps.expand(sk))
     // property passthrough (json_schema.cljc:201-208): a whole
     // `:json-schema` prop REPLACES the output; otherwise
     // (merge (select-keys p [:title :description :default])
     //        <generated> (-unlift-keys p :json-schema)) — later wins
     case SProps(p, c) =>
       p.jsonSchemaFull.map(jsonValue).getOrElse(
-        mergeJsonObjects(selectPairs(p) ++ topPairs(toJsonSchema(c)) ++
+        mergeJsonObjects(selectPairs(p) ++ topPairs(jsonBody(c)) ++
           p.jsonSchema.map { case (k, v) => k -> jsonValue(v) }))
     case other => obj("$comment" -> esc(s"unmapped: ${SchemaIR.form(other)}"))
   }
@@ -973,6 +1007,81 @@ object Export {
     * `x-items` (no prefixItems). Everything else delegates to
     * [[toJsonSchema]] with swagger recursion through containers. */
   def toSwagger(ir: SchemaIR): String = {
+    implicit val ctx: RefCtx = new RefCtx("#/definitions/")
+    val out = finishDefs(swaggerBody(ir), ctx)
+    // swagger.cljc:102-103: a null-typed top-level output has no
+    // representable swagger form
+    if (topPairs(out).toMap.get("type").contains("\"null\""))
+      throw new IllegalArgumentException(
+        s"swagger needs a non-null base: ${SchemaIR.form(ir)}")
+    out
+  }
+
+  /** `swagger/swagger-spec` (swagger.cljc:106-213): assemble the
+    * `::parameters`/`::responses` sections of a swagger doc.
+    *
+    *  - a `body` parameter wraps its transformed schema whole (name from
+    *    the schema's `:title`, required unless the schema is `:maybe`);
+    *  - any other `in` (query/header/path/formData) deref-inlines refs
+    *    (`m/deref-recursive` — a `\$ref` would replace the whole
+    *    parameter object) and FLATTENS the map's properties into one
+    *    parameter per entry, the rendered property spread on top;
+    *  - parameters deduplicate on (in, name), later entries win;
+    *  - every transformed schema's collected `definitions` hoist to the
+    *    document root (each schema itself stays `\$ref`-only). */
+  def swaggerSpec(parameters: Seq[(String, SchemaIR)],
+                  responses: Seq[(Int, Option[SchemaIR], Option[String])])
+      : String = {
+    val defs = scala.collection.mutable.LinkedHashMap[String, String]()
+    def transform(s: SchemaIR): String = {
+      implicit val ctx: RefCtx = new RefCtx("#/definitions/")
+      val out = swaggerBody(s)
+      ctx.defs.foreach { case (k, v) => if (!defs.contains(k)) defs(k) = v }
+      out
+    }
+    def extract(in: String, s: SchemaIR): Seq[((String, String), String)] =
+      in match {
+        case "body" =>
+          val rendered = transform(s)
+          val tp = topPairs(rendered).toMap
+          val name = tp.getOrElse("title", esc("body"))
+          Seq(((in, name), obj(
+            "in" -> esc("body"), "name" -> name,
+            "description" -> tp.getOrElse("description", esc("")),
+            "required" -> (!s.isInstanceOf[SMaybe]).toString,
+            "schema" -> rendered)))
+        case _ =>
+          val rendered = transform(SchemaOps.derefRecursive(s))
+          val tp = topPairs(rendered).toMap
+          val props = tp.get("properties").map(topPairs).getOrElse(Seq.empty)
+          val req = tp.get("required").map(topElems).getOrElse(Seq.empty).toSet
+          props.map { case (k, pj) =>
+            ((in, esc(k)), mergeJsonObjects(Seq(
+              "in" -> esc(in), "name" -> esc(k),
+              "description" -> esc(""),
+              "required" -> req.contains(esc(k)).toString) ++ topPairs(pj)))
+          }
+      }
+    val extracted = parameters.flatMap { case (in, s) => extract(in, s) }
+    // later (in, name) wins, surviving entries keep their relative order
+    val lastIdx = extracted.zipWithIndex
+      .groupBy(_._1._1).view.mapValues(_.last._2).toMap
+    val params = extracted.zipWithIndex
+      .collect { case ((key, j), i) if lastIdx(key) == i => j }
+    val resps = responses.map { case (st, sch, desc) =>
+      st.toString -> obj(Seq(
+        "description" -> esc(desc.getOrElse(""))) ++
+        sch.map(s => "schema" -> transform(s)): _*)
+    }
+    obj((if (params.nonEmpty) Seq("parameters" -> arr(params))
+         else Seq.empty) ++
+      (if (resps.nonEmpty) Seq("responses" -> obj(resps: _*))
+       else Seq.empty) ++
+      (if (defs.nonEmpty) Seq("definitions" -> obj(defs.toSeq: _*))
+       else Seq.empty): _*)
+  }
+
+  private def swaggerBody(ir: SchemaIR)(implicit ctx: RefCtx): String = {
     // a child is null-typed only when ITS OWN top-level type is null
     // (exact SNil rendering) — substring search would wrongly skip any
     // child merely CONTAINING a null-typed descendant
@@ -991,60 +1100,62 @@ object Export {
         "format" -> esc("double")) ++
         optNum("minimum", mn) ++ optNum("maximum", mx): _*)
       case SMaybe(c) =>
-        inject(base(Seq(toSwagger(c))), "\"x-nullable\": true")
+        inject(base(Seq(swaggerBody(c))), "\"x-nullable\": true")
       case SAnd(cs) =>
-        val ks = cs.map(toSwagger)
+        val ks = cs.map(swaggerBody(_))
         inject(base(ks), "\"x-allOf\": " + arr(ks))
       case SAndn(bs) =>
-        val ks = bs.map(b => toSwagger(b._2))
+        val ks = bs.map(b => swaggerBody(b._2))
         inject(base(ks), "\"x-allOf\": " + arr(ks))
       case SOr(cs) =>
-        val ks = cs.map(toSwagger)
+        val ks = cs.map(swaggerBody(_))
         inject(base(ks), "\"x-anyOf\": " + arr(ks))
       case SOrn(bs) =>
-        val ks = bs.map(b => toSwagger(b._2))
+        val ks = bs.map(b => swaggerBody(b._2))
         inject(base(ks), "\"x-anyOf\": " + arr(ks))
-      case SMulti(_, bs, _) =>
-        val ks = bs.map(b => toSwagger(b._2))
+      case SMulti(_, bs, d) =>
+        val ks = (bs.map(_._2) ++ d).map(swaggerBody(_))
         inject(base(ks), "\"x-anyOf\": " + arr(ks))
-      case SNot(c) => obj("x-not" -> toSwagger(c))
+      case SMultiExpr(_, _, _, bs, d) =>
+        val ks = (bs.map(_._2) ++ d).map(swaggerBody(_))
+        inject(base(ks), "\"x-anyOf\": " + arr(ks))
+      case SNot(c) => obj("x-not" -> swaggerBody(c))
       case STuple(cs) => obj("type" -> esc("array"), "items" -> "{}",
-        "x-items" -> arr(cs.map(toSwagger)))
-      case SMap(es, closed, rest) => mapObject(es, closed, rest, toSwagger)
+        "x-items" -> arr(cs.map(swaggerBody(_))))
+      case SMap(es, closed, rest) => mapObject(es, closed, rest, swaggerBody)
       case SMapOf(_, v, mn, mx) =>
         obj(Seq("type" -> esc("object"),
-          "additionalProperties" -> toSwagger(v)) ++
+          "additionalProperties" -> swaggerBody(v)) ++
           optNum("minProperties", mn) ++ optNum("maxProperties", mx): _*)
       // enum inference renders through THIS dialect so int/double enums
       // keep their swagger formats
       case SEnum(vs) =>
-        obj(inferEnumLeaf(vs).map(l => topPairs(toSwagger(l)))
+        obj(inferEnumLeaf(vs).map(l => topPairs(swaggerBody(l)))
           .getOrElse(Seq.empty) :+ ("enum" -> arr(vs.map(jsonLit))): _*)
-      case m: SMergeOf => toSwagger(SchemaOps.expand(m))
-      case u: SUnionOf => toSwagger(SchemaOps.expand(u))
-      case sk: SSelectKeysOf => toSwagger(SchemaOps.expand(sk))
+      case m: SMergeOf => swaggerBody(SchemaOps.expand(m))
+      case u: SUnionOf => swaggerBody(SchemaOps.expand(u))
+      case sk: SSelectKeysOf => swaggerBody(SchemaOps.expand(sk))
       case SVector(c, mn, mx) => obj(Seq("type" -> esc("array"),
-        "items" -> toSwagger(c)) ++
+        "items" -> swaggerBody(c)) ++
         optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
       case SSet(c, mn, mx) => obj(Seq("type" -> esc("array"),
-        "items" -> toSwagger(c), "uniqueItems" -> "true") ++
+        "items" -> swaggerBody(c), "uniqueItems" -> "true") ++
         optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
-      case SEvery(c, mn, mx, _) => toSwagger(SVector(c, mn, mx))
-      case SSeqable(c, mn, mx) => toSwagger(SVector(c, mn, mx))
+      case SEvery(c, mn, mx, _) => swaggerBody(SVector(c, mn, mx))
+      case SSeqable(c, mn, mx) => swaggerBody(SVector(c, mn, mx))
       case SScoped(reg, c) =>
-        obj("$defs" -> obj(reg.toSeq.sortBy(_._1)
-            .map { case (n, s) =>
-              n -> obj("$anchor" -> esc(n),
-                "allOf" -> arr(Seq(toSwagger(s)))) }: _*),
-          "allOf" -> arr(Seq(toSwagger(c))))
+        val saved = ctx.scope
+        ctx.scope = ctx.scope ++ reg
+        try swaggerBody(c) finally ctx.scope = saved
+      case SRef(n) => ctx.refTo(n, swaggerBody)
       // swagger.cljc:74-81: whole `:swagger` prop replaces; else
       // (merge (select p) <generated> :json-schema/... :swagger/...)
       case SProps(p, c) =>
         p.swaggerFull.map(jsonValue).getOrElse(
-          mergeJsonObjects(selectPairs(p) ++ topPairs(toSwagger(c)) ++
+          mergeJsonObjects(selectPairs(p) ++ topPairs(swaggerBody(c)) ++
             p.jsonSchema.map { case (k, v) => k -> jsonValue(v) } ++
             p.swagger.map { case (k, v) => k -> jsonValue(v) }))
-      case other => toJsonSchema(other) // identical leaves
+      case other => jsonBody(other) // identical leaves
     }
   }
 }

@@ -305,6 +305,95 @@ class ExportSpec extends AnyFunSuite {
       .startsWith("""{"type": "object", "properties": {"x": {"anyOf": [{"type": "integer"}, {"type": "string"}]}"""))
   }
 
+  test("registry refs render as #/definitions pointers (json_schema.cljc:17-37)") {
+    // circular definitions are not created (fixture :299-305)
+    val foo = S.scoped("Foo" -> S.int)(S.ref("Foo"))
+    assert(Export.toJsonSchema(foo) ===
+      """{"$ref": "#/definitions/Foo", "definitions": {"Foo": {"type": "integer"}}}""")
+    // ::definitions-path override (fixture :306-314) — pointer moves,
+    // the root key stays "definitions"
+    assert(Export.toJsonSchema(foo, "#/foo/bar/") ===
+      """{"$ref": "#/foo/bar/Foo", "definitions": {"Foo": {"type": "integer"}}}""")
+    // mutual recursion terminates via the recursion stopper
+    // (fixture :316-331 Foo ↔ Bar)
+    val fooBar = S.scoped(
+      "Foo" -> S.vector(S.ref("Bar")),
+      "Bar" -> S.ref("Foo"))(S.ref("Foo"))
+    assert(Export.toJsonSchema(fooBar) ===
+      """{"$ref": "#/definitions/Foo", "definitions": {"Foo": {"type": "array", "items": {"$ref": "#/definitions/Bar"}}, "Bar": {"$ref": "#/definitions/Foo"}}}""")
+    // the self-recursive node schema, in both dialects (swagger ints
+    // keep their int64 format inside definitions)
+    val node = S.scoped("node" -> S.mapE(false,
+      S.req("v", S.intMin(0L)),
+      S.opt("kids", S.vector(S.ref("node")))))(S.ref("node"))
+    assert(Export.toJsonSchema(node) ===
+      """{"$ref": "#/definitions/node", "definitions": {"node": {"type": "object", "properties": {"v": {"type": "integer", "minimum": 0}, "kids": {"type": "array", "items": {"$ref": "#/definitions/node"}}}, "required": ["v"]}}}""")
+    assert(Export.toSwagger(node) ===
+      """{"$ref": "#/definitions/node", "definitions": {"node": {"type": "object", "properties": {"v": {"type": "integer", "format": "int64", "minimum": 0}, "kids": {"type": "array", "items": {"$ref": "#/definitions/node"}}}, "required": ["v"]}}}""")
+    // swagger :maybe of a ref: x-nullable rides on the pointer object
+    // (swagger references-test :origin)
+    val withMaybe = S.scoped("C" -> S.string)(S.maybe(S.ref("C")))
+    assert(Export.toSwagger(withMaybe) ===
+      """{"$ref": "#/definitions/C", "x-nullable": true, "definitions": {"C": {"type": "string"}}}""")
+  }
+
+  test("swagger top-level null base throws (swagger_test null-base-test)") {
+    intercept[IllegalArgumentException](Export.toSwagger(S.nil))
+    intercept[IllegalArgumentException](Export.toSwagger(S.maybe(S.nil)))
+    intercept[IllegalArgumentException](Export.toSwagger(S.or(S.nil, S.nil)))
+  }
+
+  test("swagger-spec assembles parameters/responses (swagger_test.cljc:334-445)") {
+    // basic: body wraps whole, query/header flatten per property
+    val spec = Export.swaggerSpec(
+      parameters = Seq(
+        "body" -> S.mapE(false, S.req("foo", S.string)),
+        "query" -> S.mapE(false, S.req("a", S.string), S.req("b", S.string)),
+        "header" -> S.mapE(false, S.req("c", S.string))),
+      responses = Seq(
+        (200, Some(S.mapE(false, S.req("bar", S.keyword))), None)))
+    assert(spec ===
+      """{"parameters": [""" +
+      """{"in": "body", "name": "body", "description": "", "required": true, "schema": {"type": "object", "properties": {"foo": {"type": "string"}}, "required": ["foo"]}}, """ +
+      """{"in": "query", "name": "a", "description": "", "required": true, "type": "string"}, """ +
+      """{"in": "query", "name": "b", "description": "", "required": true, "type": "string"}, """ +
+      """{"in": "header", "name": "c", "description": "", "required": true, "type": "string"}], """ +
+      """"responses": {"200": {"description": "", "schema": {"type": "object", "properties": {"bar": {"type": "string"}}, "required": ["bar"]}}}}""")
+    // registry body: schema stays a $ref, definitions hoist to the root
+    val regBody = S.scoped("req-body" -> S.mapOf(S.keyword, S.any))(
+      S.ref("req-body"))
+    assert(Export.swaggerSpec(Seq("body" -> regBody), Seq.empty) ===
+      """{"parameters": [{"in": "body", "name": "body", "description": "", "required": true, "schema": {"$ref": "#/definitions/req-body"}}], """ +
+      """"definitions": {"req-body": {"type": "object", "additionalProperties": {}}}}""")
+    // recursive registries collect transitively
+    val recSpec = Export.swaggerSpec(
+      Seq("body" -> S.scoped(
+        "a" -> S.or(S.string, S.vector(S.ref("b"))),
+        "b" -> S.or(S.keyword, S.vector(S.ref("c"))),
+        "c" -> S.or(S.symbol, S.vector(S.ref("a"))))(
+        S.mapE(false, S.req("a", S.ref("a"))))), Seq.empty)
+    assert(recSpec.contains(""""definitions": {"a": {"type": "string", "x-anyOf": [{"type": "string"}, {"type": "array", "items": {"$ref": "#/definitions/b"}}]}, "b": """))
+    assert(recSpec.contains(""""c": {"type": "string", "x-anyOf": [{"type": "string"}, {"type": "array", "items": {"$ref": "#/definitions/a"}}]}"""))
+    // non-body refs inline (deref-recursive) instead of $ref-ing; later
+    // duplicate (in, name) wins (regression #1002 ordering semantics)
+    val q = S.scoped("qb" -> S.string(min = 10))(
+      S.mapE(false, S.req("a", S.int), S.req("b", S.ref("qb"))))
+    val inlined = Export.swaggerSpec(Seq("query" -> q), Seq.empty)
+    assert(inlined ===
+      """{"parameters": [""" +
+      """{"in": "query", "name": "a", "description": "", "required": true, "type": "integer", "format": "int64"}, """ +
+      """{"in": "query", "name": "b", "description": "", "required": true, "type": "string", "minLength": 10}]}""")
+    val dedup = Export.swaggerSpec(Seq(
+      "query" -> S.mapE(false, S.req("q", S.string)),
+      "query" -> S.mapE(false, S.req("q", S.int))), Seq.empty)
+    assert(dedup ===
+      """{"parameters": [{"in": "query", "name": "q", "description": "", "required": true, "type": "integer", "format": "int64"}]}""")
+    // response without schema keeps its description only
+    assert(Export.swaggerSpec(Seq.empty,
+      Seq((500, None, Some("fail")), (200, Some(S.string), None))) ===
+      """{"responses": {"500": {"description": "fail"}, "200": {"description": "", "schema": {"type": "string"}}}}""")
+  }
+
   test("swagger property passthrough (swagger.cljc:74-81)") {
     // :swagger/... keys merge on top (vendor extensions)
     val s1 = SProps(NodeProps(title = Some("kind"),

@@ -960,6 +960,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- schema-hinted transformation (:decode/<mode> interceptors,
+    //      transform_test.cljc:824-928): enter → node transform → leave,
+    //      compiled to Columns through the FmapColumns kernel ----
+    "decode_hinted" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR._
+      val id = F.col("doc_id")
+      // [:and {:enter pad-2-digit :leave ×10-if-big} :int
+      //       [:any {:enter inc :leave (partial * 2)}]]
+      val andDecode = SProps(NodeProps(decodeHints = Seq("string" -> THint(
+        enter =
+          Some("""(fn [x] (if (re-matches "[0-9]{2}" x) (str x "0") x))"""),
+        leave = Some("(fn [x] (if (>= x 100) (* 10 x) x))")))),
+        SAnd(Seq(SInt(), SProps(NodeProps(decodeHints = Seq("string" ->
+          THint(enter = Some("inc"), leave = Some("(partial * 2)")))),
+          SAny))))
+      // :or picks the first branch whose decoded result VALIDATES
+      val orSel = SOr(Seq(
+        SProps(NodeProps(decodeHints = Seq("string" ->
+          THint(leave = Some("(partial * 2)")))), SInt(Some(1L), None)),
+        SInt()))
+      val upper = SProps(NodeProps(decodeHints =
+        Seq("string" -> THint(enter = Some("str/upper-case")))), SString())
+      val src = t(s, dir, "documents").select(id,
+        (id % 137).cast(StringType).as("s_num"),
+        ((id % 23) - 11).cast(StringType).as("s_or"),
+        F.col("lang"))
+      src.select(id,
+          Transform.decode(andDecode, F.col("s_num"), StringType,
+            Transform.StringMode).as("hinted_and"),
+          Transform.decode(orSel, F.col("s_or"), StringType,
+            Transform.StringMode).as("hinted_or"),
+          Transform.decode(upper, F.col("lang"), StringType,
+            Transform.StringMode).as("lang_up"))
+        .orderBy("doc_id")
+    }),
+
     // ---- full transformer pipeline: decodeDF → fillDefaults →
     //      renameKeys → stripExtraKeys → encode (gated end-to-end) ----
     "transform_pipeline" -> ((s, dir) => {
@@ -3073,6 +3109,28 @@ object SparkEntry {
         |       WHEN s_bool = 'false' THEN false ELSE NULL END AS d_bool,
         |  NULLIF(s_str, '') AS d_str
         |FROM src ORDER BY doc_id""".stripMargin,
+
+    // hinted :and — enter pads 2-digit numbers with a trailing 0, the
+    // int decode + inner (inc, *2) hints run in child order, leave ×10
+    // past 100; hinted :or doubles via branch 1 only when the doubled
+    // value still validates (>= 1)
+    "decode_hinted" ->
+      """WITH src AS (SELECT doc_id,
+        |  CAST(doc_id % 137 AS VARCHAR) AS s_num,
+        |  CAST(doc_id % 23 - 11 AS VARCHAR) AS s_or, lang
+        |  FROM documents),
+        |step AS (SELECT doc_id, s_or, lang,
+        |  (CASE WHEN regexp_full_match(s_num, '[0-9]{2}')
+        |        THEN CAST(s_num || '0' AS BIGINT)
+        |        ELSE CAST(s_num AS BIGINT) END + 1) * 2 AS v2
+        |  FROM src)
+        |SELECT doc_id,
+        |  CASE WHEN v2 >= 100 THEN v2 * 10 ELSE v2 END AS hinted_and,
+        |  CASE WHEN CAST(s_or AS BIGINT) * 2 >= 1
+        |       THEN CAST(s_or AS BIGINT) * 2
+        |       ELSE CAST(s_or AS BIGINT) END AS hinted_or,
+        |  upper(lang) AS lang_up
+        |FROM step ORDER BY doc_id""".stripMargin,
 
     "transform_pipeline" ->
       """WITH src AS (SELECT doc_id,

@@ -41,13 +41,67 @@ object Transform {
       F.try_to_timestamp(c, F.lit("yyyy-MM-dd'T'HH:mm:ssXXX")),
       F.try_to_timestamp(c, F.lit("yyyy-MM-dd")))
 
+  private def modeName(mode: Mode): String = mode match {
+    case StringMode => "string"
+    case JsonMode => "json"
+  }
+
+  private def hintFor(hints: Seq[(String, SchemaIR.THint)], mode: Mode)
+      : Option[SchemaIR.THint] =
+    hints.collectFirst { case (n, h) if n == modeName(mode) => h }
+
+  private def applyFn(src: String, col: Column, dt: DataType)
+      : (Column, DataType) =
+    mallispark.gen.FmapColumns.compile(src, col, dt)
+
   /** Decode one column to the schema's natural type.
-    * Elision: if `dt` already matches, return the column untouched. */
+    * Elision: if `dt` already matches, return the column untouched.
+    *
+    * Schema-hinted transformations (`:decode/<mode>` props, reference
+    * transform_test.cljc:824-928): the hint's `:enter` runs BEFORE the
+    * node's own transform (and its children), `:leave` runs AFTER —
+    * compiled through the shared [[mallispark.gen.FmapColumns]] kernel so
+    * hinted decodes stay codegen'd Column expressions. A hint for a mode
+    * the transformer doesn't carry is a no-op (the "undefined
+    * transformations" fixture). */
   def decode(ir: SchemaIR, col: Column, dt: DataType, mode: Mode): Column =
     ir match {
-      case SProps(_, c) => decode(c, col, dt, mode)
+      case SProps(p, c) =>
+        hintFor(p.decodeHints, mode) match {
+          case None => decode(c, col, dt, mode)
+          case Some(h) =>
+            val (c1, t1) = h.enter.map(applyFn(_, col, dt))
+              .getOrElse((col, dt))
+            val c2 = decode(c, c1, t1, mode)
+            h.leave.map(applyFn(_, c2, decodedType(c, t1, mode))._1)
+              .getOrElse(c2)
+        }
       case SMaybe(c) => decode(c, col, dt, mode)
-      case SAnd(cs) if cs.nonEmpty => decode(cs.head, col, dt, mode)
+      // :and applies EVERY child's transformer in child order, threading
+      // the evolving column type (transform_test.cljc:879-900 — the
+      // string→long decode of child 1 feeds child 2's hints)
+      case SAnd(cs) if cs.nonEmpty =>
+        cs.foldLeft((col, dt)) { case ((c0, t0), child) =>
+          (decode(child, c0, t0, mode), decodedType(child, t0, mode))
+        }._1
+      // :or decodes with the FIRST branch whose result validates
+      // (transform.cljc -or-transformer); a typed engine can only gate
+      // between branches that decode to ONE column type — branches with
+      // a different result type are skipped, and when nothing validates
+      // the first branch's decode stands (malli keeps the raw input
+      // there; a static column type cannot)
+      case SOr(cs) if cs.nonEmpty =>
+        implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
+        val t0 = decodedType(cs.head, dt, mode)
+        val usable = cs.filter(c => decodedType(c, dt, mode) == t0)
+        val head = decode(usable.head, col, dt, mode)
+        if (usable.size == 1) head
+        else usable.tail.foldLeft(
+          F.when(SchemaCompiler.valid(usable.head, head, t0), head)) {
+            (acc, c) =>
+              val d = decode(c, col, dt, mode)
+              acc.when(SchemaCompiler.valid(c, d, t0), d)
+          }.otherwise(head)
       case _: SInt =>
         dt match {
           case StringType if mode == StringMode =>
@@ -159,13 +213,121 @@ object Transform {
       case _ => col
     }
 
+  /** The column type [[decode]] produces — the static mirror of its case
+    * analysis, used to thread types through `:and` chains and hint
+    * `:leave` compilation. Kept in lockstep with `decode` (TransformSpec
+    * asserts the pairing on representative inputs). */
+  def decodedType(ir: SchemaIR, dt: DataType, mode: Mode): DataType =
+    ir match {
+      case SProps(p, c) =>
+        hintFor(p.decodeHints, mode) match {
+          case None => decodedType(c, dt, mode)
+          case Some(h) =>
+            val t1 = h.enter
+              .map(mallispark.gen.FmapColumns.outType(_, dt)).getOrElse(dt)
+            val t2 = decodedType(c, t1, mode)
+            h.leave.map(mallispark.gen.FmapColumns.outType(_, t2))
+              .getOrElse(t2)
+        }
+      case SMaybe(c) => decodedType(c, dt, mode)
+      case SAnd(cs) if cs.nonEmpty =>
+        cs.foldLeft(dt)((t, c) => decodedType(c, t, mode))
+      case SOr(cs) if cs.nonEmpty => decodedType(cs.head, dt, mode)
+      case _: SInt => dt match {
+        case StringType if mode == StringMode => LongType
+        case ByteType | ShortType | IntegerType | FloatType | DoubleType =>
+          LongType
+        case _ => dt
+      }
+      case _: SDouble => dt match {
+        case StringType if mode == StringMode => DoubleType
+        case ByteType | ShortType | IntegerType | LongType | FloatType =>
+          DoubleType
+        case _ => dt
+      }
+      case SBoolean => dt match {
+        case StringType if mode == StringMode => BooleanType
+        case _ => dt
+      }
+      case _: STimestamp => dt match {
+        case StringType => TimestampType
+        case _ => dt
+      }
+      case _: SDate => dt match {
+        case StringType | TimestampType => DateType
+        case _ => dt
+      }
+      case STime("duration", _, _) if dt == StringType =>
+        DayTimeIntervalType()
+      case STime("period", _, _) if dt == StringType =>
+        YearMonthIntervalType()
+      case STime("local-date-time", _, _) if dt == StringType =>
+        TimestampNTZType
+      case _: SString => dt match {
+        case StringType => dt
+        case _ if mode == StringMode => StringType
+        case _ => dt
+      }
+      case SSet(c, _, _) => dt match {
+        case ArrayType(et, n) => ArrayType(decodedType(c, et, mode), n)
+        case _ => dt
+      }
+      case SVector(c, _, _) => dt match {
+        case ArrayType(et, n) => ArrayType(decodedType(c, et, mode), n)
+        case _ => dt
+      }
+      case SSeqable(c, _, _) => dt match {
+        case ArrayType(et, n) => ArrayType(decodedType(c, et, mode), n)
+        case _ => dt
+      }
+      case _ => dt
+    }
+
+  /** The column type [[encode]] produces. Every leaf encoder in this
+    * engine lands on a string column (see encode's default cases); only
+    * the composing wrappers thread other types through hints. */
+  def encodedType(ir: SchemaIR, dt: DataType,
+                  mode: Mode = StringMode): DataType = ir match {
+    case SProps(p, c) =>
+      hintFor(p.encodeHints, mode) match {
+        case None => encodedType(c, dt, mode)
+        case Some(h) =>
+          val t1 = h.enter
+            .map(mallispark.gen.FmapColumns.outType(_, dt)).getOrElse(dt)
+          val t2 = encodedType(c, t1, mode)
+          h.leave.map(mallispark.gen.FmapColumns.outType(_, t2))
+            .getOrElse(t2)
+      }
+    case SAnd(cs) if cs.nonEmpty =>
+      cs.foldLeft(dt)((t, c) => encodedType(c, t, mode))
+    case _ => StringType
+  }
+
   /** "" → nil (-string->nil, transform.cljc:171-172); opt-in piece of the
     * string transformer. */
   def emptyStringToNull(col: Column): Column = F.nullif(col, F.lit(""))
 
-  /** Encode: schema type → string (transform.cljc date→string at 183-193). */
-  def encode(ir: SchemaIR, col: Column, dt: DataType): Column = ir match {
-    case SProps(_, c) => encode(c, col, dt)
+  /** Encode: schema type → string (transform.cljc date→string at 183-193).
+    * `:encode/<mode>` hints run `:enter` before the node's encode and
+    * `:leave` after, like decode but in the encode direction. */
+  def encode(ir: SchemaIR, col: Column, dt: DataType,
+             mode: Mode = StringMode): Column = ir match {
+    case SProps(p, c) =>
+      hintFor(p.encodeHints, mode) match {
+        case None => encode(c, col, dt, mode)
+        case Some(h) =>
+          val (c1, t1) = h.enter.map(applyFn(_, col, dt))
+            .getOrElse((col, dt))
+          val c2 = encode(c, c1, t1, mode)
+          h.leave.map(applyFn(_, c2, encodedType(c, t1, mode))._1)
+            .getOrElse(c2)
+      }
+    // :and encode: every child in order, threading types (the encode dual
+    // of the decode fold)
+    case SAnd(cs) if cs.nonEmpty =>
+      cs.foldLeft((col, dt)) { case ((c0, t0), child) =>
+        (encode(child, c0, t0, mode), encodedType(child, t0, mode))
+      }._1
     case _: STimestamp =>
       F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
     case SIdent(kind, _) if kind.endsWith("keyword") =>

@@ -39,11 +39,18 @@ object FmapColumns {
 
     def unsupported(form: Any): Nothing =
       throw new IllegalArgumentException(
-        ":gen/fmap body is not Column-expressible (supported: parameter, " +
-          "literals, str, + - * inc dec abs min max mod): " + form)
+        "fn body is not Column-expressible (supported: parameter, " +
+          "literals, str, + - * inc dec abs min max mod, if, " +
+          "comparisons, re-matches, upper/lower-case, trim): " + form)
 
     def numType(ts: Seq[DataType]): DataType =
       if (ts.contains(DoubleType)) DoubleType else LongType
+
+    def asBool(ct: (Column, DataType), form: Any): Column = ct match {
+      case (c, BooleanType) => c
+      // MiniEval truthiness for non-boolean conditions: non-null is true
+      case (c, _) => c.isNotNull
+    }
 
     def go(form: Any): (Column, DataType) = form match {
       case Sym(None, n) if n == param => (in, inType)
@@ -90,6 +97,46 @@ object FmapColumns {
             val (a, t) = go(items(1))
             val (b, _) = go(items(2))
             (F.pmod(a, b), t)
+          // ---- transform-hint vocabulary (schema-hinted decode/encode) ----
+          case Sym(None, "if") if items.size >= 3 && items.size <= 4 =>
+            val cond = asBool(go(items(1)), items(1))
+            val (thenC, thenT) = go(items(2))
+            if (items.size == 4) {
+              val (elseC, elseT) = go(items(3))
+              require(thenT == elseT,
+                s"if branches must have one column type, got $thenT/$elseT")
+              (F.when(cond, thenC).otherwise(elseC), thenT)
+            } else (F.when(cond, thenC), thenT)
+          case Sym(None, op @ (">" | ">=" | "<" | "<=" | "=" | "not="))
+              if items.size == 3 =>
+            val (a, _) = go(items(1)); val (b, _) = go(items(2))
+            val col = op match {
+              case ">" => a > b
+              case ">=" => a >= b
+              case "<" => a < b
+              case "<=" => a <= b
+              case "=" => a === b
+              case "not=" => a =!= b
+            }
+            (col, BooleanType)
+          // whole-string match as a CONDITION (the fixture position);
+          // truthiness of match-or-nil collapses to a boolean column
+          case Sym(None, "re-matches") if items.size == 3 =>
+            val pat = items(1) match {
+              case s: String => s
+              case other => throw new IllegalArgumentException(
+                s"re-matches needs a literal string pattern, got $other")
+            }
+            val (c, _) = go(items(2))
+            (c.rlike("^(?:" + pat + ")$"), BooleanType)
+          case Sym(ns, op @ ("upper-case" | "lower-case" | "trim"))
+              if items.size == 2 && (ns.isEmpty || ns.contains("str")) =>
+            val (c, _) = go(items(1))
+            (op match {
+              case "upper-case" => F.upper(c)
+              case "lower-case" => F.lower(c)
+              case "trim" => F.trim(c)
+            }, StringType)
           case _ => unsupported(form)
         }
       case _ => unsupported(form)

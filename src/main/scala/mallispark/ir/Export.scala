@@ -533,7 +533,42 @@ object Export {
         }
         case other => throw new IllegalArgumentException(
           s":error/path must be a path vector, got $other")
-      })
+      },
+      decodeHints = parseHints(m, "decode"),
+      encodeHints = parseHints(m, "encode"))
+  }
+
+  /** `:decode/<name> f` compact keys plus the full `:decode {:name ..}`
+    * map; a name present in BOTH takes the map form (the reference's
+    * "full override masks compact keys", transform_test.cljc:870-877 —
+    * `-into-transformer` reads the map entry first). A hint value is a
+    * plain fn source (= `:enter`) or an `{:enter .. :leave ..}` map. */
+  private def parseHints(m: Map[String, Node], dir: String)
+      : Seq[(String, SchemaIR.THint)] = {
+    def hintOf(v: Any): SchemaIR.THint = v match {
+      case SStr(s) => SchemaIR.THint(enter = Some(s))
+      case Sym(s) => SchemaIR.THint(enter = Some(s))
+      case Props(hm) =>
+        def f(k: String) = hm.get(k).map {
+          case SStr(s) => s
+          case Sym(s) => s
+          case o => throw new IllegalArgumentException(
+            s"$dir hint $k must be a fn source, got $o")
+        }
+        SchemaIR.THint(enter = f(":enter"), leave = f(":leave"))
+      case other => throw new IllegalArgumentException(
+        s"unsupported $dir hint value: $other")
+    }
+    val compact = m.toSeq.filter(_._1.startsWith(s":$dir/")).sortBy(_._1)
+      .map { case (k, v) => k.stripPrefix(s":$dir/") -> hintOf(v) }
+    val full = m.get(s":$dir").toSeq.flatMap {
+      case Props(fm) => fm.toSeq.sortBy(_._1)
+        .map { case (k, v) => k.stripPrefix(":") -> hintOf(v) }
+      case other => throw new IllegalArgumentException(
+        s":$dir must be a {:name hint} map, got $other")
+    }
+    val masked = full.map(_._1).toSet
+    full ++ compact.filterNot(h => masked(h._1))
   }
 
   private def litOf(n: Node): Any = n match {

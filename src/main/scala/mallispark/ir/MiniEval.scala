@@ -91,6 +91,8 @@ object MiniEval {
       form match {
         case Sym(None, f) if builtins.contains(f) =>
           Fn(Vector("x"), VList(Vector(Sym(None, f), Sym(None, "x"))))
+        case s @ Sym(Some("str"), f) if strBuiltins.contains(f) =>
+          Fn(Vector("x"), VList(Vector(s, Sym(None, "x"))))
         case VList(items)
             if items.headOption.contains(Sym(None, "partial")) &&
                items.size >= 2 =>
@@ -117,6 +119,8 @@ object MiniEval {
     case Sym(None, n) =>
       if (!bound.contains(n) && !builtins.contains(n))
         fail(s"unknown symbol $n (not a parameter or builtin)")
+    // clojure.string fns keep their reference spelling (str/upper-case)
+    case Sym(Some("str"), n) if strBuiltins.contains(n) => ()
     case Sym(ns, n) => fail(s"qualified symbols are not supported: $ns/$n")
     case VList(items) =>
       // `if`/`and`/`or` heads are symbols checked as builtins like the rest
@@ -135,17 +139,24 @@ object MiniEval {
     case _ => true
   }
 
+  /** The `clojure.string` slice usable with its namespaced spelling. */
+  private val strBuiltins: Set[String] =
+    Set("upper-case", "lower-case", "trim")
+
   private val builtins: Set[String] = Set(
     "fn", "if", "when", "and", "or", "not",
     ">", ">=", "<", "<=", "=", "==", "not=",
     "+", "-", "*", "/", "mod", "min", "max", "inc", "dec", "abs",
     "count", "get", "first", "second", "nth", "contains?", "str",
+    "upper-case", "lower-case", "trim", "re-matches",
     "nil?", "some?", "int?", "string?", "boolean?", "double?", "number?",
     "pos?", "neg?", "zero?", "even?", "odd?", "empty?")
 
   def eval(form: Any, env: Map[String, Any]): Any = form match {
     case Sym(None, n) =>
       env.getOrElse(n, fail(s"unbound symbol $n"))
+    case Sym(Some("str"), n) if strBuiltins.contains(n) =>
+      fail(s"str/$n must be applied, not referenced")
     case VList(items) if items.nonEmpty => apply(items, env)
     case VList(_) => fail("cannot evaluate ()")
     case xs: Vector[_] => xs.map(eval(_, env))
@@ -166,6 +177,8 @@ object MiniEval {
         if (items.size < 2 || items.size > 3) fail(s"keyword call needs 1-2 args: $k")
         val v = getIn(eval(items(1), env), k)
         if (v == null && items.size == 3) eval(items(2), env) else v
+      case Sym(Some("str"), op) if strBuiltins.contains(op) =>
+        builtin(op, items.tail.map(eval(_, env)))
       case Sym(None, op) =>
         // special forms first (short-circuit); everything else is routed
         // through a guard that converts stray arity crashes into the
@@ -339,8 +352,23 @@ object MiniEval {
     case "even?" => asL(args.head) % 2 == 0
     case "odd?" => asL(args.head) % 2 != 0
     case "empty?" => cnt(args.head) == 0
+    case "upper-case" => asS(args.head).toUpperCase(java.util.Locale.ROOT)
+    case "lower-case" => asS(args.head).toLowerCase(java.util.Locale.ROOT)
+    case "trim" => asS(args.head).trim
+    // Clojure re-matches: whole-string match -> the match (truthy) or nil.
+    // The pattern argument is a STRING here (the Edn universe has no
+    // regex literals); groups collapse to the full match.
+    case "re-matches" =>
+      val m = java.util.regex.Pattern.compile(asS(args(0)))
+        .matcher(asS(args(1)))
+      if (m.matches()) m.group() else null
     case "not" => !truthy(args.head)
     case other => fail(s"unknown builtin $other")
+  }
+
+  private def asS(v: Any): String = v match {
+    case s: String => s
+    case other => fail(s"not a string: $other")
   }
 
   private def isNum(v: Any): Boolean = v match {

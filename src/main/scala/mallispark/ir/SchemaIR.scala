@@ -294,10 +294,21 @@ object SchemaIR {
       swagger: Seq[(String, Any)] = Nil,
       swaggerFull: Option[Any] = None,
       errorMessage: Option[String] = None,
-      errorPath: Option[Seq[String]] = None) {
+      errorPath: Option[Seq[String]] = None,
+      decodeHints: Seq[(String, THint)] = Nil,
+      encodeHints: Seq[(String, THint)] = Nil) {
     def isEmpty: Boolean = this == NodeProps.empty
   }
   object NodeProps { val empty: NodeProps = NodeProps() }
+
+  /** A schema-hinted transformation interceptor (`:decode/<name>` /
+    * `:encode/<name>` props — reference core.cljc `-parent-children-
+    * transformers`, fixtures transform_test.cljc:824-928): MiniEval fn
+    * sources run around the built-in transformer. A plain fn value is
+    * an `:enter` (runs before the node's own transform and children);
+    * `:leave` runs after. */
+  final case class THint(enter: Option[String] = None,
+                         leave: Option[String] = None)
 
   /** A property-carrying wrapper around any schema. In malli properties
     * live in the schema's own map (`[:int {:gen/min 1}]` IS an `:int`);
@@ -643,8 +654,20 @@ object SchemaIR {
      p.swagger.map { case (k, v) => s":swagger/$k ${ednLit(v)}" } ++
      p.errorMessage.map(m => s":error/message ${q(m)}") ++
      p.errorPath.map(segs =>
-       segs.map(":" + _).mkString(":error/path [", " ", "]"))
+       segs.map(":" + _).mkString(":error/path [", " ", "]")) ++
+     p.decodeHints.map { case (n, h) => s":decode/$n ${hintStr(h)}" } ++
+     p.encodeHints.map { case (n, h) => s":encode/$n ${hintStr(h)}" }
     ).mkString(" ")
+  }
+
+  /** Canonical hint rendering: enter-only prints as the plain fn source
+    * (the compact reference spelling); anything else as the
+    * `{:enter .. :leave ..}` interceptor map. */
+  private def hintStr(h: THint): String = h match {
+    case THint(Some(e), None) => q(e)
+    case THint(e, l) =>
+      (e.map(s => s":enter ${q(s)}") ++ l.map(s => s":leave ${q(s)}"))
+        .mkString("{", " ", "}")
   }
 
   /** EDN literal for property VALUES: keyword strings print bare, other

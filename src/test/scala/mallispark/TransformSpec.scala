@@ -126,6 +126,91 @@ class TransformSpec extends SparkSuite {
     assert(renamed.columns.contains("meta"))
   }
 
+  test("schema-hinted transformation (transform_test.cljc:824-860)") {
+    // [:string {:decode/string upper, :encode/string lower}]
+    val hinted = SProps(NodeProps(
+      decodeHints = Seq("string" -> THint(enter = Some("str/upper-case"))),
+      encodeHints = Seq("string" -> THint(enter = Some("str/lower-case")))),
+      SString())
+    val d = df(Seq(Row("KiKkA")),
+      StructType(Seq(StructField("v", StringType))))
+    def one(c: org.apache.spark.sql.Column): String =
+      d.select(c.as("r")).collect().head.getString(0)
+    assert(one(Transform.decode(hinted, F.col("v"), StringType,
+      Transform.StringMode)) === "KIKKA")
+    assert(one(Transform.encode(hinted, F.col("v"), StringType)) === "kikka")
+    // undefined transformations: a :decode/string hint is invisible to
+    // the json transformer
+    assert(one(Transform.decode(hinted, F.col("v"), StringType,
+      Transform.JsonMode)) === "KiKkA")
+    // decode∘encode lands on the encoded form
+    assert(one(Transform.encode(hinted,
+      Transform.decode(hinted, F.col("v"), StringType,
+        Transform.StringMode), StringType)) === "kikka")
+    // compact and map prop spellings parse to the same IR; the map form
+    // masks the compact key for the same name (fixture :870-877)
+    import mallispark.ir.Export
+    val compact = Export.fromForm(
+      """[:string {:decode/string "str/upper-case"}]""")
+    val mapForm = Export.fromForm(
+      """[:string {:decode {:string "str/upper-case"}}]""")
+    assert(compact === mapForm)
+    val masked = Export.fromForm(
+      """[:string {:decode {:string "str/upper-case"} :decode/string "str/lower-case"}]""")
+    assert(masked === compact)
+    // form and AST round-trips keep the hints
+    assert(Export.fromForm(mallispark.ir.SchemaIR.form(hinted)) === hinted)
+    assert(Export.fromJson(Export.toJson(hinted)) === hinted)
+  }
+
+  test("hinted :and applies all children in order (transform_test:879-900)") {
+    // decode: parent {:enter pad-2-digit :leave *10-if-big}, children
+    // int? then [any? {:enter inc :leave (partial * 2)}] — "1"→4, "11"→2220
+    val andDecode = SProps(NodeProps(decodeHints = Seq("string" -> THint(
+      enter = Some("""(fn [x] (if (re-matches "[0-9]{2}" x) (str x "0") x))"""),
+      leave = Some("(fn [x] (if (>= x 100) (* 10 x) x))")))),
+      SAnd(Seq(SInt(), SProps(NodeProps(decodeHints = Seq("string" ->
+        THint(enter = Some("inc"), leave = Some("(partial * 2)")))),
+        SAny))))
+    val d = df(Seq(Row("1"), Row("11")),
+      StructType(Seq(StructField("v", StringType))))
+    val dec = d.select(Transform.decode(andDecode, F.col("v"), StringType,
+      Transform.StringMode).as("r"))
+    assert(dec.collect().map(_.getLong(0)).toSeq === Seq(4L, 2220L))
+    // the static type mirror matches what the plan actually produced
+    assert(dec.schema.head.dataType ===
+      Transform.decodedType(andDecode, StringType, Transform.StringMode))
+
+    // encode dual (fixture :891-900): 1 → "<<1>>", 11 → "<<<<110>>>>"
+    val andEncode = SProps(NodeProps(encodeHints = Seq("string" -> THint(
+      enter = Some("(fn [x] (if (> x 10) (* x 10) x))"),
+      leave = Some(
+        """(fn [x] (if (re-matches "<<[0-9]{3}>>" x) (str "<<" x ">>") x))""")))),
+      SAnd(Seq(SAny, SProps(NodeProps(encodeHints = Seq("string" ->
+        THint(enter = Some("""(fn [x] (str "<<" x))"""),
+          leave = Some("""(fn [x] (str x ">>"))""")))),
+        SAny))))
+    val n = df(Seq(Row(1L), Row(11L)),
+      StructType(Seq(StructField("v", LongType))))
+    val enc = n.select(Transform.encode(andEncode, F.col("v"), LongType)
+      .as("r")).collect().map(_.getString(0))
+    assert(enc.toSeq === Seq("<<1>>", "<<<<110>>>>"))
+  }
+
+  test("hinted :or picks the first VALIDATING branch (transform_test:902-927)") {
+    // branch 1 doubles after decode but only covers positives; negatives
+    // fall through to the plain int branch
+    val or = SOr(Seq(
+      SProps(NodeProps(decodeHints = Seq("string" ->
+        THint(leave = Some("(partial * 2)")))), SInt(Some(1L), None)),
+      SInt()))
+    val d = df(Seq(Row("3"), Row("-3")),
+      StructType(Seq(StructField("v", StringType))))
+    val out = d.select(Transform.decode(or, F.col("v"), StringType,
+      Transform.StringMode).as("r")).collect().map(_.getLong(0))
+    assert(out.toSeq === Seq(6L, -3L))
+  }
+
   test("coerce = decode then validate, splitting accepted/rejected") {
     val schema = SMap(Seq(Entry("n", SInt(Some(1L), None))))
     val d = df(Seq(Row("5"), Row("0"), Row("junk")),

@@ -369,23 +369,83 @@ object Transform {
     df.select(cols: _*)
   }
 
-  /** strip-extra-keys-transformer (transform.cljc:460-483):
-    * keep only schema-declared columns. */
+  /** strip-extra-keys-transformer (transform.cljc:460-483): keep only
+    * schema-declared columns. A `::m/default` rest schema defines how the
+    * REMAINING keys strip (transform_test.cljc:565-630): nested
+    * default-map chains contribute their entry keys recursively, and a
+    * rest `:map-of` keeps every extra column whose NAME validates against
+    * its key schema (column names are strings, so a `:string`-keyed rest
+    * keeps all extras and an `:int`-keyed one keeps none — the value-
+    * universe dual lives in RowEval). */
   def stripExtraKeys(ir: SMap, df: DataFrame): DataFrame = {
-    val known = ir.entries.map(_.key).toSet
-    df.select(df.columns.filter(known).map(F.col).toIndexedSeq: _*)
+    def explicit(m: SMap): Set[String] =
+      m.entries.map(_.key).toSet ++ (m.rest match {
+        case Some(r: SMap) => explicit(r)
+        case _ => Set.empty
+      })
+    def restKey(m: SMap): Option[SchemaIR] = m.rest match {
+      case Some(r: SMap) => restKey(r)
+      case Some(SMapOf(k, _, _, _)) => Some(k)
+      case _ => None
+    }
+    val known = explicit(ir)
+    val keyOk: String => Boolean = restKey(ir) match {
+      case Some(k) => name => mallispark.eval.RowEval.validate(k, name)
+      case None => _ => false
+    }
+    df.select(df.columns.filter(c => known(c) || keyOk(c))
+      .map(F.col).toIndexedSeq: _*)
   }
 
   /** key-transformer (transform.cljc:485-490): rename columns. */
   def renameKeys(df: DataFrame, renames: Map[String, String]): DataFrame =
     renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
 
-  /** default-value-transformer over a whole frame. */
-  def fillDefaults(ir: SMap, df: DataFrame): DataFrame = {
-    val withDefaults = ir.entries.filter(_.default.nonEmpty)
-    withDefaults.foldLeft(df) { (d, e) =>
-      if (!d.columns.contains(e.key)) d
-      else d.withColumn(e.key, F.coalesce(F.col(e.key), F.lit(e.default.get)))
+  /** key-transformer with a function over names — the `mt/key-transformer
+    * {:decode f}` shape (transform_test.cljc:632-697). Column renames are
+    * driver-side metadata, so an arbitrary String => String is fine here
+    * (no row-level work). */
+  def transformKeys(df: DataFrame, f: String => String): DataFrame =
+    renameKeys(df, df.columns.map(c => c -> f(c)).filter(p => p._1 != p._2)
+      .toMap)
+
+  /** default-value-transformer over a whole frame
+    * (transform.cljc:492-528; option fixtures transform_test.cljc:958+).
+    * A default comes from the ENTRY prop, else the child schema's own
+    * `:default` prop, else `typeDefaults` for the child's leaf kind
+    * (the `{:defaults {type fn}}` option). Null cells coalesce to it;
+    * a MISSING column materializes as the default when the entry is
+    * required — optional entries join only under `addOptionalKeys`
+    * (`::mt/add-optional-keys`). */
+  def fillDefaults(ir: SMap, df: DataFrame,
+                   addOptionalKeys: Boolean = false,
+                   typeDefaults: Map[String, Any] = Map.empty): DataFrame = {
+    def leafKind(s: SchemaIR): String = s match {
+      case SProps(_, c) => leafKind(c)
+      case SMaybe(c) => leafKind(c)
+      case _: SString => "string"
+      case _: SInt => "int"
+      case _: SDouble => "double"
+      case SBoolean => "boolean"
+      case _ => ""
+    }
+    def defaultOf(e: Entry): Option[Any] =
+      e.default
+        .orElse(e.child match {
+          case SProps(p, _) => p.default
+          case _ => None
+        })
+        .orElse(typeDefaults.get(leafKind(e.child)))
+    ir.entries.foldLeft(df) { (d, e) =>
+      defaultOf(e) match {
+        case None => d
+        case Some(dv) =>
+          if (d.columns.contains(e.key))
+            d.withColumn(e.key, F.coalesce(F.col(e.key), F.lit(dv)))
+          else if (!e.optional || addOptionalKeys)
+            d.withColumn(e.key, F.lit(dv))
+          else d
+      }
     }
   }
 

@@ -126,6 +126,50 @@ class TransformSpec extends SparkSuite {
     assert(renamed.columns.contains("meta"))
   }
 
+  test("strip-extra-keys ::m/default + default-value options (transform_test:565-630, 958-1030)") {
+    val d = df(Seq(Row(1L, 2L, "zz")),
+      StructType(Seq(StructField("x", LongType), StructField("y", LongType),
+        StructField("z", StringType))))
+    // nested default-map chains flatten; a :string-keyed map-of rest
+    // keeps every extra column, an :int-keyed one keeps none
+    val nestedKeep = SMap(Seq(Entry("x", SInt())), rest = Some(
+      SMap(Seq(Entry("y", SInt())),
+        rest = Some(S.mapOf(S.string, S.int)))))
+    assert(Transform.stripExtraKeys(nestedKeep, d).columns.toSeq ===
+      Seq("x", "y", "z"))
+    val nestedDrop = SMap(Seq(Entry("x", SInt())), rest = Some(
+      SMap(Seq(Entry("y", SInt())),
+        rest = Some(S.mapOf(S.int, S.int)))))
+    assert(Transform.stripExtraKeys(nestedDrop, d).columns.toSeq ===
+      Seq("x", "y"))
+    // key-transformer over names
+    assert(Transform.transformKeys(d, _.toUpperCase).columns.toSeq ===
+      Seq("X", "Y", "Z"))
+
+    // defaults: child-prop default fills nulls; a required missing
+    // column materializes; optional joins only with addOptionalKeys
+    val schema = SMap(Seq(
+      Entry("x", SInt()),
+      Entry("req", SProps(NodeProps(default = Some(42L)), SInt())),
+      Entry("opt", SInt(), optional = true, default = Some(0L))))
+    val in = df(Seq(Row(5L)), StructType(Seq(StructField("x", LongType))))
+    val plain = Transform.fillDefaults(schema, in)
+    assert(plain.columns.toSeq === Seq("x", "req"))
+    assert(plain.collect().head.getLong(1) === 42L)
+    val withOpt = Transform.fillDefaults(schema, in, addOptionalKeys = true)
+    assert(withOpt.columns.toSeq === Seq("x", "req", "opt"))
+    assert(withOpt.collect().head.getLong(2) === 0L)
+    // {:defaults {type fn}} analogue: per-leaf-kind defaults fill nulls
+    val typed = SMap(Seq(Entry("name", SString()), Entry("age", SInt())))
+    val holes = df(Seq(Row(null, null)),
+      StructType(Seq(StructField("name", StringType),
+        StructField("age", LongType))))
+    val filled = Transform.fillDefaults(typed, holes,
+      typeDefaults = Map("string" -> ""))
+    val r = filled.collect().head
+    assert(r.getString(0) === "" && r.isNullAt(1))
+  }
+
   test("schema-hinted transformation (transform_test.cljc:824-860)") {
     // [:string {:decode/string upper, :encode/string lower}]
     val hinted = SProps(NodeProps(

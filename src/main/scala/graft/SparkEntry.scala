@@ -982,17 +982,29 @@ object SparkEntry {
         SInt()))
       val upper = SProps(NodeProps(decodeHints =
         Seq("string" -> THint(enter = Some("str/upper-case")))), SString())
+      // nested struct decode: declared fields coerce in place
+      val nestedSchema = SMap(Seq(
+        Entry("n", SInt()), Entry("kw", SIdent("keyword"))))
       val src = t(s, dir, "documents").select(id,
         (id % 137).cast(StringType).as("s_num"),
         ((id % 23) - 11).cast(StringType).as("s_or"),
-        F.col("lang"))
+        F.col("lang"),
+        F.struct((id % 50).cast(StringType).as("n"),
+          F.col("lang").as("kw")).as("nested"))
+      val nestedT = src.schema("nested").dataType
       src.select(id,
           Transform.decode(andDecode, F.col("s_num"), StringType,
             Transform.StringMode).as("hinted_and"),
           Transform.decode(orSel, F.col("s_or"), StringType,
             Transform.StringMode).as("hinted_or"),
           Transform.decode(upper, F.col("lang"), StringType,
-            Transform.StringMode).as("lang_up"))
+            Transform.StringMode).as("lang_up"),
+          Transform.decode(nestedSchema, F.col("nested"), nestedT,
+            Transform.StringMode).as("dec_nested"))
+        .select(F.col("doc_id"), F.col("hinted_and"), F.col("hinted_or"),
+          F.col("lang_up"),
+          F.col("dec_nested.n").as("nested_n"),
+          F.col("dec_nested.kw").as("nested_kw"))
         .orderBy("doc_id")
     }),
 
@@ -3129,7 +3141,9 @@ object SparkEntry {
         |  CASE WHEN CAST(s_or AS BIGINT) * 2 >= 1
         |       THEN CAST(s_or AS BIGINT) * 2
         |       ELSE CAST(s_or AS BIGINT) END AS hinted_or,
-        |  upper(lang) AS lang_up
+        |  upper(lang) AS lang_up,
+        |  doc_id % 50 AS nested_n,
+        |  ':' || lang AS nested_kw
         |FROM step ORDER BY doc_id""".stripMargin,
 
     "transform_pipeline" ->

@@ -210,7 +210,82 @@ object Transform {
           case ArrayType(et, _) => F.transform(col, x => decode(c, x, et, mode))
           case _ => col
         }
+      // nested :map over a struct column: decode each declared field in
+      // place (undeclared fields ride along); null structs stay null
+      // rather than collapsing into a struct of nulls
+      case SMap(es, _, _) =>
+        dt match {
+          case st: StructType if needsDecode(ir, dt, mode) =>
+            val byKey = es.map(e => e.key -> e).toMap
+            val fields = st.fields.toIndexedSeq.map { f =>
+              byKey.get(f.name) match {
+                case Some(e) =>
+                  val dcd =
+                    decode(e.child, col.getField(f.name), f.dataType, mode)
+                  e.default.map(d0 => F.coalesce(dcd, F.lit(d0)))
+                    .getOrElse(dcd).as(f.name)
+                case None => col.getField(f.name).as(f.name)
+              }
+            }
+            F.when(col.isNotNull, F.struct(fields: _*))
+          case _ => col
+        }
+      // :map-of over a MapType column: decode keys and values through
+      // their schemas. Entries whose KEY fails to decode are dropped —
+      // a typed map cannot hold the reference's keep-the-original
+      // fallback, and a null map key is a runtime error in Spark
+      case SMapOf(k, v, _, _) =>
+        dt match {
+          case MapType(kt, vt, _) if needsDecode(ir, dt, mode) =>
+            val dec = F.transform(F.map_entries(col), e => F.struct(
+              decode(k, e.getField("key"), kt, mode).as("key"),
+              decode(v, e.getField("value"), vt, mode).as("value")))
+            F.map_from_entries(
+              F.filter(dec, s => s.getField("key").isNotNull))
+          case _ => col
+        }
+      // tuples: positional decode — struct tuples per field, array
+      // tuples per index (only when every position decodes to the
+      // array's one element type)
+      case STuple(cs) =>
+        dt match {
+          case st: StructType if st.fields.length == cs.length &&
+              needsDecode(ir, dt, mode) =>
+            val fields = st.fields.toIndexedSeq.zip(cs).map { case (f, c) =>
+              decode(c, col.getField(f.name), f.dataType, mode).as(f.name)
+            }
+            F.when(col.isNotNull, F.struct(fields: _*))
+          case ArrayType(et, _) if needsDecode(ir, dt, mode) &&
+              cs.forall(c => decodedType(c, et, mode) ==
+                decodedType(cs.head, et, mode)) =>
+            // positions past the declared arity (already invalid as a
+            // tuple) go null when the element type moved — a raw `x`
+            // there would force an ANSI-illegal implicit cast
+            val outT = decodedType(cs.head, et, mode)
+            F.transform(col, (x, i) => cs.zipWithIndex.tail.foldLeft(
+              F.when(i === 0, decode(cs.head, x, et, mode))) {
+                case (acc, (c, j)) =>
+                  acc.when(i === j, decode(c, x, et, mode))
+              }.otherwise(
+                if (outT == et) x else F.lit(null).cast(outT)))
+          case _ => col
+        }
       case _ => col
+    }
+
+  /** Whether decoding `ir` over `dt` would change anything — the type
+    * moves, or some node in the subtree carries a hint for this mode.
+    * Containers use it to skip rebuilding structs/maps that would come
+    * back identical (plan-size elision). */
+  private def needsDecode(ir: SchemaIR, dt: DataType, mode: Mode): Boolean =
+    decodedType(ir, dt, mode) != dt || hasHints(ir, mode)
+
+  private def hasHints(ir: SchemaIR, mode: Mode): Boolean =
+    (ir match {
+      case SProps(p, _) => hintFor(p.decodeHints, mode).nonEmpty
+      case _ => false
+    }) || SchemaIR.childrenWithPath(ir).exists {
+      case (_, c) => hasHints(c, mode)
     }
 
   /** The column type [[decode]] produces — the static mirror of its case
@@ -278,6 +353,33 @@ object Transform {
       }
       case SSeqable(c, _, _) => dt match {
         case ArrayType(et, n) => ArrayType(decodedType(c, et, mode), n)
+        case _ => dt
+      }
+      case SMap(es, _, _) => dt match {
+        case st: StructType =>
+          val byKey = es.map(e => e.key -> e).toMap
+          StructType(st.fields.map { f =>
+            byKey.get(f.name).map(e =>
+              f.copy(dataType = decodedType(e.child, f.dataType, mode),
+                nullable = true)).getOrElse(f)
+          })
+        case _ => dt
+      }
+      case SMapOf(k, v, _, _) => dt match {
+        case MapType(kt, vt, n) =>
+          MapType(decodedType(k, kt, mode), decodedType(v, vt, mode), n)
+        case _ => dt
+      }
+      case STuple(cs) => dt match {
+        case st: StructType if st.fields.length == cs.length =>
+          StructType(st.fields.zip(cs).map { case (f, c) =>
+            f.copy(dataType = decodedType(c, f.dataType, mode),
+              nullable = true)
+          })
+        case ArrayType(et, n) if cs.nonEmpty &&
+            cs.forall(c => decodedType(c, et, mode) ==
+              decodedType(cs.head, et, mode)) =>
+          ArrayType(decodedType(cs.head, et, mode), n)
         case _ => dt
       }
       case _ => dt

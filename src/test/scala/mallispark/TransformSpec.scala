@@ -255,6 +255,57 @@ class TransformSpec extends SparkSuite {
     assert(out.toSeq === Seq(6L, -3L))
   }
 
+  test("nested containers decode in place (map/tuple/map-of columns)") {
+    // struct column: declared fields decode, undeclared ride along,
+    // null structs stay null
+    val inner = SMap(Seq(Entry("n", SInt()), Entry("kw", SIdent("keyword"))))
+    val st = StructType(Seq(StructField("n", StringType),
+      StructField("kw", StringType), StructField("extra", StringType)))
+    val d = df(Seq(
+      Row(Row("5", "abc", "e1")), Row(Row("bad", ":kw", "e2")), Row(null)),
+      StructType(Seq(StructField("m", st))))
+    val dec = d.select(Transform.decode(inner, F.col("m"), st,
+      Transform.StringMode).as("m"))
+    val rows = dec.collect()
+    val r0 = rows(0).getStruct(0)
+    assert(r0.getLong(0) === 5L && r0.getString(1) === ":abc" &&
+      r0.getString(2) === "e1")
+    assert(rows(1).getStruct(0).isNullAt(0)) // failed cast -> null field
+    assert(rows(2).isNullAt(0))              // null struct stays null
+
+    // struct tuple: positional decode
+    val tup = STuple(Seq(SIdent("keyword"), SInt()))
+    val tst = StructType(Seq(StructField("_1", StringType),
+      StructField("_2", StringType)))
+    val td = df(Seq(Row(Row("kikka", "1"))),
+      StructType(Seq(StructField("t", tst))))
+    val tr = td.select(Transform.decode(tup, F.col("t"), tst,
+      Transform.StringMode).as("t")).collect().head.getStruct(0)
+    assert(tr.getString(0) === ":kikka" && tr.getLong(1) === 1L)
+
+    // map-of: values decode; entries with undecodable KEYS drop (a typed
+    // map cannot keep the original, and null map keys are illegal)
+    val mo = S.mapOf(S.int, S.int)
+    val mt = MapType(StringType, StringType)
+    val md = df(Seq(Row(Map("1" -> "10", "x" -> "20", "3" -> "bad"))),
+      StructType(Seq(StructField("kv", mt))))
+    val mr = md.select(Transform.decode(mo, F.col("kv"), mt,
+      Transform.StringMode).as("kv")).collect().head
+      .getMap[Long, Any](0)
+    assert(mr.keySet === Set(1L, 3L))
+    assert(mr(1L) === 10L && mr(3L) == null)
+
+    // elision: an already-typed struct with no hints keeps the SAME
+    // column (no struct rebuild in the plan)
+    val typedSt = StructType(Seq(StructField("n", LongType)))
+    val td2 = df(Seq(Row(Row(4L))),
+      StructType(Seq(StructField("m", typedSt))))
+    val plan = td2.select(Transform.decode(SMap(Seq(Entry("n", SInt()))),
+      F.col("m"), typedSt, Transform.StringMode).as("m"))
+      .queryExecution.analyzed.toString
+    assert(!plan.contains("struct("))
+  }
+
   test("coerce = decode then validate, splitting accepted/rejected") {
     val schema = SMap(Seq(Entry("n", SInt(Some(1L), None))))
     val d = df(Seq(Row("5"), Row("0"), Row("junk")),

@@ -402,6 +402,23 @@ object Transform {
       }
     case SAnd(cs) if cs.nonEmpty =>
       cs.foldLeft(dt)((t, c) => encodedType(c, t, mode))
+    case SMap(es, _, _) if dt.isInstanceOf[StructType] =>
+      val st = dt.asInstanceOf[StructType]
+      val byKey = es.map(e => e.key -> e).toMap
+      StructType(st.fields.map { f =>
+        f.copy(dataType = byKey.get(f.name)
+          .map(e => encodedType(e.child, f.dataType, mode))
+          .getOrElse(StringType), nullable = true)
+      })
+    case SVector(c, _, _) if dt.isInstanceOf[ArrayType] =>
+      val at = dt.asInstanceOf[ArrayType]
+      ArrayType(encodedType(c, at.elementType, mode), at.containsNull)
+    case SSet(c, _, _) if dt.isInstanceOf[ArrayType] =>
+      val at = dt.asInstanceOf[ArrayType]
+      ArrayType(encodedType(c, at.elementType, mode), at.containsNull)
+    case SSeqable(c, _, _) if dt.isInstanceOf[ArrayType] =>
+      val at = dt.asInstanceOf[ArrayType]
+      ArrayType(encodedType(c, at.elementType, mode), at.containsNull)
     case _ => StringType
   }
 
@@ -446,6 +463,24 @@ object Transform {
       F.concat(F.lit("P"), col.cast(IntegerType).cast(StringType), F.lit("M"))
     case _: SDate => F.date_format(col, "yyyy-MM-dd")
     case SBinary => F.base64(col)
+    // container encode duals: per-field / per-element encode in place
+    case SMap(es, _, _) if dt.isInstanceOf[StructType] =>
+      val st = dt.asInstanceOf[StructType]
+      val byKey = es.map(e => e.key -> e).toMap
+      F.when(col.isNotNull, F.struct(st.fields.toIndexedSeq.map { f =>
+        byKey.get(f.name)
+          .map(e => encode(e.child, col.getField(f.name), f.dataType, mode))
+          .getOrElse(col.getField(f.name).cast(StringType)).as(f.name)
+      }: _*))
+    case SVector(c, _, _) if dt.isInstanceOf[ArrayType] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      F.transform(col, x => encode(c, x, et, mode))
+    case SSet(c, _, _) if dt.isInstanceOf[ArrayType] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      F.transform(col, x => encode(c, x, et, mode))
+    case SSeqable(c, _, _) if dt.isInstanceOf[ArrayType] =>
+      val et = dt.asInstanceOf[ArrayType].elementType
+      F.transform(col, x => encode(c, x, et, mode))
     case _ if dt == StringType => col
     case _ => col.cast(StringType)
   }

@@ -295,6 +295,25 @@ class TransformSpec extends SparkSuite {
     assert(mr.keySet === Set(1L, 3L))
     assert(mr(1L) === 10L && mr(3L) == null)
 
+    // encode dual: struct fields and array elements encode per schema
+    val encSchema = SMap(Seq(Entry("ts", STimestamp()),
+      Entry("kw", SIdent("keyword"))))
+    val est = StructType(Seq(
+      StructField("ts", TimestampType), StructField("kw", StringType)))
+    val ed = df(Seq(Row(Row(
+      java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), ":en"))),
+      StructType(Seq(StructField("m", est))))
+    val er = ed.select(Transform.encode(encSchema, F.col("m"), est)
+      .as("m")).collect().head.getStruct(0)
+    assert(er.getString(0).startsWith("2024-03-01T10:00:00"))
+    assert(er.getString(1) === "en")
+    val vd = df(Seq(Row(Seq(":a", ":b"))),
+      StructType(Seq(StructField("xs", ArrayType(StringType)))))
+    val vr = vd.select(Transform.encode(
+      SVector(SIdent("keyword")), F.col("xs"), ArrayType(StringType))
+      .as("xs")).collect().head.getSeq[String](0)
+    assert(vr === Seq("a", "b"))
+
     // elision: an already-typed struct with no hints keeps the SAME
     // column (no struct rebuild in the plan)
     val typedSt = StructType(Seq(StructField("n", LongType)))

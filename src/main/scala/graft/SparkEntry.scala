@@ -1973,6 +1973,26 @@ object SparkEntry {
           responses = Seq(
             (200, Some(S.mapE(false, S.req("bar", S.keyword))), None),
             (500, None, Some("fail"))))),
+        // value-universe decode/encode (tier-3 dual of Transform):
+        // seqex gate, keep-original-on-failure, heterogeneous :or
+        ("value_decode_cat", {
+          import mallispark.eval.ValueTransform
+          import mallispark.compile.Transform.StringMode
+          // seq-impl-agnostic rendering (varargs Seqs print ArraySeq)
+          def show(v: Any): String = v match {
+            case xs: Seq[_] => xs.map(show).mkString("[", " ", "]")
+            case other => String.valueOf(other)
+          }
+          Seq(
+            ValueTransform.decode(S.cat(S.int, S.keyword),
+              Seq("1", "kikka"), StringMode),
+            ValueTransform.decode(S.int, "abc", StringMode),
+            ValueTransform.decode(S.or(S.posInt, S.keyword), "-1",
+              StringMode),
+            ValueTransform.encode(S.repeat(S.int, 2, 4), Seq(1L)),
+            ValueTransform.encode(S.repeat(S.int, 2, 4), Seq(1L, 2L)))
+            .map(show).mkString("|")
+        }),
         ("edn_roundtrip", SchemaIR.form(ednBack)),
         ("struct_ddl", ddl),
         ("registry_mutable_form", SchemaIR.form(mut.snapshot("page"))),
@@ -2540,6 +2560,7 @@ object SparkEntry {
         "lens_get_in" ->
           """[:enum "en" "de" "fr" "es" "zh"]|:int|true""",
         "scoped_form" -> scopedForm,
+        "value_decode_cat" -> "[1 :kikka]|abc|:-1|[1]|[1 2]",
         "scoped_jsonschema" -> scopedJs,
         "scoped_swagger" -> scopedSwagger,
         "swagger_spec" -> swaggerSpec,

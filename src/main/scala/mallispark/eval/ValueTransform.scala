@@ -188,6 +188,16 @@ object ValueTransform {
     case _ => v
   }
 
+  /** `m/coerce` at value level (core.cljc:2750-2774): decode, then
+    * validate — Right(decoded) on success, Left(errors) otherwise (the
+    * exception-throwing reference arity maps to the Left). */
+  def coerce(ir: SchemaIR, v: Any, mode: Mode)
+      : Either[Seq[RowEval.Err], Any] = {
+    val d = decode(ir, v, mode)
+    if (RowEval.validate(ir, d)) Right(d)
+    else Left(RowEval.explain(ir, d))
+  }
+
   /** Encode — the string-transformer direction. Seq-regexes and tuples
     * gate on the INPUT validating (an un-parsable value stays). */
   def encode(ir: SchemaIR, v: Any, mode: Mode = StringMode): Any =

@@ -110,5 +110,9 @@ class ValueTransformSpec extends AnyFunSuite {
     assert(enc(m, Map("n" -> 5L, "kw" -> ":en")) ===
       Map("n" -> "5", "kw" -> "en"))
     assert(enc(S.maybe(S.int), null) === null)
+    // coerce = decode → validate, Left carries the explain errors
+    assert(ValueTransform.coerce(S.int, "5", StringMode) === Right(5L))
+    val bad = ValueTransform.coerce(S.int, "abc", StringMode)
+    assert(bad.isLeft && bad.left.toOption.get.nonEmpty)
   }
 }

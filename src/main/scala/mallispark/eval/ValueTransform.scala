@@ -2,6 +2,7 @@ package mallispark.eval
 
 import mallispark.ir.{MiniEval, SchemaIR}
 import mallispark.ir.SchemaIR._
+import mallispark.ir.SchemaIR.Registry
 import mallispark.compile.Transform.{Mode, StringMode, JsonMode}
 
 /** Value-universe decode/encode — `m/decode`/`m/encode` over in-memory
@@ -47,7 +48,8 @@ object ValueTransform {
 
   /** Decoded-candidate gate: sequences re-shape only when the candidate
     * validates; everything else (including non-seq inputs) stays. */
-  private def gated(ir: SchemaIR, v: Any)(f: Seq[Any] => Seq[Any]): Any =
+  private def gated(ir: SchemaIR, v: Any)(f: Seq[Any] => Seq[Any])(
+      implicit reg: Registry, depth: Int): Any =
     v match {
       case xs: Seq[_] =>
         val cand = f(xs.asInstanceOf[Seq[Any]])
@@ -55,7 +57,17 @@ object ValueTransform {
       case _ => v
     }
 
-  def decode(ir: SchemaIR, v: Any, mode: Mode): Any = ir match {
+  def decode(ir: SchemaIR, v: Any, mode: Mode)(
+      implicit reg: Registry = Registry.empty, depth: Int = 8): Any =
+    ir match {
+    // registry refs deref like RowEval: depth-bounded, scoped registries
+    // layer over the ambient one (recursive-coercer semantics)
+    case SRef(name) =>
+      if (depth <= 0) v else decode(reg(name), v, mode)(reg, depth - 1)
+    case SScoped(local, c) =>
+      decode(c, v, mode)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
+    case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+      decode(mallispark.ir.SchemaOps.expand(alg, reg), v, mode)
     case SProps(p, c) =>
       hintFor(p.decodeHints, mode) match {
         case None => decode(c, v, mode)
@@ -191,7 +203,8 @@ object ValueTransform {
   /** `m/coerce` at value level (core.cljc:2750-2774): decode, then
     * validate — Right(decoded) on success, Left(errors) otherwise (the
     * exception-throwing reference arity maps to the Left). */
-  def coerce(ir: SchemaIR, v: Any, mode: Mode)
+  def coerce(ir: SchemaIR, v: Any, mode: Mode)(
+      implicit reg: Registry = Registry.empty, depth: Int = 8)
       : Either[Seq[RowEval.Err], Any] = {
     val d = decode(ir, v, mode)
     if (RowEval.validate(ir, d)) Right(d)
@@ -200,8 +213,16 @@ object ValueTransform {
 
   /** Encode — the string-transformer direction. Seq-regexes and tuples
     * gate on the INPUT validating (an un-parsable value stays). */
-  def encode(ir: SchemaIR, v: Any, mode: Mode = StringMode): Any =
+  def encode(ir: SchemaIR, v: Any, mode: Mode = StringMode)(
+      implicit reg: Registry = Registry.empty, depth: Int = 8): Any =
     ir match {
+      case SRef(name) =>
+        if (depth <= 0) v else encode(reg(name), v, mode)(reg, depth - 1)
+      case SScoped(local, c) =>
+        encode(c, v, mode)(Registry(reg.schemas ++ local, reg.maxDepth),
+          depth)
+      case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+        encode(mallispark.ir.SchemaOps.expand(alg, reg), v, mode)
       case SProps(p, c) =>
         hintFor(p.encodeHints, mode) match {
           case None => encode(c, v, mode)

@@ -114,5 +114,12 @@ class ValueTransformSpec extends AnyFunSuite {
     assert(ValueTransform.coerce(S.int, "5", StringMode) === Right(5L))
     val bad = ValueTransform.coerce(S.int, "abc", StringMode)
     assert(bad.isLeft && bad.left.toOption.get.nonEmpty)
+    // recursive decode through a scoped registry (core_test
+    // recursive-coercer-test shape): refs deref depth-bounded
+    val cons = S.scoped("cons" -> S.maybe(S.mapE(false,
+      S.req("head", S.int), S.req("tail", S.ref("cons")))))(S.ref("cons"))
+    assert(dec(cons,
+      Map("head" -> "1", "tail" -> Map("head" -> "2", "tail" -> null))) ===
+      Map("head" -> 1L, "tail" -> Map("head" -> 2L, "tail" -> null)))
   }
 }

@@ -3,7 +3,7 @@ package mallispark.compile
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
-import mallispark.ir.SchemaIR
+import mallispark.ir.{SchemaIR, SchemaOps}
 import mallispark.ir.SchemaIR._
 
 /** Transformer layer — malli's decode/encode
@@ -64,8 +64,20 @@ object Transform {
     * hinted decodes stay codegen'd Column expressions. A hint for a mode
     * the transformer doesn't carry is a no-op (the "undefined
     * transformations" fixture). */
-  def decode(ir: SchemaIR, col: Column, dt: DataType, mode: Mode): Column =
+  def decode(ir: SchemaIR, col: Column, dt: DataType, mode: Mode)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): Column =
     ir match {
+      // registry refs deref depth-bounded against the compile Ctx, the
+      // same recursion budget the validator uses
+      case SRef(n) =>
+        if (ctx.depth <= 0) col
+        else decode(ctx.registry(n), col, dt, mode)(
+          ctx.copy(depth = ctx.depth - 1))
+      case SScoped(local, c) =>
+        decode(c, col, dt, mode)(ctx.copy(registry = SchemaIR.Registry(
+          ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
+      case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+        decode(SchemaOps.expand(alg, ctx.registry), col, dt, mode)
       case SProps(p, c) =>
         hintFor(p.decodeHints, mode) match {
           case None => decode(c, col, dt, mode)
@@ -91,7 +103,6 @@ object Transform {
       // the first branch's decode stands (malli keeps the raw input
       // there; a static column type cannot)
       case SOr(cs) if cs.nonEmpty =>
-        implicit val ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()
         val t0 = decodedType(cs.head, dt, mode)
         val usable = cs.filter(c => decodedType(c, dt, mode) == t0)
         val head = decode(usable.head, col, dt, mode)
@@ -277,7 +288,8 @@ object Transform {
     * moves, or some node in the subtree carries a hint for this mode.
     * Containers use it to skip rebuilding structs/maps that would come
     * back identical (plan-size elision). */
-  private def needsDecode(ir: SchemaIR, dt: DataType, mode: Mode): Boolean =
+  private def needsDecode(ir: SchemaIR, dt: DataType, mode: Mode)(
+      implicit ctx: SchemaCompiler.Ctx): Boolean =
     decodedType(ir, dt, mode) != dt || hasHints(ir, mode)
 
   private def hasHints(ir: SchemaIR, mode: Mode): Boolean =
@@ -292,8 +304,18 @@ object Transform {
     * analysis, used to thread types through `:and` chains and hint
     * `:leave` compilation. Kept in lockstep with `decode` (TransformSpec
     * asserts the pairing on representative inputs). */
-  def decodedType(ir: SchemaIR, dt: DataType, mode: Mode): DataType =
+  def decodedType(ir: SchemaIR, dt: DataType, mode: Mode)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): DataType =
     ir match {
+      case SRef(n) =>
+        if (ctx.depth <= 0) dt
+        else decodedType(ctx.registry(n), dt, mode)(
+          ctx.copy(depth = ctx.depth - 1))
+      case SScoped(local, c) =>
+        decodedType(c, dt, mode)(ctx.copy(registry = SchemaIR.Registry(
+          ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
+      case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+        decodedType(SchemaOps.expand(alg, ctx.registry), dt, mode)
       case SProps(p, c) =>
         hintFor(p.decodeHints, mode) match {
           case None => decodedType(c, dt, mode)
@@ -430,7 +452,18 @@ object Transform {
     * `:encode/<mode>` hints run `:enter` before the node's encode and
     * `:leave` after, like decode but in the encode direction. */
   def encode(ir: SchemaIR, col: Column, dt: DataType,
-             mode: Mode = StringMode): Column = ir match {
+             mode: Mode = StringMode)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx())
+      : Column = ir match {
+    case SRef(n) =>
+      if (ctx.depth <= 0) col
+      else encode(ctx.registry(n), col, dt, mode)(
+        ctx.copy(depth = ctx.depth - 1))
+    case SScoped(local, c) =>
+      encode(c, col, dt, mode)(ctx.copy(registry = SchemaIR.Registry(
+        ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
+    case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+      encode(SchemaOps.expand(alg, ctx.registry), col, dt, mode)
     case SProps(p, c) =>
       hintFor(p.encodeHints, mode) match {
         case None => encode(c, col, dt, mode)

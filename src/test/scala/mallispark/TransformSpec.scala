@@ -325,6 +325,23 @@ class TransformSpec extends SparkSuite {
     assert(!plan.contains("struct("))
   }
 
+  test("column decode derefs registry refs (scoped recursive struct)") {
+    val node = S.scoped("node" -> SMap(Seq(
+      Entry("v", SInt()),
+      Entry("kids", SVector(S.ref("node")), optional = true))))(
+      S.ref("node"))
+    val inner = StructType(Seq(StructField("v", StringType)))
+    val outer = StructType(Seq(StructField("v", StringType),
+      StructField("kids", ArrayType(inner))))
+    val d = df(Seq(Row(Row("1", Seq(Row("2"))))),
+      StructType(Seq(StructField("n", outer))))
+    val dec = d.select(Transform.decode(node, F.col("n"), outer,
+      Transform.StringMode).as("n"))
+    val r = dec.collect().head.getStruct(0)
+    assert(r.getLong(0) === 1L)
+    assert(r.getSeq[Row](1).head.getLong(0) === 2L)
+  }
+
   test("coerce = decode then validate, splitting accepted/rejected") {
     val schema = SMap(Seq(Entry("n", SInt(Some(1L), None))))
     val d = df(Seq(Row("5"), Row("0"), Row("junk")),

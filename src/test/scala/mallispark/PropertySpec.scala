@@ -313,4 +313,53 @@ class PropertySpec extends SparkSuite {
       assert(re === errs, s"errors mismatch on $r")
     }
   }
+
+  test("decode duality: Column null-on-failure ⟺ value keep-original") {
+    import mallispark.compile.Transform
+    import mallispark.eval.ValueTransform
+    // mixed bag: parseable longs/doubles/booleans, empties, garbage —
+    // whitespace excluded (Spark's cast trims, Scala's toLong doesn't;
+    // the engines document the stricter no-trim contract for values)
+    val genS: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(-100000L, 100000L).map(_.toString),
+      Gen.chooseNum(-1000.0, 1000.0).map(_.toString),
+      Gen.oneOf("true", "false", "TRUE", "", "1x", "--3"),
+      Gen.stringOfN(4, Gen.alphaChar))
+    val inputs = seeded(Gen.listOfN(400, genS), 7701L)
+    val src = spark.createDataFrame(
+      new java.util.ArrayList[Row](inputs.map(Row(_)).asJava),
+      StructType(Seq(StructField("s", StringType))))
+    Seq[(String, SchemaIR)]("int" -> SInt(), "double" -> SDouble(),
+      "bool" -> SBoolean).foreach { case (nm, sch) =>
+      val colVals = src.select(Transform.decode(sch, F.col("s"),
+        StringType, Transform.StringMode).as("d")).collect()
+      inputs.zip(colVals).foreach { case (in, row) =>
+        val vd = ValueTransform.decode(sch, in, Transform.StringMode)
+        if (row.isNullAt(0))
+          assert(vd === in, s"$nm '$in': column failed, value decoded $vd")
+        else
+          assert(vd === row.get(0),
+            s"$nm '$in': column ${row.get(0)} vs value $vd")
+      }
+    }
+    // the two hint kernels (FmapColumns vs row-level MiniEval) must
+    // produce IDENTICAL results over the shared vocabulary
+    val hinted = SProps(NodeProps(decodeHints = Seq("string" -> THint(
+      enter =
+        Some("""(fn [x] (if (re-matches "[0-9]{2}" x) (str x "0") x))"""),
+      leave = Some("(fn [x] (if (>= x 100) (* 10 x) x))")))),
+      SAnd(Seq(SInt(), SProps(NodeProps(decodeHints = Seq("string" ->
+        THint(enter = Some("inc"), leave = Some("(partial * 2)")))),
+        SAny))))
+    val nums = (0 until 150).map(_.toString)
+    val ncol = spark.createDataFrame(
+      new java.util.ArrayList[Row](nums.map(Row(_)).asJava),
+      StructType(Seq(StructField("s", StringType))))
+    val colHinted = ncol.select(Transform.decode(hinted, F.col("s"),
+      StringType, Transform.StringMode).as("d")).collect().map(_.getLong(0))
+    nums.zip(colHinted).foreach { case (in, c) =>
+      assert(ValueTransform.decode(hinted, in, Transform.StringMode) === c,
+        s"hint kernels disagree on '$in'")
+    }
+  }
 }

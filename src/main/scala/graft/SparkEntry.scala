@@ -1204,13 +1204,18 @@ object SparkEntry {
         F.when(d % 17 === 0, F.lit(5L))
           .otherwise(F.when(d % 19 === 0, F.lit(95L)).otherwise(F.lit(50L)))
           .as("score"),
-        F.when(d % 23 === 0, F.lit("bad")).otherwise(F.lit("ok")).as("flag"))
+        F.when(d % 23 === 0, F.lit("bad")).otherwise(F.lit("ok")).as("flag"),
+        F.when(d % 29 === 0, F.lit("en")).otherwise(F.lit("zz")).as("tag"),
+        F.when(d % 31 === 0, F.lit(900L)).otherwise(F.lit(5L)).as("capped"))
       val sch = S.map(
         "n" -> S.gt(800L),
         "pair" -> S.tuple(S.string, S.string),
         "nums" -> S.vector(S.int, min = Some(2), max = Some(4)),
         "score" -> S.int(10L, 90L),
-        "flag" -> S.eq_("ok"))
+        "flag" -> S.eq_("ok"),
+        // :not humanization: enum negation + comparator forwarding
+        "tag" -> S.not(S.enum_("en", "de")),
+        "capped" -> S.not(S.gt(800L)))
       SchemaCompiler.violationsDF(sch, base, Seq("doc_id"))
         .select(F.col("doc_id"), F.col("schema_path"), F.col("error_key"),
           mallispark.msg.Messages.messageColumn(sch).as("message"))
@@ -3331,7 +3336,14 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 17 = 0 OR doc_id % 19 = 0
         |  UNION ALL
         |  SELECT doc_id, 'flag', ':=', 'should be "ok"'
-        |  FROM documents WHERE doc_id % 23 = 0)
+        |  FROM documents WHERE doc_id % 23 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'tag', ':not',
+        |         'should not be either "en" or "de"'
+        |  FROM documents WHERE doc_id % 29 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 'capped', ':not', 'should be at most 800'
+        |  FROM documents WHERE doc_id % 31 = 0)
         |SELECT doc_id, schema_path, error_key, message
         |FROM viols ORDER BY doc_id, schema_path, error_key""".stripMargin,
 

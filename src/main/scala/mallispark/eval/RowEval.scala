@@ -716,7 +716,7 @@ object RowEval {
     case other => explain(other, x, path, in)
   }
 
-  private def leafKey(ir: SchemaIR): String = ir match {
+  private[mallispark] def leafKey(ir: SchemaIR): String = ir match {
     case SProps(_, c) => leafKey(c)
     case SNil => ":nil"
     case SSome => ":some"

@@ -204,6 +204,71 @@ object Messages {
             Seq(at(ErrorKeys.Limits, limits(mn, mx)))
           case SMapOf(_, _, mn, mx) if mn.nonEmpty || mx.nonEmpty =>
             Seq(at(ErrorKeys.Limits, limits(mn, mx)))
+          // :not humanization (error.cljc -en-humanize-negation +
+          // not-humanize-test): the CHILD's message with "should " →
+          // "should not " — except comparators, whose :negated builders
+          // FORWARD to the complementary comparator (error.cljc:145-172),
+          // and bounded numerics/strings, where the satisfied bound
+          // renders via the flipped (>=) comparison
+          case SNot(child) =>
+            def flip(c: Column): Column =
+              F.regexp_replace(c, "^should ", "should not ")
+            def negMinMax[N](typeMsg: String, mn: Option[N],
+                             mx: Option[N])(
+                implicit num: Numeric[N]): Column = {
+              val bounds: Column = (mn, mx) match {
+                case (Some(a), Some(b)) if a == b => F.lit(s"should be $a")
+                case (Some(a), _) =>
+                  F.when(asNum >= num.toDouble(a),
+                      F.lit(s"should be at least $a"))
+                    .otherwise(mx.map(b => F.lit(s"should be at most $b"))
+                      .getOrElse(F.lit(typeMsg)))
+                case (_, Some(b)) => F.lit(s"should be at most $b")
+                case _ => F.lit(typeMsg)
+              }
+              F.when(asNum.isNull, F.lit(typeMsg)).otherwise(bounds)
+            }
+            val msg: Column = child match {
+              case SCompare(">", b) => F.lit(s"should be at most $b")
+              case SCompare(">=", b) => F.lit(s"should be smaller than $b")
+              case SCompare("<", b) => F.lit(s"should be at least $b")
+              case SCompare("<=", b) => F.lit(s"should be larger than $b")
+              case SCompare("=", v) => F.lit(s"should not be ${prStr(v)}")
+              case SCompare("not=", v) => F.lit(s"should be ${prStr(v)}")
+              case SInt(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
+                flip(negMinMax(defaults(":int"), mn, mx))
+              case SDouble(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
+                flip(negMinMax(defaults(":double"), mn, mx))
+              case SString(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
+                val n = F.length(valueCol)
+                val base = (mn, mx) match {
+                  case (Some(a), Some(b)) if a == b =>
+                    F.lit(s"should be ${plural(a, "character")}")
+                  case (Some(a), _) =>
+                    F.when(n >= a,
+                        F.lit(s"should be at least ${plural(a, "character")}"))
+                      .otherwise(mx.map(b =>
+                          F.lit(s"should be at most ${plural(b, "character")}"))
+                        .getOrElse(F.lit(defaults(":string"))))
+                  case (_, Some(b)) =>
+                    F.lit(s"should be at most ${plural(b, "character")}")
+                  case _ => F.lit(defaults(":string"))
+                }
+                flip(F.when(valueCol.isNull, F.lit(defaults(":string")))
+                  .otherwise(base))
+              case SEnum(vs) =>
+                val m0 =
+                  if (vs.size == 1) s"should be ${prStr(vs.head)}"
+                  else "should be either " + vs.init.map(prStr)
+                    .mkString(", ") + s" or ${prStr(vs.last)}"
+                flip(F.lit(m0))
+              case SAny => F.lit("should not be any")
+              case SSome => F.lit("should not be some")
+              case leaf =>
+                val key = mallispark.eval.RowEval.leafKey(leaf)
+                flip(F.lit(defaults.getOrElse(key, "match")))
+            }
+            Seq(at(":not", msg))
           case _ => Seq.empty
         }
       }

@@ -416,4 +416,45 @@ class ParseMsgInferSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BatchEvalPython") && !plan.toLowerCase.contains("udf"))
   }
+
+  test("messageColumn: :not humanization (error_test not-humanize-test)") {
+    val sch = S.map(
+      "n1" -> S.not(S.string),
+      "n2" -> S.not(S.int(1L, 1L)),
+      "n3" -> S.not(S.gt(1L)),
+      "n4" -> S.not(S.lte(1L)),
+      "n5" -> S.not(S.enum_("a")),
+      "n6" -> S.not(S.enum_(1L, 2L, 3L)),
+      "n7" -> S.not(S.string(min = 1)),
+      "n8" -> S.not(S.intMin(1L)),
+      "n9" -> S.not(S.boolean),
+      "n10" -> S.not(S.re(".*")),
+      "n11" -> S.not(S.keyword),
+      "n12" -> S.not(S.nil))
+    val rows = Seq(
+      Row("n1", "x"), Row("n2", "1"), Row("n3", "2"), Row("n4", "0"),
+      Row("n5", "a"), Row("n6", "1"), Row("n7", "a"), Row("n8", "1"),
+      Row("n9", "true"), Row("n10", "zz"), Row("n11", ":a"),
+      Row("n12", null))
+    val d = df(rows.map(r => Row(r.get(0), ":not", r.get(1))),
+      StructType(Seq(
+        StructField("schema_path", StringType),
+        StructField("error_key", StringType),
+        StructField("value", StringType))))
+    val out = d.select(Messages.messageColumn(sch).as("m"))
+      .collect().toSeq.map(_.getString(0))
+    assert(out === Seq(
+      "should not be a string",
+      "should not be 1",
+      "should be at most 1",      // comparator negation FORWARDS
+      "should be larger than 1",
+      "should not be \"a\"",
+      "should not be either 1, 2 or 3",
+      "should not be at least 1 character",
+      "should not be at least 1",
+      "should not be a boolean",
+      "should not match regex",
+      "should not be a keyword",
+      "should not be nil"))
+  }
 }

@@ -205,22 +205,38 @@ object Messages {
           case SMapOf(_, _, mn, mx) if mn.nonEmpty || mx.nonEmpty =>
             Seq(at(ErrorKeys.Limits, limits(mn, mx)))
           // :not humanization (error.cljc -en-humanize-negation +
-          // not-humanize-test): the CHILD's message with "should " →
-          // "should not " — except comparators, whose :negated builders
-          // FORWARD to the complementary comparator (error.cljc:145-172),
-          // and bounded numerics/strings, where the satisfied bound
-          // renders via the flipped (>=) comparison
-          case SNot(child) =>
+          // not-humanize / nested-not / custom-negating fixtures): peel
+          // double negations, then render the innermost child's message
+          // POSITIVE (even nots) or NEGATED (odd). Negation = "should "
+          // → "should not " on the child's message — except comparators,
+          // whose :negated builders FORWARD to the complement
+          // (error.cljc:145-172), and bounded numerics/strings, where
+          // the satisfied bound renders via the flipped comparison.
+          case SNot(child0) =>
+            var inner: SchemaIR = child0
+            var negate = true
+            var innerMsg: Option[String] = None
+            var continue = true
+            while (continue) inner match {
+              case SNot(c) => inner = c; negate = !negate
+              case SProps(pp, c) =>
+                if (pp.errorMessage.nonEmpty) {
+                  innerMsg = pp.errorMessage; continue = false
+                } else inner = c
+              case _ => continue = false
+            }
             def flip(c: Column): Column =
               F.regexp_replace(c, "^should ", "should not ")
-            def negMinMax[N](typeMsg: String, mn: Option[N],
-                             mx: Option[N])(
+            def minMaxDir[N](typeMsg: String, mn: Option[N], mx: Option[N],
+                             neg: Boolean)(
                 implicit num: Numeric[N]): Column = {
               val bounds: Column = (mn, mx) match {
                 case (Some(a), Some(b)) if a == b => F.lit(s"should be $a")
                 case (Some(a), _) =>
-                  F.when(asNum >= num.toDouble(a),
-                      F.lit(s"should be at least $a"))
+                  val cond =
+                    if (neg) asNum >= num.toDouble(a)
+                    else asNum < num.toDouble(a)
+                  F.when(cond, F.lit(s"should be at least $a"))
                     .otherwise(mx.map(b => F.lit(s"should be at most $b"))
                       .getOrElse(F.lit(typeMsg)))
                 case (_, Some(b)) => F.lit(s"should be at most $b")
@@ -228,45 +244,77 @@ object Messages {
               }
               F.when(asNum.isNull, F.lit(typeMsg)).otherwise(bounds)
             }
-            val msg: Column = child match {
-              case SCompare(">", b) => F.lit(s"should be at most $b")
-              case SCompare(">=", b) => F.lit(s"should be smaller than $b")
-              case SCompare("<", b) => F.lit(s"should be at least $b")
-              case SCompare("<=", b) => F.lit(s"should be larger than $b")
-              case SCompare("=", v) => F.lit(s"should not be ${prStr(v)}")
-              case SCompare("not=", v) => F.lit(s"should be ${prStr(v)}")
-              case SInt(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
-                flip(negMinMax(defaults(":int"), mn, mx))
-              case SDouble(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
-                flip(negMinMax(defaults(":double"), mn, mx))
-              case SString(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
-                val n = F.length(valueCol)
-                val base = (mn, mx) match {
-                  case (Some(a), Some(b)) if a == b =>
-                    F.lit(s"should be ${plural(a, "character")}")
-                  case (Some(a), _) =>
-                    F.when(n >= a,
-                        F.lit(s"should be at least ${plural(a, "character")}"))
-                      .otherwise(mx.map(b =>
-                          F.lit(s"should be at most ${plural(b, "character")}"))
-                        .getOrElse(F.lit(defaults(":string"))))
-                  case (_, Some(b)) =>
-                    F.lit(s"should be at most ${plural(b, "character")}")
-                  case _ => F.lit(defaults(":string"))
-                }
-                flip(F.when(valueCol.isNull, F.lit(defaults(":string")))
-                  .otherwise(base))
-              case SEnum(vs) =>
-                val m0 =
-                  if (vs.size == 1) s"should be ${prStr(vs.head)}"
-                  else "should be either " + vs.init.map(prStr)
-                    .mkString(", ") + s" or ${prStr(vs.last)}"
-                flip(F.lit(m0))
-              case SAny => F.lit("should not be any")
-              case SSome => F.lit("should not be some")
-              case leaf =>
-                val key = mallispark.eval.RowEval.leafKey(leaf)
-                flip(F.lit(defaults.getOrElse(key, "match")))
+            def stringDir(mn: Option[Int], mx: Option[Int],
+                          neg: Boolean): Column = {
+              val n = F.length(valueCol)
+              val base = (mn, mx) match {
+                case (Some(a), Some(b)) if a == b =>
+                  F.lit(s"should be ${plural(a, "character")}")
+                case (Some(a), _) =>
+                  F.when(if (neg) n >= a else n < a,
+                      F.lit(s"should be at least ${plural(a, "character")}"))
+                    .otherwise(mx.map(b =>
+                        F.lit(s"should be at most ${plural(b, "character")}"))
+                      .getOrElse(F.lit(defaults(":string"))))
+                case (_, Some(b)) =>
+                  F.lit(s"should be at most ${plural(b, "character")}")
+                case _ => F.lit(defaults(":string"))
+              }
+              F.when(valueCol.isNull, F.lit(defaults(":string")))
+                .otherwise(base)
+            }
+            def enumMsg(vs: Seq[Any]): String =
+              if (vs.size == 1) s"should be ${prStr(vs.head)}"
+              else "should be either " + vs.init.map(prStr)
+                .mkString(", ") + s" or ${prStr(vs.last)}"
+            val cmpWord = Map(">" -> "larger than", ">=" -> "at least",
+              "<" -> "smaller than", "<=" -> "at most")
+            val cmpNegWord = Map(">" -> "at most", ">=" -> "smaller than",
+              "<" -> "at least", "<=" -> "larger than")
+            val msg: Column = innerMsg match {
+              // :error/message carried by the child: negate the string
+              // itself (custom-negating-test)
+              case Some(m) =>
+                if (negate) F.lit(
+                  if (m.startsWith("should not "))
+                    m.replaceFirst("should not", "should")
+                  else if (m.startsWith("should "))
+                    m.replaceFirst("should", "should not")
+                  else m)
+                else F.lit(m)
+              case None => inner match {
+                case SCompare(op @ (">" | ">=" | "<" | "<="), b) =>
+                  val word = if (negate) cmpNegWord(op) else cmpWord(op)
+                  F.when(asNum.isNotNull, F.lit(s"should be $word $b"))
+                    .otherwise(F.lit("should be a number"))
+                case SCompare("=", v) =>
+                  F.lit((if (negate) "should not be " else "should be ") +
+                    prStr(v))
+                case SCompare("not=", v) =>
+                  F.lit((if (negate) "should be " else "should not be ") +
+                    prStr(v))
+                case SInt(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
+                  val m0 = minMaxDir(defaults(":int"), mn, mx, negate)
+                  if (negate) flip(m0) else m0
+                case SDouble(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
+                  val m0 = minMaxDir(defaults(":double"), mn, mx, negate)
+                  if (negate) flip(m0) else m0
+                case SString(mn, mx) if mn.nonEmpty || mx.nonEmpty =>
+                  val m0 = stringDir(mn, mx, negate)
+                  if (negate) flip(m0) else m0
+                case SEnum(vs) =>
+                  val m0 = F.lit(enumMsg(vs))
+                  if (negate) flip(m0) else m0
+                case SAny =>
+                  F.lit(if (negate) "should not be any" else "should be any")
+                case SSome =>
+                  F.lit(
+                    if (negate) "should not be some" else "should be some")
+                case leaf =>
+                  val m0 = F.lit(defaults.getOrElse(
+                    mallispark.eval.RowEval.leafKey(leaf), "match"))
+                  if (negate) flip(m0) else m0
+              }
             }
             Seq(at(":not", msg))
           case _ => Seq.empty

@@ -430,12 +430,19 @@ class ParseMsgInferSpec extends SparkSuite {
       "n9" -> S.not(S.boolean),
       "n10" -> S.not(S.re(".*")),
       "n11" -> S.not(S.keyword),
-      "n12" -> S.not(S.nil))
+      "n12" -> S.not(S.nil),
+      // nested nots cancel pairwise (nested-not-humanize-test)
+      "n13" -> S.not(S.not(S.eq_(1L))),
+      "n14" -> S.not(S.not(S.not(S.gt(1L)))),
+      // a child :error/message negates as a string (custom-negating-test)
+      "n15" -> S.not(SProps(
+        NodeProps(errorMessage = Some("should be a multiple of 3")),
+        S.fnS("(fn [x] (= 0 (mod x 3)))"))))
     val rows = Seq(
       Row("n1", "x"), Row("n2", "1"), Row("n3", "2"), Row("n4", "0"),
       Row("n5", "a"), Row("n6", "1"), Row("n7", "a"), Row("n8", "1"),
       Row("n9", "true"), Row("n10", "zz"), Row("n11", ":a"),
-      Row("n12", null))
+      Row("n12", null), Row("n13", "7"), Row("n14", "2"), Row("n15", "3"))
     val d = df(rows.map(r => Row(r.get(0), ":not", r.get(1))),
       StructType(Seq(
         StructField("schema_path", StringType),
@@ -455,6 +462,9 @@ class ParseMsgInferSpec extends SparkSuite {
       "should not be a boolean",
       "should not match regex",
       "should not be a keyword",
-      "should not be nil"))
+      "should not be nil",
+      "should be 1",              // double negation cancels
+      "should be at most 1",      // triple = single negation
+      "should not be a multiple of 3"))
   }
 }

@@ -423,6 +423,87 @@ object Messages {
     * with `maskValid` set, valid leaves become the mask string instead of
     * being dropped (the `::mask-valid-values` option, error.cljc:232-244).
     * Driver-side, like humanize. */
+  /** Marker for an in-progress error vector while folding (the
+    * reference's `^::error` metadata tag, error.cljc:183-184). */
+  private final case class ErrVec(msgs: Vector[String])
+
+  /** Value-SHAPED humanize — the reference's `-push-in` nesting
+    * (error.cljc:188-215; shape fixtures error_test.cljc:105-180):
+    * errors embed into the value's own structure — map keys carry
+    * `Seq(messages)`, vector positions pad with null up to the deepest
+    * error index, a map with BOTH its own and child errors parks the
+    * root messages under `"malli/error"`, child errors win over a
+    * parent's ("lose it"), and an error node stops deeper nesting.
+    * `errors` are (in-path, message) pairs; numeric segments index
+    * sequences. Returns null when there are no errors (humanize of a
+    * valid value is nil). */
+  def humanizeShaped(value: Any, errors: Seq[(Seq[String], String)]): Any = {
+    def getIn(v: Any, k: String): Any = v match {
+      case m: scala.collection.Map[_, _] =>
+        m.asInstanceOf[scala.collection.Map[Any, Any]]
+          .collectFirst { case (mk, mv) if String.valueOf(mk) == k => mv }
+          .orNull
+      case xs: Seq[_] => k.toIntOption
+        .filter(i => i >= 0 && i < xs.size).map(xs(_)).orNull
+      case _ => null
+    }
+    def getAcc(a: Any, k: String): Any = a match {
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]].getOrElse(k, null)
+      case xs: Vector[_] =>
+        k.toIntOption.filter(i => i >= 0 && i < xs.size)
+          .map(xs(_)).orNull
+      case _ => null
+    }
+    def push(a: Any, k: String, child: Any): Any = a match {
+      case m: Map[_, _] =>
+        m.asInstanceOf[Map[String, Any]] + (k -> child)
+      case xs: Vector[_] => k.toIntOption match {
+        case Some(i) =>
+          val v0 = xs.asInstanceOf[Vector[Any]]
+          val filled =
+            if (i >= v0.size) v0 ++ Vector.fill(i - v0.size + 1)(null)
+            else v0
+          filled.updated(i, child)
+        // a non-index key into a sequence shape (error.cljc -push)
+        case None => ErrVec(Vector("invalid type"))
+      }
+      case _ => Map(k -> child)
+    }
+    def pushIn(a: Any, v: Any, path: Seq[String], msg: String): Any =
+      path match {
+        case p +: ps =>
+          a match {
+            case _: ErrVec => a // error present — do not go deeper
+            case _ =>
+              val a0 =
+                if (a == null) v match {
+                  case _: Seq[_] => Vector.empty[Any]
+                  case _ => Map.empty[String, Any]
+                } else a
+              push(a0, p, pushIn(getAcc(a0, p), getIn(v, p), ps, msg))
+          }
+        case _ => a match {
+          case _: Map[_, _] => pushIn(a, v, Seq("malli/error"), msg)
+          case ErrVec(ms) => ErrVec(ms :+ msg)
+          case xs: Vector[_] if xs.nonEmpty => a // children win — lose it
+          case _ => ErrVec(Vector(msg))
+        }
+      }
+    def render(x: Any): Any = x match {
+      case ErrVec(ms) => ms.toSeq
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+        .map { case (k, v) => k -> render(v) }
+      case xs: Vector[_] =>
+        xs.map(x0 => if (x0 == null) null else render(x0)).toSeq
+      case other => other
+    }
+    val acc = errors.foldLeft(null: Any) { case (a, (in, m)) =>
+      pushIn(a, value, in, m)
+    }
+    if (acc == null) null else render(acc)
+  }
+
   def errorValue(value: Any, errIns: Set[Seq[String]],
                  maskValid: Option[String] = None): Any = {
     def go(v: Any, here: Seq[String]): Option[Any] = {

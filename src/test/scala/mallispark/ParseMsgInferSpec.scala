@@ -109,6 +109,43 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(Messages.message(":int", Map(":int" -> "custom")) === "custom")
   }
 
+  test("value-shaped humanize (-push-in; error_test.cljc:105-180)") {
+    def h(v: Any, errs: (Seq[String], String)*): Any =
+      Messages.humanizeShaped(v, errs)
+    // nil if success; top-level error is a bare message vector
+    assert(h(1L) === null)
+    assert(h("1", Seq.empty[String] -> "should be an int") ===
+      Seq("should be an int"))
+    // vector: pad with nulls up to the deepest error position
+    assert(h(Seq(Seq(1L, 2L), Seq(2L, 2L), Seq(3L, "4")),
+      Seq("2", "1") -> "should be an int") ===
+      Seq(null, null, Seq(null, Seq("should be an int"))))
+    // mixed bag (fixture :136-145)
+    assert(h(
+      Seq(Map("x" -> Seq(1L, 2L, 3L)), Map("x" -> Seq(1L, "2", "3"))),
+      Seq("1", "x", "1") -> "should be an int",
+      Seq("1", "x", "2") -> "should be an int") ===
+      Seq(null, Map("x" ->
+        Seq(null, Seq("should be an int"), Seq("should be an int")))))
+    // multiple errors on one key accumulate
+    assert(h(Map.empty[String, Any],
+      Seq("x") -> "missing required key",
+      Seq("x") -> "missing required key") ===
+      Map("x" -> Seq("missing required key", "missing required key")))
+    // a map with both its own and child errors parks the root messages
+    // under "malli/error" (fixture :172-176)
+    assert(h(Map("person" -> Map.empty[String, Any]),
+      Seq("person", "name") -> "missing required key",
+      Seq("person") -> "should be a seq") ===
+      Map("person" -> Map("name" -> Seq("missing required key"),
+        "malli/error" -> Seq("should be a seq"))))
+    // child errors win over a later parent error ("lose it")
+    assert(h(Seq("a"),
+      Seq("0") -> "should be an int",
+      Seq.empty[String] -> "parent") ===
+      Seq(Seq("should be an int")))
+  }
+
   test(":error/message + :error/path schema props (error_test.cljc:623-631)") {
     import mallispark.ir.SchemaIR.{NodeProps, SProps}
     // the reference's "passwords don't match" #554 fixture, driver-side:

@@ -418,11 +418,23 @@ object Messages {
       .view.mapValues(_.map(_._2)).toMap
   }
 
-  /** `me/error-value` (error.cljc:397-408): the input reshaped to only its
-    * FAILING parts — leaves whose `in` path appears in `errIns` are kept;
-    * with `maskValid` set, valid leaves become the mask string instead of
-    * being dropped (the `::mask-valid-values` option, error.cljc:232-244).
-    * Driver-side, like humanize. */
+  /** Schema-aware SHAPED humanize: resolve each error's message and
+    * redirected in-path like [[humanizeErrors]], then nest them into the
+    * value's own structure via [[humanizeShaped]] — the full `me/humanize`
+    * composition (explain → messages → `-push-in`). */
+  def humanizeErrorsShaped(root: SchemaIR, value: Any,
+                           errors: Seq[(Seq[String], Seq[String], String)],
+                           overrides: Map[String, String] = Map.empty)
+      : Any = {
+    val msgs = schemaMessageOverrides(root)
+    val paths = schemaErrorPaths(root)
+    humanizeShaped(value, errors.map { case (sp, in, key) =>
+      val spKey = sp.mkString("/")
+      (in ++ paths.getOrElse(spKey, Nil)) ->
+        msgs.getOrElse(spKey, message(key, overrides))
+    })
+  }
+
   /** Marker for an in-progress error vector while folding (the
     * reference's `^::error` metadata tag, error.cljc:183-184). */
   private final case class ErrVec(msgs: Vector[String])
@@ -504,6 +516,11 @@ object Messages {
     if (acc == null) null else render(acc)
   }
 
+  /** `me/error-value` (error.cljc:397-408): the input reshaped to only its
+    * FAILING parts — leaves whose `in` path appears in `errIns` are kept;
+    * with `maskValid` set, valid leaves become the mask string instead of
+    * being dropped (the `::mask-valid-values` option, error.cljc:232-244).
+    * Driver-side, like humanize. */
   def errorValue(value: Any, errIns: Set[Seq[String]],
                  maskValid: Option[String] = None): Any = {
     def go(v: Any, here: Seq[String]): Option[Any] = {

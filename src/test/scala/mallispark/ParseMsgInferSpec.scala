@@ -144,6 +144,21 @@ class ParseMsgInferSpec extends SparkSuite {
       Seq("0") -> "should be an int",
       Seq.empty[String] -> "parent") ===
       Seq(Seq("should be an int")))
+
+    // end-to-end composing-with-and (error_test.cljc:248-262): map-entry
+    // errors nest per key, the :and's own :fn message parks under
+    // "malli/error"
+    val sch = S.and(
+      S.mapE(false, S.req("x", S.int), S.req("y", S.int),
+        S.req("z", S.int)),
+      SProps(NodeProps(errorMessage = Some("(> x y)")),
+        S.fnS("(fn [m] (> (:x m) (:y m)))")))
+    val bad = Map("x" -> 1L, "y" -> 2L, "z" -> "1")
+    val errs = mallispark.eval.RowEval.explain(sch, bad)
+    assert(Messages.humanizeErrorsShaped(sch, bad,
+      errs.map(e => (e.path.toSeq, e.in.toSeq, e.key))) ===
+      Map("z" -> Seq("should be an int"),
+        "malli/error" -> Seq("(> x y)")))
   }
 
   test(":error/message + :error/path schema props (error_test.cljc:623-631)") {

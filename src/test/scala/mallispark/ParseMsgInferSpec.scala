@@ -159,6 +159,38 @@ class ParseMsgInferSpec extends SparkSuite {
       errs.map(e => (e.path.toSeq, e.in.toSeq, e.key))) ===
       Map("z" -> Seq("should be an int"),
         "malli/error" -> Seq("(> x y)")))
+
+    // robustness: random (possibly dangling) error paths over random
+    // value trees never throw, and every emitted message came from the
+    // input set
+    val rnd = new scala.util.Random(42)
+    def rv(d: Int): Any =
+      if (d == 0) rnd.nextInt(5) match {
+        case 0 => rnd.nextLong(100); case 1 => "s"; case _ => null
+      }
+      else rnd.nextInt(3) match {
+        case 0 => Map((0 until rnd.nextInt(3)).map(i =>
+          s"k$i" -> rv(d - 1)): _*)
+        case 1 => Seq.fill(rnd.nextInt(4))(rv(d - 1))
+        case _ => rnd.nextLong(10)
+      }
+    def rp(): Seq[String] = Seq.fill(rnd.nextInt(4))(
+      if (rnd.nextBoolean()) s"k${rnd.nextInt(3)}" else rnd.nextInt(4).toString)
+    (0 until 200).foreach { i =>
+      val v = rv(3)
+      val es = (0 until rnd.nextInt(5)).map(j => rp() -> s"m$j")
+      val out = Messages.humanizeShaped(v, es)
+      def msgs(x: Any): Seq[String] = x match {
+        case null => Seq.empty
+        case s: String => Seq(s)
+        case m: Map[_, _] => m.values.toSeq.flatMap(msgs)
+        case xs: Seq[_] => xs.flatMap(msgs)
+        case _ => Seq.empty
+      }
+      val emitted = msgs(out)
+      assert(emitted.forall(m => m == "invalid type" ||
+        es.map(_._2).contains(m)), s"iteration $i: $emitted from $es")
+    }
   }
 
   test(":error/message + :error/path schema props (error_test.cljc:623-631)") {

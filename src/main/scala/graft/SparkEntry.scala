@@ -1008,6 +1008,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- raw JSON-lines ingestion: from_json with the schema's own
+    //      StructType → json-decode → flatten → validate; malformed
+    //      documents surface as null fields and fail validation ----
+    "json_ingest" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR._
+      val d = F.col("doc_id")
+      val raw = t(s, dir, "documents").select(d,
+        F.when(d % 17 === 0, F.lit("{not json"))
+          .otherwise(F.concat(
+            F.lit("{\"id\": "), d.cast(StringType),
+            F.lit(", \"lang\": \""), F.col("lang"), F.lit("\""),
+            F.when(d % 13 === 0, F.lit(", \"score\": 1.5"))
+              .otherwise(F.lit(", \"score\": 2")),
+            F.lit("}"))).as("raw"))
+      val sch = SMap(Seq(Entry("id", SInt()), Entry("lang", SString()),
+        Entry("score", SDouble())))
+      val parsed = Transform.fromJsonLines(sch, raw, "raw")
+      SchemaCompiler.validateDF(sch, parsed, "ok", exclude = Set("doc_id"))
+        .select(d, F.col("id"), F.col("lang").as("jlang"),
+          F.col("score"), F.col("ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- full transformer pipeline: decodeDF → fillDefaults →
     //      renameKeys → stripExtraKeys → encode (gated end-to-end) ----
     "transform_pipeline" -> ((s, dir) => {
@@ -3147,6 +3170,18 @@ object SparkEntry {
         |       WHEN s_bool = 'false' THEN false ELSE NULL END AS d_bool,
         |  NULLIF(s_str, '') AS d_str
         |FROM src ORDER BY doc_id""".stripMargin,
+
+    // json ingestion: the oracle rebuilds the parse result from the same
+    // source columns (the JSON text was constructed from them); the
+    // malformed every-17th document yields null fields and fails
+    "json_ingest" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id END AS id,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS jlang,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL
+        |       WHEN doc_id % 13 = 0 THEN 1.5 ELSE 2.0 END AS score,
+        |  doc_id % 17 <> 0 AS ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // hinted :and — enter pads 2-digit numbers with a trailing 0, the
     // int decode + inner (inc, *2) hints run in child order, leave ×10

@@ -518,6 +518,24 @@ object Transform {
     case _ => col.cast(StringType)
   }
 
+  /** Raw JSON-lines ingestion (the crawl-dump entry path): parse a JSON
+    * document string column with the schema's own StructType, run the
+    * json-transformer over the parsed struct, and flatten its fields
+    * into top-level columns (replacing `jsonCol`). Malformed documents
+    * parse to null fields — `coerce`/`validateDF` downstream routes them
+    * to violations, preserving the decode-failure contract. Everything
+    * stays inside one codegen'd projection (JsonToStructs + the decode
+    * expressions). */
+  def fromJsonLines(ir: SMap, df: DataFrame, jsonCol: String)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): DataFrame = {
+    val st = SchemaCompiler.toStructType(ir)
+    val dec = decode(ir, F.from_json(F.col(jsonCol), st), st, JsonMode)
+    val keep = df.columns.filterNot(_ == jsonCol)
+      .map(F.col).toIndexedSeq
+    df.withColumn("__parsed", dec)
+      .select(keep :+ F.col("__parsed.*"): _*)
+  }
+
   /** Decode a whole DataFrame against a top-level :map schema. Unmatched
     * (extra) columns pass through untouched — use stripExtraKeys to drop. */
   def decodeDF(ir: SMap, df: DataFrame, mode: Mode): DataFrame = {

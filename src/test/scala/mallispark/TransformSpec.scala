@@ -342,6 +342,22 @@ class TransformSpec extends SparkSuite {
     assert(r.getSeq[Row](1).head.getLong(0) === 2L)
   }
 
+  test("fromJsonLines: parse raw JSON docs, flatten, nulls on malformed") {
+    val sch = SMap(Seq(Entry("id", SInt()), Entry("tag", SString())))
+    val d = df(Seq(
+      Row(1L, """{"id": 7, "tag": "a"}"""),
+      Row(2L, """{"id": 8}"""),
+      Row(3L, "{broken")),
+      StructType(Seq(StructField("k", LongType),
+        StructField("raw", StringType))))
+    val out = Transform.fromJsonLines(sch, d, "raw")
+    assert(out.columns.toSeq === Seq("k", "id", "tag"))
+    val rows = out.orderBy("k").collect()
+    assert(rows(0).getLong(1) === 7L && rows(0).getString(2) === "a")
+    assert(rows(1).getLong(1) === 8L && rows(1).isNullAt(2))
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2)) // malformed
+  }
+
   test("coerce = decode then validate, splitting accepted/rejected") {
     val schema = SMap(Seq(Entry("n", SInt(Some(1L), None))))
     val d = df(Seq(Row("5"), Row("0"), Row("junk")),

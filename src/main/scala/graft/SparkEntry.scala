@@ -1025,9 +1025,21 @@ object SparkEntry {
       val sch = SMap(Seq(Entry("id", SInt()), Entry("lang", SString()),
         Entry("score", SDouble())))
       val parsed = Transform.fromJsonLines(sch, raw, "raw")
+      // round-trip law: re-ingesting the exported JSON reproduces the
+      // declared columns (null-safe equality per field)
+      val exported = Transform.toJsonLines(sch, parsed, "json")
+      val back = Transform.fromJsonLines(sch,
+        exported.select(F.col("doc_id"), F.col("id").as("id0"),
+          F.col("lang").as("lang0"), F.col("score").as("score0"),
+          F.col("json")), "json")
+      val rt = back.select(F.col("doc_id"),
+        (F.col("id") <=> F.col("id0") &&
+         F.col("lang") <=> F.col("lang0") &&
+         F.col("score") <=> F.col("score0")).as("rt_ok"))
       SchemaCompiler.validateDF(sch, parsed, "ok", exclude = Set("doc_id"))
         .select(d, F.col("id"), F.col("lang").as("jlang"),
           F.col("score"), F.col("ok"))
+        .join(rt, "doc_id")
         .orderBy("doc_id")
     }),
 
@@ -3180,7 +3192,8 @@ object SparkEntry {
         |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE lang END AS jlang,
         |  CASE WHEN doc_id % 17 = 0 THEN NULL
         |       WHEN doc_id % 13 = 0 THEN 1.5 ELSE 2.0 END AS score,
-        |  doc_id % 17 <> 0 AS ok
+        |  doc_id % 17 <> 0 AS ok,
+        |  true AS rt_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // hinted :and — enter pads 2-digit numbers with a trailing 0, the

@@ -536,6 +536,16 @@ object Transform {
       .select(keep :+ F.col("__parsed.*"): _*)
   }
 
+  /** The export dual of [[fromJsonLines]]: render the schema's declared
+    * columns back into one JSON document string per row (StructsToJson —
+    * codegen'd; timestamps print ISO-8601, null fields are omitted).
+    * Round-trip law: `fromJsonLines(toJsonLines(df))` reproduces the
+    * declared columns. */
+  def toJsonLines(ir: SMap, df: DataFrame,
+                  outCol: String = "json"): DataFrame =
+    df.withColumn(outCol,
+      F.to_json(F.struct(ir.entries.map(e => F.col(e.key)): _*)))
+
   /** Decode a whole DataFrame against a top-level :map schema. Unmatched
     * (extra) columns pass through untouched — use stripExtraKeys to drop. */
   def decodeDF(ir: SMap, df: DataFrame, mode: Mode): DataFrame = {

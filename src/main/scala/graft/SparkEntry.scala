@@ -1043,6 +1043,27 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- CSV sidecar ingestion: from_csv with the schema's StructType;
+    //      a field failing its type (id "x") goes null and fails
+    //      validation, the rest of the line still parses ----
+    "csv_ingest" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR._
+      val d = F.col("doc_id")
+      val raw = t(s, dir, "documents").select(d,
+        F.concat(
+          F.when(d % 17 === 0, F.lit("x")).otherwise(d.cast(StringType)),
+          F.lit(","), F.col("lang"), F.lit(","),
+          F.when(d % 13 === 0, F.lit("1.5")).otherwise(F.lit("2")))
+          .as("raw"))
+      val sch = SMap(Seq(Entry("id", SInt()), Entry("lang", SString()),
+        Entry("score", SDouble())))
+      val parsed = Transform.fromCsvLines(sch, raw, "raw")
+      SchemaCompiler.validateDF(sch, parsed, "ok", exclude = Set("doc_id"))
+        .select(d, F.col("id"), F.col("lang").as("clang"),
+          F.col("score"), F.col("ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- full transformer pipeline: decodeDF → fillDefaults →
     //      renameKeys → stripExtraKeys → encode (gated end-to-end) ----
     "transform_pipeline" -> ((s, dir) => {
@@ -3194,6 +3215,14 @@ object SparkEntry {
         |       WHEN doc_id % 13 = 0 THEN 1.5 ELSE 2.0 END AS score,
         |  doc_id % 17 <> 0 AS ok,
         |  true AS rt_ok
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "csv_ingest" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 17 = 0 THEN NULL ELSE doc_id END AS id,
+        |  lang AS clang,
+        |  CASE WHEN doc_id % 13 = 0 THEN 1.5 ELSE 2.0 END AS score,
+        |  doc_id % 17 <> 0 AS ok
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // hinted :and — enter pads 2-digit numbers with a trailing 0, the

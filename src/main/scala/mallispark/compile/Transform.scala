@@ -536,6 +536,21 @@ object Transform {
       .select(keep :+ F.col("__parsed.*"): _*)
   }
 
+  /** CSV sibling of [[fromJsonLines]] (sidecar/metadata feeds): parse a
+    * delimited line with the schema's StructType (PERMISSIVE — fields
+    * that fail their type go null), decode, flatten. */
+  def fromCsvLines(ir: SMap, df: DataFrame, csvCol: String,
+                   options: Map[String, String] = Map.empty)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): DataFrame = {
+    val st = SchemaCompiler.toStructType(ir)
+    val dec = decode(ir, F.from_csv(F.col(csvCol), st, options),
+      st, StringMode)
+    val keep = df.columns.filterNot(_ == csvCol)
+      .map(F.col).toIndexedSeq
+    df.withColumn("__parsed", dec)
+      .select(keep :+ F.col("__parsed.*"): _*)
+  }
+
   /** The export dual of [[fromJsonLines]]: render the schema's declared
     * columns back into one JSON document string per row (StructsToJson —
     * codegen'd; timestamps print ISO-8601, null fields are omitted).

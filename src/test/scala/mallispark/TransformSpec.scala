@@ -358,6 +358,16 @@ class TransformSpec extends SparkSuite {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2)) // malformed
   }
 
+  test("fromCsvLines: delimited lines parse typed, bad fields go null") {
+    val sch = SMap(Seq(Entry("id", SInt()), Entry("tag", SString())))
+    val d = df(Seq(Row("7,a"), Row("x,b"), Row("9")),
+      StructType(Seq(StructField("raw", StringType))))
+    val out = Transform.fromCsvLines(sch, d, "raw").collect()
+    assert(out(0).getLong(0) === 7L && out(0).getString(1) === "a")
+    assert(out(1).isNullAt(0) && out(1).getString(1) === "b")
+    assert(out(2).getLong(0) === 9L && out(2).isNullAt(1))
+  }
+
   test("coerce = decode then validate, splitting accepted/rejected") {
     val schema = SMap(Seq(Entry("n", SInt(Some(1L), None))))
     val d = df(Seq(Row("5"), Row("0"), Row("junk")),

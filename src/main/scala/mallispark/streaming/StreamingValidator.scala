@@ -28,6 +28,19 @@ object StreamingValidator {
     SchemaCompiler.validateDF(ir, in, "valid")
   }
 
+  /** Streaming JSONL ingestion: tail a directory of raw JSON-document
+    * text files, parse each line with the schema's StructType through
+    * [[mallispark.compile.Transform.fromJsonLines]], and validate — the
+    * streaming shape of the crawl-dump entry path. Malformed documents
+    * arrive as null-field rows with `valid = false`. */
+  def validateJsonStream(spark: SparkSession, ir: SchemaIR.SMap,
+                         sourceDir: String)(
+      implicit ctx: SchemaCompiler.Ctx = SchemaCompiler.Ctx()): DataFrame = {
+    val in = spark.readStream.text(sourceDir)
+    val parsed = mallispark.compile.Transform.fromJsonLines(ir, in, "value")
+    SchemaCompiler.validateDF(ir, parsed, "valid")
+  }
+
   /** One catch-up pass: validate everything new since the checkpoint,
     * append violation rows to `violationsDir`, return the query after it
     * drains. Exactly-once via the checkpoint; rerunning validates only

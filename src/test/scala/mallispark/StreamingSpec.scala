@@ -35,6 +35,30 @@ class StreamingSpec extends SparkSuite {
     assert(total > firstCount)
   }
 
+  test("JSONL stream: raw documents parse, validate; malformed fail") {
+    import mallispark.ir.SchemaIR._
+    val base = java.nio.file.Files.createTempDirectory("msjsonl").toString
+    val src = s"$base/src"; val cp = s"$base/cp"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/a.jsonl"),
+      Seq("""{"id": 1, "tag": "x"}""",
+        """{"id": 2}""",
+        "{broken").mkString("\n").getBytes)
+    val sch = SMap(Seq(Entry("id", SInt()), Entry("tag", SString())))
+    val q = StreamingValidator.validateJsonStream(spark, sch, src)
+      .writeStream.format("memory").queryName("jsonl_v")
+      .option("checkpointLocation", cp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("jsonl_v")
+      .orderBy("id").collect()
+    assert(rows.length === 3)
+    val valid = rows.map(r => (if (r.isNullAt(0)) null
+      else r.getLong(0), r.getBoolean(2)))
+    assert(valid.toSet === Set((null, false), (1L, true), (2L, false)))
+  }
+
   test("stateful dedup: first sighting emitted once, later batches suppressed") {
     val base = java.nio.file.Files.createTempDirectory("msdedup").toString
     val src = s"$base/src"; val out = s"$base/out"; val cp = s"$base/cp"

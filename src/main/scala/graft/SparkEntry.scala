@@ -1025,21 +1025,17 @@ object SparkEntry {
       val sch = SMap(Seq(Entry("id", SInt()), Entry("lang", SString()),
         Entry("score", SDouble())))
       val parsed = Transform.fromJsonLines(sch, raw, "raw")
-      // round-trip law: re-ingesting the exported JSON reproduces the
-      // declared columns (null-safe equality per field)
-      val exported = Transform.toJsonLines(sch, parsed, "json")
-      val back = Transform.fromJsonLines(sch,
-        exported.select(F.col("doc_id"), F.col("id").as("id0"),
-          F.col("lang").as("lang0"), F.col("score").as("score0"),
-          F.col("json")), "json")
-      val rt = back.select(F.col("doc_id"),
-        (F.col("id") <=> F.col("id0") &&
-         F.col("lang") <=> F.col("lang0") &&
-         F.col("score") <=> F.col("score0")).as("rt_ok"))
+      // round-trip law IN ONE PROJECTION (no self-join, single scan):
+      // re-parse the exported JSON and compare null-safe per field
+      val st2 = SchemaCompiler.toStructType(sch)
+      val rp = F.from_json(F.to_json(F.struct(
+        F.col("id"), F.col("lang"), F.col("score"))), st2)
       SchemaCompiler.validateDF(sch, parsed, "ok", exclude = Set("doc_id"))
         .select(d, F.col("id"), F.col("lang").as("jlang"),
-          F.col("score"), F.col("ok"))
-        .join(rt, "doc_id")
+          F.col("score"), F.col("ok"),
+          (F.col("id") <=> rp.getField("id") &&
+           F.col("lang") <=> rp.getField("lang") &&
+           F.col("score") <=> rp.getField("score")).as("rt_ok"))
         .orderBy("doc_id")
     }),
 

@@ -177,6 +177,20 @@ object ValueTransform {
           .map { case (mk, mv) => decode(k, mk, mode) -> decode(vv, mv, mode) }
       case _ => v
     }
+    // :multi decodes through the DISPATCHED branch (tagged unions —
+    // transform_test.cljc:664-685 multi decode); dispatch normalization
+    // mirrors RowEval's (null dispatch → default branch)
+    case SMulti(dk, bs, default) => v match {
+      case m: scala.collection.Map[_, _] =>
+        val mm = m.asInstanceOf[scala.collection.Map[Any, Any]]
+        val dv = mm.collectFirst {
+          case (k, x) if String.valueOf(k) == dk && x != null =>
+            String.valueOf(x)
+        }.orNull
+        bs.find(_._1 == dv).map(_._2).orElse(default)
+          .map(decode(_, v, mode)).getOrElse(v)
+      case _ => v
+    }
     // seq-regexes: structurally decode, keep only a VALIDATING candidate
     case SStar(c) => gated(ir, v)(_.map(decode(innermost(c), _, mode)))
     case SPlus(c) => gated(ir, v)(_.map(decode(innermost(c), _, mode)))

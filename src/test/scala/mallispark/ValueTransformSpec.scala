@@ -114,6 +114,16 @@ class ValueTransformSpec extends AnyFunSuite {
     assert(ValueTransform.coerce(S.int, "5", StringMode) === Right(5L))
     val bad = ValueTransform.coerce(S.int, "abc", StringMode)
     assert(bad.isLeft && bad.left.toOption.get.nonEmpty)
+    // :multi decodes through the dispatched branch; unknown dispatch
+    // falls to the default, else passes through
+    val mu = S.multi("kind", default = Some(S.mapE(false,
+      S.req("kind", S.string))))(
+      "sized" -> S.mapE(false, S.req("kind", S.string),
+        S.req("size", S.int)))
+    assert(dec(mu, Map("kind" -> "sized", "size" -> "7")) ===
+      Map("kind" -> "sized", "size" -> 7L))
+    assert(dec(mu, Map("kind" -> "other", "size" -> "7")) ===
+      Map("kind" -> "other", "size" -> "7")) // default branch: size kept
     // recursive decode through a scoped registry (core_test
     // recursive-coercer-test shape): refs deref depth-bounded
     val cons = S.scoped("cons" -> S.maybe(S.mapE(false,

@@ -96,6 +96,11 @@ object Transform {
         cs.foldLeft((col, dt)) { case ((c0, t0), child) =>
           (decode(child, c0, t0, mode), decodedType(child, t0, mode))
         }._1
+      // tagged composites decode like their untagged duals
+      case SAndn(bs) if bs.nonEmpty =>
+        decode(SAnd(bs.map(_._2)), col, dt, mode)
+      case SOrn(bs) if bs.nonEmpty =>
+        decode(SOr(bs.map(_._2)), col, dt, mode)
       // :or decodes with the FIRST branch whose result validates
       // (transform.cljc -or-transformer); a typed engine can only gate
       // between branches that decode to ONE column type — branches with
@@ -330,6 +335,10 @@ object Transform {
       case SAnd(cs) if cs.nonEmpty =>
         cs.foldLeft(dt)((t, c) => decodedType(c, t, mode))
       case SOr(cs) if cs.nonEmpty => decodedType(cs.head, dt, mode)
+      case SAndn(bs) if bs.nonEmpty =>
+        decodedType(SAnd(bs.map(_._2)), dt, mode)
+      case SOrn(bs) if bs.nonEmpty =>
+        decodedType(SOr(bs.map(_._2)), dt, mode)
       case _: SInt => dt match {
         case StringType if mode == StringMode => LongType
         case ByteType | ShortType | IntegerType | FloatType | DoubleType =>

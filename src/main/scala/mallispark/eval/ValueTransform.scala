@@ -83,6 +83,8 @@ object ValueTransform {
       cs.iterator.map(c => (c, decode(c, v, mode)))
         .collectFirst { case (c, d) if RowEval.validate(c, d) => d }
         .getOrElse(v)
+    case SAndn(bs) if bs.nonEmpty => decode(SAnd(bs.map(_._2)), v, mode)
+    case SOrn(bs) if bs.nonEmpty => decode(SOr(bs.map(_._2)), v, mode)
     case _: SInt => v match {
       case s: String if mode == StringMode =>
         try s.toLong catch { case _: NumberFormatException => v }
@@ -248,6 +250,8 @@ object ValueTransform {
       case SMaybe(c) => if (v == null) null else encode(c, v, mode)
       case SAnd(cs) if cs.nonEmpty =>
         cs.foldLeft(v)((a, c) => encode(c, a, mode))
+      case SAndn(bs) if bs.nonEmpty => encode(SAnd(bs.map(_._2)), v, mode)
+      case SOrn(bs) if bs.nonEmpty => encode(SOr(bs.map(_._2)), v, mode)
       case SOr(cs) if cs.nonEmpty =>
         cs.find(RowEval.validate(_, v)).map(encode(_, v, mode)).getOrElse(v)
       case _: SInt | _: SDouble | SBoolean => v match {

@@ -143,6 +143,10 @@ object MiniEval {
   private val strBuiltins: Set[String] =
     Set("upper-case", "lower-case", "trim")
 
+  private val reCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.regex.Pattern]()
+
   private val builtins: Set[String] = Set(
     "fn", "if", "when", "and", "or", "not",
     ">", ">=", "<", "<=", "=", "==", "not=",
@@ -357,9 +361,12 @@ object MiniEval {
     case "trim" => asS(args.head).trim
     // Clojure re-matches: whole-string match -> the match (truthy) or nil.
     // The pattern argument is a STRING here (the Edn universe has no
-    // regex literals); groups collapse to the full match.
+    // regex literals); groups collapse to the full match. Patterns come
+    // from schema sources (a bounded set), so compiled forms cache —
+    // per-row recompilation would dominate hinted :fn hot loops.
     case "re-matches" =>
-      val m = java.util.regex.Pattern.compile(asS(args(0)))
+      val m = reCache.computeIfAbsent(asS(args(0)),
+        (p: String) => java.util.regex.Pattern.compile(p))
         .matcher(asS(args(1)))
       if (m.matches()) m.group() else null
     case "not" => !truthy(args.head)

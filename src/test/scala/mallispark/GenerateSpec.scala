@@ -102,14 +102,28 @@ class GenerateSpec extends SparkSuite {
     assert(add(Seq(2L, 3L)) === 5L)
     assert(FnSchemas.check(spark, sch, args =>
       args(0).asInstanceOf[Long] + args(1).asInstanceOf[Long]).isEmpty)
-    // bad argument / bad return / arity all throw with the fn name
-    val e1 = intercept[IllegalArgumentException](add(Seq(-1L, 3L)))
-    assert(e1.getMessage.startsWith("add: invalid argument 0"))
-    val e2 = intercept[IllegalArgumentException](add(Seq(2L)))
+    // bad argument / bad return / arity all throw TYPED reports — the
+    // `(:type (ex-data e))` dispatch of always_test.cljc:44-55
+    val e1 = intercept[FnSchemas.InstrumentException](add(Seq(-1L, 3L)))
+    assert(e1.kind === FnSchemas.Kind.InvalidInput)
+    assert(e1.getMessage.contains("invalid argument 0"))
+    val e2 = intercept[FnSchemas.InstrumentException](add(Seq(2L)))
+    assert(e2.kind === FnSchemas.Kind.InvalidArity)
     assert(e2.getMessage.contains("expected 2 arguments"))
     val bad = FnSchemas.wrap(sch, "bad")(_ => 999L)
-    assert(intercept[IllegalArgumentException](bad(Seq(1L, 2L)))
-      .getMessage.startsWith("bad: invalid return value"))
+    val e3 = intercept[FnSchemas.InstrumentException](bad(Seq(1L, 2L)))
+    assert(e3.kind === FnSchemas.Kind.InvalidOutput)
+    assert(e3.getMessage.contains("invalid return value"))
+    // :scope limits which sides are validated (instrument {:scope ...});
+    // a non-throwing report collects instead of failing the call
+    val inputOnly = FnSchemas.wrap(sch, "bad", scope = Set("input"))(_ => 999L)
+    assert(inputOnly(Seq(1L, 2L)) === 999L)
+    val seen = scala.collection.mutable.Buffer.empty[String]
+    val collecting = FnSchemas.wrap(sch, "add", report = e => seen += e.kind) {
+      args => args(0).asInstanceOf[Long] + args(1).asInstanceOf[Long]
+    }
+    assert(collecting(Seq(-1L, 3L)) === 2L)
+    assert(seen.toSeq === Seq(FnSchemas.Kind.InvalidInput))
     // generative check catches a function that violates only sometimes:
     // a0 * a1 exceeds 200 for many generated pairs
     val cex = FnSchemas.check(spark, sch, args =>
@@ -138,14 +152,14 @@ class GenerateSpec extends SparkSuite {
     assert(f(Seq(1L, 2L, 3L, 4L)) === 10L)        // deep tail
     // invalid-arity (below min), invalid-input (fixed and tail),
     // invalid-output — the reference's three report kinds
-    assert(intercept[IllegalArgumentException](f(Seq.empty))
-      .getMessage.contains("at least 1"))
-    assert(intercept[IllegalArgumentException](f(Seq(-2L, 1L)))
-      .getMessage.contains("invalid argument 0"))
-    val eTail = intercept[IllegalArgumentException](f(Seq(1L, "x")))
+    assert(intercept[FnSchemas.InstrumentException](f(Seq.empty))
+      .kind === FnSchemas.Kind.InvalidArity)
+    assert(intercept[FnSchemas.InstrumentException](f(Seq(-2L, 1L)))
+      .kind === FnSchemas.Kind.InvalidInput)
+    val eTail = intercept[FnSchemas.InstrumentException](f(Seq(1L, "x")))
     assert(eTail.getMessage.contains("invalid argument 1"))
-    assert(intercept[IllegalArgumentException](f(Seq(2L, -3L)))
-      .getMessage.contains("invalid return"))
+    assert(intercept[FnSchemas.InstrumentException](f(Seq(2L, -3L)))
+      .kind === FnSchemas.Kind.InvalidOutput)
     // generative check exercises tail arities 0-3 and finds the
     // negative-sum law violation; shrink drops tail args first
     val cex = FnSchemas.check(spark, sch, sum, shrink = true)
@@ -170,14 +184,14 @@ class GenerateSpec extends SparkSuite {
     }
     assert(f(Seq(1L, 2L)) === 3L)
     assert(f(Seq(3L)) === 3L) // other arity
-    assert(intercept[IllegalArgumentException](f(Seq(-2L, 1L)))
-      .getMessage.contains("invalid argument 0"))
-    assert(intercept[IllegalArgumentException](f(Seq(2L, -3L)))
-      .getMessage.contains("invalid return"))
-    assert(intercept[IllegalArgumentException](f(Seq(1L)))
-      .getMessage.contains("invalid argument 0")) // 1-arity needs ≥ 2
-    assert(intercept[IllegalArgumentException](f(Seq(1L, 2L, 3L)))
-      .getMessage.contains("invalid arity 3"))
+    assert(intercept[FnSchemas.InstrumentException](f(Seq(-2L, 1L)))
+      .kind === FnSchemas.Kind.InvalidInput)
+    assert(intercept[FnSchemas.InstrumentException](f(Seq(2L, -3L)))
+      .kind === FnSchemas.Kind.InvalidOutput)
+    assert(intercept[FnSchemas.InstrumentException](f(Seq(1L)))
+      .kind === FnSchemas.Kind.InvalidInput) // 1-arity needs ≥ 2
+    assert(intercept[FnSchemas.InstrumentException](f(Seq(1L, 2L, 3L)))
+      .kind === FnSchemas.Kind.InvalidArity)
     // exact arity beats a varargs arity that also covers the count
     val mixed = FunctionSchema(Seq(
       FnSchema(Seq(S.int), S.enum_("fixed")),
@@ -221,8 +235,9 @@ class GenerateSpec extends SparkSuite {
     // a function whose OUTPUT is in-schema but violates the guard
     val zero = FnSchemas.wrap(sch, "zero")(_ => 0L)
     assert(zero(Seq(0L, 7L)) === 0L) // guard holds at a0 = 0
-    val e = intercept[IllegalArgumentException](zero(Seq(5L, 1L)))
-    assert(e.getMessage.startsWith("zero: guard violated"))
+    val e = intercept[FnSchemas.InstrumentException](zero(Seq(5L, 1L)))
+    assert(e.kind === FnSchemas.Kind.InvalidGuard)
+    assert(e.getMessage.contains("guard violated"))
     // generative check catches guard-only violations too
     assert(FnSchemas.check(spark, sch, _ => 0L).isDefined)
     assert(FnSchemas.check(spark, sch, args =>

@@ -1122,6 +1122,35 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- :and parses through its single transforming child
+    //      (core.cljc:879-891; parser_test.cljc:132-180): the :orn child
+    //      shapes the result, the :int sibling just validates; the
+    //      :parse/transforming-child :none prop forces identity; a deep
+    //      nest tags twice ----
+    "parse_and_transforming" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR.{SProps, NodeProps}
+      val P = mallispark.compile.Parse
+      val orn = S.orn("neg" -> S.intMax(-1L), "zero" -> S.eq_(0L),
+        "pos" -> S.intMin(1L))
+      val sch = S.and(orn, S.int(-3L, 3L))
+      val none = SProps(NodeProps(parseTransformingChild = Some(":none")),
+        S.and(orn, S.int(-4L, 2L))) // tighter max: v=3 parses to ::m/invalid
+      val deep = S.and(S.orn("l" -> S.and(orn, S.int)), S.int)
+      val src = t(s, dir, "documents").select(F.col("doc_id"),
+        (F.col("doc_id") % 7 - 3).as("v"))
+      src.select(F.col("doc_id"),
+          P.parse(sch, F.col("v"), LongType).as("p"),
+          P.parse(none, F.col("v"), LongType).as("ident"),
+          P.parse(deep, F.col("v"), LongType).as("d"))
+        .select(F.col("doc_id"),
+          F.col("p.tag").as("tag"), F.col("p.value").as("value"),
+          F.col("ident"),
+          F.col("d.tag").as("deep_tag"),
+          F.col("d.value.tag").as("inner_tag"),
+          F.col("d.value.value").as("inner_value"))
+        .orderBy("doc_id")
+    }),
+
     // ---- :catn tagged parse + unparse round-trip over derived arrays;
     //      the middle entry is an :altn so its parse carries a branch TAG
     //      (Tag records core.cljc:164-183) — the injected 'xx' lang lands
@@ -3284,6 +3313,19 @@ object SparkEntry {
         |  v AS value
         |FROM (SELECT doc_id, doc_id % 7 - 3 AS v FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // :and routes parse through the :orn child; the identity variant
+    // nulls where the tightened sibling range rejects; the deep variant
+    // nests Tag('l', Tag(branch, v))
+    "parse_and_transforming" ->
+      """WITH s AS (SELECT doc_id, doc_id % 7 - 3 AS v FROM documents),
+        |tagged AS (SELECT doc_id, v,
+        |  CASE WHEN v <= -1 THEN 'neg' WHEN v = 0 THEN 'zero'
+        |       WHEN v >= 1 THEN 'pos' END AS btag FROM s)
+        |SELECT doc_id, btag AS tag, v AS value,
+        |  CASE WHEN v <= 2 THEN v END AS ident,
+        |  'l' AS deep_tag, btag AS inner_tag, v AS inner_value
+        |FROM tagged ORDER BY doc_id""".stripMargin,
 
     // the :altn middle entry: first-matching branch names the tag
     // ('lang' before 'other', same order both engines)

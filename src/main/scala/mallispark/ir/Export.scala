@@ -535,7 +535,13 @@ object Export {
           s":error/path must be a path vector, got $other")
       },
       decodeHints = parseHints(m, "decode"),
-      encodeHints = parseHints(m, "encode"))
+      encodeHints = parseHints(m, "encode"),
+      parseTransformingChild = m.get(":parse/transforming-child").map {
+        case Num(v, true) => v.toLong
+        case Kw(":none") => ":none"
+        case other => throw new IllegalArgumentException(
+          s":parse/transforming-child must be an index or :none, got $other")
+      })
   }
 
   /** `:decode/<name> f` compact keys plus the full `:decode {:name ..}`

@@ -296,7 +296,11 @@ object SchemaIR {
       errorMessage: Option[String] = None,
       errorPath: Option[Seq[String]] = None,
       decodeHints: Seq[(String, THint)] = Nil,
-      encodeHints: Seq[(String, THint)] = Nil) {
+      encodeHints: Seq[(String, THint)] = Nil,
+      // `:parse/transforming-child` on `:and` (core.cljc:846-860):
+      // Long index selects the child whose parser shapes the result;
+      // the keyword string ":none" forces the identity parser.
+      parseTransformingChild: Option[Any] = None) {
     def isEmpty: Boolean = this == NodeProps.empty
   }
   object NodeProps { val empty: NodeProps = NodeProps() }
@@ -363,6 +367,76 @@ object SchemaIR {
   /** `:repeat` with {:min :max} of a single child (impl/regex.cljc:348-458
     * general; here the bounded single-child form). */
   final case class SRepeat(child: SchemaIR, min: Int, max: Int) extends SchemaIR
+
+  // ---- parser-info ---------------------------------------------------------
+
+  /** parser-info (reference core.cljc ParserInfo, default extension
+    * 109-124): `true` ⇔ parse is identity-on-valid ("simple parser").
+    * Tagged nodes (:orn/:andn/:catn/:altn), :multi, and ALL seq-regex
+    * ops are transforming (no -parser-info impl in the reference ⇒
+    * falsy); :not is always simple (core.cljc:1157-1158) even over a
+    * transforming child; :and delegates to its transforming child
+    * (core.cljc:923-926); containers inherit from children; :every is
+    * bounded ⇒ simple; :ref cycles read simple (core.cljc:2057-2062). */
+  def simpleParser(ir: SchemaIR, reg: Registry = Registry.empty,
+                   seen: Set[String] = Set.empty): Boolean = ir match {
+    case _: SOrn | _: SAndn | _: SMulti | _: SMultiExpr => false
+    case _: SCat | _: SCatn | _: SAlt | _: SAltn |
+         _: SStar | _: SPlus | _: SOpt | _: SRepeat => false
+    case SProps(p, a: SAnd) =>
+      andTransformingIdx(a.children, p, reg, seen)
+        .forall(i => simpleParser(a.children(i), reg, seen))
+    case SProps(_, c) => simpleParser(c, reg, seen)
+    case SAnd(cs) =>
+      andTransformingIdx(cs, NodeProps.empty, reg, seen)
+        .forall(i => simpleParser(cs(i), reg, seen))
+    case _: SNot | _: SEvery => true
+    case SMaybe(c) => simpleParser(c, reg, seen)
+    case SVector(c, _, _) => simpleParser(c, reg, seen)
+    case SSet(c, _, _) => simpleParser(c, reg, seen)
+    case SSeqable(c, _, _) => simpleParser(c, reg, seen)
+    case SMapOf(k, v, _, _) =>
+      simpleParser(k, reg, seen) && simpleParser(v, reg, seen)
+    case SMap(entries, _, rest) =>
+      entries.forall(e => simpleParser(e.child, reg, seen)) &&
+        rest.forall(simpleParser(_, reg, seen))
+    case STuple(cs) => cs.forall(simpleParser(_, reg, seen))
+    case SOr(cs) => cs.forall(simpleParser(_, reg, seen))
+    case SMergeOf(cs) => cs.forall(simpleParser(_, reg, seen))
+    case SUnionOf(cs) => cs.forall(simpleParser(_, reg, seen))
+    case SSelectKeysOf(c, _) => simpleParser(c, reg, seen)
+    case SRef(name) =>
+      seen(name) || reg.schemas.get(name)
+        .forall(simpleParser(_, reg, seen + name))
+    case SScoped(local, c) =>
+      simpleParser(c, Registry(reg.schemas ++ local, reg.maxDepth), seen)
+    case _ => true // leaves, :fn, :custom, :validate
+  }
+
+  /** The `:and` transforming-child index (core.cljc:846-860
+    * `->transforming-parser-idx`): an explicit
+    * `:parse/transforming-child` prop wins (`:none` ⇒ identity, an
+    * index must be in range); otherwise the UNIQUE non-simple child —
+    * two or more is the reference's
+    * `::and-schema-multiple-transforming-parsers` error. */
+  def andTransformingIdx(children: Seq[SchemaIR], props: NodeProps,
+                         reg: Registry = Registry.empty,
+                         seen: Set[String] = Set.empty): Option[Int] =
+    props.parseTransformingChild match {
+      case Some(":none") => None
+      case Some(i: Long) if i >= 0 && i < children.length => Some(i.toInt)
+      case Some(other) => throw new IllegalArgumentException(
+        s":and invalid :parse/transforming-child $other " +
+          s"(need an index < ${children.length} or :none)")
+      case None =>
+        val ts = children.zipWithIndex
+          .collect { case (c, i) if !simpleParser(c, reg, seen) => i }
+        if (ts.lengthCompare(1) > 0) throw new IllegalArgumentException(
+          ":and has multiple transforming parsers (indices " +
+            ts.mkString("[", " ", "]") +
+            ") — pick one with :parse/transforming-child")
+        ts.lastOption
+    }
 
   // ---- registry -----------------------------------------------------------
 
@@ -656,7 +730,8 @@ object SchemaIR {
      p.errorPath.map(segs =>
        segs.map(":" + _).mkString(":error/path [", " ", "]")) ++
      p.decodeHints.map { case (n, h) => s":decode/$n ${hintStr(h)}" } ++
-     p.encodeHints.map { case (n, h) => s":encode/$n ${hintStr(h)}" }
+     p.encodeHints.map { case (n, h) => s":encode/$n ${hintStr(h)}" } ++
+     p.parseTransformingChild.map(v => s":parse/transforming-child ${ednLit(v)}")
     ).mkString(" ")
   }
 

@@ -32,6 +32,11 @@ class ExportSpec extends AnyFunSuite {
     "scoped-recursive" -> S.scoped("node" -> S.mapE(false,
       S.req("v", S.intMin(0L)),
       S.opt("kids", S.vector(S.ref("node")))))(S.ref("node")),
+    "and-transforming" -> S.mapE(false,
+      S.req("none", SProps(NodeProps(parseTransformingChild = Some(":none")),
+        S.and(S.int, S.orn("l" -> S.int)))),
+      S.req("picked", SProps(NodeProps(parseTransformingChild = Some(0L)),
+        S.and(S.orn("l" -> S.int), S.orn("r" -> S.int))))),
     "node-props" -> S.mapE(false,
       S.req("a", SProps(NodeProps(genReturn = Some(1L)), S.int)),
       S.req("b", SProps(NodeProps(genElements = Some(Seq("x", "y")),

@@ -4,6 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
 import mallispark.ir.S
+import mallispark.ir.SchemaIR
 import mallispark.ir.SchemaIR._
 import mallispark.compile.{Parse, SchemaCompiler}
 import mallispark.msg.Messages
@@ -61,6 +62,114 @@ class ParseMsgInferSpec extends SparkSuite {
       .select(F.col("p.tag")).collect()
     assert(out(0).getString(0) === "a")
     assert(out(1).isNullAt(0))
+  }
+
+  // parser_test.cljc:132-180 (and-complex-parser-test) + 107-130
+  // (parser-info-test): :and parses THROUGH its single transforming child
+  test(":and parses through its single transforming child") {
+    val d = df(Seq(Row(1L)), StructType(Seq(StructField("v", LongType))))
+    val orn = S.orn("left" -> S.int, "right" -> S.int)
+    val fnNum = S.fn("number?")(v =>
+      v.isInstanceOf[Long] || v.isInstanceOf[Double])
+    // [:and [:orn [:left :int] [:right :int]] [:fn number?]] → Tag(:left 1),
+    // in BOTH child orders (parser_test.cljc:135-136)
+    for (s <- Seq(S.and(orn, fnNum), S.and(fnNum, orn))) {
+      assert(!SchemaIR.simpleParser(s))
+      val p = d.select(Parse.parse(s, F.col("v"), LongType).as("p"))
+        .select(F.col("p.tag"), F.col("p.value")).collect()(0)
+      assert(p.getString(0) === "left" && p.getLong(1) === 1L)
+      val u = d.select(Parse.unparse(s,
+        Parse.parse(s, F.col("v"), LongType), LongType).as("u"))
+        .collect()(0)
+      assert(u.getLong(0) === 1L)
+    }
+    // {:parse/transforming-child :none} forces the identity parser
+    // (parser_test.cljc:137)
+    val none = SProps(NodeProps(parseTransformingChild = Some(":none")),
+      S.and(fnNum, orn))
+    assert(SchemaIR.simpleParser(none))
+    assert(d.select(Parse.parse(none, F.col("v"), LongType).as("p"))
+      .collect()(0).getLong(0) === 1L)
+    // [:and :int [:or :int :boolean]] is simple → parses to 1
+    // (parser_test.cljc:138-139)
+    val simpleAnd = S.and(S.int, S.or(S.int, S.boolean))
+    assert(SchemaIR.simpleParser(simpleAnd))
+    assert(d.select(Parse.parse(simpleAnd, F.col("v"), LongType).as("p"))
+      .collect()(0).getLong(0) === 1L)
+    // nesting: [:and [:and [:orn ...] :int] :int] → Tag (parser_test:142)
+    val orn2 = S.orn("int" -> S.int, "boolean" -> S.boolean)
+    val nested = S.and(S.and(orn2, S.int), S.int)
+    val np = d.select(Parse.parse(nested, F.col("v"), LongType).as("p"))
+      .select(F.col("p.tag"), F.col("p.value")).collect()(0)
+    assert(np.getString(0) === "int" && np.getLong(1) === 1L)
+    // deep: [:and [:orn [:l [:and [:orn ...] :int]]] :int]
+    // → Tag(:l, Tag(:int, 1)) (parser_test.cljc:143-146)
+    val deep = S.and(S.orn("l" -> S.and(orn2, S.int)), S.int)
+    val dp = d.select(Parse.parse(deep, F.col("v"), LongType).as("p"))
+      .select(F.col("p.tag"), F.col("p.value.tag"), F.col("p.value.value"))
+      .collect()(0)
+    assert(dp.getString(0) === "l" && dp.getString(1) === "int" &&
+      dp.getLong(2) === 1L)
+    // deep unparse inverts back to the raw value
+    val du = d.select(Parse.unparse(deep,
+      Parse.parse(deep, F.col("v"), LongType), LongType).as("u")).collect()(0)
+    assert(du.getLong(0) === 1L)
+    // two transforming children without the prop is the reference's
+    // ::and-schema-multiple-transforming-parsers error (core.cljc:858-859)
+    intercept[IllegalArgumentException](
+      Parse.parse(S.and(orn, orn2), F.col("v"), LongType))
+    // :parse/transforming-child index picks one (parser_test.cljc:155-168)
+    val two = S.and(S.orn("l" -> S.int), S.orn("r" -> S.int))
+    def pick(i: Long): String = {
+      val s = SProps(NodeProps(parseTransformingChild = Some(i)), two)
+      d.select(Parse.parse(s, F.col("v"), LongType).as("p"))
+        .select(F.col("p.tag")).collect()(0).getString(0)
+    }
+    assert(pick(0L) === "l")
+    assert(pick(1L) === "r")
+    intercept[IllegalArgumentException](pick(7L)) // index out of range
+    // parser-info facts (parser_test.cljc:107-121): :not is ALWAYS
+    // simple, :multi and seq-regex are transforming, containers inherit
+    assert(SchemaIR.simpleParser(S.not(orn)))
+    assert(SchemaIR.simpleParser(S.not(S.andn("t" -> S.int))))
+    assert(!SchemaIR.simpleParser(
+      S.multi("k")("a" -> S.mapE(false, S.req("k", S.string)))))
+    assert(!SchemaIR.simpleParser(S.catn("a" -> S.int)))
+    assert(!SchemaIR.simpleParser(S.vector(orn)))
+    assert(SchemaIR.simpleParser(S.vector(S.int)))
+    assert(SchemaIR.simpleParser(S.maybe(S.int)))
+    assert(!SchemaIR.simpleParser(S.maybe(orn)))
+  }
+
+  test("container parse recurses: [:vector [:orn ...]] and tuple entries") {
+    // collection parsers map the child parser over elements
+    // (core.cljc:1530-1541)
+    val s = S.vector(S.orn("pos" -> S.posInt, "neg" -> S.negInt))
+    val at = ArrayType(LongType)
+    val d = df(Seq(Row(Seq(1L, -2L)), Row(Seq(0L))),
+      StructType(Seq(StructField("v", at))))
+    val out = d.select(Parse.parse(s, F.col("v"), at).as("p")).collect()
+    val r0 = out(0).getSeq[Row](0)
+    assert(r0(0).getString(0) === "pos" && r0(0).getLong(1) === 1L)
+    assert(r0(1).getString(0) === "neg" && r0(1).getLong(1) === -2L)
+    assert(out(1).isNullAt(0)) // 0 matches neither branch → whole invalid
+    val rt = d.limit(1).select(Parse.unparse(s,
+      Parse.parse(s, F.col("v"), at), at).as("u")).collect()(0)
+    assert(rt.getSeq[Long](0) === Seq(1L, -2L))
+    // tuple: per-position child parse (core.cljc:1640-1650)
+    val tup = S.tuple(S.orn("i" -> S.int), S.string)
+    val tt = StructType(Seq(StructField("_1", LongType),
+      StructField("_2", StringType)))
+    val td = df(Seq(Row(Row(5L, "x"))),
+      StructType(Seq(StructField("v", tt))))
+    val tp = td.select(Parse.parse(tup, F.col("v"), tt).as("p"))
+      .select(F.col("p._1.tag"), F.col("p._1.value"), F.col("p._2"))
+      .collect()(0)
+    assert(tp.getString(0) === "i" && tp.getLong(1) === 5L &&
+      tp.getString(2) === "x")
+    val tu = td.select(Parse.unparse(tup,
+      Parse.parse(tup, F.col("v"), tt), tt).as("u")).collect()(0).getStruct(0)
+    assert(tu.getLong(0) === 5L && tu.getString(1) === "x")
   }
 
   test("general seq-regex parse/unparse: [:* [:catn ...]] CLI-args shape") {

@@ -377,9 +377,13 @@ object SchemaIR {
     * falsy); :not is always simple (core.cljc:1157-1158) even over a
     * transforming child; :and delegates to its transforming child
     * (core.cljc:923-926); containers inherit from children; :every is
-    * bounded ⇒ simple; :ref cycles read simple (core.cljc:2057-2062). */
+    * bounded ⇒ simple; :ref cycles read simple (core.cljc:2057-2062).
+    * Cycles are identified by (name, RESOLVED schema) — a same-named ref
+    * in a shadowing inner registry is a different ref, not a recursion
+    * point (parser_test.cljc:214-259 shadowed-scope fixtures). */
   def simpleParser(ir: SchemaIR, reg: Registry = Registry.empty,
-                   seen: Set[String] = Set.empty): Boolean = ir match {
+                   seen: Set[(String, SchemaIR)] = Set.empty): Boolean =
+    ir match {
     case _: SOrn | _: SAndn | _: SMulti | _: SMultiExpr => false
     case _: SCat | _: SCatn | _: SAlt | _: SAltn |
          _: SStar | _: SPlus | _: SOpt | _: SRepeat => false
@@ -406,8 +410,12 @@ object SchemaIR {
     case SUnionOf(cs) => cs.forall(simpleParser(_, reg, seen))
     case SSelectKeysOf(c, _) => simpleParser(c, reg, seen)
     case SRef(name) =>
-      seen(name) || reg.schemas.get(name)
-        .forall(simpleParser(_, reg, seen + name))
+      reg.schemas.get(name) match {
+        case None => true
+        case Some(resolved) =>
+          seen((name, resolved)) ||
+            simpleParser(resolved, reg, seen + ((name, resolved)))
+      }
     case SScoped(local, c) =>
       simpleParser(c, Registry(reg.schemas ++ local, reg.maxDepth), seen)
     case _ => true // leaves, :fn, :custom, :validate
@@ -421,7 +429,8 @@ object SchemaIR {
     * `::and-schema-multiple-transforming-parsers` error. */
   def andTransformingIdx(children: Seq[SchemaIR], props: NodeProps,
                          reg: Registry = Registry.empty,
-                         seen: Set[String] = Set.empty): Option[Int] =
+                         seen: Set[(String, SchemaIR)] = Set.empty)
+      : Option[Int] =
     props.parseTransformingChild match {
       case Some(":none") => None
       case Some(i: Long) if i >= 0 && i < children.length => Some(i.toInt)

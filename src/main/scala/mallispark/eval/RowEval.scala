@@ -405,8 +405,240 @@ object RowEval {
           .flatMap { case (t, p) => compulsories(p, cnt + 1, acc :+ t) }
       compulsories(i, 0, Vector.empty)
     case plain =>
-      if (i < xs.length && validate(plain, xs(i))) LazyList((xs(i), i + 1))
+      // parsers COMPOSE (reference -parser chains): a transforming plain
+      // element (e.g. an :orn inside a :cat) parses to its own tree; a
+      // simple one parses to itself, keeping the old behavior
+      if (i < xs.length) parseValue(plain, xs(i)) match {
+        case Some(t) => LazyList((t, i + 1))
+        case None => LazyList.empty
+      }
       else LazyList.empty
+  }
+
+  /** m/parse over the VALUE universe (core.cljc 2684-2714): the
+    * recursive dual of `compile.Parse`'s Column tier, without its
+    * one-static-type bound — heterogeneous `:orn`/`:multi` branch parse
+    * shapes are fine here. `Some(tree)` ⇔ parsed; `None` ⇔ ::m/invalid.
+    * Tag = [[RTag]], Tags = Map[String, Any]; seq-regex roots delegate
+    * to [[reParse]]. */
+  def parseValue(ir: SchemaIR, v: Any)(
+      implicit reg: Registry = Registry.empty,
+      depth: Int = 8): Option[Any] =
+    if (SchemaIR.simpleParser(ir, reg))
+      if (validate(ir, v)) Some(v) else None
+    else ir match {
+      case SOrn(bs) =>
+        // first branch whose PARSER succeeds names the tag
+        bs.iterator.flatMap { case (tag, c) =>
+          parseValue(c, v).map(t => RTag(tag, t)) }.nextOption()
+      case SAndn(bs) =>
+        // every branch parses x (core.cljc:954-965)
+        val parsed = bs.map { case (tag, c) =>
+          parseValue(c, v).map(tag -> _) }
+        if (parsed.forall(_.isDefined)) Some(parsed.flatten.toMap) else None
+      case SMulti(dk, bs, default) => asMap(v).flatMap { m =>
+        val dv = m.get(dk).flatMap(Option(_)).map(String.valueOf).orNull
+        bs.find(_._1 == dv) match {
+          case Some((tag, c)) => parseValue(c, v).map(RTag(tag, _))
+          case None => default.flatMap(d =>
+            parseValue(d, v).map(RTag("malli.core/default", _)))
+        }
+      }
+      case SMultiExpr(_, _, dispRow, bs, default) =>
+        if (v == null) None
+        else {
+          val dv = try dispRow(v) catch { case _: Throwable => null }
+          bs.find(_._1 == dv) match {
+            case Some((tag, c)) => parseValue(c, v).map(RTag(tag, _))
+            case None => default.flatMap(d =>
+              parseValue(d, v).map(RTag("malli.core/default", _)))
+          }
+        }
+      case SProps(p, a: SAnd) => parseAndValue(a.children, p, v)
+      case SProps(_, c) => parseValue(c, v)
+      case SAnd(cs) => parseAndValue(cs, NodeProps.empty, v)
+      case SMaybe(c) => if (v == null) Some(null) else parseValue(c, v)
+      case SVector(c, mn, mx) => asSeq(v).filter(xs =>
+          mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
+        .flatMap(parseEach(c, _))
+      case SSeqable(c, mn, mx) =>
+        if (v == null) { if (mn.forall(_ <= 0)) Some(null) else None }
+        else asSeq(v).filter(xs =>
+            mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
+          .flatMap(parseEach(c, _))
+      case SSet(c, mn, mx) => asSeq(v).filter(xs =>
+          mn.forall(xs.size >= _) && mx.forall(xs.size <= _) &&
+            xs.distinct.size == xs.size)
+        .flatMap(parseEach(c, _))
+      case STuple(cs) => asTupleSeq(v).filter(_.size == cs.size)
+        .flatMap { xs =>
+          val ts = cs.zip(xs).map { case (c, x) => parseValue(c, x) }
+          if (ts.forall(_.isDefined)) Some(ts.flatten) else None
+        }
+      case SMap(entries, _, _) =>
+        if (!validate(ir, v)) None
+        else asMap(v).flatMap { m =>
+          entries.foldLeft(Option(m)) { (acc, e) =>
+            acc.flatMap { mm =>
+              mm.get(e.key) match {
+                case None | Some(null) => Some(mm) // optional/null-valid
+                case Some(x) => parseValue(e.child, x)
+                  .map(t => mm + (e.key -> t))
+              }
+            }
+          }
+        }
+      case SMapOf(k, vv, mn, mx) => v match {
+        case m: scala.collection.Map[_, _]
+            if mn.forall(m.size >= _) && mx.forall(m.size <= _) =>
+          m.foldLeft(Option(Map.empty[Any, Any])) { case (acc, (mk, mv)) =>
+            acc.flatMap(out => for {
+              pk <- parseValue(k, mk)
+              pv <- parseValue(vv, mv)
+            } yield out + (pk -> pv))
+          }
+        case _ => None
+      }
+      case _: SCat | _: SCatn | _: SAlt | _: SAltn |
+           _: SStar | _: SPlus | _: SOpt | _: SRepeat => reParse(ir, v)
+      case SRef(name) =>
+        if (depth <= 0) { if (validate(ir, v)) Some(v) else None }
+        else parseValue(reg(name), v)(reg, depth - 1)
+      case SScoped(local, c) =>
+        parseValue(c, v)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
+      case other => if (validate(other, v)) Some(v) else None
+    }
+
+  private def parseAndValue(children: Seq[SchemaIR], props: NodeProps,
+                            v: Any)(
+      implicit reg: Registry, depth: Int): Option[Any] =
+    SchemaIR.andTransformingIdx(children, props, reg) match {
+      case _ if !children.forall(validate(_, v)) => None
+      case None => Some(v)
+      case Some(i) => parseValue(children(i), v)
+    }
+
+  private def parseEach(c: SchemaIR, xs: Seq[Any])(
+      implicit reg: Registry, depth: Int): Option[Seq[Any]] = {
+    val ts = xs.map(parseValue(c, _))
+    if (ts.forall(_.isDefined)) Some(ts.flatten) else None
+  }
+
+  /** Inverse of [[parseValue]] (core.cljc:2700-2714). `None` ⇔ a tree
+    * that no branch produced (::m/invalid). */
+  def unparseValue(ir: SchemaIR, tree: Any)(
+      implicit reg: Registry = Registry.empty,
+      depth: Int = 8): Option[Any] =
+    if (SchemaIR.simpleParser(ir, reg))
+      // a simple parser is its own unparser: validate-or-invalid
+      if (validate(ir, tree)) Some(tree) else None
+    else ir match {
+      case SOrn(bs) => tree match {
+        case RTag(tag, t) =>
+          bs.find(_._1 == tag).flatMap { case (_, c) => unparseValue(c, t) }
+        case _ => None
+      }
+      case SAndn(bs) => tree match {
+        case m: scala.collection.Map[_, _] =>
+          val mm = m.asInstanceOf[scala.collection.Map[String, Any]]
+          val (tag0, c0) = bs.head
+          // unparse the LEFT-MOST branch (core.cljc:967-979), then the
+          // remaining branches must still accept the result
+          mm.get(tag0).flatMap(unparseValue(c0, _))
+            .filter(x => bs.tail.forall(b => validate(b._2, x)))
+        case _ => None
+      }
+      case SMulti(_, bs, default) => tree match {
+        case RTag("malli.core/default", t) =>
+          default.flatMap(unparseValue(_, t))
+        case RTag(tag, t) =>
+          bs.find(_._1 == tag).flatMap { case (_, c) => unparseValue(c, t) }
+        case _ => None
+      }
+      case SMultiExpr(_, _, _, bs, default) => tree match {
+        case RTag("malli.core/default", t) =>
+          default.flatMap(unparseValue(_, t))
+        case RTag(tag, t) =>
+          bs.find(_._1 == tag).flatMap { case (_, c) => unparseValue(c, t) }
+        case _ => None
+      }
+      case SProps(p, a: SAnd) => unparseAndValue(a.children, p, tree)
+      case SProps(_, c) => unparseValue(c, tree)
+      case SAnd(cs) => unparseAndValue(cs, NodeProps.empty, tree)
+      case SMaybe(c) =>
+        if (tree == null) Some(null) else unparseValue(c, tree)
+      case SVector(c, mn, mx) => asSeq(tree).filter(xs =>
+          mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
+        .flatMap(unparseEach(c, _))
+      case SSeqable(c, mn, mx) =>
+        if (tree == null) { if (mn.forall(_ <= 0)) Some(null) else None }
+        else asSeq(tree).filter(xs =>
+            mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
+          .flatMap(unparseEach(c, _))
+      case SSet(c, mn, mx) => asSeq(tree).filter(xs =>
+          mn.forall(xs.size >= _) && mx.forall(xs.size <= _))
+        .flatMap(unparseEach(c, _))
+        .filter(xs => xs.distinct.size == xs.size)
+      case STuple(cs) => asTupleSeq(tree).filter(_.size == cs.size)
+        .flatMap { xs =>
+          val ts = cs.zip(xs).map { case (c, x) => unparseValue(c, x) }
+          if (ts.forall(_.isDefined)) Some(ts.flatten) else None
+        }
+      case SMap(entries, _, _) => asMap(tree).flatMap { m =>
+        entries.foldLeft(Option(m)) { (acc, e) =>
+          acc.flatMap { mm =>
+            mm.get(e.key) match {
+              case None | Some(null) => Some(mm)
+              case Some(x) => unparseValue(e.child, x)
+                .map(t => mm + (e.key -> t))
+            }
+          }
+        }.filter(validate(ir, _))
+      }
+      case SMapOf(k, vv, mn, mx) => tree match {
+        case m: scala.collection.Map[_, _]
+            if mn.forall(m.size >= _) && mx.forall(m.size <= _) =>
+          m.foldLeft(Option(Map.empty[Any, Any])) { case (acc, (mk, mv)) =>
+            acc.flatMap(out => for {
+              uk <- unparseValue(k, mk)
+              uv <- unparseValue(vv, mv)
+            } yield out + (uk -> uv))
+          }
+        case _ => None
+      }
+      case _: SCat | _: SCatn | _: SAlt | _: SAltn |
+           _: SStar | _: SPlus | _: SOpt | _: SRepeat =>
+        // flatten, then the regex must accept its own output
+        val out = reUnparse(ir, tree)
+        if (reMatch(ir, out, 0).contains(out.length)) Some(out) else None
+      case SRef(name) =>
+        if (depth <= 0) { if (validate(ir, tree)) Some(tree) else None }
+        else unparseValue(reg(name), tree)(reg, depth - 1)
+      case SScoped(local, c) =>
+        unparseValue(c, tree)(
+          Registry(reg.schemas ++ local, reg.maxDepth), depth)
+      case other => if (validate(other, tree)) Some(tree) else None
+    }
+
+  private def unparseAndValue(children: Seq[SchemaIR], props: NodeProps,
+                              tree: Any)(
+      implicit reg: Registry, depth: Int): Option[Any] =
+    SchemaIR.andTransformingIdx(children, props, reg) match {
+      case None => if (children.forall(validate(_, tree))) Some(tree)
+        else None
+      case Some(i) =>
+        // unparse through the transforming child, then the SIBLINGS must
+        // accept the result (the reference runs the remaining simple
+        // unparsers, core.cljc:893-910)
+        unparseValue(children(i), tree).filter(x =>
+          children.indices.filter(_ != i)
+            .forall(j => validate(children(j), x)))
+    }
+
+  private def unparseEach(c: SchemaIR, xs: Seq[Any])(
+      implicit reg: Registry, depth: Int): Option[Seq[Any]] = {
+    val ts = xs.map(unparseValue(c, _))
+    if (ts.forall(_.isDefined)) Some(ts.flatten) else None
   }
 
   /** Inverse of `reParse` (impl/regex.cljc unparser): flattens the parse
@@ -440,8 +672,7 @@ object RowEval {
             // the re-match (e.g. a plain element fed to a :* branch)
             if (reMatch(c, out, 0).contains(out.length)) Some(out)
             else None
-          } else if (validate(c, tree)) Some(Seq(tree))
-          else None
+          } else unparseValue(c, tree).map(Seq(_))
         } catch {
           case _: ClassCastException | _: MatchError => None
         }
@@ -452,12 +683,14 @@ object RowEval {
       case RTag(tag, t) =>
         es.find(_._1 == tag) match {
           case Some((_, c)) if SchemaIR.isRegexOp(c) => reUnparse(c, t)
-          case Some(_) => Seq(t)
+          case Some((_, c)) => Seq(unparseValue(c, t).getOrElse(t))
           case None => Seq(t)
         }
       case other => Seq(other)
     }
-    case _ => Seq(tree)
+    // plain element: unparsers COMPOSE like parsers — a transforming
+    // plain child's tree unparses back to its element
+    case plain => Seq(unparseValue(plain, tree).getOrElse(tree))
   }
 
   /** Backtracking sequence-regex matcher (semantics of impl/regex.cljc; the

@@ -141,6 +141,45 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(!SchemaIR.simpleParser(S.maybe(orn)))
   }
 
+  // parser_test.cljc:214-290 (cycle-detection-test): parser-info
+  // terminates on recursive registries; shadowed same-name refs are NOT
+  // recursion points
+  test("parser-info cycle detection over recursive registries") {
+    def scoped(reg: (String, SchemaIR)*)(body: SchemaIR): SchemaIR =
+      SScoped(reg.toMap, body)
+    // ::Value recursive JSONish tree, all simple children → simple
+    val jsonish = scoped(
+      "Name" -> S.or(S.string, S.string),
+      "Value" -> S.or(S.int, S.string, S.boolean,
+        S.vector(S.ref("Value")), S.mapOf(S.ref("Name"), S.ref("Value"))),
+      "Arguments" -> S.mapOf(S.ref("Name"), S.ref("Value")))(
+      S.ref("Arguments"))
+    assert(SchemaIR.simpleParser(jsonish))
+    // same shape but ::Name is an :orn → transforming through the cycle
+    val jsonishT = scoped(
+      "Name" -> S.orn("k" -> S.string, "s" -> S.string),
+      "Value" -> S.or(S.int, S.vector(S.ref("Value")),
+        S.mapOf(S.ref("Name"), S.ref("Value"))),
+      "Arguments" -> S.mapOf(S.ref("Name"), S.ref("Value")))(
+      S.ref("Arguments"))
+    assert(!SchemaIR.simpleParser(jsonishT))
+    // [:sequential [:orn [:a [:ref ::Value]]]] — transforming cycle
+    val seqT = scoped(
+      "Value" -> S.vector(S.orn("a" -> S.ref("Value"))))(S.ref("Value"))
+    assert(!SchemaIR.simpleParser(seqT))
+    // pure self-cycle reads simple (the reference's fixpoint choice)
+    assert(SchemaIR.simpleParser(
+      scoped("a" -> S.maybe(S.ref("a")))(S.ref("a"))))
+    // inner ::a SHADOWS outer ::a — different resolved schema, so the
+    // inner ref is not a recursion point with the outer one
+    val shadowed = scoped(
+      "a" -> scoped("a" -> S.orn("t" -> S.int))(S.ref("a")))(S.ref("a"))
+    assert(!SchemaIR.simpleParser(shadowed))
+    val shadowedSimple = scoped(
+      "a" -> scoped("a" -> S.eq_(42L))(S.ref("a")))(S.ref("a"))
+    assert(SchemaIR.simpleParser(shadowedSimple))
+  }
+
   test("container parse recurses: [:vector [:orn ...]] and tuple entries") {
     // collection parsers map the child parser over elements
     // (core.cljc:1530-1541)
@@ -170,6 +209,84 @@ class ParseMsgInferSpec extends SparkSuite {
     val tu = td.select(Parse.unparse(tup,
       Parse.parse(tup, F.col("v"), tt), tt).as("u")).collect()(0).getStruct(0)
     assert(tu.getLong(0) === 5L && tu.getString(1) === "x")
+  }
+
+  // value-universe m/parse — the row-level tier the Column tier's
+  // "heterogeneous parse types" bound points to
+  test("parseValue/unparseValue: value-tier parse without the type bound") {
+    import RowEval.{parseValue, unparseValue, RTag}
+    // heterogeneous :orn is FINE at the value tier (the Column tier
+    // throws its documented one-static-type error)
+    val het = S.orn("i" -> S.int, "s" -> S.string)
+    assert(parseValue(het, 1L) === Some(RTag("i", 1L)))
+    assert(parseValue(het, "x") === Some(RTag("s", "x")))
+    assert(parseValue(het, true) === None)
+    assert(unparseValue(het, RTag("s", "x")) === Some("x"))
+    assert(unparseValue(het, RTag("nope", "x")) === None)
+    // :and routes through the transforming child, same as the Column tier
+    val orn = S.orn("left" -> S.int, "right" -> S.int)
+    val sch = S.and(orn, S.int(-3L, 3L))
+    assert(parseValue(sch, 1L) === Some(RTag("left", 1L)))
+    assert(parseValue(sch, 9L) === None) // sibling range rejects
+    assert(unparseValue(sch, RTag("left", 1L)) === Some(1L))
+    assert(unparseValue(sch, RTag("left", 9L)) === None) // sibling again
+    // :multi tags the matched branch; ::m/default participates
+    val multi = S.multi("kind", default = Some(S.any))(
+      "a" -> S.mapE(false, S.req("kind", S.string)))
+    val va = Map("kind" -> "a")
+    assert(parseValue(multi, va) === Some(RTag("a", va)))
+    val vz = Map("kind" -> "zz")
+    assert(parseValue(multi, vz) === Some(RTag("malli.core/default", vz)))
+    assert(unparseValue(multi, RTag("a", va)) === Some(va))
+    // containers parse entries/elements in place
+    val m = S.mapE(false, S.req("x", het), S.opt("y", S.int))
+    assert(parseValue(m, Map("x" -> "s1", "y" -> 2L)) ===
+      Some(Map("x" -> RTag("s", "s1"), "y" -> 2L)))
+    assert(parseValue(m, Map("x" -> true)) === None)
+    assert(unparseValue(m, Map("x" -> RTag("s", "s1"), "y" -> 2L)) ===
+      Some(Map("x" -> "s1", "y" -> 2L)))
+    assert(parseValue(S.vector(het), Seq(1L, "a")) ===
+      Some(Seq(RTag("i", 1L), RTag("s", "a"))))
+    assert(unparseValue(S.vector(het),
+      Seq(RTag("i", 1L), RTag("s", "a"))) === Some(Seq(1L, "a")))
+    // map-of may transform KEYS here (the Column tier refuses)
+    val kv = S.mapOf(het, S.int)
+    assert(parseValue(kv, Map("k" -> 5L)) ===
+      Some(Map(RTag("s", "k") -> 5L)))
+    // seq-regex parsers COMPOSE with plain transforming elements
+    val cat = S.cat(het, S.re("^v"))
+    assert(RowEval.reParse(cat, Seq(1L, "v1")) ===
+      Some(Vector(RTag("i", 1L), "v1")))
+    assert(RowEval.reUnparse(cat, Vector(RTag("i", 1L), "v1")) ===
+      Seq(1L, "v1"))
+    // :andn parses every branch; unparse goes through the LEFT-MOST and
+    // the remaining branches must re-accept
+    val andn = S.andn("t1" -> S.int, "t2" -> S.intMin(0L))
+    assert(parseValue(andn, 4L) === Some(Map("t1" -> 4L, "t2" -> 4L)))
+    assert(parseValue(andn, -4L) === None)
+    assert(unparseValue(andn, Map("t1" -> 4L, "t2" -> 4L)) === Some(4L))
+    assert(unparseValue(andn, Map("t1" -> -4L, "t2" -> -4L)) === None)
+  }
+
+  test("parse duality: Column tier and value tier agree on shared shapes") {
+    import RowEval.{parseValue, RTag}
+    val orn = S.orn("neg" -> S.intMax(-1L), "zero" -> S.eq_(0L),
+      "pos" -> S.intMin(1L))
+    val sch = S.and(orn, S.int(-3L, 3L))
+    val vals = (-3L to 3L) ++ Seq(9L, -9L)
+    val d = df(vals.map(Row(_)), StructType(Seq(StructField("v", LongType))))
+    val colSide = d.select(F.col("v"),
+      Parse.parse(sch, F.col("v"), LongType).as("p")).collect()
+    colSide.foreach { r =>
+      val v = r.getLong(0)
+      (parseValue(sch, v), if (r.isNullAt(1)) None else Some(r.getStruct(1)))
+        match {
+        case (Some(RTag(tag, value)), Some(row)) =>
+          assert(row.getString(0) === tag && row.getLong(1) === value)
+        case (None, None) => // both ::m/invalid
+        case (a, b) => fail(s"tiers disagree at $v: value=$a column=$b")
+      }
+    }
   }
 
   test("general seq-regex parse/unparse: [:* [:catn ...]] CLI-args shape") {

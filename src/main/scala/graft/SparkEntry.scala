@@ -2125,6 +2125,15 @@ object SparkEntry {
             S.opt("lang", S.enum_("en", "de"))),
           Map("url" -> 42L, "count" -> 3L, "lang" -> "xx"))
           .get.replace("\n", "\\n")),
+        // malli.generator-ast — the recursive formula fixture's generator
+        // as data (generator_ast_test.clj:6-43; rec-gen/scalar-gen fold)
+        ("generator_ast_formula", mallispark.gen.GeneratorAst.generatorAst(
+          S.scoped("formula" -> S.or(
+            S.boolean,
+            S.tuple(S.enum_(":not"), S.boolean),
+            S.tuple(S.enum_(":and"), S.star(S.ref("formula"))),
+            S.tuple(S.enum_(":or"), S.star(S.ref("formula")))))(
+            S.ref("formula")))),
         // malli.destructure — arglist → schema extraction (vanilla,
         // schematized+options, and the multi-arity function wrapper)
         ("destructure_vararg", mallispark.ir.Destructure.parse(
@@ -2626,8 +2635,22 @@ object SparkEntry {
           """   [:lang {:optional true} [:enum "en" "de"]]]\n\n""" +
           """More information\n\n  https://cljdoc.org/d/metosin/malli/CURRENT\n\n""" +
           ("-" * 60)
+      val genAstRecur = "{:op :recur, :target :recur0}"
+      val genAstFormula =
+        "{:op :recursive-gen, :target :recur0, :max-depth 3, " +
+          ":rec-gen {:op :one-of, :generators [" +
+          "{:op :boolean} " +
+          "{:op :tuple, :generators [{:op :return, :value :not} {:op :boolean}]} " +
+          "{:op :tuple, :generators [{:op :return, :value :and} " +
+          s"{:op :vector, :generator $genAstRecur, :max-elements 8}]} " +
+          "{:op :tuple, :generators [{:op :return, :value :or} " +
+          s"{:op :vector, :generator $genAstRecur, :max-elements 8}]}]}, " +
+          ":scalar-gen {:op :one-of, :generators [" +
+          "{:op :boolean} " +
+          "{:op :tuple, :generators [{:op :return, :value :not} {:op :boolean}]}]}}"
       def lit(x: String) = "'" + x.replace("'", "''") + "'"
       Seq("flagship_ast" -> flagshipAst, "flagship_form" -> flagshipForm,
+        "generator_ast_formula" -> genAstFormula,
         "kondo_flagship" -> kondoFlagship,
         "kondo_config" -> kondoConfig,
         "destructure_vararg" -> destructVararg,

@@ -338,7 +338,7 @@ object Generate {
     case other => mapChildrenIr(other)(unrollRefs(_, reg, depth))
   }
 
-  private def terminate(ir: SchemaIR, reg: Registry): SchemaIR = ir match {
+  private[gen] def terminate(ir: SchemaIR, reg: Registry): SchemaIR = ir match {
     case SRef(n) => throw new IllegalArgumentException(
       s"cannot generate: required recursive path through :ref $n never " +
         "terminates (no finite value satisfies the schema)")
@@ -441,7 +441,7 @@ object Generate {
     * invalid property (the reference fails ::invalid-property — values
     * drawn there could never validate). Applies to the bounded kinds;
     * other children pass through untouched. */
-  private def withGenBounds(c: SchemaIR, p: NodeProps): SchemaIR =
+  private[gen] def withGenBounds(c: SchemaIR, p: NodeProps): SchemaIR =
     if (p.genMin.isEmpty && p.genMax.isEmpty) c
     else {
       def chk[T](g: Option[T], b: Option[T], lo: Boolean)

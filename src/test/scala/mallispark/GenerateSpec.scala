@@ -91,6 +91,47 @@ class GenerateSpec extends SparkSuite {
     assert(other !== fingerprint(2)) // different seed → different data
   }
 
+  test("generator-ast: the generator as data (generator_ast_test.clj:6-43)") {
+    import mallispark.gen.GeneratorAst.generatorAst
+    import mallispark.ir.SchemaIR.{SProps, NodeProps}
+    // the reference's ::formula fixture: recursive boolean-formula trees
+    val formula = S.scoped(
+      "formula" -> S.or(
+        S.boolean,
+        S.tuple(S.enum_(":not"), S.boolean),
+        S.tuple(S.enum_(":and"), S.star(S.ref("formula"))),
+        S.tuple(S.enum_(":or"), S.star(S.ref("formula")))))(S.ref("formula"))
+    val rec = "{:op :recur, :target :recur0}"
+    assert(generatorAst(formula) ===
+      "{:op :recursive-gen, :target :recur0, :max-depth 3, " +
+      ":rec-gen {:op :one-of, :generators [" +
+      "{:op :boolean} " +
+      "{:op :tuple, :generators [{:op :return, :value :not} {:op :boolean}]} " +
+      "{:op :tuple, :generators [{:op :return, :value :and} " +
+      s"{:op :vector, :generator $rec, :max-elements 8}]} " +
+      "{:op :tuple, :generators [{:op :return, :value :or} " +
+      s"{:op :vector, :generator $rec, :max-elements 8}]}]}, " +
+      ":scalar-gen {:op :one-of, :generators [" +
+      "{:op :boolean} " +
+      "{:op :tuple, :generators [{:op :return, :value :not} {:op :boolean}]}]}}")
+    // :gen/* property precedence shows up as data
+    assert(generatorAst(SProps(NodeProps(genReturn = Some(42L)), S.int)) ===
+      "{:op :return, :value 42}")
+    assert(generatorAst(SProps(NodeProps(
+      genElements = Some(Seq(":a", ":b"))), S.string)) ===
+      "{:op :elements, :values [:a :b]}")
+    assert(generatorAst(SProps(NodeProps(genFmap = Some("str"),
+      genElements = Some(Seq(1L, 2L))), S.int)) ===
+      "{:op :fmap, :f \"str\", :generator {:op :elements, :values [1 2]}}")
+    // :maybe is one-of [nil child]; bounds ride the ops
+    assert(generatorAst(S.maybe(S.int(0L, 9L))) ===
+      "{:op :one-of, :generators [{:op :return, :value nil} " +
+      "{:op :large-integer, :min 0, :max 9}]}")
+    // un-generatable schemas fail fast like Generate.gen
+    intercept[IllegalArgumentException](
+      generatorAst(S.fn("f")(_ => true)))
+  }
+
   test("function schemas: wrap validates args+return; check finds violations") {
     import mallispark.gen.FnSchemas
     import mallispark.gen.FnSchemas.FnSchema

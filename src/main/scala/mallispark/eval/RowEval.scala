@@ -524,6 +524,18 @@ object RowEval {
     if (ts.forall(_.isDefined)) Some(ts.flatten) else None
   }
 
+  /** `m/old-parse-format` (core.cljc:185-196): rewrite a parse tree to
+    * the pre-0.18 shape — Tag(key, value) becomes the 2-vector
+    * [key value]; Tags were a record around the map there, and are the
+    * plain map here already, so maps only walk their values. */
+  def oldParseFormat(parsed: Any): Any = parsed match {
+    case RTag(k, v) => Vector(k, oldParseFormat(v))
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, v) => k -> oldParseFormat(v) }.toMap
+    case xs: scala.collection.Seq[_] => xs.toVector.map(oldParseFormat)
+    case other => other
+  }
+
   /** Inverse of [[parseValue]] (core.cljc:2700-2714). `None` ⇔ a tree
     * that no branch produced (::m/invalid). */
   def unparseValue(ir: SchemaIR, tree: Any)(

@@ -268,6 +268,23 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(unparseValue(andn, Map("t1" -> -4L, "t2" -> -4L)) === None)
   }
 
+  // m/old-parse-format (core.cljc:185-196; core_test.cljc:1240-1245)
+  test("old-parse-format rewrites Tag trees to the pre-0.18 shape") {
+    import RowEval.{parseValue, oldParseFormat, RTag}
+    val sch = S.orn(
+      "foo" -> S.catn("i" -> S.int, "s" -> S.string),
+      "bar" -> S.uuid)
+    val parsed = parseValue(sch, Seq(1L, "a")).get
+    assert(parsed === RTag("foo", Map("i" -> 1L, "s" -> "a")))
+    assert(oldParseFormat(parsed) ===
+      Vector("foo", Map("i" -> 1L, "s" -> "a")))
+    // nested tags rewrite everywhere (postwalk)
+    assert(oldParseFormat(RTag("l", RTag("i", 1L))) ===
+      Vector("l", Vector("i", 1L)))
+    assert(oldParseFormat(Seq(RTag("x", 2L), 3L)) ===
+      Vector(Vector("x", 2L), 3L))
+  }
+
   test("parse duality: Column tier and value tier agree on shared shapes") {
     import RowEval.{parseValue, RTag}
     val orn = S.orn("neg" -> S.intMax(-1L), "zero" -> S.eq_(0L),

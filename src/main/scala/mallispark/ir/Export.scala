@@ -148,8 +148,11 @@ object Export {
     // the props slice serializes as ONE EDN prop-map string — the same
     // rendering `form` splices, so ast and form readers share a parser
     // (and :gen/schema round-trips as a real sub-schema inside it)
-    case SProps(p, c) => obj("type" -> esc("props"),
-      "props" -> esc(SchemaIR.propsStr(p)), "child" -> toJson(c))
+    case SProps(p, c) => obj(Seq("type" -> esc("props"),
+      "props" -> esc(SchemaIR.propsStr(p)), "child" -> toJson(c)) ++
+      // entry position isn't expressible in the prop string itself —
+      // flag it so an AST round-trip keeps rendering [:k {..} child]
+      (if (p.entryLevel) Seq("entry" -> "true") else Nil): _*)
   }
 
   private def defaultTag(d: Any): String = d match {
@@ -352,7 +355,8 @@ object Export {
         val toks = tokenize("{" + m("props").toString + "}")
         val (node, rest) = parseNode(toks)
         require(rest.isEmpty, s"trailing prop tokens: $rest")
-        SProps(parseNodeProps(node.asInstanceOf[Props]), child)
+        SProps(parseNodeProps(node.asInstanceOf[Props])
+          .copy(entryLevel = m.get("entry").exists(_ == true)), child)
       case t => throw new IllegalArgumentException(s"unknown ast type $t")
     }
   }
@@ -541,8 +545,29 @@ object Export {
         case Kw(":none") => ":none"
         case other => throw new IllegalArgumentException(
           s":parse/transforming-child must be an index or :none, got $other")
-      })
+      },
+      // anything not structural and not owned by a named NodeProps slot
+      // is an ARBITRARY user prop — preserved verbatim so forms with
+      // custom props (util_test.cljc:1081-1107) round-trip instead of
+      // silently dropping them
+      extra = m.toSeq.filterNot { case (k, _) =>
+        structuralOrKnownProp(k) }.map { case (k, v) => k -> nodeToValue(v) })
   }
+
+  /** Keys parseNodeProps' named slots own, plus STRUCTURAL keys the node
+    * constructors read (`:min`, `:closed`, ...) — everything else lands
+    * in [[NodeProps]].extra. */
+  private def structuralOrKnownProp(k: String): Boolean =
+    structuralOrKnownExact(k) ||
+      k.startsWith(":gen/") || k.startsWith(":json-schema/") ||
+      k.startsWith(":swagger/") || k.startsWith(":decode/") ||
+      k.startsWith(":encode/")
+
+  private val structuralOrKnownExact = Set(
+    ":min", ":max", ":closed", ":optional", ":dispatch", ":registry",
+    ":limit", ":namespace", ":title", ":description", ":default",
+    ":error/message", ":error/path", ":parse/transforming-child",
+    ":json-schema", ":swagger", ":decode", ":encode")
 
   /** `:decode/<name> f` compact keys plus the full `:decode {:name ..}`
     * map; a name present in BOTH takes the map form (the reference's
@@ -611,11 +636,18 @@ object Export {
             case Bool(b) => b.toString
             case o => o.toString
           }
+          // branch-ENTRY props ([:tag {..} child], util_test
+          // update-entry-properties on :orn) wrap as an entryLevel
+          // SProps so the form re-renders them in entry position
           val c = more match {
-            case (_: Props) +: r2 => r2.head
-            case r2 => r2.head
+            case (p: Props) +: r2 =>
+              val np = parseNodeProps(p)
+              val inner = convert(r2.head)
+              if (np.isEmpty) inner
+              else SProps(np.copy(entryLevel = true), inner)
+            case r2 => convert(r2.head)
           }
-          tag -> convert(c)
+          tag -> c
         case other => throw new IllegalArgumentException(s"bad branch $other")
       }
       val base = head match {
@@ -635,7 +667,8 @@ object Export {
               // entry-level :json-schema replaces the child output
               val eNp = parseNodeProps(eProps)
               val eChild0 = convert(es.head)
-              val eChild = if (eNp.isEmpty) eChild0 else SProps(eNp, eChild0)
+              val eChild = if (eNp.isEmpty) eChild0
+                else SProps(eNp.copy(entryLevel = true), eChild0)
               Some(Entry(key.drop(1), eChild,
                 optional = eProps.m.get(":optional").contains(Bool(true))))
             case other =>

@@ -300,7 +300,21 @@ object SchemaIR {
       // `:parse/transforming-child` on `:and` (core.cljc:846-860):
       // Long index selects the child whose parser shapes the result;
       // the keyword string ":none" forces the identity parser.
-      parseTransformingChild: Option[Any] = None) {
+      parseTransformingChild: Option[Any] = None,
+      // ARBITRARY non-structural props (malli allows any key in a props
+      // map; util_test.cljc:1081-1107 update-entry-properties works over
+      // such maps). EDN-shaped values, keyword-string keys WITH the
+      // leading colon, declaration order preserved for deterministic
+      // form rendering.
+      extra: Seq[(String, Any)] = Nil,
+      // true when these props sit in ENTRY position — `[:k {..} child]`
+      // under :map / :orn / :catn / ... — rather than on the child schema
+      // itself ([:k [:int {..}]]). malli keeps the two distinct (entry
+      // props land on the ::m/val wrapper); semantically this wrapper
+      // behaves identically either way, so the flag only steers FORM/AST
+      // rendering position so round-trips are faithful. Never rendered
+      // textually: position implies it on re-parse.
+      entryLevel: Boolean = false) {
     def isEmpty: Boolean = this == NodeProps.empty
   }
   object NodeProps { val empty: NodeProps = NodeProps() }
@@ -668,17 +682,25 @@ object SchemaIR {
     case SMaybe(c) => s"[:maybe ${form(c)}]"
     case SAnd(cs) => cs.map(form).mkString("[:and ", " ", "]")
     case SOr(cs) => cs.map(form).mkString("[:or ", " ", "]")
-    case SOrn(bs) => bs.map { case (t, c) => s"[:$t ${form(c)}]" }
+    case SOrn(bs) => bs.map { case (t, c) => taggedForm(s":$t", c) }
       .mkString("[:orn ", " ", "]")
-    case SAndn(bs) => bs.map { case (t, c) => s"[:$t ${form(c)}]" }
+    case SAndn(bs) => bs.map { case (t, c) => taggedForm(s":$t", c) }
       .mkString("[:andn ", " ", "]")
     case SNot(c) => s"[:not ${form(c)}]"
     case SMap(es, closed, rest) =>
       val props = if (closed) " {:closed true}" else ""
       val restStr = rest.map(r => s" [::default ${form(r)}]").getOrElse("")
       es.map { e =>
-        val opt = if (e.optional) " {:optional true}" else ""
-        s"[:${e.key}$opt ${form(e.child)}]"
+        // entry-level props ([:k {..} child]) live as an entryLevel
+        // SProps directly under the entry; merge :optional in front
+        val (ep, inner) = e.child match {
+          case SProps(p, c) if p.entryLevel => (propsStr(p), c)
+          case c => ("", c)
+        }
+        val eps = (if (e.optional) Seq(":optional true") else Nil) ++
+          (if (ep.nonEmpty) Seq(ep) else Nil)
+        val opt = if (eps.nonEmpty) eps.mkString(" {", " ", "}") else ""
+        s"[:${e.key}$opt ${form(inner)}]"
       }.mkString(s"[:map$props ", " ", s"$restStr]")
     case SMapOf(k, v, _, _) => s"[:map-of ${form(k)} ${form(v)}]"
     case SVector(c, mn, mx) => s"[:vector${bounds(mn, mx)} ${form(c)}]"
@@ -686,10 +708,10 @@ object SchemaIR {
     case SSet(c, mn, mx) => s"[:set${bounds(mn, mx)} ${form(c)}]"
     case SEvery(c, mn, mx, _) => s"[:every${bounds(mn, mx)} ${form(c)}]"
     case STuple(cs) => cs.map(form).mkString("[:tuple ", " ", "]")
-    case SMulti(d, bs, _) => bs.map { case (t, c) => s"[$t ${form(c)}]" }
+    case SMulti(d, bs, _) => bs.map { case (t, c) => taggedForm(t, c) }
       .mkString(s"[:multi {:dispatch :$d} ", " ", "]")
     case SMultiExpr(n, _, _, bs, _) =>
-      bs.map { case (t, c) => s"[$t ${form(c)}]" }
+      bs.map { case (t, c) => taggedForm(t, c) }
         .mkString(s"[:multi {:dispatch $n} ", " ", "]")
     case SRef(n) => s"[:ref $n]"
     case SScoped(reg, c) =>
@@ -701,10 +723,10 @@ object SchemaIR {
     case SSelectKeysOf(c, ks) =>
       s"[:select-keys ${form(c)} [${ks.mkString(" ")}]]"
     case SCat(cs) => cs.map(form).mkString("[:cat ", " ", "]")
-    case SCatn(es) => es.map { case (t, c) => s"[:$t ${form(c)}]" }
+    case SCatn(es) => es.map { case (t, c) => taggedForm(s":$t", c) }
       .mkString("[:catn ", " ", "]")
     case SAlt(cs) => cs.map(form).mkString("[:alt ", " ", "]")
-    case SAltn(es) => es.map { case (t, c) => s"[:$t ${form(c)}]" }
+    case SAltn(es) => es.map { case (t, c) => taggedForm(s":$t", c) }
       .mkString("[:altn ", " ", "]")
     case SStar(c) => s"[:* ${form(c)}]"
     case SPlus(c) => s"[:+ ${form(c)}]"
@@ -740,7 +762,8 @@ object SchemaIR {
        segs.map(":" + _).mkString(":error/path [", " ", "]")) ++
      p.decodeHints.map { case (n, h) => s":decode/$n ${hintStr(h)}" } ++
      p.encodeHints.map { case (n, h) => s":encode/$n ${hintStr(h)}" } ++
-     p.parseTransformingChild.map(v => s":parse/transforming-child ${ednLit(v)}")
+     p.parseTransformingChild.map(v => s":parse/transforming-child ${ednLit(v)}") ++
+     p.extra.map { case (k, v) => s"$k ${ednLit(v)}" }
     ).mkString(" ")
   }
 
@@ -767,6 +790,17 @@ object SchemaIR {
         s"${if (k.startsWith(":")) k else ":" + k} ${ednLit(x)}" }
       .mkString("{", " ", "}")
     case other => String.valueOf(other)
+  }
+
+  /** One tagged entry/branch (`[:tag child]` of :orn/:catn/:altn/:andn,
+    * `[tag child]` of :multi — caller passes the rendered tag). An
+    * entryLevel [[SProps]] directly under the branch renders its props in
+    * ENTRY position (`[:tag {..} child]`) like the reference's entry
+    * syntax, instead of splicing them into the child's own prop map. */
+  private def taggedForm(tag: String, c: SchemaIR): String = c match {
+    case SProps(p, inner) if p.entryLevel =>
+      s"[$tag {${propsStr(p)}} ${form(inner)}]"
+    case _ => s"[$tag ${form(c)}]"
   }
 
   /** Splice extra prop-map entries into a rendered child form: bare leaf

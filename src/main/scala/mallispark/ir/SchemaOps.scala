@@ -270,6 +270,96 @@ object SchemaOps {
   def find(m: SMap, key: String): Option[Entry] =
     m.entries.find(_.key == key)
 
+  /** m/explicit-keys (core.cljc:2817-2825): the declared entry keys of an
+    * entry schema — the `::m/default` rest entry is a separate field here,
+    * so it is never in the list. None for non-entry schemas. */
+  def explicitKeys(ir: SchemaIR): Option[Seq[String]] = ir match {
+    case m: SMap => Some(m.entries.map(_.key))
+    case SProps(_, c) => explicitKeys(c)
+    case _ => None
+  }
+
+  /** m/default-schema (core.cljc:2827-2833): the `::m/default` rest
+    * schema of an entry schema, when declared. */
+  def defaultSchema(ir: SchemaIR): Option[SchemaIR] = ir match {
+    case m: SMap => m.rest
+    case SProps(_, c) => defaultSchema(c)
+    case _ => None
+  }
+
+  /** mu/update-entry-properties (util.cljc:120-126): update entry `key`'s
+    * ENTRY-level props (`[:k {..} child]`) by a function of the current
+    * prop list. The view `f` sees (and returns) is the `:optional` flag
+    * (`:map` entries only) plus the ARBITRARY [[NodeProps]]`.extra` slice,
+    * as keyword-string → EDN-value pairs; named NodeProps slots (`:title`,
+    * `:gen/...`) on the entry pass through untouched. Replacement is
+    * in-place by key, additions append — clojure `assoc` order. Works on
+    * `:map` entries and the tagged branches of `:orn`/`:andn`/`:catn`/
+    * `:altn` (the reference's other EntrySchemas); anything else — or a
+    * missing key — throws the `::mu/no-entry` analogue
+    * (util.cljc:124-125). */
+  def updateEntryProperties(ir: SchemaIR, key: String)(
+      f: Seq[(String, Any)] => Seq[(String, Any)]): SchemaIR = {
+    def noEntry(): Nothing = throw new IllegalArgumentException(
+      s":malli.util/no-entry $key on ${SchemaIR.form(ir)}")
+    def split(c: SchemaIR): (NodeProps, SchemaIR) = c match {
+      case SProps(p, inner) if p.entryLevel => (p, inner)
+      case other => (NodeProps.empty, other)
+    }
+    def rewrap(p0: NodeProps, extras: Seq[(String, Any)],
+               inner: SchemaIR): SchemaIR = {
+      val np = p0.copy(extra = extras, entryLevel = true)
+      if (np.copy(entryLevel = false).isEmpty) inner else SProps(np, inner)
+    }
+    ir match {
+      case m: SMap =>
+        val e = m.entries.find(_.key == key).getOrElse(noEntry())
+        val (p0, inner) = split(e.child)
+        val view = (if (e.optional) Seq(":optional" -> (true: Any)) else Nil) ++
+          p0.extra
+        val out = f(view)
+        val opt2 = out.collectFirst {
+          case (":optional", v: Boolean) => v }.getOrElse(false)
+        val extras = out.filterNot(_._1 == ":optional")
+        m.copy(entries = m.entries.map(x =>
+          if (x.key == key)
+            x.copy(optional = opt2, child = rewrap(p0, extras, inner))
+          else x))
+      case SOrn(bs) if bs.exists(_._1 == key) =>
+        SOrn(updateBranch(bs, key, split, rewrap, f))
+      case SAndn(bs) if bs.exists(_._1 == key) =>
+        SAndn(updateBranch(bs, key, split, rewrap, f))
+      case SCatn(es) if es.exists(_._1 == key) =>
+        SCatn(updateBranch(es, key, split, rewrap, f))
+      case SAltn(es) if es.exists(_._1 == key) =>
+        SAltn(updateBranch(es, key, split, rewrap, f))
+      case SProps(p, c) => SProps(p, updateEntryProperties(c, key)(f))
+      case _ => noEntry()
+    }
+  }
+
+  private def updateBranch(
+      bs: Seq[(String, SchemaIR)], key: String,
+      split: SchemaIR => (NodeProps, SchemaIR),
+      rewrap: (NodeProps, Seq[(String, Any)], SchemaIR) => SchemaIR,
+      f: Seq[(String, Any)] => Seq[(String, Any)])
+      : Seq[(String, SchemaIR)] =
+    bs.map { case (t, c) =>
+      if (t != key) t -> c
+      else {
+        val (p0, inner) = split(c)
+        t -> rewrap(p0, f(p0.extra).filterNot(_._1 == ":optional"), inner)
+      }
+    }
+
+  /** clojure-`assoc` over an ordered prop list: replace in place when the
+    * key exists, append otherwise — the helper `updateEntryProperties`
+    * fixtures compose with (util_test.cljc:1081-1107 `assoc :b 1`). */
+  def assocProp(ps: Seq[(String, Any)], k: String, v: Any)
+      : Seq[(String, Any)] =
+    if (ps.exists(_._1 == k)) ps.map(p => if (p._1 == k) k -> v else p)
+    else ps :+ (k -> v)
+
   /** Setter dual of `SchemaIR.childrenWithPath` — rebuilds `s` with the
     * child at segment `seg` replaced (same addressing: map keys, branch
     * tags, element marker "0", positional indices). Throws on a segment

@@ -49,7 +49,16 @@ class ExportSpec extends AnyFunSuite {
         genSchema = Some(SProps(NodeProps(
           genElements = Some(Seq(1L, 2L))), S.int)),
         genNaN = true, errorPath = Some(Seq("a"))),
-        S.double(0.0, 1.0)))))
+        S.double(0.0, 1.0)))),
+    // arbitrary entry-level and node-level props (util_test.cljc:1081)
+    // must round-trip in POSITION: [:me {:a 1} :int] stays entry-level,
+    // [:int {:a 1}] stays on the child
+    "entry-props" -> Export.fromForm(
+      "[:map [:me {:optional true :a 1} :int] [:you {:b [:x 2]} :string]]"),
+    "orn-entry-props" -> Export.fromForm(
+      "[:orn [:me {:a 1} :int] [:alt {:c \"s\"} :string]]"),
+    "extra-node-props" -> Export.fromForm(
+      "[:map [:k [:int {:min 1 :a {:b 1}}]]]"))
 
   test("ast JSON round-trips structurally (m/ast / m/from-ast)") {
     samples.foreach { case (name, s) =>

@@ -3,7 +3,7 @@ package mallispark
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.{functions => F}
 import org.apache.spark.sql.types._
-import mallispark.ir.{S, SchemaIR, SchemaOps}
+import mallispark.ir.{Export, S, SchemaIR, SchemaOps}
 import mallispark.ir.SchemaIR._
 import mallispark.compile.{GeneralRegex, SchemaCompiler}
 
@@ -226,5 +226,51 @@ class SchemaOpsSpec extends SparkSuite {
     val out = df.select(SchemaCompiler.valid(schema, F.col("v"), LongType))
       .collect().map(_.getBoolean(0))
     assert(out.toSeq === Seq(true, false, false))
+  }
+
+  // mu/update-entry-properties (util.cljc:120-126; util_test.cljc:1081-1107)
+  test("updateEntryProperties: map + orn entries, lens composition, no-entry") {
+    import SchemaOps.{updateEntryProperties, assocProp}
+    val m0 = Export.fromForm("[:map [:me {:a 1} :int]]")
+    val m1 = updateEntryProperties(m0, "me")(assocProp(_, ":b", 1L))
+    assert(SchemaIR.form(m1) === "[:map [:me {:a 1 :b 1} :int]]")
+    // assoc REPLACES in place on an existing key
+    val m1b = updateEntryProperties(m1, "me")(assocProp(_, ":a", 7L))
+    assert(SchemaIR.form(m1b) === "[:map [:me {:a 7 :b 1} :int]]")
+    val o0 = Export.fromForm("[:orn [:me {:a 1} :int]]")
+    val o1 = updateEntryProperties(o0, "me")(assocProp(_, ":b", 1L))
+    assert(SchemaIR.form(o1) === "[:orn [:me {:a 1 :b 1} :int]]")
+    // composes under a lens like (mu/update [:vector ..] 0 ...)
+    val v0 = Export.fromForm("[:vector [:map [:me {:a 1} :int]]]")
+    val v1 = SchemaOps.updateIn(v0, Seq("0"))(
+      s => updateEntryProperties(s, "me")(assocProp(_, ":b", 1L)))
+    assert(SchemaIR.form(v1) === "[:vector [:map [:me {:a 1 :b 1} :int]]]")
+    // :optional routes to the structural flag on :map entries
+    val m2 = updateEntryProperties(m0, "me")(assocProp(_, ":optional", true))
+    assert(SchemaIR.form(m2) === "[:map [:me {:optional true :a 1} :int]]")
+    assert(m2.asInstanceOf[SMap].entries.head.optional)
+    // dropping every prop unwraps the entry wrapper entirely
+    val m3 = updateEntryProperties(m1, "me")(_ => Nil)
+    assert(SchemaIR.form(m3) === "[:map [:me :int]]")
+    assert(m3.asInstanceOf[SMap].entries.head.child === S.int)
+    // missing entry / non-entry schema throw the ::mu/no-entry analogue
+    val ex = intercept[IllegalArgumentException] {
+      updateEntryProperties(SMap(Nil), "invalid")(identity) }
+    assert(ex.getMessage.contains(":malli.util/no-entry"))
+    intercept[IllegalArgumentException] {
+      updateEntryProperties(m0, "nope")(identity) }
+  }
+
+  // m/explicit-keys + m/default-schema (core.cljc:2817-2833)
+  test("explicitKeys/defaultSchema accessors") {
+    val m = Export.fromForm(
+      "[:map [:x :int] [:y {:optional true} :string] " +
+        "[::default [:map-of :string :int]]]")
+    assert(SchemaOps.explicitKeys(m) === Some(Seq("x", "y")))
+    assert(SchemaOps.defaultSchema(m).map(SchemaIR.form) ===
+      Some("[:map-of :string :int]"))
+    assert(SchemaOps.explicitKeys(S.int) === None)
+    assert(SchemaOps.defaultSchema(Export.fromForm("[:map [:x :int]]")) ===
+      None)
   }
 }

@@ -2134,6 +2134,42 @@ object SparkEntry {
             S.tuple(S.enum_(":and"), S.star(S.ref("formula"))),
             S.tuple(S.enum_(":or"), S.star(S.ref("formula")))))(
             S.ref("formula")))),
+        // mu/explain-data (util.cljc:209-238): serializable explain —
+        // schema objects replaced by their forms; ::m type keys only on
+        // the special errors (util_test.cljc:1031-1069 fixtures)
+        ("explain_data", {
+          import mallispark.eval.RowEval
+          val sch = Export.fromForm("[:map [:a [:vector [:maybe :string]]]]")
+          def show(r: Option[RowEval.DataExplain]): String = r match {
+            case None => "nil"
+            case Some(d) => d.errors.map(e =>
+              s"path=${e.path.mkString("/")};in=${e.in.mkString("/")}" +
+                s";schema=${e.schema};value=${String.valueOf(e.value)}" +
+                e.errType.map(";type=" + _).getOrElse("")).mkString("|")
+          }
+          Seq(
+            RowEval.explainData(sch, Map("a" -> Seq("kikka"))),
+            RowEval.explainData(sch, Map("a" -> 1L)),
+            RowEval.explainData(sch, Map("a" -> Seq(true))),
+            RowEval.explainData(sch, Map.empty[String, Any]))
+            .map(show).mkString(" ~ ")
+        }),
+        // :-> sugar + m/-function-info view (core.cljc:2382-2391,
+        // 2211-2218): arrow == :=> under fn-schema-info; varargs arity
+        ("fn_arrow_info", {
+          import mallispark.gen.FnSchemas
+          def show(i: FnSchemas.FnInfo): String =
+            s"{:min ${i.min}, :max ${i.max.map(_.toString).getOrElse("nil")}" +
+              s", :arity ${i.arity}, :input ${i.input}" +
+              s", :output ${i.output}, :guard ${i.guard.getOrElse("nil")}}"
+          val arrow = FnSchemas.functionInfo(
+            FnSchemas.arrow(Seq(S.int, S.int, S.int)))
+          val direct = FnSchemas.functionInfo(
+            FnSchemas.FnSchema(Seq(S.int, S.int), S.int))
+          val varargs = FnSchemas.functionInfo(
+            FnSchemas.FnSchema(Seq(S.int), S.int, rest = Some(S.string)))
+          s"eq=${arrow == direct}|${show(arrow)}|${show(varargs)}"
+        }),
         // malli.destructure — arglist → schema extraction (vanilla,
         // schematized+options, and the multi-arity function wrapper)
         ("destructure_vararg", mallispark.ir.Destructure.parse(
@@ -2649,7 +2685,19 @@ object SparkEntry {
           "{:op :boolean} " +
           "{:op :tuple, :generators [{:op :return, :value :not} {:op :boolean}]}]}}"
       def lit(x: String) = "'" + x.replace("'", "''") + "'"
+      val explainData =
+        "nil ~ path=a;in=a;schema=[:vector [:maybe :string]];value=1" +
+          ";type=:malli.core/invalid-type" +
+          " ~ path=a/0/0;in=a/0;schema=:string;value=true" +
+          " ~ path=a;in=a;schema=[:map [:a [:vector [:maybe :string]]]]" +
+          ";value=null;type=:malli.core/missing-key"
+      val fnArrowInfo =
+        "eq=true|{:min 2, :max 2, :arity 2, :input [:cat :int :int], " +
+          ":output :int, :guard nil}|{:min 1, :max nil, :arity :varargs, " +
+          ":input [:cat :int [:* :string]], :output :int, :guard nil}"
       Seq("flagship_ast" -> flagshipAst, "flagship_form" -> flagshipForm,
+        "explain_data" -> explainData,
+        "fn_arrow_info" -> fnArrowInfo,
         "generator_ast_formula" -> genAstFormula,
         "kondo_flagship" -> kondoFlagship,
         "kondo_config" -> kondoConfig,

@@ -738,6 +738,72 @@ object RowEval {
       else LazyList.empty
   }
 
+  /** One `mu/explain-data` error (util.cljc:224-233): the [[Err]] fields
+    * plus the failing sub-schema rendered as its FORM — pure data, so the
+    * whole result serializes (the reference's "useful when you need to
+    * serialise errors"). `errType` carries the special `:malli.core/...`
+    * discriminator when one applies (missing-key, invalid-type, limits,
+    * ...); plain schema failures have none, like the reference. */
+  final case class DataErr(path: Vector[String], in: Vector[String],
+                           schema: String, value: Any,
+                           errType: Option[String])
+
+  /** `mu/explain-data` result: `{:schema form :value v :errors [...]}`. */
+  final case class DataExplain(schema: String, value: Any,
+                               errors: Vector[DataErr])
+
+  /** mu/explain-data (util.cljc:209-238): like [[explain]] but schema
+    * objects are replaced by their `m/form` strings. None when valid.
+    * Missing/extra-key errors attach the PARENT map's form (the reference
+    * attaches `this`, core.cljc:1306-1322); every other error attaches
+    * the schema at its own path. */
+  def explainData(ir: SchemaIR, v: Any)(
+      implicit reg: Registry = Registry.empty,
+      depth: Int = 8): Option[DataExplain] = {
+    val errs = explain(ir, v)
+    if (errs.isEmpty) None
+    else Some(DataExplain(SchemaIR.form(ir), v, errs.map { e =>
+      val schemaPath =
+        if (e.key == ErrorKeys.MissingKey || e.key == ErrorKeys.ExtraKey)
+          e.path.dropRight(1)
+        else e.path
+      val errType =
+        if (e.key.startsWith("malli.core/")) Some(":" + e.key) else None
+      DataErr(e.path, e.in, SchemaIR.form(resolveAt(ir, schemaPath)),
+        e.value, errType)
+    }))
+  }
+
+  /** Walk `root` along explain's schema-path addressing. Derefs (`:ref` /
+    * `:schema` scopes) and declarative proxies (`:merge`/`:union`/
+    * `:select-keys`) resolve WITHOUT consuming a segment — mirroring how
+    * [[explain]] emits paths against the expanded structure. A segment
+    * with no static child is RUNTIME data (a MapType stray key under the
+    * `::m/default` rest) and is skipped: the governing schema is already
+    * in hand. */
+  private def resolveAt(root: SchemaIR, path: Seq[String])(
+      implicit reg: Registry): SchemaIR = {
+    def step(cur: SchemaIR, segs: List[String], reg: Registry,
+             fuel: Int): SchemaIR = cur match {
+      case SRef(n) if fuel > 0 && reg.schemas.contains(n) =>
+        step(reg(n), segs, reg, fuel - 1)
+      case SScoped(local, c) =>
+        step(c, segs, Registry(reg.schemas ++ local, reg.maxDepth), fuel)
+      case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
+        step(mallispark.ir.SchemaOps.expand(alg, reg), segs, reg, fuel)
+      case _ => segs match {
+        case Nil => cur
+        case s :: rest =>
+          SchemaIR.childrenWithPath(cur)
+            .collectFirst { case (p, c) if p == s => c } match {
+            case Some(c) => step(c, rest, reg, fuel)
+            case None => step(cur, rest, reg, fuel)
+          }
+      }
+    }
+    step(root, path.toList, reg, 64)
+  }
+
   /** Explain: same error shape the Catalyst side produces
     * (path/in/error_key), for duality assertions. */
   def explain(ir: SchemaIR, v: Any,

@@ -716,7 +716,8 @@ object Export {
           pStr(props, ":dispatch").map(_.stripPrefix(":")).getOrElse(""),
           branches)
         case ":ref" => SRef(rest.head match {
-          case Sym(s) => s; case SStr(s) => s; case o => o.toString })
+          case Sym(s) => s; case SStr(s) => s; case Kw(k) => k.drop(1)
+          case o => o.toString })
         case ":schema" =>
           val local = props.m.get(":registry") match {
             case Some(Props(entries)) =>

@@ -132,6 +132,36 @@ class GenerateSpec extends SparkSuite {
       generatorAst(S.fn("f")(_ => true)))
   }
 
+  // :-> sugar + m/-function-info (core.cljc:2382-2391, 2211-2218;
+  // core_test.cljc fn-schema-info fixtures)
+  test(":-> arrow sugar agrees with :=> under function-info") {
+    import mallispark.gen.FnSchemas
+    import mallispark.gen.FnSchemas.{FnSchema, FnInfo}
+    // [:-> :int :int :int] == [:=> [:cat :int :int] :int]
+    val viaArrow = FnSchemas.arrow(Seq(S.int, S.int, S.int))
+    val viaFn = FnSchema(Seq(S.int, S.int), S.int)
+    assert(FnSchemas.functionInfo(viaArrow) ===
+      FnSchemas.functionInfo(viaFn))
+    assert(FnSchemas.functionInfo(viaArrow) === FnInfo(
+      min = 2, max = Some(2), arity = "2",
+      input = "[:cat :int :int]", output = ":int", guard = None))
+    // varargs arity renders the rest as [:* rest] with open max
+    assert(FnSchemas.functionInfo(
+      FnSchema(Seq(S.int), S.int, rest = Some(S.string))) === FnInfo(
+      min = 1, max = None, arity = ":varargs",
+      input = "[:cat :int [:* :string]]", output = ":int", guard = None))
+    // {:guard f} prop appends [:fn guard] over the [args ret] pair
+    // (core_test.cljc:2723: guard (fn [[[arg] ret]] ...))
+    val guarded = FnSchemas.arrow(Seq(S.int, S.int),
+      guard = Some { case Seq(args: Seq[_], ret) => args.head != ret })
+    val f = FnSchemas.wrap(guarded, "f")(_.head)
+    val e = intercept[FnSchemas.InstrumentException](f(Seq(7L)))
+    assert(e.kind === FnSchemas.Kind.InvalidGuard)
+    val g = FnSchemas.wrap(guarded, "g")(
+      args => args.head.asInstanceOf[Long] + 1L)
+    assert(g(Seq(7L)) === 8L)
+  }
+
   test("function schemas: wrap validates args+return; check finds violations") {
     import mallispark.gen.FnSchemas
     import mallispark.gen.FnSchemas.FnSchema

@@ -261,6 +261,38 @@ class SchemaOpsSpec extends SparkSuite {
       updateEntryProperties(m0, "nope")(identity) }
   }
 
+  // mu/explain-data (util.cljc:209-238; util_test.cljc:1031-1069)
+  test("explainData: pure-data errors with schema forms") {
+    import mallispark.eval.RowEval
+    import mallispark.eval.RowEval.{DataErr, DataExplain}
+    val schema = Export.fromForm("[:map [:a [:vector [:maybe :string]]]]")
+    // valid → nil
+    assert(RowEval.explainData(schema, Map("a" -> Seq("kikka"))) === None)
+    // invalid-type: error carries the vector schema's form + ::m type key
+    assert(RowEval.explainData(schema, Map("a" -> 1L)) === Some(DataExplain(
+      "[:map [:a [:vector [:maybe :string]]]]", Map("a" -> 1L),
+      Vector(DataErr(Vector("a"), Vector("a"), "[:vector [:maybe :string]]",
+        1L, Some(":malli.core/invalid-type"))))))
+    // plain leaf failure: schema at [:a 0 0] = :string, NO type key
+    assert(RowEval.explainData(schema, Map("a" -> Seq(true))) ===
+      Some(DataExplain(
+        "[:map [:a [:vector [:maybe :string]]]]", Map("a" -> Seq(true)),
+        Vector(DataErr(Vector("a", "0", "0"), Vector("a", "0"),
+          ":string", true, None)))))
+    // missing-key attaches the PARENT map form (core.cljc:1306-1307)
+    val errs = RowEval.explainData(schema, Map.empty[String, Any]).get.errors
+    assert(errs === Vector(DataErr(Vector("a"), Vector("a"),
+      "[:map [:a [:vector [:maybe :string]]]]", null,
+      Some(":malli.core/missing-key"))))
+    // paths resolve THROUGH :ref / local registries (deref on the walk)
+    val scoped = Export.fromForm(
+      "[:schema {:registry {:node [:map [:v [:int {:min 0}]]]}} " +
+        "[:ref :node]]")
+    val e2 = RowEval.explainData(scoped, Map("v" -> -1L)).get.errors
+    assert(e2 === Vector(DataErr(Vector("v"), Vector("v"),
+      "[:int {:min 0}]", -1L, None)))
+  }
+
   // m/explicit-keys + m/default-schema (core.cljc:2817-2833)
   test("explicitKeys/defaultSchema accessors") {
     val m = Export.fromForm(

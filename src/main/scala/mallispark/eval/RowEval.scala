@@ -295,6 +295,8 @@ object RowEval {
   private def reMatchT(ir: SchemaIR, xs: Seq[Any], i: Int,
                        path: Vector[String], df: DeepestFail)(
       implicit reg: Registry, depth: Int): LazyList[Int] = ir match {
+    // props never break a regex op's SPLICE (path stays prop-transparent)
+    case SProps(_, c) if SchemaIR.isRegexOp(c) => reMatchT(c, xs, i, path, df)
     case SCat(cs) =>
       cs.zipWithIndex.foldLeft(LazyList(i)) { case (ps, (c, idx)) =>
         ps.flatMap(p => reMatchT(c, xs, p, path :+ idx.toString, df))
@@ -354,6 +356,7 @@ object RowEval {
 
   private def parseAt(ir: SchemaIR, xs: Seq[Any], i: Int)(
       implicit reg: Registry, depth: Int): LazyList[(Any, Int)] = ir match {
+    case SProps(_, c) if SchemaIR.isRegexOp(c) => parseAt(c, xs, i)
     case SCat(cs) =>
       cs.foldLeft(LazyList((Vector.empty[Any]: Any, i))) { (ps, c) =>
         ps.flatMap { case (acc, p) => parseAt(c, xs, p).map { case (t, p2) =>
@@ -663,6 +666,7 @@ object RowEval {
   def reUnparse(ir: SchemaIR, tree: Any)(
       implicit reg: Registry = Registry.empty,
       depth: Int = 8): Seq[Any] = ir match {
+    case SProps(_, c) if SchemaIR.isRegexOp(c) => reUnparse(c, tree)
     case SCat(cs) =>
       cs.zip(tree.asInstanceOf[Seq[Any]]).flatMap { case (c, t) =>
         reUnparse(c, t) }
@@ -710,6 +714,7 @@ object RowEval {
     * lazy backtracking suffices). Returns reachable end positions. */
   private def reMatch(ir: SchemaIR, xs: Seq[Any], i: Int)(
       implicit reg: Registry, depth: Int): LazyList[Int] = ir match {
+    case SProps(_, c) if SchemaIR.isRegexOp(c) => reMatch(c, xs, i)
     case SCat(cs) =>
       cs.foldLeft(LazyList(i)) { (ps, c) => ps.flatMap(p => reMatch(c, xs, p)) }
     case SCatn(es) =>

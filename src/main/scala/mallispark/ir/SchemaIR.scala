@@ -524,9 +524,12 @@ object SchemaIR {
     val InputRemaining = "malli.core/input-remaining"
   }
 
-  /** Is this a sequence-regex operator node? */
+  /** Is this a sequence-regex operator node? Properties never change a
+    * node's regex-ness (`[:cat {:gen/fmap ..} ..]` still splices) — peel
+    * the SProps wrapper before testing. */
   def isRegexOp(ir: SchemaIR): Boolean = ir match {
     case _: SCat | _: SCatn | _: SStar | _: SPlus | _: SOpt | _: SRepeat => true
+    case SProps(_, c) => isRegexOp(c)
     case _ => false
   }
 
@@ -535,6 +538,7 @@ object SchemaIR {
     * compilation cannot express it (SURVEY §2.9 tier 3). */
   def isGeneralRegex(ir: SchemaIR): Boolean = {
     def nestedChildren(s: SchemaIR): Seq[SchemaIR] = s match {
+      case SProps(_, c) => nestedChildren(c)
       case SCat(cs) => cs
       case SCatn(es) => es.map(_._2)
       case SAlt(cs) => cs
@@ -545,7 +549,11 @@ object SchemaIR {
       case SRepeat(c, _, _) => Seq(c)
       case _ => Seq.empty
     }
-    isRegexOp(ir) && nestedChildren(ir).exists(c =>
+    def peel(s: SchemaIR): SchemaIR = s match {
+      case SProps(_, c) => peel(c)
+      case o => o
+    }
+    isRegexOp(ir) && nestedChildren(ir).map(peel).exists(c =>
       isRegexOp(c) || (c match {
         case SAlt(cs) => cs.exists(isRegexOp)
         case SAltn(es) => es.exists(e => isRegexOp(e._2))

@@ -270,6 +270,60 @@ object SchemaOps {
   def find(m: SMap, key: String): Option[Entry] =
     m.entries.find(_.key == key)
 
+  /** m/-regex-min-max (core.cljc:87, 297-303, sequence-schema table
+    * 2968-3010): how many ELEMENTS of the surrounding sequence a schema
+    * consumes, as (min, max) with `None` max = unbounded.
+    *
+    *  - any non-regex schema consumes exactly one element;
+    *  - `:cat`/`:catn` sum their children, `:alt`/`:altn` span
+    *    (min of mins, max of maxes), `:*` is (0, ∞), `:+` (childMin, ∞),
+    *    `:?` (0, childMax), `:repeat` multiplies by its bounds;
+    *  - a NESTED `[:schema ...]` wrapper is a splice boundary — it
+    *    counts as one element (core.cljc:2147-2150); at top level it is
+    *    transparent (and brings its local registry into scope);
+    *  - `:ref` derefs cycle-aware: a recursive ref throws the
+    *    reference's `::m/potentially-recursive-seqex` (core.cljc:2055);
+    *    an acyclic one is transparent like malli's plain registry
+    *    keyword lookup (SRef covers both reference ref kinds here).
+    *
+    * `nested` is true when `ir` already sits inside an outer seqex. */
+  def regexMinMax(ir: SchemaIR, nested: Boolean = false)(
+      implicit reg: Registry = Registry.empty): (Int, Option[Int]) = {
+    def add(a: (Int, Option[Int]), b: (Int, Option[Int])) =
+      (a._1 + b._1, for { x <- a._2; y <- b._2 } yield x + y)
+    def go(s: SchemaIR, nested: Boolean, reg: Registry,
+           seen: Set[String]): (Int, Option[Int]) = s match {
+      case SProps(_, c) => go(c, nested, reg, seen)
+      case SScoped(local, c) =>
+        if (nested) (1, Some(1))
+        else go(c, nested, Registry(reg.schemas ++ local, reg.maxDepth), seen)
+      case SRef(n) =>
+        if (seen(n)) throw new IllegalArgumentException(
+          s":malli.core/potentially-recursive-seqex $n")
+        else go(reg(n), nested, reg, seen + n)
+      case SCat(cs) =>
+        cs.foldLeft((0, Option(0)))((acc, c) => add(acc, go(c, true, reg, seen)))
+      case SCatn(es) =>
+        es.foldLeft((0, Option(0)))((acc, e) =>
+          add(acc, go(e._2, true, reg, seen)))
+      case SAlt(cs) =>
+        cs.map(go(_, true, reg, seen)).reduce((a, b) =>
+          (a._1 min b._1, for { x <- a._2; y <- b._2 } yield x max y))
+      case SAltn(es) =>
+        es.map(e => go(e._2, true, reg, seen)).reduce((a, b) =>
+          (a._1 min b._1, for { x <- a._2; y <- b._2 } yield x max y))
+      case SStar(_) => (0, None)
+      case SPlus(c) => (go(c, true, reg, seen)._1, None)
+      case SOpt(c) => (0, go(c, true, reg, seen)._2)
+      case SRepeat(c, mn, mx) =>
+        val (m2, x2) = go(c, true, reg, seen)
+        (mn * m2,
+          if (mx == Int.MaxValue) None else x2.map(_ * mx))
+      case _ => (1, Some(1))
+    }
+    go(ir, nested, reg, Set.empty)
+  }
+
   /** m/explicit-keys (core.cljc:2817-2825): the declared entry keys of an
     * entry schema — the `::m/default` rest entry is a separate field here,
     * so it is never in the list. None for non-entry schemas. */

@@ -261,6 +261,72 @@ class SchemaOpsSpec extends SparkSuite {
       updateEntryProperties(m0, "nope")(identity) }
   }
 
+  // m/-regex-min-max (core_test.cljc:2448-2490 fixture table)
+  test("regexMinMax: seqex size bounds, :schema boundary, ref recursion") {
+    def mm(form: String): (Int, Option[Int]) =
+      SchemaOps.regexMinMax(Export.fromForm(form))
+    assert(mm(":int") === (1, Some(1)))
+    assert(mm("[:cat]") === (0, Some(0)))
+    assert(mm("[:cat :int]") === (1, Some(1)))
+    assert(mm("[:cat :int [:cat]]") === (1, Some(1)))
+    assert(mm("[:cat :int [:cat :string :int]]") === (3, Some(3)))
+    // top-level :schema is transparent; NESTED it is a splice boundary
+    assert(mm("[:schema [:cat :int [:cat :string :int]]]") === (3, Some(3)))
+    assert(mm("[:cat :int [:schema [:cat :string :int]]]") === (2, Some(2)))
+    assert(mm("[:cat :int [:schema [:catn [:s :string] [:i :int]]]]") ===
+      (2, Some(2)))
+    assert(mm("[:catn]") === (0, Some(0)))
+    assert(mm("[:catn [:n :int]]") === (1, Some(1)))
+    assert(mm("[:catn [:n :int] [:named [:cat]]]") === (1, Some(1)))
+    assert(mm("[:catn [:n :int] [:named [:cat :string :int]]]") ===
+      (3, Some(3)))
+    assert(mm("[:alt :int]") === (1, Some(1)))
+    assert(mm("[:alt :int [:cat]]") === (0, Some(1)))
+    assert(mm("[:altn [:n :int]]") === (1, Some(1)))
+    assert(mm("[:altn [:n :int] [:empty [:cat]]]") === (0, Some(1)))
+    assert(mm("[:* :int]") === (0, None))
+    assert(mm("[:? :int]") === (0, Some(1)))
+    assert(mm("[:? [:cat :int :int]]") === (0, Some(2)))
+    assert(mm("[:? [:schema [:cat :int :int]]]") === (0, Some(1)))
+    assert(mm("[:+ [:cat :string :int]]") === (2, None))
+    assert(mm("[:+ [:schema [:cat :string :int]]]") === (1, None))
+    assert(mm("[:+ [:? :int]]") === (0, None))
+    assert(mm("[:repeat {:min 5 :max 15} [:cat :string :int]]") ===
+      (10, Some(30)))
+    assert(mm("[:repeat {:min 5 :max 15} [:* :int]]") === (0, None))
+    // acyclic refs deref transparently (malli's plain registry lookup);
+    // a nested [:schema [:ref ..]] re-wraps the boundary (the reference
+    // fixture puts :registry on :cat; here the top-level :schema carries
+    // it — transparent at top level, so the bounds agree)
+    val named = "{:registry {:named [:cat :string :int]}}"
+    assert(mm(s"[:schema $named [:cat [:ref :named]]]") === (2, Some(2)))
+    assert(mm(s"[:schema $named [:cat " +
+      "[:repeat {:min 5 :max 15} [:ref :named]]]]") === (10, Some(30)))
+    assert(mm(s"[:schema $named [:cat " +
+      "[:repeat {:min 5 :max 15} [:schema [:ref :named]]]]]") ===
+      (5, Some(15)))
+    // recursive seqex refs throw ::m/potentially-recursive-seqex
+    val ex = intercept[IllegalArgumentException](
+      mm("[:schema {:registry {:ints [:cat :int [:ref :ints]]}} " +
+        "[:ref :ints]]"))
+    assert(ex.getMessage.contains("potentially-recursive-seqex"))
+  }
+
+  // props-wrapped regex ops still SPLICE in the surrounding seqex
+  // (properties never change regex-ness; reference regexs carry
+  // :gen/* props routinely)
+  test("regex ops with properties splice, not consume-one") {
+    import mallispark.eval.RowEval
+    val s = Export.fromForm("[:cat :int [:cat {:x 1} :string :int]]")
+    assert(RowEval.validate(s, Seq(1L, "a", 2L)))
+    assert(!RowEval.validate(s, Seq(1L, Seq("a", 2L))))
+    assert(RowEval.reParse(s, Seq(1L, "a", 2L)) ===
+      Some(Vector(1L, Vector("a", 2L))))
+    val unparsed = RowEval.reUnparse(
+      s.asInstanceOf[SchemaIR.SCat].children.last, Vector("a", 2L))
+    assert(unparsed === Seq("a", 2L))
+  }
+
   // mu/explain-data (util.cljc:209-238; util_test.cljc:1031-1069)
   test("explainData: pure-data errors with schema forms") {
     import mallispark.eval.RowEval

@@ -115,7 +115,7 @@ object Parse {
       case SRef(name) =>
         if (ctx.depth <= 0) dt
         else parseType(ctx.registry(name), dt)(ctx.copy(depth = ctx.depth - 1))
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         parseType(c, dt)(ctx.copy(registry =
           Registry(reg.schemas ++ local, reg.maxDepth)))
       case _ => dt // untagged seq-regex at this tier parses element-identical
@@ -262,7 +262,7 @@ object Parse {
           F.when(SchemaCompiler.valid(ir, col, dt), col)
             .otherwise(F.lit(null).cast(dt))
         else parse(ctx.registry(name), col, dt)(ctx.copy(depth = ctx.depth - 1))
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         parse(c, col, dt)(ctx.copy(registry =
           Registry(reg.schemas ++ local, reg.maxDepth)))
 
@@ -383,7 +383,7 @@ object Parse {
       case SRef(name) =>
         if (ctx.depth <= 0) parsed
         else unparse(ctx.registry(name), parsed, dt)(ctx.copy(depth = ctx.depth - 1))
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         unparse(c, parsed, dt)(ctx.copy(registry =
           Registry(reg.schemas ++ local, reg.maxDepth)))
       case _ => parsed

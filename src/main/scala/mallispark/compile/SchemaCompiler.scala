@@ -160,7 +160,7 @@ object SchemaCompiler {
       if (d > 0) reg.schemas.get(n).map(dataTypeOfD(_, d - 1))
         .getOrElse(StringType)
       else StringType
-    case SScoped(local, c) =>
+    case SScoped(local, c, _) =>
       dataTypeOfD(c, d)(Registry(reg.schemas ++ local, reg.maxDepth))
     case SProps(_, c) => dataTypeOfD(c, d)
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
@@ -646,7 +646,7 @@ object SchemaCompiler {
 
       // :schema with a local registry: layer the local names over the Ctx
       // registry for the child subtree (local wins — -property-registry)
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         valid(c, col, dt)(ctx.copy(registry =
           Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
 
@@ -1080,7 +1080,7 @@ object SchemaCompiler {
         else errors(ctx.registry(name), col, dt, path, in)(
           ctx.copy(depth = ctx.depth - 1))
 
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         errors(c, col, dt, path, in)(ctx.copy(registry =
           Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
 

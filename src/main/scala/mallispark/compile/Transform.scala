@@ -73,7 +73,7 @@ object Transform {
         if (ctx.depth <= 0) col
         else decode(ctx.registry(n), col, dt, mode)(
           ctx.copy(depth = ctx.depth - 1))
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         decode(c, col, dt, mode)(ctx.copy(registry = SchemaIR.Registry(
           ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
@@ -316,7 +316,7 @@ object Transform {
         if (ctx.depth <= 0) dt
         else decodedType(ctx.registry(n), dt, mode)(
           ctx.copy(depth = ctx.depth - 1))
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         decodedType(c, dt, mode)(ctx.copy(registry = SchemaIR.Registry(
           ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
@@ -468,7 +468,7 @@ object Transform {
       if (ctx.depth <= 0) col
       else encode(ctx.registry(n), col, dt, mode)(
         ctx.copy(depth = ctx.depth - 1))
-    case SScoped(local, c) =>
+    case SScoped(local, c, _) =>
       encode(c, col, dt, mode)(ctx.copy(registry = SchemaIR.Registry(
         ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>

@@ -235,7 +235,7 @@ object RowEval {
     case SRef(name) =>
       if (depth <= 0) true
       else validate(reg(name), v)(reg, depth - 1)
-    case SScoped(local, c) =>
+    case SScoped(local, c, _) =>
       validate(c, v)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
     case SProps(_, c) => validate(c, v)
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
@@ -297,6 +297,10 @@ object RowEval {
       implicit reg: Registry, depth: Int): LazyList[Int] = ir match {
     // props never break a regex op's SPLICE (path stays prop-transparent)
     case SProps(_, c) if SchemaIR.isRegexOp(c) => reMatchT(c, xs, i, path, df)
+    // registry-prop scope: extend the registry, keep splicing
+    case SScoped(local, c, false) if SchemaIR.isRegexOp(c) =>
+      reMatchT(c, xs, i, path, df)(
+        Registry(reg.schemas ++ local, reg.maxDepth), depth)
     case SCat(cs) =>
       cs.zipWithIndex.foldLeft(LazyList(i)) { case (ps, (c, idx)) =>
         ps.flatMap(p => reMatchT(c, xs, p, path :+ idx.toString, df))
@@ -357,6 +361,8 @@ object RowEval {
   private def parseAt(ir: SchemaIR, xs: Seq[Any], i: Int)(
       implicit reg: Registry, depth: Int): LazyList[(Any, Int)] = ir match {
     case SProps(_, c) if SchemaIR.isRegexOp(c) => parseAt(c, xs, i)
+    case SScoped(local, c, false) if SchemaIR.isRegexOp(c) =>
+      parseAt(c, xs, i)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
     case SCat(cs) =>
       cs.foldLeft(LazyList((Vector.empty[Any]: Any, i))) { (ps, c) =>
         ps.flatMap { case (acc, p) => parseAt(c, xs, p).map { case (t, p2) =>
@@ -507,7 +513,7 @@ object RowEval {
       case SRef(name) =>
         if (depth <= 0) { if (validate(ir, v)) Some(v) else None }
         else parseValue(reg(name), v)(reg, depth - 1)
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         parseValue(c, v)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
       case other => if (validate(other, v)) Some(v) else None
     }
@@ -629,7 +635,7 @@ object RowEval {
       case SRef(name) =>
         if (depth <= 0) { if (validate(ir, tree)) Some(tree) else None }
         else unparseValue(reg(name), tree)(reg, depth - 1)
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         unparseValue(c, tree)(
           Registry(reg.schemas ++ local, reg.maxDepth), depth)
       case other => if (validate(other, tree)) Some(tree) else None
@@ -667,6 +673,8 @@ object RowEval {
       implicit reg: Registry = Registry.empty,
       depth: Int = 8): Seq[Any] = ir match {
     case SProps(_, c) if SchemaIR.isRegexOp(c) => reUnparse(c, tree)
+    case SScoped(local, c, false) if SchemaIR.isRegexOp(c) =>
+      reUnparse(c, tree)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
     case SCat(cs) =>
       cs.zip(tree.asInstanceOf[Seq[Any]]).flatMap { case (c, t) =>
         reUnparse(c, t) }
@@ -715,6 +723,8 @@ object RowEval {
   private def reMatch(ir: SchemaIR, xs: Seq[Any], i: Int)(
       implicit reg: Registry, depth: Int): LazyList[Int] = ir match {
     case SProps(_, c) if SchemaIR.isRegexOp(c) => reMatch(c, xs, i)
+    case SScoped(local, c, false) if SchemaIR.isRegexOp(c) =>
+      reMatch(c, xs, i)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
     case SCat(cs) =>
       cs.foldLeft(LazyList(i)) { (ps, c) => ps.flatMap(p => reMatch(c, xs, p)) }
     case SCatn(es) =>
@@ -792,7 +802,7 @@ object RowEval {
              fuel: Int): SchemaIR = cur match {
       case SRef(n) if fuel > 0 && reg.schemas.contains(n) =>
         step(reg(n), segs, reg, fuel - 1)
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         step(c, segs, Registry(reg.schemas ++ local, reg.maxDepth), fuel)
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
         step(mallispark.ir.SchemaOps.expand(alg, reg), segs, reg, fuel)
@@ -933,7 +943,7 @@ object RowEval {
       case SRef(name) =>
         if (depth <= 0) Vector.empty
         else explain(reg(name), v, path, in)(reg, depth - 1)
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         explain(c, v, path, in)(Registry(reg.schemas ++ local, reg.maxDepth),
           depth)
       case SProps(_, c) => explain(c, v, path, in)

@@ -64,7 +64,7 @@ object ValueTransform {
     // layer over the ambient one (recursive-coercer semantics)
     case SRef(name) =>
       if (depth <= 0) v else decode(reg(name), v, mode)(reg, depth - 1)
-    case SScoped(local, c) =>
+    case SScoped(local, c, _) =>
       decode(c, v, mode)(Registry(reg.schemas ++ local, reg.maxDepth), depth)
     case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>
       decode(mallispark.ir.SchemaOps.expand(alg, reg), v, mode)
@@ -234,7 +234,7 @@ object ValueTransform {
     ir match {
       case SRef(name) =>
         if (depth <= 0) v else encode(reg(name), v, mode)(reg, depth - 1)
-      case SScoped(local, c) =>
+      case SScoped(local, c, _) =>
         encode(c, v, mode)(Registry(reg.schemas ++ local, reg.maxDepth),
           depth)
       case alg @ (_: SMergeOf | _: SUnionOf | _: SSelectKeysOf) =>

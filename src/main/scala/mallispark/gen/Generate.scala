@@ -333,7 +333,7 @@ object Generate {
     case SRef(n) =>
       if (depth > 0) unrollRefs(reg(n), reg, depth - 1)
       else terminate(reg(n), reg)
-    case SScoped(l, c) =>
+    case SScoped(l, c, _) =>
       unrollRefs(c, Registry(reg.schemas ++ l, reg.maxDepth), depth)
     case other => mapChildrenIr(other)(unrollRefs(_, reg, depth))
   }
@@ -342,7 +342,7 @@ object Generate {
     case SRef(n) => throw new IllegalArgumentException(
       s"cannot generate: required recursive path through :ref $n never " +
         "terminates (no finite value satisfies the schema)")
-    case SScoped(l, c) =>
+    case SScoped(l, c, _) =>
       terminate(c, Registry(reg.schemas ++ l, reg.maxDepth))
     case m: SMap => m.copy(
       entries = m.entries.flatMap { e =>

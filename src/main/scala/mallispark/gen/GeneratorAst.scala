@@ -156,7 +156,7 @@ object GeneratorAst {
     case SRepeat(c, mn, mx) => collOp(c, Some(mn), Some(mx), reg, active)
     case SAlt(cs) => ast(SOr(cs), reg, active)
     case SAltn(es) => ast(SOr(es.map(_._2)), reg, active)
-    case SScoped(local, c) =>
+    case SScoped(local, c, _) =>
       ast(c, Registry(reg.schemas ++ local, reg.maxDepth), active)
     case SRef(name) => active.get(name) match {
       case Some(target) => op("recur", "target" -> (Kw(target): Any))

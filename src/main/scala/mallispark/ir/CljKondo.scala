@@ -92,7 +92,7 @@ object CljKondo {
     case _: STuple => kw("seqable") // :103
     case _: SMulti | _: SMultiExpr => kw("any") // :104
     case _: SRef => kw("any") // :107
-    case SScoped(reg, c) => // :schema derefs then transforms (:108)
+    case SScoped(reg, c, _) => // :schema derefs then transforms (:108)
       transform(SchemaOps.expand(c, Registry(reg)), varargs)
     case SProps(_, c) => transform(c, varargs)
     // :merge/:union/:select-keys deref to their expansion (:140-142)

@@ -124,11 +124,14 @@ object Export {
           obj("tag" -> esc(t), "schema" -> toJson(c)) })) ++
         df.map(x => "default" -> toJson(x)): _*)
     case SRef(n) => obj("type" -> esc("ref"), "name" -> esc(n))
-    case SScoped(reg, c) =>
-      obj("type" -> esc("schema"),
+    case SScoped(reg, c, boundary) =>
+      obj(Seq("type" -> esc("schema"),
         "registry" -> arr(reg.toSeq.sortBy(_._1).map { case (n, s) =>
           obj("name" -> esc(n), "schema" -> toJson(s)) }),
-        "child" -> toJson(c))
+        "child" -> toJson(c)) ++
+        // registry-prop scopes (issue-451 syntax) must round-trip as
+        // transparent — only explicit [:schema ..] is a boundary
+        (if (boundary) Nil else Seq("boundary" -> "false")): _*)
     case SMergeOf(cs) => obj("type" -> esc("merge"), "children" -> arr(cs.map(toJson)))
     case SUnionOf(cs) => obj("type" -> esc("union"), "children" -> arr(cs.map(toJson)))
     case SSelectKeysOf(c, ks) => obj("type" -> esc("select-keys"),
@@ -338,7 +341,8 @@ object Export {
           val e = x.asInstanceOf[Map[String, Any]]
           e("name").toString ->
             fromAst(e("schema").asInstanceOf[Map[String, Any]])
-        }.toMap, child)
+        }.toMap, child,
+        boundary = !m.get("boundary").contains(false))
       case "merge" => SMergeOf(children)
       case "union" => SUnionOf(children)
       case "select-keys" => SSelectKeysOf(child,
@@ -758,7 +762,17 @@ object Export {
         case leaf => leafKw(leaf, props)
       }
       val np = parseNodeProps(props)
-      if (np.isEmpty) base else SProps(np, base)
+      val withNp = if (np.isEmpty) base else SProps(np, base)
+      // a {:registry ..} prop on ANY node scopes names to its subtree
+      // (core.cljc -property-registry; issue-451 "registry -in schema
+      // vector syntax") — wrapped TRANSPARENTLY (boundary=false): only
+      // an explicit [:schema ..] head makes a seqex/path boundary
+      props.m.get(":registry") match {
+        case Some(Props(entries)) if head != ":schema" =>
+          SScoped(entries.map { case (n, node) =>
+            n.stripPrefix(":") -> convert(node) }, withNp, boundary = false)
+        case _ => withNp
+      }
     case other => throw new IllegalArgumentException(s"cannot convert $other")
   }
 
@@ -782,7 +796,12 @@ object Export {
     case ":time/local-date" => SDate(pStr(props, ":min"), pStr(props, ":max"))
     case t if t.startsWith(":time/") =>
       STime(t.stripPrefix(":time/"), pStr(props, ":min"), pStr(props, ":max"))
-    case other => throw new IllegalArgumentException(s"unknown leaf $other")
+    // any other keyword is a registry REFERENCE (malli resolves unknown
+    // keywords against the options registry, core.cljc:2567-2589 —
+    // [:map {:registry {:my/t :string}} [:k :my/t]] reads naturally);
+    // an unregistered name still fails loudly, at resolution instead of
+    // parse ("unknown schema ref")
+    case other => SRef(other.drop(1))
   }
 
   // ---- JSON-Schema export (json_schema.cljc:210-225) ----------------------
@@ -892,7 +911,7 @@ object Export {
     // pointers and register their definition in the root `definitions`
     // map (the transform wrapper attaches it). Only REACHED names are
     // emitted — the reference registers on deref, not on declaration.
-    case SScoped(reg, c) =>
+    case SScoped(reg, c, _) =>
       val saved = ctx.scope
       ctx.scope = ctx.scope ++ reg
       try jsonBody(c) finally ctx.scope = saved
@@ -1218,7 +1237,7 @@ object Export {
         optNum("minItems", mn) ++ optNum("maxItems", mx): _*)
       case SEvery(c, mn, mx, _) => swaggerBody(SVector(c, mn, mx))
       case SSeqable(c, mn, mx) => swaggerBody(SVector(c, mn, mx))
-      case SScoped(reg, c) =>
+      case SScoped(reg, c, _) =>
         val saved = ctx.scope
         ctx.scope = ctx.scope ++ reg
         try swaggerBody(c) finally ctx.scope = saved

@@ -258,7 +258,17 @@ object SchemaIR {
     * the local names (layered over the outer registry, local wins).
     * Compilation extends the Ctx registry for the child subtree only. */
   final case class SScoped(registry: Map[String, SchemaIR],
-                           child: SchemaIR) extends SchemaIR
+                           child: SchemaIR,
+                           // true for an explicit `[:schema ...]` wrapper
+                           // (a SPLICE BOUNDARY inside a seqex,
+                           // core.cljc:2147-2150); false when the scope
+                           // came from a `{:registry ...}` PROP on an
+                           // arbitrary node (issue-451 syntax) — then the
+                           // wrapper is pure registry plumbing and fully
+                           // transparent (regex ops keep splicing, paths
+                           // don't gain a level, forms render the prop
+                           // on the node itself)
+                           boundary: Boolean = true) extends SchemaIR
 
   /** Non-structural schema properties — the slice of malli's property map
     * that validation IGNORES but other interpreters read:
@@ -430,7 +440,7 @@ object SchemaIR {
           seen((name, resolved)) ||
             simpleParser(resolved, reg, seen + ((name, resolved)))
       }
-    case SScoped(local, c) =>
+    case SScoped(local, c, _) =>
       simpleParser(c, Registry(reg.schemas ++ local, reg.maxDepth), seen)
     case _ => true // leaves, :fn, :custom, :validate
   }
@@ -530,6 +540,8 @@ object SchemaIR {
   def isRegexOp(ir: SchemaIR): Boolean = ir match {
     case _: SCat | _: SCatn | _: SStar | _: SPlus | _: SOpt | _: SRepeat => true
     case SProps(_, c) => isRegexOp(c)
+    // registry-prop scope — transparent; [:schema ..] stays a boundary
+    case SScoped(_, c, false) => isRegexOp(c)
     case _ => false
   }
 
@@ -539,6 +551,7 @@ object SchemaIR {
   def isGeneralRegex(ir: SchemaIR): Boolean = {
     def nestedChildren(s: SchemaIR): Seq[SchemaIR] = s match {
       case SProps(_, c) => nestedChildren(c)
+      case SScoped(_, c, false) => nestedChildren(c)
       case SCat(cs) => cs
       case SCatn(es) => es.map(_._2)
       case SAlt(cs) => cs
@@ -551,6 +564,7 @@ object SchemaIR {
     }
     def peel(s: SchemaIR): SchemaIR = s match {
       case SProps(_, c) => peel(c)
+      case SScoped(_, c, false) => peel(c)
       case o => o
     }
     isRegexOp(ir) && nestedChildren(ir).map(peel).exists(c =>
@@ -631,7 +645,10 @@ object SchemaIR {
     case SPlus(c)       => Seq("0" -> c)
     case SOpt(c)        => Seq("0" -> c)
     case SRepeat(c, _, _) => Seq("0" -> c)
-    case SScoped(_, c)  => Seq("0" -> c)
+    // a registry-prop scope (boundary=false) is invisible to paths, like
+    // SProps; only an explicit [:schema ...] wrapper adds the "0" level
+    case SScoped(_, c, false) => childrenWithPath(c)
+    case SScoped(_, c, _)  => Seq("0" -> c)
     // properties never add a path level in malli — navigate straight
     // through to the child's children (paths match the unwrapped schema)
     case SProps(_, c)   => childrenWithPath(c)
@@ -722,10 +739,13 @@ object SchemaIR {
       bs.map { case (t, c) => taggedForm(t, c) }
         .mkString(s"[:multi {:dispatch $n} ", " ", "]")
     case SRef(n) => s"[:ref $n]"
-    case SScoped(reg, c) =>
+    case SScoped(reg, c, boundary) =>
       val entries = reg.toSeq.sortBy(_._1)
         .map { case (n, s) => s":$n ${form(s)}" }.mkString(" ")
-      s"[:schema {:registry {$entries}} ${form(c)}]"
+      if (boundary) s"[:schema {:registry {$entries}} ${form(c)}]"
+      // registry-prop scope renders the prop on the node itself
+      // ([:map {:registry {..}} ...], issue-451 syntax)
+      else spliceProps(form(c), s":registry {$entries}")
     case SMergeOf(cs) => cs.map(form).mkString("[:merge ", " ", "]")
     case SUnionOf(cs) => cs.map(form).mkString("[:union ", " ", "]")
     case SSelectKeysOf(c, ks) =>

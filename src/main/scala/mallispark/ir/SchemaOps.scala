@@ -127,8 +127,8 @@ object SchemaOps {
       bs.map { case (t, c) => t -> mapMaps(c)(f) }, df.map(mapMaps(_)(f)))
     // scoped registry: walk the child AND the registered schemas, so
     // closed/open toggling reaches maps a recursive :ref re-enters
-    case SScoped(l, c) => SScoped(
-      l.map { case (n, s) => n -> mapMaps(s)(f) }, mapMaps(c)(f))
+    case SScoped(l, c, b) => SScoped(
+      l.map { case (n, s) => n -> mapMaps(s)(f) }, mapMaps(c)(f), b)
     case SProps(p, c) => SProps(p, mapMaps(c)(f))
     case other => other
   }
@@ -151,7 +151,7 @@ object SchemaOps {
   def derefRecursive(ir: SchemaIR, reg: Registry = Registry.empty): SchemaIR = {
     def go(s: SchemaIR, reg: Registry, stack: Set[String]): SchemaIR =
       s match {
-        case SScoped(local, c) =>
+        case SScoped(local, c, _) =>
           go(c, Registry(reg.schemas ++ local, reg.maxDepth), stack)
         case SRef(n) =>
           if (stack.contains(n) || !reg.schemas.contains(n)) SRef(n)
@@ -171,7 +171,7 @@ object SchemaOps {
       // layered over the outer registry, so the algebra can merge/select
       // into it (non-recursive locals resolve fully; recursive ones stay
       // behind :ref as elsewhere)
-      case SScoped(local, c) if d > 0 =>
+      case SScoped(local, c, _) if d > 0 =>
         expand(c, Registry(reg.schemas ++ local, reg.maxDepth), d - 1)
       // algebra over a props-wrapped map reaches through (the wrapper's
       // non-structural props don't survive a merge — malli's -merge keeps
@@ -214,10 +214,10 @@ object SchemaOps {
       case SPlus(c) => SPlus(go(c, d))
       case SOpt(c) => SOpt(go(c, d))
       case SRepeat(c, mn, mx) => SRepeat(go(c, d), mn, mx)
-      case SScoped(l, c) => SScoped(
+      case SScoped(l, c, b) => SScoped(
         l.map { case (n, s2) =>
           n -> expand(s2, Registry(reg.schemas ++ l, reg.maxDepth), d) },
-        expand(c, Registry(reg.schemas ++ l, reg.maxDepth), d))
+        expand(c, Registry(reg.schemas ++ l, reg.maxDepth), d), b)
       case SProps(p, c) => SProps(p, go(c, d))
       case other => other
     }
@@ -294,7 +294,11 @@ object SchemaOps {
     def go(s: SchemaIR, nested: Boolean, reg: Registry,
            seen: Set[String]): (Int, Option[Int]) = s match {
       case SProps(_, c) => go(c, nested, reg, seen)
-      case SScoped(local, c) =>
+      // a registry-prop scope is transparent even nested; only the
+      // explicit [:schema ..] wrapper is a one-element boundary
+      case SScoped(local, c, false) =>
+        go(c, nested, Registry(reg.schemas ++ local, reg.maxDepth), seen)
+      case SScoped(local, c, _) =>
         if (nested) (1, Some(1))
         else go(c, nested, Registry(reg.schemas ++ local, reg.maxDepth), seen)
       case SRef(n) =>
@@ -450,7 +454,9 @@ object SchemaOps {
           t -> (if (t == seg) c else x) })
       case m @ SMulti(_, _, d) if seg == "malli.core/default" && d.isDefined =>
         m.copy(default = Some(c))
-      case SScoped(l, _) if seg == "0" => SScoped(l, c)
+      case SScoped(l, inner, false) =>
+        SScoped(l, replaceChild(inner, seg, c), boundary = false)
+      case SScoped(l, _, b) if seg == "0" => SScoped(l, c, b)
       // transparent like childrenWithPath: the segment addresses the
       // CHILD's children (props never add a path level)
       case SProps(p, inner) => SProps(p, replaceChild(inner, seg, c))

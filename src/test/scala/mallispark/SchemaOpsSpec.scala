@@ -327,6 +327,59 @@ class SchemaOpsSpec extends SparkSuite {
     assert(unparsed === Seq("a", 2L))
   }
 
+  // {:registry ..} props on ARBITRARY nodes + bare keyword refs
+  // (core_test.cljc issue-451 "registry -in schema vector syntax")
+  test("registry props on any node; bare keyword refs; seqex transparency") {
+    import mallispark.eval.RowEval
+    val s = Export.fromForm(
+      "[:map {:registry {:my/string-like :string}} " +
+        "[:entry [:my/string-like {:some \"prop\"}]]]")
+    assert(RowEval.validate(s, Map("entry" -> "a")))
+    assert(!RowEval.validate(s, Map("entry" -> 1L)))
+    // form renders the prop ON the node and round-trips; ast too
+    val f = SchemaIR.form(s)
+    assert(f.startsWith("[:map {:registry"))
+    assert(Export.fromForm(f) === s)
+    assert(Export.fromJson(Export.toJson(s)) === s)
+    // registry names may chain to other names (issue-451 derived-str)
+    val chain = Export.fromForm(
+      "[:map {:registry {:derived :string :derived2 :derived}} " +
+        "[:k :derived2]]")
+    assert(RowEval.validate(chain, Map("k" -> "x")))
+    assert(!RowEval.validate(chain, Map("k" -> 1L)))
+    // a registry prop on a NESTED seqex op does not create a boundary:
+    // the inner :cat still splices (unlike [:schema ..])
+    val sx = Export.fromForm(
+      "[:cat :int [:cat {:registry {:t :string}} :t :int]]")
+    assert(RowEval.validate(sx, Seq(1L, "a", 2L)))
+    assert(!RowEval.validate(sx, Seq(1L, Seq("a", 2L))))
+    assert(SchemaOps.regexMinMax(sx) === (3, Some(3)))
+    // unknown names still fail loudly — at resolution
+    val dangling = Export.fromForm("[:map [:k :my/unregistered]]")
+    val ex = intercept[IllegalArgumentException](
+      RowEval.validate(dangling, Map("k" -> "x")))
+    assert(ex.getMessage.contains("unknown schema ref"))
+  }
+
+  // issue-937 (single-entry :altn nested in :*) and issue-925
+  // (:catn parse∘unparse retains order at 9 entries)
+  test("issue-937 single-entry altn; issue-925 catn order retention") {
+    import mallispark.eval.RowEval
+    val s937 = Export.fromForm("[:* [:altn [:a [:= :a]]]]")
+    assert(RowEval.validate(s937, Seq(":a")))
+    assert(RowEval.explain(s937, Seq(":a")) === Vector.empty)
+    assert(RowEval.reParse(s937, Seq(":a")) ===
+      Some(Vector(RowEval.RTag("a", ":a"))))
+    assert(RowEval.reUnparse(s937,
+      RowEval.reParse(s937, Seq(":a")).get) === Seq(":a"))
+    val s925 = Export.fromForm(
+      "[:catn [:a :int] [:b :int] [:c :int] [:d :int] [:e :int] " +
+        "[:f :int] [:g :int] [:h :int] [:i :int]]")
+    val input = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 9L)
+    assert(RowEval.reUnparse(s925, RowEval.reParse(s925, input).get) ===
+      input)
+  }
+
   // mu/explain-data (util.cljc:209-238; util_test.cljc:1031-1069)
   test("explainData: pure-data errors with schema forms") {
     import mallispark.eval.RowEval

@@ -203,12 +203,23 @@ object Transform {
       case SIdent(kind, _) if kind.endsWith("keyword") =>
         dt match {
           // -string->keyword (transform.cljc:71-77): "abc" decodes to the
-          // keyword :abc — in string-form terms, prepend the ':' when absent
-          case StringType if mode == StringMode =>
+          // keyword :abc — in string-form terms, prepend the ':' when
+          // absent. BOTH transformer bundles carry it (the json decoder
+          // table includes keyword?, transform.cljc:258-266)
+          case StringType =>
             F.when(col.startsWith(":") || col.isNull, col)
               .otherwise(F.concat(F.lit(":"), col))
           case _ => col
         }
+      // :enum/:= decode through the INFERRED base type of the children
+      // (transform.cljc:236-248 -infer-child-compiler; the json bundle
+      // only moves keywords since json carries numbers natively, which
+      // falls out of the delegated leaf's own mode gating)
+      case SEnum(vs) =>
+        SchemaIR.inferLeaf(vs).map(decode(_, col, dt, mode)).getOrElse(col)
+      case SCompare("=", value) =>
+        SchemaIR.inferLeaf(Seq(value)).map(decode(_, col, dt, mode))
+          .getOrElse(col)
       case SSet(c, _, _) =>
         // -sequential->set (transform.cljc:211-233) on ArrayType payloads
         dt match {
@@ -295,7 +306,24 @@ object Transform {
     * back identical (plan-size elision). */
   private def needsDecode(ir: SchemaIR, dt: DataType, mode: Mode)(
       implicit ctx: SchemaCompiler.Ctx): Boolean =
-    decodedType(ir, dt, mode) != dt || hasHints(ir, mode)
+    decodedType(ir, dt, mode) != dt || hasHints(ir, mode) ||
+      hasValueDecoders(ir)
+
+  /** Decoders that change the VALUE but not the column type — keyword
+    * ':'-prepending, directly or via :enum/:= child inference. The type
+    * test alone would elide container rebuilds that still need them.
+    * Conservative: fires even when the physical position isn't a string
+    * (the rebuild is then a no-op projection, never wrong). */
+  private def hasValueDecoders(ir: SchemaIR): Boolean = (ir match {
+    case SIdent(kind, _) => kind.endsWith("keyword")
+    case SEnum(vs) =>
+      SchemaIR.inferLeaf(vs).exists(_.isInstanceOf[SIdent])
+    case SCompare("=", value) =>
+      SchemaIR.inferLeaf(Seq(value)).exists(_.isInstanceOf[SIdent])
+    case _ => false
+  }) || SchemaIR.childrenWithPath(ir).exists {
+    case (_, c) => hasValueDecoders(c)
+  }
 
   private def hasHints(ir: SchemaIR, mode: Mode): Boolean =
     (ir match {
@@ -345,6 +373,12 @@ object Transform {
           LongType
         case _ => dt
       }
+      // decode's :enum/:= inference delegation, mirrored
+      case SEnum(vs) =>
+        SchemaIR.inferLeaf(vs).map(decodedType(_, dt, mode)).getOrElse(dt)
+      case SCompare("=", value) =>
+        SchemaIR.inferLeaf(Seq(value)).map(decodedType(_, dt, mode))
+          .getOrElse(dt)
       case _: SDouble => dt match {
         case StringType if mode == StringMode => DoubleType
         case ByteType | ShortType | IntegerType | LongType | FloatType =>
@@ -495,6 +529,12 @@ object Transform {
       // keyword→string encode drops the leading ':' (m/encode keyword?
       // string-transformer — transform.cljc:432 -keyword->string)
       F.regexp_replace(col, "^:", "")
+    // :enum/:= encode through the inferred child type — keyword enums
+    // drop the colon (child-inference fixtures, transform_test:1142-1230)
+    case SEnum(vs) if SchemaIR.inferLeaf(vs).isDefined =>
+      encode(SchemaIR.inferLeaf(vs).get, col, dt, mode)
+    case SCompare("=", value) if SchemaIR.inferLeaf(Seq(value)).isDefined =>
+      encode(SchemaIR.inferLeaf(Seq(value)).get, col, dt, mode)
     // interval→ISO-8601 encode (experimental/time/transform.cljc:81-89):
     // emitted in total-seconds / total-months form ("PT3723S", "P14M") —
     // a valid ISO rendering that parses back to the equal value (the

@@ -110,10 +110,15 @@ object ValueTransform {
       case _ => v
     }
     case SIdent(kind, _) if kind.endsWith("keyword") => v match {
-      case s: String if mode == StringMode =>
-        if (s.startsWith(":")) s else ":" + s
+      // both bundles decode keywords (json carries them as plain strings)
+      case s: String => if (s.startsWith(":")) s else ":" + s
       case _ => v
     }
+    // :enum/:= decode via inferred child type (transform.cljc:236-248)
+    case SEnum(vs) =>
+      SchemaIR.inferLeaf(vs).map(decode(_, v, mode)).getOrElse(v)
+    case SCompare("=", value) =>
+      SchemaIR.inferLeaf(Seq(value)).map(decode(_, v, mode)).getOrElse(v)
     case _: STimestamp => v match {
       case s: String =>
         try java.time.Instant.parse(s)
@@ -263,6 +268,12 @@ object ValueTransform {
         case s: String => s.stripPrefix(":")
         case _ => v
       }
+      // :enum/:= encode via inferred child type — keyword enums drop ':'
+      case SEnum(vs) if SchemaIR.inferLeaf(vs).isDefined =>
+        encode(SchemaIR.inferLeaf(vs).get, v, mode)
+      case SCompare("=", value)
+          if SchemaIR.inferLeaf(Seq(value)).isDefined =>
+        encode(SchemaIR.inferLeaf(Seq(value)).get, v, mode)
       case _: STimestamp | _: SDate | _: STime => v match {
         case null => null
         case other => other.toString // java.time types print ISO-8601

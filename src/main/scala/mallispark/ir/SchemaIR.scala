@@ -534,6 +534,25 @@ object SchemaIR {
     val InputRemaining = "malli.core/input-remaining"
   }
 
+  /** `m/-infer` (core.cljc:243-245) in the engine's string-form value
+    * universe: keyword literals are ":"-prefixed strings, so a
+    * homogeneous ":"-prefixed set infers `:keyword` and other strings
+    * infer `:string` (the reference's string?-first probe order is
+    * otherwise preserved; symbols conflate with strings here, like
+    * everywhere else in the string-form universe). Drives the
+    * `:enum`/`:=` child-inferring transformers
+    * (transform.cljc:236-248 `-infer-child-compiler`). */
+  def inferLeaf(vs: Seq[Any]): Option[SchemaIR] =
+    if (vs.isEmpty) None
+    else if (vs.forall(v => v.isInstanceOf[String] &&
+      v.asInstanceOf[String].startsWith(":"))) Some(SIdent("keyword"))
+    else if (vs.forall(_.isInstanceOf[String])) Some(SString())
+    else if (vs.forall(v => v.isInstanceOf[Long] || v.isInstanceOf[Int]))
+      Some(SInt())
+    else if (vs.forall(v => v.isInstanceOf[Double] || v.isInstanceOf[Float]))
+      Some(SDouble())
+    else None
+
   /** Is this a sequence-regex operator node? Properties never change a
     * node's regex-ness (`[:cat {:gen/fmap ..} ..]` still splices) — peel
     * the SProps wrapper before testing. */

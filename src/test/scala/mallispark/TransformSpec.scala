@@ -32,6 +32,53 @@ class TransformSpec extends SparkSuite {
     assert(out.head.dataType === StringType) // elided — stays a string
   }
 
+  // :enum/:= child inference (transform.cljc:236-248;
+  // transform_test.cljc:1142-1230 child-inference fixtures)
+  test(":enum/:= decode via inferred child type; json moves only keywords") {
+    val st = StructType(Seq(StructField("v", StringType)))
+    def dec(ir: mallispark.ir.SchemaIR, in: String,
+            mode: Transform.Mode): Any = {
+      val r = df(Seq(Row(in)), st).select(
+        Transform.decode(ir, F.col("v"), StringType, mode).as("d"))
+        .collect().head
+      if (r.isNullAt(0)) null else r.get(0)
+    }
+    val kwEnum = SEnum(Seq(":kikka", ":kukka"))
+    val intEnum = SEnum(Seq(1L, 2L))
+    val dblEnum = SEnum(Seq(1.1, 2.2))
+    val strEnum = SEnum(Seq("a", "b"))
+    // string mode decodes every inferred kind
+    assert(dec(kwEnum, "kikka", Transform.StringMode) === ":kikka")
+    assert(dec(intEnum, "1", Transform.StringMode) === 1L)
+    assert(dec(dblEnum, "1.1", Transform.StringMode) === 1.1)
+    assert(dec(strEnum, "a", Transform.StringMode) === "a")
+    assert(dec(SCompare("=", ":kikka"), "kikka",
+      Transform.StringMode) === ":kikka")
+    assert(dec(SCompare("=", 1L), "1", Transform.StringMode) === 1L)
+    // json mode: keywords move, numbers DON'T decode from strings
+    assert(dec(kwEnum, "kikka", Transform.JsonMode) === ":kikka")
+    assert(dec(intEnum, "1", Transform.JsonMode) === "1")
+    assert(dec(dblEnum, "1.1", Transform.JsonMode) === "1.1")
+    // already-decoded values pass through (idempotence)
+    assert(dec(kwEnum, ":kikka", Transform.JsonMode) === ":kikka")
+    // heterogeneous children → no inference, no-op
+    assert(dec(SEnum(Seq(":a", 1L)), "x", Transform.StringMode) === "x")
+    // encode: keyword enums drop the colon
+    val enc = df(Seq(Row(":kikka")), st).select(
+      Transform.encode(kwEnum, F.col("v"), StringType,
+        Transform.StringMode).as("e")).collect().head.getString(0)
+    assert(enc === "kikka")
+    // nested in a struct: the container rebuild is NOT elided even
+    // though the column type is unchanged (value-changing decoder)
+    val inner = StructType(Seq(StructField("k", StringType)))
+    val d2 = df(Seq(Row(Row("kikka"))),
+      StructType(Seq(StructField("s", inner))))
+    val out2 = d2.select(Transform.decode(
+      SMap(Seq(Entry("k", kwEnum))), F.col("s"), inner,
+      Transform.JsonMode).as("d")).collect().head.getStruct(0)
+    assert(out2.getString(0) === ":kikka")
+  }
+
   test("F11 string->boolean: only 'true'/'false' (transform.cljc:108-113)") {
     val d = df(Seq(Row("true"), Row("false"), Row("TRUE"), Row("1")),
       StructType(Seq(StructField("v", StringType))))

@@ -16,6 +16,25 @@ class ValueTransformSpec extends AnyFunSuite {
   private def enc(s: mallispark.ir.SchemaIR, v: Any): Any =
     ValueTransform.encode(s, v)
 
+  // child-inference fixtures (transform_test.cljc:1142-1230)
+  test(":enum/:= decode-encode via inferred child type (value tier)") {
+    val kwEnum = SEnum(Seq(":kikka", ":kukka"))
+    assert(dec(kwEnum, "kikka") === ":kikka")
+    assert(dec(SEnum(Seq(1L, 2L)), "1") === 1L)
+    assert(dec(SEnum(Seq(1.1, 2.2)), "1.1") === 1.1)
+    assert(dec(SCompare("=", ":kikka"), "kikka") === ":kikka")
+    assert(dec(SCompare("=", 1L), "1") === 1L)
+    // json: keywords move, numbers stay strings
+    assert(ValueTransform.decode(kwEnum, "kikka", JsonMode) === ":kikka")
+    assert(ValueTransform.decode(SEnum(Seq(1L, 2L)), "1", JsonMode) === "1")
+    // idempotent on already-decoded values; heterogeneous = no-op
+    assert(dec(kwEnum, ":kikka") === ":kikka")
+    assert(dec(SEnum(Seq(":a", 1L)), "x") === "x")
+    // encode drops the colon off keyword enums
+    assert(enc(kwEnum, ":kikka") === "kikka")
+    assert(enc(SCompare("=", ":kikka"), ":kikka") === "kikka")
+  }
+
   test("leaf decode keeps the ORIGINAL on failure (transform.cljc -safe)") {
     assert(dec(S.int, "1") === 1L)
     assert(dec(S.int, "abc") === "abc") // not null — the value survives

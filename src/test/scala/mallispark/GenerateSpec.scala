@@ -376,6 +376,30 @@ class GenerateSpec extends SparkSuite {
     spark.range(n).select(col.as("v")).collect().map(_.get(0)).toSet
   }
 
+  // nested-registry SHADOWING (generator_test.cljc:725-766): an outer
+  // name must not shadow the inner registry's binding for the same name
+  test("recursive-ref shadowing: inner registries win") {
+    import mallispark.ir.Export
+    val g1 = Export.fromForm(
+      "[:schema {:registry {:a [:schema {:registry {:a [:= 42]}} " +
+        "[:ref :a]]}} [:ref :a]]")
+    assert(draws(g1) === Set(42L))
+    // a chain through a sibling name re-scoped inside
+    val g2 = Export.fromForm(
+      "[:schema {:registry {:a [:ref :b] " +
+        ":b [:schema {:registry {:b [:= 42]}} [:ref :b]]}} [:ref :a]]")
+    assert(draws(g2) === Set(42L))
+    // outer-shadowing of [:maybe [:ref :a]] would collapse to all-nil
+    val g3 = Export.fromForm(
+      "[:schema {:registry {:a [:schema {:registry {:a :int}} " +
+        "[:maybe [:ref :a]]]}} [:ref :a]]")
+    assert(draws(g3).exists(_ != null))
+    val g4 = Export.fromForm(
+      "[:schema {:registry {:outer [:schema {:registry {:outer :int " +
+        ":inner [:ref :outer]}} [:ref :inner]]}} [:ref :outer]]")
+    assert(draws(g4, 50).forall(_.isInstanceOf[Long]))
+  }
+
   test(":gen/return wins over everything but fmap (generator_test:237-240)") {
     // (mg/sample [:and {:gen/return 1} int?]) => all 1
     assert(draws(SProps(NodeProps(genReturn = Some(1L)), S.int)) === Set(1L))

@@ -755,6 +755,10 @@ object SchemaCompiler {
     case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
     case SAnd(cs) => cs.forall(acceptsNull)
     case SAndn(bs) => bs.forall(b => acceptsNull(b._2))
+    // props/scopes never change nullability — peel (a bare :ref stays
+    // conservative false, like the row-level twin)
+    case SProps(_, c) => acceptsNull(c)
+    case SScoped(_, c, _) => acceptsNull(c)
     case _ => false
   }
 

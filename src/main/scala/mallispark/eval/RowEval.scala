@@ -1079,6 +1079,9 @@ object RowEval {
     case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
     case SAnd(cs) => cs.forall(acceptsNull)
     case SAndn(bs) => bs.forall(b => acceptsNull(b._2))
+    // props/scopes never change nullability — peel (mirrors the compiler)
+    case SProps(_, c) => acceptsNull(c)
+    case SScoped(_, c, _) => acceptsNull(c)
     case _ => false
   }
 

@@ -779,6 +779,12 @@ object SchemaIR {
     case SPlus(c) => s"[:+ ${form(c)}]"
     case SOpt(c) => s"[:? ${form(c)}]"
     case SRepeat(c, mn, mx) => s"[:repeat {:min $mn :max $mx} ${form(c)}]"
+    // canonical nesting for rendering: a registry-prop scope sits OUTSIDE
+    // other props (what fromForm produces) — re-nest before splicing so
+    // the semantically-equal SProps(SScoped(..)) composition renders the
+    // same prop order and the form fixpoint holds for both
+    case SProps(p, SScoped(l, c, false)) =>
+      form(SScoped(l, SProps(p, c), boundary = false))
     case SProps(p, c) => spliceProps(form(c), propsStr(p))
   }
 

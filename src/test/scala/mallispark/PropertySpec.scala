@@ -186,6 +186,14 @@ class PropertySpec extends SparkSuite {
         1 -> leafGen.map(S.maybe),
         1 -> Gen.lzy(nodeGen(d - 1)).map(c => S.vector(c, max = Some(4))),
         1 -> Gen.zip(leafGen, leafGen).map { case (a, b) => S.tuple(a, b) },
+        // ARBITRARY user props are validation-transparent and must
+        // survive form/AST fixpoints (NodeProps.extra)
+        1 -> Gen.lzy(nodeGen(d - 1)).map(c =>
+          SProps(NodeProps(extra = Seq(":user/tag" -> 1L)), c)),
+        // a {:registry ..} prop scope (boundary=false) + ref through it
+        // is invisible to validation, paths, and generation
+        1 -> Gen.lzy(nodeGen(d - 1)).map(c =>
+          SScoped(Map("t" -> c), SRef("t"), boundary = false)),
         1 -> Gen.lzy(mapGen(d - 1)))
     def mapGen(d: Int): Gen[SchemaIR] = for {
       n <- Gen.chooseNum(1, 3)

@@ -338,7 +338,12 @@ class PropertySpec extends SparkSuite {
       new java.util.ArrayList[Row](inputs.map(Row(_)).asJava),
       StructType(Seq(StructField("s", StringType))))
     Seq[(String, SchemaIR)]("int" -> SInt(), "double" -> SDouble(),
-      "bool" -> SBoolean).foreach { case (nm, sch) =>
+      "bool" -> SBoolean,
+      // child-inferring nodes and keyword decode ride the same duality
+      "kw" -> SIdent("keyword"),
+      "enum-kw" -> SEnum(Seq(":a", ":b")),
+      "enum-int" -> SEnum(Seq(1L, 2L)),
+      "eq-dbl" -> SCompare("=", 1.5)).foreach { case (nm, sch) =>
       val colVals = src.select(Transform.decode(sch, F.col("s"),
         StringType, Transform.StringMode).as("d")).collect()
       inputs.zip(colVals).foreach { case (in, row) =>

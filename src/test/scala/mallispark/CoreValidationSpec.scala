@@ -346,6 +346,47 @@ class CoreValidationSpec extends SparkSuite {
       (Seq.empty[Long], false, Set(("", "", ErrorKeys.Limits)))))
   }
 
+  // random BOUNDED seqex shapes (tier 1/2 — the Column compilation, not
+  // the tier-3 UDF) × random arrays: the compiled validator and explain
+  // error sets must agree with RowEval on every pair
+  test("bounded seq-regex duality fuzz: random shapes x random arrays") {
+    val rnd = new scala.util.Random(20260818L)
+    def leaf(): SchemaIR = rnd.nextInt(4) match {
+      case 0 => S.int
+      case 1 => S.int(0L, 4L)
+      case 2 => SCompare(">", 2L)
+      case _ => SEnum(Seq(1L, 2L, 3L))
+    }
+    def elem(): SchemaIR =
+      if (rnd.nextInt(5) == 0) SAlt(Seq(leaf(), leaf())) else leaf()
+    def seqex(): SchemaIR = rnd.nextInt(6) match {
+      case 0 | 1 => SCat(Seq.fill(rnd.nextInt(4))(elem()))
+      case 2 => SCatn(Seq.tabulate(1 + rnd.nextInt(3))(i => s"t$i" -> elem()))
+      case 3 => SStar(leaf())
+      case 4 => SPlus(leaf())
+      case _ =>
+        val mn = rnd.nextInt(3)
+        SRepeat(leaf(), mn, mn + 1 + rnd.nextInt(2))
+    }
+    def arr(): Seq[Any] = Seq.fill(rnd.nextInt(6))(
+      if (rnd.nextInt(8) == 0) null else Long.box(rnd.nextInt(6).toLong))
+    val at = ArrayType(LongType, containsNull = true)
+    (0 until 40).foreach { _ =>
+      val sch = seqex()
+      // this fuzz targets the BOUNDED compilation specifically
+      assert(!SchemaIR.isGeneralRegex(sch), SchemaIR.form(sch))
+      val arrays: Seq[Any] = Seq.fill(25)(arr()) :+ null
+      val catalyst = runCatalyst(sch, at, arrays)
+      arrays.zip(catalyst).foreach { case (v, (ok, errs)) =>
+        assert(RowEval.validate(sch, v) === ok,
+          s"valid mismatch: ${SchemaIR.form(sch)} on $v (catalyst=$ok)")
+        assert(rowEvalErrs(sch, v) === errs,
+          s"error mismatch: ${SchemaIR.form(sch)} on $v\n" +
+            s"roweval=${rowEvalErrs(sch, v)}\ncatalyst=$errs")
+      }
+    }
+  }
+
   test(":multi with expression dispatch (arbitrary :dispatch fn parity)") {
     // core.cljc:1876-1890 — dispatch can be ANY fn of the value; here a
     // computed band over a struct field, kept codegen'd as a Column expr

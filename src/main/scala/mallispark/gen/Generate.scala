@@ -178,15 +178,41 @@ object Generate {
         def sec(s: String) = java.time.LocalTime.parse(s).toSecondOfDay.toLong
         val lo = mn.map(sec).getOrElse(0L)
         val hi = mx.map(sec).getOrElse(86399L)
-        val t = F.lit(lo) + rnd(id, salt, hi - lo + 1)
-        F.concat(
-          F.lpad((t / 3600).cast(LongType).cast(StringType), 2, "0"), F.lit(":"),
-          F.lpad(((t % 3600) / 60).cast(LongType).cast(StringType), 2, "0"),
-          F.lit(":"),
-          F.lpad((t % 60).cast(StringType), 2, "0"))
+        fmtTimeOfDay(F.lit(lo) + rnd(id, salt, hi - lo + 1))
       case "zone-offset" =>
         F.element_at(F.array(Seq("+05:30", "Z", "-08:00", "+01:00")
           .map(F.lit): _*), (rnd(id, salt, 4) + 1).cast(IntegerType))
+      // composite kinds — the reference composes these from parts
+      // (experimental/time/generator.cljc -offset-time-gen binds a
+      // local-time draw with a zone-offset draw; -offset-date-time-gen /
+      // -zoned-date-time-gen bind an instant draw with an offset/zone):
+      // same structure here, with the offset drawn from a fixed table so
+      // label and seconds stay consistent inside one Column expression
+      case "offset-time" =>
+        // bounds apply to the local-time component (the reference's
+        // `:accessor #(.toLocalTime %)` projection of min/max)
+        def sec(s: String) =
+          java.time.OffsetTime.parse(s).toLocalTime.toSecondOfDay.toLong
+        val lo = mn.map(sec).getOrElse(0L)
+        val hi = mx.map(sec).getOrElse(86399L)
+        val t = F.lit(lo) + rnd(id, salt, hi - lo + 1)
+        F.concat(fmtTimeOfDay(t),
+          F.element_at(F.array(Seq("+05:30", "Z", "-08:00", "+01:00")
+            .map(F.lit): _*), (rnd(id, salt + 7, 4) + 1).cast(IntegerType)))
+      case "offset-date-time" =>
+        def sec(s: String) =
+          java.time.OffsetDateTime.parse(s).toEpochSecond
+        val lo = mn.map(sec).getOrElse(1577836800L) // 2020-01-01T00:00:00Z
+        val hi = mx.map(sec).getOrElse(lo + 157766400L)
+        fmtInstantAtOffset(F.lit(lo) + rnd(id, salt, hi - lo + 1),
+          rnd(id, salt + 7, 4), zoned = false)
+      case "zoned-date-time" =>
+        def sec(s: String) =
+          java.time.ZonedDateTime.parse(s).toInstant.getEpochSecond
+        val lo = mn.map(sec).getOrElse(1577836800L)
+        val hi = mx.map(sec).getOrElse(lo + 157766400L)
+        fmtInstantAtOffset(F.lit(lo) + rnd(id, salt, hi - lo + 1),
+          rnd(id, salt + 7, 4), zoned = true)
       case "zone-id" =>
         F.element_at(F.array(Seq("Europe/Paris", "America/New_York",
           "Asia/Tokyo", "UTC").map(F.lit): _*),
@@ -309,6 +335,43 @@ object Generate {
   }
 
   private def lit1(b: Boolean): Column = if (b) F.lit(1) else F.lit(0)
+
+  /** "HH:mm:ss" from a seconds-of-day column (0..86399). */
+  private def fmtTimeOfDay(t: Column): Column = F.concat(
+    F.lpad(F.floor(t / 3600).cast(StringType), 2, "0"), F.lit(":"),
+    F.lpad(F.floor((t % 3600) / 60).cast(StringType), 2, "0"), F.lit(":"),
+    F.lpad((t % 60).cast(StringType), 2, "0"))
+
+  /** Offset table for the composite time kinds. The zoned rows use
+    * FIXED-OFFSET zone ids (no DST) so the printed offset is correct at
+    * every instant; index 0 is the bracketless "Z" form (the zone
+    * bracket is optional in java.time's zoned shape). */
+  private val offsetTable: Seq[(String, Long, String)] = Seq(
+    ("Z", 0L, ""),
+    ("+09:00", 32400L, "[Asia/Tokyo]"),
+    ("+05:30", 19800L, "[Asia/Kolkata]"),
+    ("-07:00", -25200L, "[America/Phoenix]"))
+
+  /** ISO local date-time of `epoch + offset` seconds plus the offset
+    * label — "yyyy-MM-ddTHH:mm:ss±HH:MM" (and "[Zone]" when zoned).
+    * Pure integer arithmetic + a DateType cast: no session-timezone
+    * dependence anywhere. */
+  private def fmtInstantAtOffset(epoch: Column, offIdx: Column,
+                                 zoned: Boolean): Column = {
+    def pick(f: ((String, Long, String)) => Column): Column =
+      offsetTable.zipWithIndex.tail.foldLeft(f(offsetTable.head)) {
+        case (acc, (row, i)) => F.when(offIdx === i, f(row)).otherwise(acc)
+      }
+    val local = epoch + pick(r => F.lit(r._2))
+    // floor division keeps time-of-day non-negative for negative offsets
+    val day = F.floor(local / F.lit(86400)).cast(LongType)
+    val date = F.date_add(F.lit(java.sql.Date.valueOf("1970-01-01")),
+      day.cast(IntegerType)).cast(StringType)
+    val parts = Seq(date, F.lit("T"), fmtTimeOfDay(local - day * 86400),
+      pick(r => F.lit(r._1))) ++
+      (if (zoned) Seq(pick(r => F.lit(r._3))) else Nil)
+    F.concat(parts: _*)
+  }
 
   /** `:ref` unroll depth for generation — the reference's `-ref-gen`
     * scales recursion down with the generator size (generator.cljc

@@ -48,7 +48,13 @@ class GenerateSpec extends SparkSuite {
         Some("2024-06-01T00:00:00"))),
       S.req("lt", S.localTime(Some("06:00:00"), Some("18:00:00"))),
       S.req("zo", S.zoneOffset),
-      S.req("zi", S.zoneId)).asInstanceOf[SMap])
+      S.req("zi", S.zoneId),
+      // composite kinds: local-time × offset and instant × offset/zone
+      // (experimental/time/generator.cljc -offset-time-gen etc.)
+      S.req("ot", S.offsetTime),
+      S.req("odt", S.offsetDateTime(Some("2024-01-01T00:00:00Z"),
+        Some("2024-06-01T00:00:00Z"))),
+      S.req("zdt", S.zonedDateTime)).asInstanceOf[SMap])
 
   test("validate(generate(schema)) holds for every schema") {
     schemas.foreach { case (name, s) =>
@@ -59,6 +65,28 @@ class GenerateSpec extends SparkSuite {
       if (badCount > 0) bad.show(5, truncate = false)
       assert(badCount === 0L, s"schema $name generated invalid rows")
     }
+  }
+
+  // regex-validity alone could hide nonsense like a +09:00 label on a
+  // Phoenix instant — the composite kinds must survive java.time parsing
+  // and their declared bounds, like the reference's part-composed gens
+  test("composite time kinds: draws parse in java.time and hit bounds") {
+    val df = Generate.dfFromSchema(spark,
+      schemas.collectFirst { case ("time", s) => s }.get, 500, seed = 11)
+    val rows = df.select("ot", "odt", "zdt").collect()
+    val lo = java.time.Instant.parse("2024-01-01T00:00:00Z")
+    val hi = java.time.Instant.parse("2024-06-01T00:00:00Z")
+    rows.foreach { r =>
+      java.time.OffsetTime.parse(r.getString(0))
+      val odt = java.time.OffsetDateTime.parse(r.getString(1))
+      assert(!odt.toInstant.isBefore(lo) && !odt.toInstant.isAfter(hi),
+        s"odt out of bounds: ${r.getString(1)}")
+      val zdt = java.time.ZonedDateTime.parse(r.getString(2))
+      assert(zdt.getOffset == zdt.getZone.getRules.getOffset(zdt.toInstant),
+        s"zone/offset mismatch: ${r.getString(2)}")
+    }
+    assert(rows.map(_.getString(0).replaceAll("^[0-9:.]+", ""))
+      .distinct.length == 4, "all four offsets should appear in ot draws")
   }
 
   test("portable Rng: the law holds and output differs from the native Rng") {

@@ -27,6 +27,14 @@ object RowEval {
     * `:altn` parses the winning branch to RTag(tag, parsed). */
   final case class RTag(tag: String, value: Any)
 
+  /** The `Tags` record (core.cljc:175-183): `:catn`/`:andn` parse to
+    * RTags(tag → parse), DISTINCT from a plain map — the reference makes
+    * Tag/Tags first-class records exactly so `:map`'s parser/unparser
+    * can reject them (core.cljc:1244 "prevent unparsing :catn/:orn/etc
+    * parse results as maps", issues #1150/#1153); here the distinction
+    * falls out of the type (asMap does not accept RTags). */
+  final case class RTags(values: Map[String, Any])
+
   def validate(ir: SchemaIR, v: Any)(implicit reg: Registry = Registry.empty,
                                      depth: Int = 8): Boolean = ir match {
     case SAny => true
@@ -348,7 +356,7 @@ object RowEval {
 
   /** General sequence-regex PARSER (impl/regex.cljc:630-648 semantics):
     * the first full backtracking match builds the parse tree —
-    * `:cat` → Vector of child parses, `:catn` → Map(tag → parse),
+    * `:cat` → Vector of child parses, `:catn` → RTags(tag → parse),
     * `:alt` → matched branch's parse, `:*`/`:+`/`:repeat` → Vector of
     * iteration parses, `:?` → parse or null, leaf → the element.
     * None ⇔ no match (malli's ::m/invalid). */
@@ -373,7 +381,8 @@ object RowEval {
         case (ps, (tag, c)) =>
           ps.flatMap { case (acc, p) => parseAt(c, xs, p).map { case (t, p2) =>
             (acc.asInstanceOf[Map[String, Any]] + (tag -> t), p2) } }
-      }
+      }.map { case (acc, p) =>
+        (RTags(acc.asInstanceOf[Map[String, Any]]): Any, p) }
     case SAlt(cs) => cs.to(LazyList).flatMap(parseAt(_, xs, i))
     case SAltn(es) => es.to(LazyList).flatMap { case (tag, c) =>
       parseAt(c, xs, i).map { case (t, p) => (RTag(tag, t): Any, p) }
@@ -428,7 +437,7 @@ object RowEval {
     * recursive dual of `compile.Parse`'s Column tier, without its
     * one-static-type bound — heterogeneous `:orn`/`:multi` branch parse
     * shapes are fine here. `Some(tree)` ⇔ parsed; `None` ⇔ ::m/invalid.
-    * Tag = [[RTag]], Tags = Map[String, Any]; seq-regex roots delegate
+    * Tag = [[RTag]], Tags = [[RTags]]; seq-regex roots delegate
     * to [[reParse]]. */
   def parseValue(ir: SchemaIR, v: Any)(
       implicit reg: Registry = Registry.empty,
@@ -441,10 +450,16 @@ object RowEval {
         bs.iterator.flatMap { case (tag, c) =>
           parseValue(c, v).map(t => RTag(tag, t)) }.nextOption()
       case SAndn(bs) =>
-        // every branch parses x (core.cljc:954-965)
+        // every branch parses x, result is a Tags record (core.cljc:954-965)
         val parsed = bs.map { case (tag, c) =>
           parseValue(c, v).map(tag -> _) }
-        if (parsed.forall(_.isDefined)) Some(parsed.flatten.toMap) else None
+        if (parsed.forall(_.isDefined)) Some(RTags(parsed.flatten.toMap))
+        else None
+      case SOr(cs) =>
+        // first child whose PARSER succeeds wins (core.cljc:1018 ->parser
+        // reduce) — children may transform (an :orn branch tags), so this
+        // is not the validate-identity fast path
+        cs.iterator.flatMap(c => parseValue(c, v)).nextOption()
       case SMulti(dk, bs, default) => asMap(v).flatMap { m =>
         val dv = m.get(dk).flatMap(Option(_)).map(String.valueOf).orNull
         bs.find(_._1 == dv) match {
@@ -535,10 +550,11 @@ object RowEval {
 
   /** `m/old-parse-format` (core.cljc:185-196): rewrite a parse tree to
     * the pre-0.18 shape — Tag(key, value) becomes the 2-vector
-    * [key value]; Tags were a record around the map there, and are the
-    * plain map here already, so maps only walk their values. */
+    * [key value] and a Tags record becomes its plain tag→value map. */
   def oldParseFormat(parsed: Any): Any = parsed match {
     case RTag(k, v) => Vector(k, oldParseFormat(v))
+    case RTags(values) =>
+      values.map { case (k, v) => k -> oldParseFormat(v) }
     case m: scala.collection.Map[_, _] =>
       m.map { case (k, v) => k -> oldParseFormat(v) }.toMap
     case xs: scala.collection.Seq[_] => xs.toVector.map(oldParseFormat)
@@ -560,15 +576,26 @@ object RowEval {
         case _ => None
       }
       case SAndn(bs) => tree match {
-        case m: scala.collection.Map[_, _] =>
-          val mm = m.asInstanceOf[scala.collection.Map[String, Any]]
-          val (tag0, c0) = bs.head
-          // unparse the LEFT-MOST branch (core.cljc:967-979), then the
-          // remaining branches must still accept the result
-          mm.get(tag0).flatMap(unparseValue(c0, _))
-            .filter(x => bs.tail.forall(b => validate(b._2, x)))
+        // left-most child key PRESENT in the tags is unparsed, the other
+        // values are ignored; every present key must be a child key and
+        // the tags must be non-empty (core.cljc:966-984 — drop keys to
+        // choose which conjunct's value drives the unparse)
+        case RTags(values) if values.nonEmpty &&
+            values.keysIterator.forall(k => bs.exists(_._1 == k)) =>
+          bs.collectFirst { case (k, c) if values.contains(k) => (k, c) }
+            .flatMap { case (k, c) =>
+              unparseValue(c, values(k)).filter(x =>
+                bs.forall { case (k2, c2) => k2 == k || validate(c2, x) })
+            }
         case _ => None
       }
+      case SOr(cs) =>
+        // first child whose UNPARSER succeeds (same ->parser reduce as
+        // parse); a tree shaped by a different branch fails cleanly
+        cs.iterator.flatMap { c =>
+          try unparseValue(c, tree)
+          catch { case _: ClassCastException | _: MatchError => None }
+        }.nextOption()
       case SMulti(_, bs, default) => tree match {
         case RTag("malli.core/default", t) =>
           default.flatMap(unparseValue(_, t))
@@ -629,9 +656,16 @@ object RowEval {
       }
       case _: SCat | _: SCatn | _: SAlt | _: SAltn |
            _: SStar | _: SPlus | _: SOpt | _: SRepeat =>
-        // flatten, then the regex must accept its own output
-        val out = reUnparse(ir, tree)
-        if (reMatch(ir, out, 0).contains(out.length)) Some(out) else None
+        // flatten, then the regex must accept its own output; a tree of
+        // the wrong shape (e.g. a plain value fed to :cat) is ::m/invalid,
+        // not a crash
+        try {
+          val out = reUnparse(ir, tree)
+          if (reMatch(ir, out, 0).contains(out.length)) Some(out) else None
+        } catch {
+          case _: ClassCastException | _: MatchError |
+               _: NoSuchElementException => None
+        }
       case SRef(name) =>
         if (depth <= 0) { if (validate(ir, tree)) Some(tree) else None }
         else unparseValue(reg(name), tree)(reg, depth - 1)
@@ -679,7 +713,9 @@ object RowEval {
       cs.zip(tree.asInstanceOf[Seq[Any]]).flatMap { case (c, t) =>
         reUnparse(c, t) }
     case SCatn(es) =>
-      val m = tree.asInstanceOf[Map[String, Any]]
+      // only a Tags record unparses (re/catn-unparser's tags? check,
+      // core.cljc:3015) — a plain map is a different value universe
+      val m = tree match { case RTags(values) => values }
       es.flatMap { case (tag, c) => reUnparse(c, m(tag)) }
     case SStar(c) => tree.asInstanceOf[Seq[Any]].flatMap(reUnparse(c, _))
     case SPlus(c) => tree.asInstanceOf[Seq[Any]].flatMap(reUnparse(c, _))

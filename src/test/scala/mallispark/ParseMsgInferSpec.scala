@@ -262,10 +262,13 @@ class ParseMsgInferSpec extends SparkSuite {
     // :andn parses every branch; unparse goes through the LEFT-MOST and
     // the remaining branches must re-accept
     val andn = S.andn("t1" -> S.int, "t2" -> S.intMin(0L))
-    assert(parseValue(andn, 4L) === Some(Map("t1" -> 4L, "t2" -> 4L)))
+    assert(parseValue(andn, 4L) ===
+      Some(RowEval.RTags(Map("t1" -> 4L, "t2" -> 4L))))
     assert(parseValue(andn, -4L) === None)
-    assert(unparseValue(andn, Map("t1" -> 4L, "t2" -> 4L)) === Some(4L))
-    assert(unparseValue(andn, Map("t1" -> -4L, "t2" -> -4L)) === None)
+    assert(unparseValue(andn,
+      RowEval.RTags(Map("t1" -> 4L, "t2" -> 4L))) === Some(4L))
+    assert(unparseValue(andn,
+      RowEval.RTags(Map("t1" -> -4L, "t2" -> -4L))) === None)
   }
 
   // m/old-parse-format (core.cljc:185-196; core_test.cljc:1240-1245)
@@ -275,7 +278,7 @@ class ParseMsgInferSpec extends SparkSuite {
       "foo" -> S.catn("i" -> S.int, "s" -> S.string),
       "bar" -> S.uuid)
     val parsed = parseValue(sch, Seq(1L, "a")).get
-    assert(parsed === RTag("foo", Map("i" -> 1L, "s" -> "a")))
+    assert(parsed === RTag("foo", RowEval.RTags(Map("i" -> 1L, "s" -> "a"))))
     assert(oldParseFormat(parsed) ===
       Vector("foo", Map("i" -> 1L, "s" -> "a")))
     // nested tags rewrite everywhere (postwalk)
@@ -316,10 +319,10 @@ class ParseMsgInferSpec extends SparkSuite {
     val in = Seq("-p", "8080", "-v", "true", "-q", "x")
     val parsed = RowEval.reParse(sch, in)
     assert(parsed.isDefined)
-    val tree = parsed.get.asInstanceOf[Vector[Map[String, Any]]]
+    val tree = parsed.get.asInstanceOf[Vector[RowEval.RTags]]
     assert(tree.size === 3)
-    assert(tree(0) === Map("prop" -> "-p", "val" -> "8080"))
-    assert(tree(1) === Map("prop" -> "-v", "val" -> "true"))
+    assert(tree(0) === RowEval.RTags(Map("prop" -> "-p", "val" -> "8080")))
+    assert(tree(1) === RowEval.RTags(Map("prop" -> "-v", "val" -> "true")))
     // unparse is the exact inverse
     assert(RowEval.reUnparse(sch, parsed.get) === in)
     // no match → None (::m/invalid)
@@ -793,5 +796,127 @@ class ParseMsgInferSpec extends SparkSuite {
       "should be 1",              // double negation cancels
       "should be at most 1",      // triple = single negation
       "should not be a multiple of 3"))
+  }
+
+  // reference core_test.cljc issue fixtures over the value tier
+  test("issue-925: catn order is retained through parse+unparse") {
+    import RowEval.{parseValue, unparseValue, RTags}
+    val sch = S.catn(('a' to 'i').map(c => c.toString -> (S.int: SchemaIR)): _*)
+    val in: Seq[Any] = (1L to 9L)
+    val p = parseValue(sch, in).get
+    assert(p === RTags(('a' to 'i').zip(1L to 9L)
+      .map { case (c, v) => c.toString -> (v: Any) }.toMap))
+    assert(unparseValue(sch, p) === Some(in))
+  }
+
+  test("issue-937: single-entry :altn nested under :*") {
+    import RowEval.{parseValue, unparseValue, RTag}
+    val sch = S.star(S.altn("a" -> S.eq_(":a")))
+    val v = Seq(":a")
+    assert(RowEval.validate(sch, v))
+    assert(RowEval.explain(sch, v, Vector.empty, Vector.empty).isEmpty)
+    val p = parseValue(sch, v).get
+    assert(p === Vector(RTag("a", ":a")))
+    assert(unparseValue(sch, p) === Some(v))
+  }
+
+  test("cat/catn unparse validates elements (core_test cat-catn-unparse)") {
+    import RowEval.{unparseValue, RTags}
+    val cat = S.cat(S.string(), S.int, S.string())
+    assert(unparseValue(cat, Vector("1", 2L, "3")) === Some(Seq("1", 2L, "3")))
+    assert(unparseValue(cat, Vector(1L, 2L, 3L)) === None) // ::m/invalid
+    val catn = S.catn("a" -> S.string(), "b" -> S.int, "c" -> S.string())
+    assert(unparseValue(catn,
+      RTags(Map("a" -> "1", "b" -> 2L, "c" -> "3"))) === Some(Seq("1", 2L, "3")))
+    assert(unparseValue(catn,
+      RTags(Map("a" -> 1L, "b" -> 2L, "c" -> 3L))) === None)
+    // a PLAIN map is not a Tags record — it belongs to the value universe
+    assert(unparseValue(catn, Map("a" -> "1", "b" -> 2L, "c" -> "3")) === None)
+  }
+
+  // #1150/#1153: parse/unparse round-trips even when the schema could
+  // match the SHAPE of another branch's parse result — Tag/Tags are
+  // distinct records, and :or unparse tries branches in parse order
+  test("unparse-confusion: :or branches never swallow Tag/Tags trees") {
+    import RowEval.{parseValue, unparseValue}
+    def rt(sch: SchemaIR, v: Any): Unit =
+      assert(unparseValue(sch, parseValue(sch, v).get) === Some(v),
+        SchemaIR.form(sch))
+    rt(S.or(S.tuple(S.string(), S.keyword), S.orn("any" -> S.keyword)), ":k")
+    rt(S.or(S.mapE(false, S.req("key", S.string()), S.req("value", S.keyword)),
+      S.orn("any" -> S.keyword)), ":k")
+    rt(S.or(S.mapE(false, S.req("s", S.string())),
+      S.catn("s" -> S.string())), Seq("k"))
+    rt(S.or(S.mapE(false, S.req("values", S.mapE(false, S.req("s", S.string())))),
+      S.catn("s" -> S.string())), Seq("k"))
+    // and :or parse composes child parsers — an :orn branch tags
+    assert(parseValue(
+      S.or(S.tuple(S.string(), S.keyword), S.orn("any" -> S.keyword)),
+      ":k") === Some(RowEval.RTag("any", ":k")))
+  }
+
+  test("repeat unparse bounds + nested repeat/star (repeat-unparse-test)") {
+    import RowEval.{parseValue, unparseValue}
+    val r12 = S.repeat(S.cat(S.int, S.int), 1, 2)
+    assert(RowEval.validate(r12, Seq(1L, 2L, 3L, 4L)))
+    assert(parseValue(r12, Seq(1L, 2L, 3L, 4L)) ===
+      Some(Vector(Vector(1L, 2L), Vector(3L, 4L))))
+    assert(unparseValue(r12, Vector(Vector(1L, 2L), Vector(3L, 4L))) ===
+      Some(Seq(1L, 2L, 3L, 4L)))
+    // out-of-bounds iteration counts are ::m/invalid, not crashes
+    assert(unparseValue(S.repeat(S.cat(S.int, S.int), 1, 1),
+      Vector(Vector(1L, 2L), Vector(3L, 4L))) === None)
+    assert(unparseValue(S.repeat(S.cat(S.int, S.int), 0, 1),
+      Vector(Vector(1L, 2L), Vector(3L, 4L))) === None)
+    assert(unparseValue(S.repeat(S.cat(S.int, S.int), 3, Int.MaxValue),
+      Vector(Vector(1L, 2L), Vector(3L, 4L))) === None)
+    // nested quantifiers wrap one tree level per regex op
+    val rStar = S.repeat(S.star(S.int), 0, Int.MaxValue)
+    assert(parseValue(rStar, Seq(1L, 2L, 3L, 4L)) ===
+      Some(Vector(Vector(1L, 2L, 3L, 4L))))
+    assert(unparseValue(rStar, Vector(Vector(1L, 2L, 3L, 4L))) ===
+      Some(Seq(1L, 2L, 3L, 4L)))
+    val starR = S.star(S.repeat(S.int, 0, Int.MaxValue))
+    assert(parseValue(starR, Seq(1L, 2L, 3L, 4L)) ===
+      Some(Vector(Vector(1L, 2L, 3L, 4L))))
+    assert(unparseValue(starR, Vector(Vector(1L, 2L, 3L, 4L))) ===
+      Some(Seq(1L, 2L, 3L, 4L)))
+    val rr = S.repeat(S.repeat(S.int, 0, Int.MaxValue), 0, Int.MaxValue)
+    assert(parseValue(rr, Seq(1L, 2L, 3L, 4L)) ===
+      Some(Vector(Vector(1L, 2L, 3L, 4L))))
+    assert(unparseValue(rr, Vector(Vector(1L, 2L, 3L, 4L))) ===
+      Some(Seq(1L, 2L, 3L, 4L)))
+    assert(parseValue(rr, Seq(1L, null, 3L, 4L)) === None)
+    assert(unparseValue(rr, Vector(Vector(1L, null, 3L, 4L))) === None)
+    // unparse of a mis-shaped tree (plain value fed to a :cat) is invalid
+    assert(unparseValue(S.cat(S.int), 5L) === None)
+  }
+
+  test(":andn unparses the left-most PRESENT conjunct (andn-test)") {
+    import RowEval.{parseValue, unparseValue, RTag, RTags}
+    val isNum = SFn("number?", {
+      case _: Long | _: Int | _: Double => true; case _ => false })
+    val sch = S.andn(
+      "o" -> S.orn("left" -> S.int, "right" -> S.int),
+      "f" -> isNum)
+    val p = parseValue(sch, 1L).get
+    assert(p === RTags(Map("o" -> RTag("left", 1L), "f" -> 1L)))
+    assert(unparseValue(sch, p) === Some(1L))
+    // left-most present key drives the unparse; the rest are ignored
+    assert(unparseValue(sch,
+      RTags(Map("o" -> RTag("left", 2L), "f" -> 1L))) === Some(2L))
+    assert(unparseValue(sch,
+      RTags(Map("o" -> RTag("left", 1L), "f" -> 2L))) === Some(1L))
+    assert(unparseValue(sch, RTags(Map("f" -> 2L))) === Some(2L))
+    assert(unparseValue(sch, RTags(Map.empty)) === None)
+    // unknown keys reject; a plain map is not a Tags record
+    assert(unparseValue(sch, RTags(Map("zz" -> 1L))) === None)
+    assert(unparseValue(sch, Map("o" -> RTag("left", 1L), "f" -> 1L)) === None)
+    // a map-validating andn round-trips a map value (Tags stays distinct)
+    val mapish = S.andn("m" -> S.mapE(false),
+      "f" -> SFn("map?", _.isInstanceOf[scala.collection.Map[_, _]]))
+    val mp = parseValue(mapish, Map.empty[String, Any]).get
+    assert(mp === RTags(Map("m" -> Map.empty, "f" -> Map.empty)))
+    assert(unparseValue(mapish, mp) === Some(Map.empty[String, Any]))
   }
 }

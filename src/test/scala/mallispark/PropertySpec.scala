@@ -375,4 +375,55 @@ class PropertySpec extends SparkSuite {
         s"hint kernels disagree on '$in'")
     }
   }
+
+  // parse∘unparse identity over GENERATED values — the reference's parser
+  // round-trip property (generator_test + parser_test): for every v drawn
+  // from gen(schema), parse(v) succeeds and unparse(parse(v)) == v. Shapes
+  // chosen to exercise every TRANSFORMING parser (tags, tags-records,
+  // iteration trees) plus props-wrapped splicing.
+  test("parse∘unparse identity on generated values (transforming parsers)") {
+    import mallispark.gen.Generate
+    import RowEval.{parseValue, unparseValue}
+    def norm(v: Any): Any = v match {
+      case r: Row if r.schema != null =>
+        r.schema.fieldNames.zip(r.toSeq.map(norm)).toMap
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => norm(k) -> norm(x) }.toMap
+      case xs: scala.collection.Seq[_] => xs.toVector.map(norm)
+      case a: Array[_] => a.toVector.map(norm)
+      case x => x
+    }
+    val shapes: Seq[(String, SchemaIR)] = Seq(
+      "orn" -> S.orn("neg" -> S.intMax(-1L), "zero" -> S.eq_(0L),
+        "pos" -> S.intMin(1L)),
+      "catn" -> S.catn("a" -> S.int(0L, 5L), "b" -> S.int(10L, 15L)),
+      "star" -> S.star(S.enum_("a", "b")),
+      "rep" -> S.repeat(S.int(0L, 3L), 1, 3),
+      "cat_alt" -> S.cat(S.int(0L, 5L),
+        S.alt(S.int(10L, 15L), S.int(20L, 25L))),
+      "or_simple" -> S.or(S.int(0L, 10L), S.int(50L, 60L)),
+      "vec_orn" -> S.vector(
+        S.orn("lo" -> S.int(0L, 4L), "hi" -> S.int(5L, 9L)), max = Some(4)),
+      "andn" -> S.andn("o" -> S.orn("l" -> S.int(0L, 9L)), "f" -> S.gte(0L)),
+      // props on a regex op must SPLICE through parse and unparse
+      "props_catn" -> SProps(NodeProps(extra = Seq(":user/tag" -> 1L)),
+        S.catn("x" -> S.int(0L, 5L), "y" -> S.int(10L, 15L))))
+    val top = S.mapE(false,
+      shapes.map { case (k, c) => S.req(k, c) }: _*).asInstanceOf[SMap]
+    val df = Generate.dfFromSchema(spark, top, 300, seed = 31)
+    val sub = df.schema
+    df.collect().foreach { r =>
+      shapes.foreach { case (k, sch) =>
+        val raw = r.get(sub.fieldIndex(k))
+        val v = norm(raw)
+        val p = parseValue(sch, v)
+        assert(p.isDefined, s"parse failed for $k on $v")
+        val un = unparseValue(sch, p.get)
+        assert(un.isDefined, s"unparse failed for $k on tree ${p.get}")
+        assert(norm(un.get) === v, s"round-trip drift for $k: $v -> ${un.get}")
+        // and the value still validates after the round trip
+        assert(RowEval.validate(sch, un.get), s"post-roundtrip invalid: $k")
+      }
+    }
+  }
 }

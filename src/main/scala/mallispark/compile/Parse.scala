@@ -58,6 +58,7 @@ object Parse {
           StructField("value", unified(bs.map(b => parseType(b._2, dt)), ":orn"))))
       case SAndn(bs) =>
         StructType(bs.map { case (tag, c) => StructField(tag, parseType(c, dt)) })
+      case SOr(cs) => unified(cs.map(parseType(_, dt)), ":or")
       case SMulti(_, bs, default) =>
         val vt = unified((bs.map(_._2) ++ default).map(parseType(_, dt)), ":multi")
         StructType(Seq(StructField("tag", StringType), StructField("value", vt)))
@@ -141,6 +142,17 @@ object Parse {
           F.when(SchemaCompiler.valid(c, col, dt),
             F.struct(F.lit(tag).as("tag"),
               parse(c, col, dt).cast(vt).as("value"))).otherwise(acc)
+        }
+
+      // :or composes child parsers — the first child that accepts the
+      // value parses it (core.cljc:1018 ->parser reduce); branches must
+      // share one parse type at this tier (unified), heterogeneous
+      // parses belong to the row tier
+      case SOr(cs) =>
+        val out = parseType(ir, dt)
+        cs.foldRight(F.lit(null).cast(out)) { case (c, acc) =>
+          F.when(SchemaCompiler.valid(c, col, dt),
+            parse(c, col, dt).cast(out)).otherwise(acc)
         }
 
       // :andn parses x against EVERY branch → Tags({tag → parse}); any
@@ -320,6 +332,17 @@ object Parse {
           F.when(parsed.getField("tag") === F.lit(tag),
             unparse(c, v.cast(parseType(c, dt)), dt)).otherwise(acc)
         }
+      // :or unparse = first child whose unparser succeeds, in child
+      // order; a simple child's unparser is validate-or-invalid
+      case SOr(cs) =>
+        val candidates = cs.map { c =>
+          if (simple(c))
+            F.when(SchemaCompiler.valid(c, parsed.cast(dt), dt),
+              parsed.cast(dt))
+          else unparse(c, parsed.cast(parseType(c, dt)), dt)
+        }
+        F.coalesce(candidates :+ F.lit(null).cast(dt): _*)
+
       // :andn unparses the LEFT-MOST branch's value (core.cljc:967-979)
       case SAndn(branches) =>
         val (tag0, c0) = branches.head

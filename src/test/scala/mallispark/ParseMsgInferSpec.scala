@@ -307,6 +307,28 @@ class ParseMsgInferSpec extends SparkSuite {
         case (a, b) => fail(s"tiers disagree at $v: value=$a column=$b")
       }
     }
+    // :or composes child parsers on BOTH tiers (first accepting child);
+    // Column round-trips through unparse
+    val orOfOrns = S.or(
+      S.orn("neg" -> S.intMax(-1L), "zero" -> S.eq_(0L)),
+      S.orn("pos" -> S.intMin(1L)))
+    val d2 = df(vals.map(Row(_)), StructType(Seq(StructField("v", LongType))))
+    val got = d2.select(F.col("v"),
+      Parse.parse(orOfOrns, F.col("v"), LongType).as("p"),
+      Parse.unparse(orOfOrns,
+        Parse.parse(orOfOrns, F.col("v"), LongType), LongType).as("u"))
+      .collect()
+    got.foreach { r =>
+      val v = r.getLong(0)
+      (parseValue(orOfOrns, v), Option(r.getStruct(1))) match {
+        case (Some(RTag(tag, value)), Some(row)) =>
+          assert(row.getString(0) === tag && row.getLong(1) === value,
+            s"or-parse tiers disagree at $v")
+          assert(!r.isNullAt(2) && r.getLong(2) === v,
+            s"or unparse round-trip failed at $v")
+        case (a, b) => fail(s"or-parse tiers disagree at $v: $a vs $b")
+      }
+    }
   }
 
   test("general seq-regex parse/unparse: [:* [:catn ...]] CLI-args shape") {

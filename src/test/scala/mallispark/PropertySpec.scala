@@ -376,6 +376,67 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  // container decode duality — the nested in-place decode (SMap↔struct,
+  // SVector↔array) against the value twin, elementwise: a failed leaf is
+  // NULL on the Column tier and the ORIGINAL value on the value tier;
+  // successful leaves must agree exactly
+  test("decode duality on containers: elementwise null ⟺ keep-original") {
+    import mallispark.compile.Transform
+    import mallispark.eval.ValueTransform
+    val elemGen: Gen[String] = Gen.oneOf(
+      Gen.chooseNum(-999L, 999L).map(_.toString),
+      Gen.oneOf("true", "false", "x", ""),
+      Gen.const(null: String))
+    val arrGen = Gen.chooseNum(0, 5).flatMap(n => Gen.listOfN(n, elemGen))
+    val rows = seeded(
+      Gen.listOfN(200, Gen.zip(arrGen, elemGen, elemGen)), 4242L)
+    val st = StructType(Seq(
+      StructField("xs", ArrayType(StringType, containsNull = true)),
+      StructField("m", StructType(Seq(StructField("a", StringType),
+        StructField("b", StringType))))))
+    val src = spark.createDataFrame(new java.util.ArrayList[Row](
+      rows.map { case (xs, a, b) => Row(xs, Row(a, b)) }.asJava), st)
+    val vecSch = S.vector(S.int)
+    val mapSch = S.mapE(false, S.req("a", S.int), S.opt("b", S.boolean))
+      .asInstanceOf[SMap]
+    val got = src.select(
+      Transform.decode(vecSch, F.col("xs"),
+        st("xs").dataType, Transform.StringMode).as("dxs"),
+      Transform.decode(mapSch, F.col("m"),
+        st("m").dataType, Transform.StringMode).as("dm")).collect()
+    def lawLeaf(sch: SchemaIR, in: Any, colOut: Any, where: => String): Unit = {
+      val vd = ValueTransform.decode(sch, in, Transform.StringMode)
+      if (colOut == null && in != null)
+        assert(vd === in, s"$where: column failed, value decoded $vd")
+      else if (colOut != null)
+        assert(vd === colOut, s"$where: column $colOut vs value $vd")
+      else assert(vd == null, s"$where: null input decoded to $vd")
+    }
+    rows.zip(got).foreach { case ((xs, a, b), r) =>
+      // vector: element-for-element
+      val dxs = if (r.isNullAt(0)) null else r.getSeq[Any](0)
+      if (xs == null) assert(dxs == null)
+      else {
+        assert(dxs != null && dxs.size === xs.size)
+        xs.zip(dxs).zipWithIndex.foreach { case ((in, out), i) =>
+          lawLeaf(S.int, in, out, s"xs[$i] of $xs") }
+        // whole-container value twin agrees with the elementwise law
+        val vv = ValueTransform.decode(vecSch, xs.toVector,
+          Transform.StringMode)
+        assert(vv.asInstanceOf[Seq[Any]].size === xs.size)
+      }
+      // struct: field-for-field
+      val dm = r.getStruct(1)
+      lawLeaf(S.int, a, if (dm.isNullAt(0)) null else dm.get(0), s"m.a=$a")
+      lawLeaf(S.boolean, b, if (dm.isNullAt(1)) null else dm.get(1),
+        s"m.b=$b")
+      val vm = ValueTransform.decode(mapSch,
+        Map("a" -> a, "b" -> b), Transform.StringMode)
+        .asInstanceOf[scala.collection.Map[String, Any]]
+      assert(vm.keySet === Set("a", "b"))
+    }
+  }
+
   // parse∘unparse identity over GENERATED values — the reference's parser
   // round-trip property (generator_test + parser_test): for every v drawn
   // from gen(schema), parse(v) succeeds and unparse(parse(v)) == v. Shapes

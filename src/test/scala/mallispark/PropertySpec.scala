@@ -437,6 +437,54 @@ class PropertySpec extends SparkSuite {
     }
   }
 
+  // encode duality over GENERATED (valid, typed) values: the Column
+  // encoder and the value twin must agree exactly — encode never fails
+  // on schema-conforming input, so this is a strict equality law
+  test("encode duality on generated values: Column ⟺ value tier") {
+    import mallispark.compile.Transform
+    import mallispark.eval.ValueTransform
+    import mallispark.gen.Generate
+    def norm(v: Any): Any = v match {
+      case r: Row if r.schema != null =>
+        r.schema.fieldNames.zip(r.toSeq.map(norm)).toMap
+      case m: scala.collection.Map[_, _] =>
+        m.map { case (k, x) => norm(k) -> norm(x) }.toMap
+      case xs: scala.collection.Seq[_] => xs.toVector.map(norm)
+      case a: Array[_] => a.toVector.map(norm)
+      case d: java.sql.Date => d.toString
+      case t: java.sql.Timestamp => t.toInstant.toString
+      case x => x
+    }
+    val shapes: Seq[(String, SchemaIR)] = Seq(
+      "i" -> S.int(0L, 1000L),
+      "d" -> S.double(0.0, 10.0),
+      "b" -> S.boolean,
+      "kw" -> S.keyword,
+      "vec" -> S.vector(S.int(0L, 9L), max = Some(4)),
+      "nested" -> S.mapE(false, S.req("x", S.int(0L, 9L)),
+        S.req("y", S.string(min = 1, max = 4))),
+      "mb" -> S.maybe(S.int(0L, 9L)))
+    val top = S.mapE(false,
+      shapes.map { case (k, c) => S.req(k, c) }: _*).asInstanceOf[SMap]
+    Seq(Transform.StringMode, Transform.JsonMode).foreach { mode =>
+      val df = Generate.dfFromSchema(spark, top, 200, seed = 77)
+      val st = df.schema
+      val enc = df.select(shapes.map { case (k, sch) =>
+        Transform.encode(sch, F.col(k), st(k).dataType, mode).as(k) }: _*)
+      val before = df.collect()
+      val after = enc.collect()
+      before.zip(after).foreach { case (b, a) =>
+        shapes.zipWithIndex.foreach { case ((k, sch), _) =>
+          val in = norm(b.get(st.fieldIndex(k)))
+          val colOut = norm(a.get(a.schema.fieldIndex(k)))
+          val valOut = norm(ValueTransform.encode(sch, in, mode))
+          assert(valOut === colOut,
+            s"encode($mode) $k on $in: column $colOut vs value $valOut")
+        }
+      }
+    }
+  }
+
   // parse∘unparse identity over GENERATED values — the reference's parser
   // round-trip property (generator_test + parser_test): for every v drawn
   // from gen(schema), parse(v) succeeds and unparse(parse(v)) == v. Shapes

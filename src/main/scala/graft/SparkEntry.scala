@@ -1310,6 +1310,17 @@ object SparkEntry {
         .groupBy("error_key").agg(F.count(F.lit(1)).as("cnt"))
         .orderBy("error_key")),
 
+    // ---- bounded violation triage: exact counts + k-capped exemplar
+    //      ids per (path, kind) — O(k) agg state however bad the input ----
+    "violations_sampled" -> ((s, dir) =>
+      mallispark.run.ValidationJob.sampledViolations(
+          SchemaCompiler.violationsDF(WebPages.schema, pages(s, dir),
+            Seq("doc_id")), "doc_id", 5)
+        .select(F.col("schema_path"), F.col("error_key"), F.col("n_viol"),
+          F.array_join(F.transform(F.col("exemplars"),
+            _.cast(StringType)), ",").as("exemplars"))
+        .orderBy("schema_path", "error_key")),
+
     // ---- top-k over hosts: two-stage (TakeOrderedAndProject), never a
     //      global unpartitioned window sort ----
     "top_hosts" -> ((s, dir) => {
@@ -3550,6 +3561,25 @@ object SparkEntry {
          |       OR warc_ts > TIMESTAMP '2026-05-01 00:00:00')
          |SELECT error_key, cnt FROM counts WHERE cnt > 0
          |ORDER BY error_key""".stripMargin,
+
+    "violations_sampled" ->
+      s"""$P,
+         |vio AS (
+         |  SELECT doc_id, 'url' AS schema_path, ':re' AS error_key
+         |    FROM pages WHERE NOT regexp_matches(url, '^https?://[^\\s]+$$')
+         |  UNION ALL
+         |  SELECT doc_id, 'warc_ts', ':time/instant' FROM pages
+         |    WHERE warc_ts < TIMESTAMP '2025-01-01 00:00:00'
+         |       OR warc_ts > TIMESTAMP '2026-05-01 00:00:00'
+         |  UNION ALL
+         |  SELECT doc_id, 'text', ':string' FROM pages WHERE length(text) < 1
+         |  UNION ALL
+         |  SELECT doc_id, 'lang', ':enum' FROM pages
+         |    WHERE lang NOT IN ('en','de','fr','es','zh'))
+         |SELECT schema_path, error_key, CAST(count(*) AS BIGINT) AS n_viol,
+         |  array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',')
+         |    AS exemplars
+         |FROM vio GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "top_hosts" ->
       s"""$P,

@@ -201,6 +201,23 @@ object ValidationJob {
       .select(F.col("metric"), F.col("value").cast(LongType).as("value"))
   }
 
+  /** Bounded violation triage — the 100-TB-safe summary of a violations
+    * frame. Per (schema_path, error_key): the EXACT violation count plus
+    * at most `k` exemplar row ids (the k smallest, via
+    * [[mallispark.expressions.BoundedCollectMin]]'s size-capped heap —
+    * O(k) aggregation state per group at every stage). A catastrophically
+    * mismatched input thus produces a few summary rows instead of a
+    * violations table larger than the data; `n_viol > size(exemplars)`
+    * marks a truncated group, and when the true count is ≤ k the
+    * exemplar list is complete. DuckDB mirror:
+    * `list_slice(list_sort(list(id)), 1, k)` + `count(*)`. */
+  def sampledViolations(viols: DataFrame, idCol: String,
+                        k: Int): DataFrame =
+    viols.groupBy("schema_path", "error_key").agg(
+      F.count(F.lit(1)).as("n_viol"),
+      mallispark.expressions.BoundedCollectMin(
+        F.col(idCol).cast(LongType), k).as("exemplars"))
+
   /** Salted per-key aggregation for skewed keys (lang/host — SURVEY §4):
     * two-phase count with a salt on the hot dimension so no single reducer
     * owns a hot key. At 10^12 rows the first phase fans a hot lang across

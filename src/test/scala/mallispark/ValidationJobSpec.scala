@@ -115,4 +115,27 @@ class ValidationJobSpec extends SparkSuite {
         F.lit(1000003L)))).collect()(0).getLong(0)
     assert(h1 === h2) // partitioning does not change content
   }
+
+  test("sampledViolations: exact counts, k-smallest exemplars, truncation") {
+    import mallispark.compile.SchemaCompiler
+    val viols = SchemaCompiler.violationsDF(WebPages.schema, pages,
+      Seq("doc_id"))
+    val k = 3
+    val got = ValidationJob.sampledViolations(viols, "doc_id", k)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getSeq[Long](3).toVector)).toMap
+    assert(got.nonEmpty)
+    // ground truth from the unbounded frame (small scale only)
+    val truth = viols.select("schema_path", "error_key", "doc_id").collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (key, rs) => key -> rs.map(_.getLong(2)).sorted.toVector }
+    assert(got.keySet === truth.keySet)
+    truth.foreach { case (key, ids) =>
+      val (n, ex) = got(key)
+      assert(n === ids.size.toLong, s"count mismatch at $key")
+      assert(ex === ids.take(k), s"exemplars not the k smallest at $key")
+      // truncation is detectable exactly when the group exceeded k
+      assert((n > ex.size) === (ids.size > k), s"truncation mark at $key")
+    }
+  }
 }

@@ -201,6 +201,27 @@ object ValidationJob {
       .select(F.col("metric"), F.col("value").cast(LongType).as("value"))
   }
 
+  /** `m/assert`'s job-level analogue (core.cljc:2590-2596 throws on an
+    * invalid VALUE; a distributed run throws on an invalid RATE): fail
+    * when the invalid fraction exceeds `maxInvalidFrac` — the circuit
+    * breaker that keeps a mis-schema'd ingest from flooding downstream
+    * sinks with terabytes of garbage. One aggregation over the tiny
+    * (nParts-row) verdicts frame; returns (rows, validRows) on success.
+    * The default 0.0 is the strict m/assert semantics: any invalid row
+    * fails the job. */
+  def gate(verdicts: DataFrame, maxInvalidFrac: Double = 0.0): (Long, Long) = {
+    val r = verdicts.agg(F.sum("rows").as("r"),
+      F.sum("valid_rows").as("v")).head()
+    val rows = r.getLong(0)
+    val valid = r.getLong(1)
+    val frac = if (rows == 0L) 0.0 else (rows - valid).toDouble / rows
+    if (frac > maxInvalidFrac)
+      throw new IllegalStateException(
+        f"validation gate tripped: ${rows - valid}%d of $rows%d rows " +
+          f"invalid (${frac * 100}%.3f%% > ${maxInvalidFrac * 100}%.3f%%)")
+    (rows, valid)
+  }
+
   /** Bounded violation triage — the 100-TB-safe summary of a violations
     * frame. Per (schema_path, error_key): the EXACT violation count plus
     * at most `k` exemplar row ids (the k smallest, via

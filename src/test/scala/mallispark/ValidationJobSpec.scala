@@ -138,4 +138,22 @@ class ValidationJobSpec extends SparkSuite {
       assert((n > ex.size) === (ids.size > k), s"truncation mark at $key")
     }
   }
+
+  test("gate: strict default fails on any invalid row; rate threshold holds") {
+    val res = ValidationJob.run(pages, WebPages.schema, Seq("url"),
+      nParts = 16)
+    val total = pages.count()
+    val invalid = res.flagged.where(!F.col("valid")).count()
+    assert(invalid > 0)
+    // strict m/assert semantics
+    val e = intercept[IllegalStateException](ValidationJob.gate(res.verdicts))
+    assert(e.getMessage.contains("gate tripped"))
+    // a threshold just above the actual rate passes and reports counts
+    val frac = invalid.toDouble / total
+    val (rows, valid) = ValidationJob.gate(res.verdicts, frac + 1e-9)
+    assert(rows === total && valid === total - invalid)
+    // and just below trips
+    intercept[IllegalStateException](
+      ValidationJob.gate(res.verdicts, frac - 1e-9))
+  }
 }

@@ -235,6 +235,17 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("bounded_collect_min"), s"kernel missing:\n$plan")
   }
 
+  test("violations_sampled plan: explode feeds a partial+final capped agg") {
+    // the triage summary must combine map-side — a catastrophic input's
+    // exemplar heaps stay O(k) per group per task BEFORE the shuffle
+    val df = graft.SparkEntry.queries("violations_sampled")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("partial_bounded_collect_min"),
+      s"no partial aggregation in the triage plan:\n$plan")
+    assert(!plan.contains("collect_list"),
+      s"unbounded collect in the triage plan:\n$plan")
+  }
+
   test("LSH-gated jaccard has no full-table shingle self-join") {
     // the standalone quadratic shingle join is gone from the hot path:
     // every join in dedup_jaccard is either the banded candidate join or

@@ -471,14 +471,16 @@ object Messages {
       case m: Map[_, _] =>
         m.asInstanceOf[Map[String, Any]] + (k -> child)
       case xs: Vector[_] => k.toIntOption match {
-        case Some(i) =>
+        case Some(i) if i >= 0 =>
           val v0 = xs.asInstanceOf[Vector[Any]]
           val filled =
             if (i >= v0.size) v0 ++ Vector.fill(i - v0.size + 1)(null)
             else v0
           filled.updated(i, child)
-        // a non-index key into a sequence shape (error.cljc -push)
-        case None => ErrVec(Vector("invalid type"))
+        // a non-index or NEGATIVE key into a sequence shape collapses to
+        // the "invalid type" marker (error.cljc -push; error_test 1271
+        // pins [-1] into a vector value)
+        case _ => ErrVec(Vector("invalid type"))
       }
       case _ => Map(k -> child)
     }

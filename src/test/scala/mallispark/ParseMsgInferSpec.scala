@@ -377,6 +377,31 @@ class ParseMsgInferSpec extends SparkSuite {
     assert(Messages.message(":int", Map(":int" -> "custom")) === "custom")
   }
 
+  // error_test.cljc humanize-throws-test-1271: redirected :error/path
+  // segments that do not fit the value's shape must degrade, never throw
+  test("shaped humanize: mismatched :error/path shapes degrade (1271)") {
+    def h(v: Any, errs: (Seq[String], String)*): Any =
+      Messages.humanizeShaped(v, errs)
+    val u = "unknown error"
+    // key into a map (present-nil, missing, numeric, negative): attaches
+    assert(h(Map("foo" -> null), Seq("foo") -> u) ===
+      Map("foo" -> Seq(u)))
+    assert(h(Map.empty[String, Any], Seq("foo") -> u) ===
+      Map("foo" -> Seq(u)))
+    assert(h(Map.empty[String, Any], Seq("5") -> u) === Map("5" -> Seq(u)))
+    assert(h(Map.empty[String, Any], Seq("-1") -> u) === Map("-1" -> Seq(u)))
+    // index past the end of a vector value: nil-pad up to it
+    assert(h(Vector.empty[Any], Seq("5") -> u) ===
+      Seq(null, null, null, null, null, Seq(u)))
+    // negative index into a vector value: the shape is wrong — collapse
+    // to the invalid-type marker instead of crashing
+    assert(h(Vector.empty[Any], Seq("-1") -> u) === Seq("invalid type"))
+    assert(h(Seq(Seq.empty[Any]), Seq("0", "-1") -> u) ===
+      Seq(Seq("invalid type")))
+    // root-attached error on a sequence value
+    assert(h(Vector.empty[Any], Seq.empty[String] -> u) === Seq(u))
+  }
+
   test("value-shaped humanize (-push-in; error_test.cljc:105-180)") {
     def h(v: Any, errs: (Seq[String], String)*): Any =
       Messages.humanizeShaped(v, errs)

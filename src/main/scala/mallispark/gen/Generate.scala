@@ -180,8 +180,8 @@ object Generate {
         val hi = mx.map(sec).getOrElse(86399L)
         fmtTimeOfDay(F.lit(lo) + rnd(id, salt, hi - lo + 1))
       case "zone-offset" =>
-        F.element_at(F.array(Seq("+05:30", "Z", "-08:00", "+01:00")
-          .map(F.lit): _*), (rnd(id, salt, 4) + 1).cast(IntegerType))
+        F.element_at(F.array(zoneOffsetLabels.map(F.lit): _*),
+          (rnd(id, salt, zoneOffsetLabels.size) + 1).cast(IntegerType))
       // composite kinds — the reference composes these from parts
       // (experimental/time/generator.cljc -offset-time-gen binds a
       // local-time draw with a zone-offset draw; -offset-date-time-gen /
@@ -342,7 +342,15 @@ object Generate {
     F.lpad(F.floor((t % 3600) / 60).cast(StringType), 2, "0"), F.lit(":"),
     F.lpad((t % 60).cast(StringType), 2, "0"))
 
-  /** Offset table for the composite time kinds. The zoned rows use
+  /** Free-standing offset labels for :time/zone-offset and the offset
+    * part of :time/offset-time (no instant arithmetic needed there). */
+  private val zoneOffsetLabels = Seq("+05:30", "Z", "-08:00", "+01:00")
+
+  /** Offset table for the INSTANT-bearing composite kinds (offset- and
+    * zoned-date-time) — distinct from [[zoneOffsetLabels]] by design:
+    * each label pairs with its second count and a DST-free zone id so
+    * the local-time arithmetic and the printed zone stay consistent.
+    * The zoned rows use
     * FIXED-OFFSET zone ids (no DST) so the printed offset is correct at
     * every instant; index 0 is the bracketless "Z" form (the zone
     * bracket is optional in java.time's zoned shape). */

@@ -210,8 +210,11 @@ object ValidationJob {
     * The default 0.0 is the strict m/assert semantics: any invalid row
     * fails the job. */
   def gate(verdicts: DataFrame, maxInvalidFrac: Double = 0.0): (Long, Long) = {
-    val r = verdicts.agg(F.sum("rows").as("r"),
-      F.sum("valid_rows").as("v")).head()
+    // coalesce: sum() over an EMPTY verdicts frame (empty input, or a
+    // resume with nothing left to do) is SQL NULL — an empty run passes
+    val r = verdicts.agg(
+      F.coalesce(F.sum("rows"), F.lit(0L)).as("r"),
+      F.coalesce(F.sum("valid_rows"), F.lit(0L)).as("v")).head()
     val rows = r.getLong(0)
     val valid = r.getLong(1)
     val frac = if (rows == 0L) 0.0 else (rows - valid).toDouble / rows

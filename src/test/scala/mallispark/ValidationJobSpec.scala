@@ -139,6 +139,14 @@ class ValidationJobSpec extends SparkSuite {
     }
   }
 
+  test("gate passes (0, 0) on an empty verdicts frame") {
+    // empty input — or a resume with every partition already committed —
+    // yields a 0-row verdicts frame whose sums are SQL NULL
+    val empty = ValidationJob.run(pages.limit(0), WebPages.schema,
+      Seq("url"), nParts = 4).verdicts
+    assert(ValidationJob.gate(empty) === ((0L, 0L)))
+  }
+
   test("gate: strict default fails on any invalid row; rate threshold holds") {
     val res = ValidationJob.run(pages, WebPages.schema, Seq("url"),
       nParts = 16)

@@ -143,7 +143,7 @@ object SchemaCompiler {
     // legal
     case SMap(entries, _, _) => StructType(entries.map(e =>
       StructField(e.key, dataTypeOf(e.child),
-        nullable = e.optional || acceptsNull(e.child))))
+        nullable = e.optional || acceptsNull(e.child, reg))))
     case SMultiExpr(_, _, _, bs, d) =>
       (bs.map(_._2) ++ d).headOption.map(dataTypeOf).getOrElse(StringType)
     case SMapOf(k, v, _, _) => MapType(dataTypeOf(k), dataTypeOf(v))
@@ -505,7 +505,7 @@ object SchemaCompiler {
                     // (malli's no-op elision spirit, core.cljc:35-37)
                     if (onlyNullCheck(e.child, f.dataType)) F.lit(true)
                     else fc.isNull || valid(e.child, fc, f.dataType)
-                  } else if (acceptsNull(e.child))
+                  } else if (acceptsNull(e.child, ctx.registry))
                     // required key whose child accepts nil (:maybe/:nil/:any)
                     // — null is a VALUE here, not a missing key
                     valid(e.child, fc, f.dataType)
@@ -548,7 +548,7 @@ object SchemaCompiler {
               if (e.optional) {
                 if (onlyNullCheck(e.child, vt)) F.lit(true)
                 else vCol.isNull || valid(e.child, vCol, vt)
-              } else if (acceptsNull(e.child)) valid(e.child, vCol, vt)
+              } else if (acceptsNull(e.child, ctx.registry)) valid(e.child, vCol, vt)
               else vCol.isNotNull && valid(e.child, vCol, vt)
             }
             val extraOk =
@@ -745,20 +745,28 @@ object SchemaCompiler {
     Seq(Some(limit), mn, mx.map(_ + 1)).flatten.max
 
   /** Does the schema accept a null VALUE (vs null meaning missing-key)? */
-  private def acceptsNull(ir: SchemaIR): Boolean = ir match {
+  private def acceptsNull(ir: SchemaIR, reg: Registry,
+                          seen: Set[(String, SchemaIR)] = Set.empty)
+      : Boolean = ir match {
     case SAny | SNil | _: SMaybe => true
     // nil is a seqable VALUE (seqs empty) — a physical null under these
     // reads as present-nil, never missing-key; the child itself reports
     // ::limits when a :min bound needs size
     case _: SSeqable | _: SEvery => true
-    case SOr(cs) => cs.exists(acceptsNull)
-    case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
-    case SAnd(cs) => cs.forall(acceptsNull)
-    case SAndn(bs) => bs.forall(b => acceptsNull(b._2))
-    // props/scopes never change nullability — peel (a bare :ref stays
-    // conservative false, like the row-level twin)
-    case SProps(_, c) => acceptsNull(c)
-    case SScoped(_, c, _) => acceptsNull(c)
+    case SOr(cs) => cs.exists(acceptsNull(_, reg, seen))
+    case SOrn(bs) => bs.exists(b => acceptsNull(b._2, reg, seen))
+    case SAnd(cs) => cs.forall(acceptsNull(_, reg, seen))
+    case SAndn(bs) => bs.forall(b => acceptsNull(b._2, reg, seen))
+    // props/scopes never change nullability — peel (mirrors the
+    // row-level twin)
+    case SProps(_, c) => acceptsNull(c, reg, seen)
+    case SScoped(local, c, _) =>
+      acceptsNull(c, Registry(reg.schemas ++ local, reg.maxDepth), seen)
+    // a ref derefs (a [:ref ...→ :maybe] under a required key accepts a
+    // present-nil); cycle-guarded on the RESOLVED (name, target) like
+    // simpleParser, so shadowed same-name refs are not false cycles
+    case SRef(n) => reg.schemas.get(n).exists(t =>
+      !seen((n, t)) && acceptsNull(t, reg, seen + ((n, t))))
     case _ => false
   }
 
@@ -896,7 +904,7 @@ object SchemaCompiler {
                   val childErrs = errors(e.child, fc, f.dataType, p, i2)
                   if (e.optional) F.when(fc.isNull, emptyViols).otherwise(childErrs)
                   // required key whose child accepts nil: null is a value
-                  else if (acceptsNull(e.child)) childErrs
+                  else if (acceptsNull(e.child, ctx.registry)) childErrs
                   // Parquet conflates missing-key and null value (SURVEY §7.4):
                   // a null required field reports ::missing-key.
                   else F.when(fc.isNull,
@@ -947,7 +955,7 @@ object SchemaCompiler {
               val vCol = F.try_element_at(col, F.lit(e.key))
               val childErrs = errors(e.child, vCol, vt, p, i2)
               if (e.optional) F.when(vCol.isNull, emptyViols).otherwise(childErrs)
-              else if (acceptsNull(e.child)) childErrs
+              else if (acceptsNull(e.child, ctx.registry)) childErrs
               else F.when(vCol.isNull,
                 one(p, i2, ErrorKeys.MissingKey, F.lit(null).cast(StringType)))
                 .otherwise(childErrs)

@@ -1114,18 +1114,26 @@ object RowEval {
     Seq(Some(limit), mn, mx.map(_ + 1)).flatten.max
 
   /** Does the schema accept a null VALUE (mirror of the compiler's rule). */
-  private def acceptsNull(ir: SchemaIR): Boolean = ir match {
+  private def acceptsNull(ir: SchemaIR,
+                          seen: Set[(String, SchemaIR)] = Set.empty)(
+      implicit reg: Registry): Boolean = ir match {
     case SAny | SNil | _: SMaybe => true
     // nil is a seqable VALUE: present-nil, never missing-key (the child
     // still validates it — :min bounds see size 0)
     case _: SSeqable | _: SEvery => true
-    case SOr(cs) => cs.exists(acceptsNull)
-    case SOrn(bs) => bs.exists(b => acceptsNull(b._2))
-    case SAnd(cs) => cs.forall(acceptsNull)
-    case SAndn(bs) => bs.forall(b => acceptsNull(b._2))
+    case SOr(cs) => cs.exists(acceptsNull(_, seen))
+    case SOrn(bs) => bs.exists(b => acceptsNull(b._2, seen))
+    case SAnd(cs) => cs.forall(acceptsNull(_, seen))
+    case SAndn(bs) => bs.forall(b => acceptsNull(b._2, seen))
     // props/scopes never change nullability — peel (mirrors the compiler)
-    case SProps(_, c) => acceptsNull(c)
-    case SScoped(_, c, _) => acceptsNull(c)
+    case SProps(_, c) => acceptsNull(c, seen)
+    case SScoped(local, c, _) =>
+      acceptsNull(c, seen)(Registry(reg.schemas ++ local, reg.maxDepth))
+    // a ref derefs (a [:ref ...→ :maybe] under a required key accepts a
+    // present-nil); cycle-guarded on the RESOLVED (name, target) like
+    // simpleParser, so shadowed same-name refs are not false cycles
+    case SRef(n) => reg.schemas.get(n).exists(t =>
+      !seen((n, t)) && acceptsNull(t, seen + ((n, t))))
     case _ => false
   }
 

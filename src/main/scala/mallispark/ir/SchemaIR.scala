@@ -327,7 +327,44 @@ object SchemaIR {
       entryLevel: Boolean = false) {
     def isEmpty: Boolean = this == NodeProps.empty
   }
-  object NodeProps { val empty: NodeProps = NodeProps() }
+  object NodeProps {
+    val empty: NodeProps = NodeProps()
+
+    /** Collapse two STACKED props wrappers into one map. The vector
+      * syntax has a single props position per node, so nested wrappers
+      * must render as their merge; the OUTER wrapper wins on key
+      * conflicts (mu/update-properties layering — the newest write sits
+      * outermost). Keyed sequences (extra, json-schema/swagger
+      * passthrough, hints) dedupe by key/mode, outer first. */
+    def merge(outer: NodeProps, inner: NodeProps): NodeProps = {
+      def seqMerge[A](o: Seq[(String, A)], i: Seq[(String, A)]) =
+        o ++ i.filterNot(e => o.exists(_._1 == e._1))
+      NodeProps(
+        genReturn = outer.genReturn.orElse(inner.genReturn),
+        genElements = outer.genElements.orElse(inner.genElements),
+        genFmap = outer.genFmap.orElse(inner.genFmap),
+        genSchema = outer.genSchema.orElse(inner.genSchema),
+        genMin = outer.genMin.orElse(inner.genMin),
+        genMax = outer.genMax.orElse(inner.genMax),
+        genInfinite = outer.genInfinite || inner.genInfinite,
+        genNaN = outer.genNaN || inner.genNaN,
+        title = outer.title.orElse(inner.title),
+        description = outer.description.orElse(inner.description),
+        default = outer.default.orElse(inner.default),
+        jsonSchema = seqMerge(outer.jsonSchema, inner.jsonSchema),
+        jsonSchemaFull = outer.jsonSchemaFull.orElse(inner.jsonSchemaFull),
+        swagger = seqMerge(outer.swagger, inner.swagger),
+        swaggerFull = outer.swaggerFull.orElse(inner.swaggerFull),
+        errorMessage = outer.errorMessage.orElse(inner.errorMessage),
+        errorPath = outer.errorPath.orElse(inner.errorPath),
+        decodeHints = seqMerge(outer.decodeHints, inner.decodeHints),
+        encodeHints = seqMerge(outer.encodeHints, inner.encodeHints),
+        parseTransformingChild = outer.parseTransformingChild
+          .orElse(inner.parseTransformingChild),
+        extra = seqMerge(outer.extra, inner.extra),
+        entryLevel = outer.entryLevel || inner.entryLevel)
+    }
+  }
 
   /** A schema-hinted transformation interceptor (`:decode/<name>` /
     * `:encode/<name>` props — reference core.cljc `-parent-children-
@@ -783,6 +820,11 @@ object SchemaIR {
     // other props (what fromForm produces) — re-nest before splicing so
     // the semantically-equal SProps(SScoped(..)) composition renders the
     // same prop order and the form fixpoint holds for both
+    // stacked wrappers collapse to one props map (outer wins) — splicing
+    // both would print duplicate keys, which EDN forbids and fromForm
+    // cannot round-trip
+    case SProps(p, SProps(p2, c)) =>
+      form(SProps(NodeProps.merge(p, p2), c))
     case SProps(p, SScoped(l, c, false)) =>
       form(SScoped(l, SProps(p, c), boundary = false))
     case SProps(p, c) => spliceProps(form(c), propsStr(p))

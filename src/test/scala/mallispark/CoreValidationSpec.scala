@@ -671,4 +671,48 @@ class CoreValidationSpec extends SparkSuite {
     val leafCount = SchemaIR.fold(s, 0) { (n, _) => n + 1 }
     assert(leafCount === 4) // map, int, vector, string
   }
+
+  // seed-sweep regression: acceptsNull must DEREF refs — a required key
+  // whose child is [:ref ...→ :maybe] accepts a physical null as a
+  // present-nil on BOTH engines (it previously read as missing-key)
+  test("acceptsNull derefs refs: required [:ref -> :maybe] key takes null") {
+    val viaRef = S.mapE(false, S.req("f",
+      S.scoped("t" -> S.maybe(S.enum_("a", "b")))(S.ref("t"))))
+      .asInstanceOf[SMap]
+    val dt = StructType(Seq(StructField("f", StringType)))
+    val rows = Seq(Row("a"), Row(null), Row("zz"))
+    val got = runCatalyst2(viaRef, dt, rows)
+    assert(got(0)._1 && got(1)._1 && !got(2)._1)
+    assert(got(1)._2.isEmpty, s"null-through-ref raised ${got(1)._2}")
+    rows.zip(got).foreach { case (r, (ok, _)) =>
+      val v = Map("f" -> r.get(0))
+      assert(RowEval.validate(viaRef, v) === ok, s"duality at $v")
+    }
+    // a ref to a NON-null-accepting target still reads null as missing
+    val strict = S.mapE(false, S.req("f",
+      S.scoped("t" -> S.enum_("a", "b"))(S.ref("t")))).asInstanceOf[SMap]
+    val got2 = runCatalyst2(strict, dt, Seq(Row(null)))
+    assert(!got2(0)._1)
+    assert(got2(0)._2.exists(_._3 == ErrorKeys.MissingKey))
+    // direct ref cycle: guarded, conservative false, no stack overflow
+    val cyc = S.mapE(false, S.req("f",
+      S.scoped("t" -> S.ref("t"))(S.ref("t")))).asInstanceOf[SMap]
+    assert(!RowEval.validate(cyc, Map("f" -> null)))
+  }
+
+  private def runCatalyst2(sch: SMap, dt: StructType, rows: Seq[Row])
+      : Seq[(Boolean, Set[(String, String, String)])] = {
+    import scala.jdk.CollectionConverters._
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](rows.asJava), dt)
+    df.select(
+      SchemaCompiler.valid(sch, F.struct(dt.fieldNames.toIndexedSeq
+        .map(F.col): _*), dt).as("ok"),
+      SchemaCompiler.errors(sch, F.struct(dt.fieldNames.toIndexedSeq
+        .map(F.col): _*), dt, "", F.lit("")).as("e"))
+      .collect().toSeq.map { r =>
+        (r.getBoolean(0), r.getSeq[Row](1).map(e =>
+          (e.getString(0), e.getString(1), e.getString(2))).toSet)
+      }
+  }
 }

@@ -545,4 +545,23 @@ class ExportSpec extends AnyFunSuite {
       Seq("doc_id", "url", "warc_ts", "html", "text", "lang"))
     assert(st("html").dataType.typeName === "binary")
   }
+
+  // seed-sweep regression: STACKED SProps wrappers once rendered their
+  // props maps CONCATENATED — duplicate keys EDN cannot round-trip
+  test("nested props wrappers render as one merged map (outer wins)") {
+    val inner = SProps(NodeProps(extra = Seq(":user/tag" -> 1L)),
+      S.int(0L, 100L))
+    val same = SProps(NodeProps(extra = Seq(":user/tag" -> 1L)), inner)
+    val f = SchemaIR.form(same)
+    assert(f === "[:int {:user/tag 1 :min 0 :max 100}]")
+    assert(SchemaIR.form(Export.fromForm(f)) === f) // fixpoint
+    // conflicting values: the OUTER wrapper wins
+    val conflict = SProps(NodeProps(extra = Seq(":user/tag" -> 2L)), inner)
+    assert(SchemaIR.form(conflict) === "[:int {:user/tag 2 :min 0 :max 100}]")
+    // distinct keys: both survive, outer first
+    val both = SProps(NodeProps(title = Some("t")), inner)
+    val fb = SchemaIR.form(both)
+    assert(fb.contains(":title") && fb.contains(":user/tag 1"))
+    assert(SchemaIR.form(Export.fromForm(fb)) === fb)
+  }
 }

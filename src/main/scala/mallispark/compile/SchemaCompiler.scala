@@ -493,44 +493,9 @@ object SchemaCompiler {
       case SMap(entries, closed, rest) =>
         dt match {
           case st: StructType =>
-            val checks = entries.map { e =>
-              st.find(_.name == e.key) match {
-                case None =>
-                  if (e.optional) F.lit(true) else F.lit(false) // static missing
-                case Some(f) =>
-                  val fc = col.getField(e.key)
-                  if (e.optional) {
-                    // peephole: a boundless leaf only asserts non-null, so
-                    // `isNull || isNotNull` is a tautology — elide it
-                    // (malli's no-op elision spirit, core.cljc:35-37)
-                    if (onlyNullCheck(e.child, f.dataType)) F.lit(true)
-                    else fc.isNull || valid(e.child, fc, f.dataType)
-                  } else if (acceptsNull(e.child, ctx.registry))
-                    // required key whose child accepts nil (:maybe/:nil/:any)
-                    // — null is a VALUE here, not a missing key
-                    valid(e.child, fc, f.dataType)
-                  else fc.isNotNull && valid(e.child, fc, f.dataType)
-              }
-            }
-            val known = entries.map(_.key).toSet
-            val undeclared = st.fields.filterNot(f => known(f.name)).toSeq
-            // closed map: any extra PHYSICAL field must be absent (null) —
-            // the non-null case is ::m/extra-key (core.cljc:1315-1322)
-            val closedChecks =
-              if (!closed) Seq.empty
-              else undeclared.map(f => col.getField(f.name).isNull)
-            // ::m/default rest-entry (core.cljc:586-587, 1237): every
-            // PRESENT undeclared field must satisfy the rest schema
-            val restChecks = rest match {
-              case None => Seq.empty
-              case Some(r) => undeclared.map { f =>
-                val fc = col.getField(f.name)
-                fc.isNull || valid(r, fc, f.dataType)
-              }
-            }
             col.isNotNull &&
-              (checks ++ closedChecks ++ restChecks)
-                .foldLeft(F.lit(true))(_ && _)
+              validStructFields(entries, closed, rest, st,
+                name => col.getField(name))
 
           // fixed-key :map over a MapType column (malli maps ARE open
           // string-keyed maps; parquet map<string, V> is their physical
@@ -744,6 +709,111 @@ object SchemaCompiler {
                                   limit: Int): Int =
     Seq(Some(limit), mn, mx.map(_ + 1)).flatten.max
 
+  /** Struct-shaped `:map` explain over a FIELD ACCESSOR — the errors()
+    * twin of [[validStructFields]], same O(width²) rationale. */
+  private def errorStructFields(entries: Seq[Entry], closed: Boolean,
+                                rest: Option[SchemaIR], st: StructType,
+                                fieldOf: String => Column,
+                                path: String, in: Column)(
+      implicit ctx: Ctx): Column = {
+    val perEntry = entries.map { e =>
+      val p = j(path, e.key)
+      val i2 = jin(in, e.key)
+      st.find(_.name == e.key) match {
+        case None =>
+          if (e.optional) emptyViols
+          else one(p, i2, ErrorKeys.MissingKey, F.lit(null).cast(StringType))
+        case Some(f) =>
+          val fc = fieldOf(e.key)
+          val childErrs = errors(e.child, fc, f.dataType, p, i2)
+          if (e.optional) F.when(fc.isNull, emptyViols).otherwise(childErrs)
+          // required key whose child accepts nil: null is a value
+          else if (acceptsNull(e.child, ctx.registry)) childErrs
+          // Parquet conflates missing-key and null value (SURVEY §7.4):
+          // a null required field reports ::missing-key.
+          else F.when(fc.isNull,
+            one(p, i2, ErrorKeys.MissingKey, F.lit(null).cast(StringType)))
+            .otherwise(childErrs)
+      }
+    }
+    val known = entries.map(_.key).toSet
+    val undeclared = st.fields.filterNot(f => known(f.name)).toSeq
+    val extras: Seq[Column] =
+      if (!closed) Seq.empty
+      else undeclared.map { f =>
+        // ::m/extra-key fires only when the stray field is present
+        F.when(fieldOf(f.name).isNotNull,
+          one(j(path, f.name), jin(in, f.name), ErrorKeys.ExtraKey,
+            valueStr(fieldOf(f.name), f.dataType)))
+          .otherwise(emptyViols)
+      }
+    // ::m/default rest-entry errors: undeclared PRESENT fields
+    // validate against the rest schema, path segment ::m/default
+    // (mirror of the reference's default-branch explain)
+    val restErrs: Seq[Column] = rest match {
+      case None => Seq.empty
+      case Some(r) => undeclared.map { f =>
+        val fc = fieldOf(f.name)
+        F.when(fc.isNotNull,
+          errors(r, fc, f.dataType,
+            j(j(path, "malli.core/default"), f.name), jin(in, f.name)))
+          .otherwise(emptyViols)
+      }
+    }
+    concatViols(perEntry ++ extras ++ restErrs)
+  }
+
+  /** Struct-shaped `:map` validity over a FIELD ACCESSOR — shared by the
+    * nested-struct branch (accessor = `col.getField`) and the top-level
+    * DataFrame entry points (accessor = `F.col`). The top level must NOT
+    * route through one rebuilt row-struct: every check embedding a copy
+    * of a width-N CreateStruct makes the pre-optimization tree O(N²),
+    * which costs SECONDS of driver planning per action on wide tables
+    * (measured ~8 s at 250 columns) even though the optimizer collapses
+    * it before execution. */
+  private def validStructFields(entries: Seq[Entry], closed: Boolean,
+                                rest: Option[SchemaIR], st: StructType,
+                                fieldOf: String => Column)(
+      implicit ctx: Ctx): Column = {
+    val checks = entries.map { e =>
+      st.find(_.name == e.key) match {
+        case None =>
+          if (e.optional) F.lit(true) else F.lit(false) // static missing
+        case Some(f) =>
+          val fc = fieldOf(e.key)
+          if (e.optional) {
+            // peephole: a boundless leaf only asserts non-null, so
+            // `isNull || isNotNull` is a tautology — elide it
+            // (malli's no-op elision spirit, core.cljc:35-37)
+            if (onlyNullCheck(e.child, f.dataType)) F.lit(true)
+            else fc.isNull || valid(e.child, fc, f.dataType)
+          } else if (acceptsNull(e.child, ctx.registry))
+            // required key whose child accepts nil (:maybe/:nil/:any)
+            // — null is a VALUE here, not a missing key
+            valid(e.child, fc, f.dataType)
+          else fc.isNotNull && valid(e.child, fc, f.dataType)
+      }
+    }
+    val known = entries.map(_.key).toSet
+    val undeclared = st.fields.filterNot(f => known(f.name)).toSeq
+    // closed map: any extra PHYSICAL field must be absent (null) —
+    // the non-null case is ::m/extra-key (core.cljc:1315-1322)
+    val closedChecks =
+      if (!closed) Seq.empty
+      else undeclared.map(f => fieldOf(f.name).isNull)
+    // ::m/default rest-entry (core.cljc:586-587, 1237): every
+    // PRESENT undeclared field must satisfy the rest schema
+    val restChecks = rest match {
+      case None => Seq.empty
+      case Some(r) => undeclared.map { f =>
+        val fc = fieldOf(f.name)
+        fc.isNull || valid(r, fc, f.dataType)
+      }
+    }
+    (checks ++ closedChecks ++ restChecks)
+      .foldLeft(F.lit(true))(_ && _)
+  }
+
   /** Does the schema accept a null VALUE (vs null meaning missing-key)? */
   private def acceptsNull(ir: SchemaIR, reg: Registry,
                           seen: Set[(String, SchemaIR)] = Set.empty)
@@ -892,52 +962,9 @@ object SchemaCompiler {
           case st: StructType =>
             val nullErr = one(path, in, ErrorKeys.InvalidType,
               F.lit(null).cast(StringType))
-            val perEntry = entries.map { e =>
-              val p = j(path, e.key)
-              val i2 = jin(in, e.key)
-              st.find(_.name == e.key) match {
-                case None =>
-                  if (e.optional) emptyViols
-                  else one(p, i2, ErrorKeys.MissingKey, F.lit(null).cast(StringType))
-                case Some(f) =>
-                  val fc = col.getField(e.key)
-                  val childErrs = errors(e.child, fc, f.dataType, p, i2)
-                  if (e.optional) F.when(fc.isNull, emptyViols).otherwise(childErrs)
-                  // required key whose child accepts nil: null is a value
-                  else if (acceptsNull(e.child, ctx.registry)) childErrs
-                  // Parquet conflates missing-key and null value (SURVEY §7.4):
-                  // a null required field reports ::missing-key.
-                  else F.when(fc.isNull,
-                    one(p, i2, ErrorKeys.MissingKey, F.lit(null).cast(StringType)))
-                    .otherwise(childErrs)
-              }
-            }
-            val known = entries.map(_.key).toSet
-            val undeclared = st.fields.filterNot(f => known(f.name)).toSeq
-            val extras: Seq[Column] =
-              if (!closed) Seq.empty
-              else undeclared.map { f =>
-                // ::m/extra-key fires only when the stray field is present
-                F.when(col.getField(f.name).isNotNull,
-                  one(j(path, f.name), jin(in, f.name), ErrorKeys.ExtraKey,
-                    valueStr(col.getField(f.name), f.dataType)))
-                  .otherwise(emptyViols)
-              }
-            // ::m/default rest-entry errors: undeclared PRESENT fields
-            // validate against the rest schema, path segment ::m/default
-            // (mirror of the reference's default-branch explain)
-            val restErrs: Seq[Column] = rest match {
-              case None => Seq.empty
-              case Some(r) => undeclared.map { f =>
-                val fc = col.getField(f.name)
-                F.when(fc.isNotNull,
-                  errors(r, fc, f.dataType,
-                    j(j(path, "malli.core/default"), f.name), jin(in, f.name)))
-                  .otherwise(emptyViols)
-              }
-            }
             F.when(col.isNull, nullErr)
-              .otherwise(concatViols(perEntry ++ extras ++ restErrs))
+              .otherwise(errorStructFields(entries, closed, rest, st,
+                name => col.getField(name), path, in))
 
           // fixed-key :map over MapType — mirror of the valid() branch;
           // stray keys carry the RUNTIME key in the schema path (RowEval
@@ -1258,19 +1285,48 @@ object SchemaCompiler {
     * a closed map must not see as extra keys. */
   def validateDF(ir: SchemaIR, df: DataFrame, outCol: String = "valid",
                  exclude: Set[String] = Set.empty)(
-      implicit ctx: Ctx = Ctx()): DataFrame = {
-    val (row, st) = rowStruct(df, exclude + outCol)
-    df.withColumn(outCol, valid(ir, row, st))
-  }
+      implicit ctx: Ctx = Ctx()): DataFrame =
+    topMap(ir, ctx) match {
+      // top-level :map validates the DataFrame's COLUMNS directly — no
+      // rebuilt row-struct, so planning stays O(width) on wide tables
+      // (a DataFrame row itself is never null)
+      case Some((m, ctx2)) =>
+        val st = StructType(df.schema.fields
+          .filterNot(f => (exclude + outCol)(f.name)))
+        df.withColumn(outCol,
+          validStructFields(m.entries, m.closed, m.rest, st, F.col)(ctx2))
+      case None =>
+        val (row, st) = rowStruct(df, exclude + outCol)
+        df.withColumn(outCol, valid(ir, row, st))
+    }
 
   /** `m/explain` over a DataFrame: adds an `errors` array column
     * (empty ⇔ valid). */
   def explainDF(ir: SchemaIR, df: DataFrame, outCol: String = "errors",
                 exclude: Set[String] = Set.empty)(
-      implicit ctx: Ctx = Ctx()): DataFrame = {
-    val (row, st) = rowStruct(df, exclude + outCol)
-    df.withColumn(outCol, errors(ir, row, st, "", F.lit("")))
-  }
+      implicit ctx: Ctx = Ctx()): DataFrame =
+    topMap(ir, ctx) match {
+      case Some((m, ctx2)) =>
+        val st = StructType(df.schema.fields
+          .filterNot(f => (exclude + outCol)(f.name)))
+        df.withColumn(outCol, errorStructFields(m.entries, m.closed,
+          m.rest, st, F.col, "", F.lit(""))(ctx2))
+      case None =>
+        val (row, st) = rowStruct(df, exclude + outCol)
+        df.withColumn(outCol, errors(ir, row, st, "", F.lit("")))
+    }
+
+  /** Peel validation-transparent wrappers down to a top-level `:map`,
+    * threading registry scopes into the ctx — the shapes eligible for
+    * the direct-column fast path above. */
+  private def topMap(ir: SchemaIR, ctx: Ctx): Option[(SMap, Ctx)] =
+    ir match {
+      case m: SMap => Some((m, ctx))
+      case SProps(_, c) => topMap(c, ctx)
+      case SScoped(local, c, _) => topMap(c, ctx.copy(registry =
+        Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
+      case _ => None
+    }
 
   /** Violation rows: one output row per error, keyed by `keyCols`
     * (the explode/"UDTF" shape of SURVEY §2.12). `keyCols` select the

@@ -1293,12 +1293,51 @@ object SchemaCompiler {
       case Some((m, ctx2)) =>
         val st = StructType(df.schema.fields
           .filterNot(f => (exclude + outCol)(f.name)))
-        df.withColumn(outCol,
-          validStructFields(m.entries, m.closed, m.rest, st, F.col)(ctx2))
+        if (structMapDepth(m, st) > DeepNestThreshold)
+          df.withColumn(outCol, deepValidUdf(m, st, ctx2))
+        else
+          df.withColumn(outCol,
+            validStructFields(m.entries, m.closed, m.rest, st, F.col)(ctx2))
       case None =>
         val (row, st) = rowStruct(df, exclude + outCol)
         df.withColumn(outCol, valid(ir, row, st))
     }
+
+  /** Deep-nesting escape hatch: Spark's whole-stage codegen duplicates
+    * subexpression-elimination state per conditional branch, which is
+    * EXPONENTIAL in nested-conditional depth — a 30-level struct-map
+    * chain OOMs the driver building >2 GB of generated source (measured:
+    * fine to ~depth 18, ~2× codegen wall per +4 levels after). Past the
+    * threshold, validation drops to the engine's row-level interpreter
+    * as a scalar UDF over the row struct — the same escape-hatch tier
+    * the general seq-regex uses (SURVEY §2.9): linear in schema size,
+    * no codegen, row-local. */
+  private def deepValidUdf(m: SMap, st: StructType, ctx: Ctx): Column = {
+    val reg = ctx.registry
+    val f = F.udf(new org.apache.spark.sql.api.java.UDF1[
+        org.apache.spark.sql.Row, Boolean] {
+      override def call(r: org.apache.spark.sql.Row): Boolean =
+        mallispark.eval.RowEval.validate(m, r)(reg)
+    }, BooleanType)
+    f(F.struct(st.fieldNames.toIndexedSeq.map(F.col): _*))
+  }
+
+  /** explainDF twin of [[deepValidUdf]] — row-level explain emitting the
+    * violStruct rows directly (absolute paths, like the Column tier). */
+  private def deepErrorsUdf(m: SMap, st: StructType, ctx: Ctx): Column = {
+    val reg = ctx.registry
+    val f = F.udf(new org.apache.spark.sql.api.java.UDF1[
+        org.apache.spark.sql.Row, Seq[org.apache.spark.sql.Row]] {
+      override def call(r: org.apache.spark.sql.Row)
+          : Seq[org.apache.spark.sql.Row] =
+        mallispark.eval.RowEval
+          .explain(m, r, Vector.empty, Vector.empty)(reg)
+          .map(e => org.apache.spark.sql.Row(
+            e.path.mkString("/"), e.in.mkString("/"), e.key,
+            if (e.value == null) null else String.valueOf(e.value)))
+    }, violArrType)
+    f(F.struct(st.fieldNames.toIndexedSeq.map(F.col): _*))
+  }
 
   /** `m/explain` over a DataFrame: adds an `errors` array column
     * (empty ⇔ valid). */
@@ -1309,8 +1348,11 @@ object SchemaCompiler {
       case Some((m, ctx2)) =>
         val st = StructType(df.schema.fields
           .filterNot(f => (exclude + outCol)(f.name)))
-        df.withColumn(outCol, errorStructFields(m.entries, m.closed,
-          m.rest, st, F.col, "", F.lit(""))(ctx2))
+        if (structMapDepth(m, st) > DeepNestThreshold)
+          df.withColumn(outCol, deepErrorsUdf(m, st, ctx2))
+        else
+          df.withColumn(outCol, errorStructFields(m.entries, m.closed,
+            m.rest, st, F.col, "", F.lit(""))(ctx2))
       case None =>
         val (row, st) = rowStruct(df, exclude + outCol)
         df.withColumn(outCol, errors(ir, row, st, "", F.lit("")))
@@ -1327,6 +1369,37 @@ object SchemaCompiler {
         Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
       case _ => None
     }
+
+  /** A child that is itself a struct-shaped `:map` (through props
+    * wrappers only — scoped children keep their inline compile because
+    * they carry their own registries). */
+  private def peelMap(ir: SchemaIR): Option[SMap] = ir match {
+    case m: SMap => Some(m)
+    case SProps(_, c) => peelMap(c)
+    case _ => None
+  }
+
+  /** Depth of the struct-typed `:map` nesting chain. Single-expression
+    * compilation is O(r^depth) in optimizer/codegen TREE WALKS (each
+    * level references its parent's getField chain r ≈ entries+1 times;
+    * the objects are shared but every walk re-expands them) — fine to
+    * ~10 levels, fatal at 30. Deeper schemas flatten to per-level temp
+    * columns instead (see validateDF). */
+  private def structMapDepth(m: SMap, st: StructType): Int = {
+    val kids = m.entries.flatMap { e =>
+      st.find(_.name == e.key).map(_.dataType) match {
+        case Some(cst: StructType) =>
+          peelMap(e.child).map(cm => structMapDepth(cm, cst))
+        case _ => None
+      }
+    }
+    1 + (if (kids.isEmpty) 0 else kids.max)
+  }
+
+  /** Nesting threshold for the row-level-interpreter escape hatch in
+    * validateDF/explainDF (codegen's conditional-branch subexpression
+    * state is exponential in depth — measured fine to ~18, OOM at 30). */
+  private val DeepNestThreshold = 16
 
   /** Violation rows: one output row per error, keyed by `keyCols`
     * (the explode/"UDTF" shape of SURVEY §2.12). `keyCols` select the

@@ -1039,6 +1039,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // ---- ORC source/sink round-trip: write documents as ORC, read
+    //      back, validate, and signature-check the values per lang (the
+    //      md5-derived sig replays in DuckDB over the PARQUET originals,
+    //      so the gate proves the ORC round-trip preserved every field) ----
+    "orc_ingest" -> ((s, dir) => {
+      import mallispark.ir.SchemaIR._
+      val tmp = java.nio.file.Files.createTempDirectory("orc_gate")
+      t(s, dir, "documents").select("doc_id", "lang", "text", "n_chars")
+        .write.mode("overwrite").orc(tmp.toString)
+      val back = s.read.orc(tmp.toString)
+      val sch = SMap(Seq(Entry("doc_id", SInt()), Entry("lang", SString(Some(1))),
+        Entry("text", SString()), Entry("n_chars", SInt(Some(0L)))))
+      val flagged = SchemaCompiler.validateDF(sch, back, "ok")
+      val res = flagged.groupBy("lang").agg(
+          F.count(F.lit(1)).as("n"),
+          F.sum(F.pmod(TextOps.h32(F.concat(
+            F.col("doc_id").cast(StringType), F.lit(":"), F.md5(F.col("text")),
+            F.lit(":"), F.col("n_chars").cast(StringType))),
+            F.lit(1000003L))).as("sig"),
+          F.min(F.col("ok")).as("all_ok"))
+        .orderBy("lang")
+      val rows = res.collect().toIndexedSeq
+      deleteRecursively(tmp.toString)
+      s.createDataFrame(s.sparkContext.parallelize(rows, 1), res.schema)
+    }),
+
     // ---- CSV sidecar ingestion: from_csv with the schema's StructType;
     //      a field failing its type (id "x") goes null and fails
     //      validation, the rest of the line still parses ----
@@ -3342,6 +3368,18 @@ object SparkEntry {
         |  doc_id % 17 <> 0 AS ok,
         |  true AS rt_ok
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the sig is computed over the ORC-round-tripped values engine-side
+    // and over the parquet ORIGINALS here — equal iff ORC preserved
+    // every field bit-for-bit
+    "orc_ingest" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(('0x'||substring(md5(
+        |      CAST(doc_id AS VARCHAR)||':'||md5(text)||':'||
+        |      CAST(n_chars AS VARCHAR)),1,8))::BIGINT % 1000003)
+        |    AS BIGINT) AS sig,
+        |  TRUE AS all_ok
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "csv_ingest" ->
       """SELECT doc_id,

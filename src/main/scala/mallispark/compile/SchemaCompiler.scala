@@ -1348,7 +1348,7 @@ object SchemaCompiler {
       case Some((m, ctx2)) =>
         val st = StructType(df.schema.fields
           .filterNot(f => (exclude + outCol)(f.name)))
-        if (structMapDepth(m, st) > DeepNestThreshold)
+        if (structMapDepth(m, st) > DeepNestErrorsThreshold)
           df.withColumn(outCol, deepErrorsUdf(m, st, ctx2))
         else
           df.withColumn(outCol, errorStructFields(m.entries, m.closed,
@@ -1396,10 +1396,14 @@ object SchemaCompiler {
     1 + (if (kids.isEmpty) 0 else kids.max)
   }
 
-  /** Nesting threshold for the row-level-interpreter escape hatch in
-    * validateDF/explainDF (codegen's conditional-branch subexpression
-    * state is exponential in depth — measured fine to ~18, OOM at 30). */
+  /** Nesting thresholds for the row-level-interpreter escape hatch in
+    * validateDF/explainDF — codegen's conditional-branch subexpression
+    * state is exponential in depth, and the errors expression (a CASE
+    * chain per level) hits the wall earlier than the validity conjunct
+    * (measured: valid fine to ~18, OOM at 30; errors 24 s at depth 12,
+    * 131 s at 14). */
   private val DeepNestThreshold = 16
+  private val DeepNestErrorsThreshold = 10
 
   /** Violation rows: one output row per error, keyed by `keyCols`
     * (the explode/"UDTF" shape of SURVEY §2.12). `keyCols` select the

@@ -42,4 +42,53 @@ class DeepNestSpec extends SparkSuite {
     assert(bad === expectBad)
 
   }
+
+  // the hatch must be INVISIBLE semantically: just past each threshold
+  // the interpreter UDF's output equals the Column tier's
+  // single-expression output on the same data
+  test("escape-hatch ≡ Column tier at both threshold boundaries") {
+    import scala.jdk.CollectionConverters._
+    def sch(d: Int): SchemaIR =
+      if (d == 0) S.int(0L, 100L)
+      else S.mapE(false, S.req("leaf", S.int(0L, 100L)),
+        S.req("kid", sch(d - 1)))
+    def dt(d: Int): DataType =
+      if (d == 0) LongType
+      else StructType(Seq(StructField("leaf", LongType),
+        StructField("kid", dt(d - 1))))
+    def v(d: Int, x: Long): Any = if (d == 0) x else Row(x, v(d - 1, x))
+    def mk(D: Int) = {
+      val top = S.mapE(false, S.req("root", sch(D))).asInstanceOf[SMap]
+      val st = StructType(Seq(StructField("root", dt(D))))
+      val rows = (0 until 60).map(i =>
+        Row(v(D, (i * 7) % 130).asInstanceOf[Row]))
+      (top, st, spark.createDataFrame(
+        new java.util.ArrayList[Row](rows.asJava), st))
+    }
+    // valid: depth 17 rides the hatch; the generic route still compiles
+    locally {
+      val (top, st, df) = mk(17)
+      val hatch = SchemaCompiler.validateDF(top, df, "ok")
+        .select("ok").collect().map(_.getBoolean(0))
+      val generic = df.select(SchemaCompiler.valid(top,
+          F.struct(F.col("root")), st).as("ok"))
+        .collect().map(_.getBoolean(0))
+      assert(hatch.toSeq === generic.toSeq)
+    }
+    // errors: depth 11 rides the hatch (errors wall is lower)
+    locally {
+      val (top, st, df) = mk(11)
+      def errSet(r: Row) = r.getSeq[Row](0)
+        .map(e => (e.getString(0), e.getString(1), e.getString(2),
+          e.getString(3))).toSet
+      val hatch = SchemaCompiler.explainDF(top, df, "e")
+        .select(F.col("e")).collect()
+      val generic = df.select(SchemaCompiler.errors(top,
+          F.struct(F.col("root")), st, "", F.lit("")).as("e"))
+        .collect()
+      hatch.zip(generic).zipWithIndex.foreach { case ((h, g), i) =>
+        assert(errSet(h) === errSet(g), s"row $i errors diverge")
+      }
+    }
+  }
 }

@@ -41,7 +41,7 @@ object GeneralRegex {
 
   private def toRows(errs: Vector[RowEval.Err]): Seq[ViolRow] =
     errs.map(e => ViolRow(e.path.mkString("/"), e.in.mkString("/"), e.key,
-      if (e.value == null) null else String.valueOf(e.value)))
+      RowEval.errValueString(e.value)))
 
   private val nullErr = Seq(ViolRow("", "",
     mallispark.ir.SchemaIR.ErrorKeys.InvalidType, null))

@@ -1313,31 +1313,36 @@ object SchemaCompiler {
     * the general seq-regex uses (SURVEY §2.9): linear in schema size,
     * no codegen, row-local. */
   private def deepValidUdf(m: SMap, st: StructType, ctx: Ctx): Column = {
-    val reg = ctx.registry
+    val (reg, d) = (ctx.registry, ctx.depth)
     val f = F.udf(new org.apache.spark.sql.api.java.UDF1[
         org.apache.spark.sql.Row, Boolean] {
       override def call(r: org.apache.spark.sql.Row): Boolean =
-        mallispark.eval.RowEval.validate(m, r)(reg)
+        mallispark.eval.RowEval.validate(m, r)(reg, d)
     }, BooleanType)
-    f(F.struct(st.fieldNames.toIndexedSeq.map(F.col): _*))
+    f(rowStructCol(st))
   }
 
   /** explainDF twin of [[deepValidUdf]] — row-level explain emitting the
-    * violStruct rows directly (absolute paths, like the Column tier). */
+    * violStruct rows directly (absolute paths; values via the shared
+    * deterministic stringifier that mirrors the Column tier's valueStr
+    * shape — base64 binaries, compact-JSON containers). */
   private def deepErrorsUdf(m: SMap, st: StructType, ctx: Ctx): Column = {
-    val reg = ctx.registry
+    val (reg, d) = (ctx.registry, ctx.depth)
     val f = F.udf(new org.apache.spark.sql.api.java.UDF1[
         org.apache.spark.sql.Row, Seq[org.apache.spark.sql.Row]] {
       override def call(r: org.apache.spark.sql.Row)
           : Seq[org.apache.spark.sql.Row] =
         mallispark.eval.RowEval
-          .explain(m, r, Vector.empty, Vector.empty)(reg)
+          .explain(m, r, Vector.empty, Vector.empty)(reg, d)
           .map(e => org.apache.spark.sql.Row(
             e.path.mkString("/"), e.in.mkString("/"), e.key,
-            if (e.value == null) null else String.valueOf(e.value)))
+            mallispark.eval.RowEval.errValueString(e.value)))
     }, violArrType)
-    f(F.struct(st.fieldNames.toIndexedSeq.map(F.col): _*))
+    f(rowStructCol(st))
   }
+
+  private def rowStructCol(st: StructType): Column =
+    F.struct(st.fieldNames.toIndexedSeq.map(F.col): _*)
 
   /** `m/explain` over a DataFrame: adds an `errors` array column
     * (empty ⇔ valid). */
@@ -1373,27 +1378,56 @@ object SchemaCompiler {
   /** A child that is itself a struct-shaped `:map` (through props
     * wrappers only — scoped children keep their inline compile because
     * they carry their own registries). */
-  private def peelMap(ir: SchemaIR): Option[SMap] = ir match {
-    case m: SMap => Some(m)
-    case SProps(_, c) => peelMap(c)
-    case _ => None
+  /** Depth of the nested-conditional chain the compiled expression will
+    * have — codegen's subexpression-elimination state is exponential in
+    * it (fine to ~18 for valid, ~10 for errors; OOM at 30). Counts every
+    * `:map`-over-struct level, DESCENDING through props/scoped/maybe
+    * wrappers, and/or/orn/andn/multi branches, collections, tuples and
+    * map-of values — a deep chain is a deep chain however it is wrapped.
+    * Refs count one level (their inline unroll is already bounded by
+    * ctx.depth ≤ 8). */
+  private def structMapDepth(ir: SchemaIR, dt: DataType): Int = ir match {
+    case m: SMap => dt match {
+      case st: StructType =>
+        val kids = m.entries.flatMap(e => st.find(_.name == e.key)
+          .map(f => structMapDepth(e.child, f.dataType)))
+        1 + (if (kids.isEmpty) 0 else kids.max)
+      case _ => 1
+    }
+    case SProps(_, c) => structMapDepth(c, dt)
+    case SScoped(_, c, _) => structMapDepth(c, dt)
+    case SMaybe(c) => structMapDepth(c, dt)
+    case SAnd(cs) => (0 +: cs.map(structMapDepth(_, dt))).max
+    case SOr(cs) => (0 +: cs.map(structMapDepth(_, dt))).max
+    case SOrn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt))).max
+    case SAndn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt))).max
+    case SMulti(_, bs, d) =>
+      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt))).max
+    case SMultiExpr(_, _, _, bs, d) =>
+      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt))).max
+    case SVector(c, _, _) => elemDepth(c, dt)
+    case SSeqable(c, _, _) => elemDepth(c, dt)
+    case SSet(c, _, _) => elemDepth(c, dt)
+    case SEvery(c, _, _, _) => elemDepth(c, dt)
+    case STuple(cs) => dt match {
+      case st: StructType =>
+        (0 +: cs.zip(st.fields).map { case (c, f) =>
+          structMapDepth(c, f.dataType) }).max
+      case ArrayType(et, _) =>
+        (0 +: cs.map(structMapDepth(_, et))).max
+      case _ => 0
+    }
+    case SMapOf(_, v, _, _) => dt match {
+      case mt: MapType => structMapDepth(v, mt.valueType)
+      case _ => 0
+    }
+    case _: SRef => 1
+    case _ => 0
   }
 
-  /** Depth of the struct-typed `:map` nesting chain. Single-expression
-    * compilation is O(r^depth) in optimizer/codegen TREE WALKS (each
-    * level references its parent's getField chain r ≈ entries+1 times;
-    * the objects are shared but every walk re-expands them) — fine to
-    * ~10 levels, fatal at 30. Deeper schemas flatten to per-level temp
-    * columns instead (see validateDF). */
-  private def structMapDepth(m: SMap, st: StructType): Int = {
-    val kids = m.entries.flatMap { e =>
-      st.find(_.name == e.key).map(_.dataType) match {
-        case Some(cst: StructType) =>
-          peelMap(e.child).map(cm => structMapDepth(cm, cst))
-        case _ => None
-      }
-    }
-    1 + (if (kids.isEmpty) 0 else kids.max)
+  private def elemDepth(c: SchemaIR, dt: DataType): Int = dt match {
+    case ArrayType(et, _) => structMapDepth(c, et)
+    case _ => 0
   }
 
   /** Nesting thresholds for the row-level-interpreter escape hatch in

@@ -1155,6 +1155,46 @@ object RowEval {
     case x => x
   }
 
+  /** Deterministic string form of an error VALUE for the UDF tiers —
+    * mirrors the Column tier's valueStr shape where expressible:
+    * binary → base64, containers → compact JSON, timestamps → the SQL
+    * cast format. `String.valueOf` on an Array would print a JVM
+    * identity hash (different every run — breaks cross-engine
+    * determinism), so every sink of interpreter errors routes here. */
+  def errValueString(v: Any): String = v match {
+    case null => null
+    case b: Array[Byte] => java.util.Base64.getEncoder.encodeToString(b)
+    case s: String => s // leaf position: bare, like cast-to-string
+    case t: java.sql.Timestamp =>
+      val s = t.toString // "yyyy-MM-dd HH:mm:ss.fff…"
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    case r: org.apache.spark.sql.Row => jsonish(r)
+    case m: scala.collection.Map[_, _] => jsonish(m)
+    case xs: scala.collection.Seq[_] => jsonish(xs)
+    case a: Array[_] => jsonish(a.toSeq)
+    case x => String.valueOf(x)
+  }
+
+  private def jsonish(v: Any): String = v match {
+    case null => "null"
+    case s: String => "\"" + s.replace("\\", "\\\\")
+      .replace("\"", "\\\"") + "\""
+    case b: Array[Byte] =>
+      "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
+    case r: org.apache.spark.sql.Row if r.schema != null =>
+      r.schema.fieldNames.zip(r.toSeq)
+        .map { case (k, x) => "\"" + k + "\":" + jsonish(x) }
+        .mkString("{", ",", "}")
+    case m: scala.collection.Map[_, _] =>
+      m.map { case (k, x) => "\"" + String.valueOf(k) + "\":" + jsonish(x) }
+        .mkString("{", ",", "}")
+    case xs: scala.collection.Seq[_] =>
+      xs.map(jsonish).mkString("[", ",", "]")
+    case a: Array[_] => jsonish(a.toSeq)
+    case t: java.sql.Timestamp => "\"" + errValueString(t) + "\""
+    case x => String.valueOf(x)
+  }
+
   private def asMap(v: Any): Option[Map[String, Any]] = v match {
     case m: scala.collection.Map[_, _] =>
       Some(m.toMap.map { case (k, x) => String.valueOf(k) -> (x: Any) })

@@ -36,6 +36,7 @@ class DeepNestSpec extends SparkSuite {
     val nv = SchemaCompiler.violationsDF(top, df, Seq.empty).count()
     println(s"[probe] violations ${(System.nanoTime() - t2) / 1e9}s nv=$nv")
     assert(nv === bad.toLong * (D + 1)) // every level flags the bad leaf
+    rmTree(tmp)
     // leaf values cycle i % 120; values 101..119 are invalid -> for 200
     // rows that is the count of i with (i % 120) > 100
     val expectBad = (0 until 200).count(i => i % 120 > 100)
@@ -74,6 +75,24 @@ class DeepNestSpec extends SparkSuite {
           F.struct(F.col("root")), st).as("ok"))
         .collect().map(_.getBoolean(0))
       assert(hatch.toSeq === generic.toSeq)
+    }
+    // a deep chain wrapped in :maybe at every level must STILL count as
+    // deep (the heuristic descends wrappers) — depth 30 through maybes
+    // completes instead of hitting the codegen wall
+    locally {
+      def msch(d: Int): SchemaIR =
+        if (d == 0) S.int(0L, 100L)
+        else S.maybe(S.mapE(false, S.req("leaf", S.int(0L, 100L)),
+          S.req("kid", msch(d - 1))))
+      val top = S.mapE(false, S.req("root", msch(30))).asInstanceOf[SMap]
+      val st = StructType(Seq(StructField("root", dt(30))))
+      val rows = (0 until 20).map(i =>
+        Row(v(30, (i * 7) % 130).asInstanceOf[Row]))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](rows.asJava), st)
+      val bad = SchemaCompiler.validateDF(top, df, "ok")
+        .where(!F.col("ok")).count()
+      assert(bad === (0 until 20).count(i => (i * 7) % 130 > 100))
     }
     // errors: depth 11 rides the hatch (errors wall is lower)
     locally {

@@ -20,4 +20,14 @@ object TestSpark {
 
 abstract class SparkSuite extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
+
+  /** Recursive temp-dir cleanup — tests writing parquet/ORC scratch data
+    * must not leak directories across the suite's many runs. */
+  def rmTree(path: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(root))
+      java.nio.file.Files.walk(root).iterator().asScala.toSeq
+        .reverse.foreach(java.nio.file.Files.delete)
+  }
 }

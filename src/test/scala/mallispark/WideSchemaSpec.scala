@@ -65,5 +65,6 @@ class WideSchemaSpec extends SparkSuite {
     val extra = pdf.withColumn("zz", F.lit("stray"))
     val ev = SchemaCompiler.violationsDF(sch, extra, Seq("c1"))
     assert(ev.where(F.col("error_key") === ErrorKeys.ExtraKey).count() === 10L)
+    rmTree(tmp); rmTree(ptmp)
   }
 }

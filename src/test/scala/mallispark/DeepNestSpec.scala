@@ -94,6 +94,46 @@ class DeepNestSpec extends SparkSuite {
         .where(!F.col("ok")).count()
       assert(bad === (0 until 20).count(i => (i * 7) % 130 > 100))
     }
+    // errors: depth 11 rides the hatch (errors wall is lower); a stray
+    // BINARY field under a closed innermost map pins value-string parity
+    // (base64 on both tiers — not a JVM array identity hash)
+    locally {
+      def bsch(d: Int): SchemaIR =
+        if (d == 0) S.mapE(true, S.req("leaf", S.int(0L, 100L)))
+        else S.mapE(false, S.req("leaf", S.int(0L, 100L)),
+          S.req("kid", bsch(d - 1)))
+      def bdt(d: Int): DataType =
+        if (d == 0) StructType(Seq(StructField("leaf", LongType),
+          StructField("stray", BinaryType)))
+        else StructType(Seq(StructField("leaf", LongType),
+          StructField("kid", bdt(d - 1))))
+      def bv(d: Int, x: Long): Any =
+        if (d == 0) Row(x, Array[Byte](1, 2, (x % 100).toByte))
+        else Row(x, bv(d - 1, x))
+      val D = 11
+      val top = S.mapE(false, S.req("root", bsch(D))).asInstanceOf[SMap]
+      val st = StructType(Seq(StructField("root", bdt(D))))
+      val rows = (0 until 30).map(i =>
+        Row(bv(D, (i * 7) % 130).asInstanceOf[Row]))
+      val df = spark.createDataFrame(
+        new java.util.ArrayList[Row](rows.asJava), st)
+      def errSet(r: Row) = r.getSeq[Row](0)
+        .map(e => (e.getString(0), e.getString(1), e.getString(2),
+          e.getString(3))).toSet
+      val hatch = SchemaCompiler.explainDF(top, df, "e")
+        .select(F.col("e")).collect()
+      val generic = df.select(SchemaCompiler.errors(top,
+          F.struct(F.col("root")), st, "", F.lit("")).as("e"))
+        .collect()
+      hatch.zip(generic).zipWithIndex.foreach { case ((h, g), i) =>
+        assert(errSet(h) === errSet(g), s"row $i binary-errors diverge")
+      }
+      // every row carries the stray binary -> extra-key with base64 value
+      val sample = errSet(hatch.head)
+      assert(sample.exists { case (_, _, k, v) =>
+        k == ErrorKeys.ExtraKey && v == java.util.Base64.getEncoder
+          .encodeToString(Array[Byte](1, 2, 0)) })
+    }
     // errors: depth 11 rides the hatch (errors wall is lower)
     locally {
       val (top, st, df) = mk(11)

@@ -1454,8 +1454,12 @@ object SchemaCompiler {
                    maskValue: Option[String] = None)(
       implicit ctx: Ctx = Ctx()): DataFrame = {
     val withErrs = explainDF(ir, df, "__errs", exclude)
+    // NO size(__errs) > 0 pre-filter: a non-outer explode already drops
+    // empty arrays, and the optimizer pushes such a filter BELOW the
+    // projection defining __errs, evaluating the whole errors expression
+    // twice per input row (once in Filter, once in Generate) — confirmed
+    // in the physical plan (guide §4.4's duplication, for pure columns)
     val exploded = withErrs
-      .where(F.size(F.col("__errs")) > 0)
       .select(keyCols.map(F.col) :+ F.explode(F.col("__errs")).as("e"): _*)
     val valueCol = maskValue match {
       case Some(m) => F.when(F.col("e.value").isNotNull, F.lit(m))

@@ -97,16 +97,31 @@ object Dedup {
   }
 
   def minhashBands(df: DataFrame, id: String, text: String,
-                   k: Int, bands: Int, n: Int): DataFrame = {
+                   k: Int, bands: Int, n: Int): DataFrame =
+    bandsFromSig(
+      df.select(F.col(id),
+        mallispark.expressions.ShingleMinHash(F.col(text), n, k).as("sig")),
+      id, k, bands, shiftNonneg = false)
+
+  /** Banding over an already-computed `sig` column (array<long>, length
+    * `k`): sentinel filter + per-band polynomial fold. Shared by the
+    * portable and native paths so callers can materialize the signature
+    * scan ONCE and band it without re-running the text kernel.
+    * `shiftNonneg` pmods native (possibly negative) xxhash64 minima into
+    * the nonneg domain the modular band-key fold expects. */
+  private def bandsFromSig(sig: DataFrame, id: String, k: Int, bands: Int,
+                           shiftNonneg: Boolean): DataFrame = {
     val rows = k / bands
-    val sig = df.select(F.col(id),
-      mallispark.expressions.ShingleMinHash(F.col(text), n, k).as("sig"))
-      .where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue)
-    sig.select(F.col(id), F.explode(
-      F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
-        F.struct(b.as("band"),
-          bandKey(F.slice(F.col("sig"), b * rows + 1, F.lit(rows)))
-            .as("band_key")))).as("bk"))
+    def slice(b: Column) = {
+      val raw = F.slice(F.col("sig"), b * rows + 1, F.lit(rows))
+      if (shiftNonneg) F.transform(raw, x => F.pmod(x, F.lit(Long.MaxValue)))
+      else raw
+    }
+    sig.where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue)
+      .select(F.col(id), F.explode(
+        F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
+          F.struct(b.as("band"),
+            bandKey(slice(b)).as("band_key")))).as("bk"))
       .select(F.col(id), F.col("bk.band").as("band"),
         F.col("bk.band_key").as("band_key"))
   }
@@ -271,22 +286,13 @@ object Dedup {
     * Candidate-generation only: band keys are engine-native, so anything
     * CONSUMING them must re-verify exactly. */
   def minhashBandsFast(df: DataFrame, id: String, text: String,
-                       k: Int, bands: Int, n: Int): DataFrame = {
-    val rows = k / bands
-    val sig = df.select(F.col(id),
-      mallispark.expressions.MinHashFromText(F.col(text), n, k).as("sig"))
-      .where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue)
+                       k: Int, bands: Int, n: Int): DataFrame =
     // native xxhash64 minima can be negative — shift to nonneg before the
     // modular band-key fold (engine-internal keys, grouping-equivalent)
-    sig.select(F.col(id), F.explode(
-      F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
-        F.struct(b.as("band"),
-          bandKey(F.transform(
-            F.slice(F.col("sig"), b * rows + 1, F.lit(rows)),
-            x => F.pmod(x, F.lit(Long.MaxValue)))).as("band_key")))).as("bk"))
-      .select(F.col(id), F.col("bk.band").as("band"),
-        F.col("bk.band_key").as("band_key"))
-  }
+    bandsFromSig(
+      df.select(F.col(id),
+        mallispark.expressions.MinHashFromText(F.col(text), n, k).as("sig")),
+      id, k, bands, shiftNonneg = true)
 
   /** Scale path: exact Jaccard REFINEMENT of MinHash-LSH candidates —
     * the quadratic pair expansion runs only inside LSH buckets (candidate
@@ -306,7 +312,8 @@ object Dedup {
                                 maxShingleDf: Int = 0,
                                 portable: Boolean = false,
                                 maxBucket: Int = 4096,
-                                maxHotBroadcast: Int = 1 << 20): DataFrame = {
+                                maxHotBroadcast: Int = 1 << 20,
+                                materialize: Boolean = true): DataFrame = {
     // candidate pairs from ONE pass over the banded signatures: group a
     // band bucket, explode its id pairs (bucket sizes are LSH-bounded, so
     // the per-bucket pair expansion is small by construction). HOT-BUCKET
@@ -317,9 +324,30 @@ object Dedup {
     // the `lsh_dropped_buckets` observed metric on every action. The
     // member collect is itself state-bounded (maxBucket+1-capped heap),
     // so even the dropped bucket's aggregation state is O(maxBucket).
-    val bd = (if (portable) minhashBands(df, id, text, k, bands, n)
-              else minhashBandsFast(df, id, text, k, bands, n))
-      .select(F.col(id).as("doc"), F.col("band"), F.col("band_key"))
+    // ONE text-kernel scan for the whole pipeline: the signature (LSH
+    // banding) and the 60-bit shingle set (exact refinement) are computed
+    // in the same projection and materialized (localCheckpoint). The
+    // naive layout ran the text kernels once per downstream reference —
+    // banding, the hot-shingle df pass AND the per-doc set each re-read
+    // parquet and re-tokenized (and a pushed-down size(hs0)>0 filter
+    // doubled the set kernel again within one pass) — ~4 kernel scans
+    // where one suffices (guide §1.2: fix the pass count first; §5:
+    // cache exactly the reused, expensive-to-recompute intermediate).
+    // State is per-doc arrays (k longs + distinct-shingle hashes), far
+    // smaller than the text payload it replaces. `materialize = false`
+    // keeps the kernel projection in-plan (recompute per reference) —
+    // used by plan specs that assert the kernel wiring.
+    val base0 = df.select(F.col(id).as("doc"),
+        (if (portable)
+          mallispark.expressions.ShingleMinHash(F.col(text), n, k)
+        else
+          mallispark.expressions.MinHashFromText(F.col(text), n, k))
+          .as("sig"),
+        mallispark.expressions.ShingleH60Set(F.col(text), n).as("hs0"))
+    val base = if (materialize) base0.localCheckpoint(true) else base0
+    val bd = bandsFromSig(base.select(F.col("doc"), F.col("sig")), "doc",
+        k, bands, shiftNonneg = !portable)
+      .select(F.col("doc"), F.col("band"), F.col("band_key"))
     val buckets = bd.groupBy("band", "band_key")
       .agg(mallispark.expressions.BoundedCollectMin(
           F.col("doc").cast(LongType), maxBucket + 1).as("ids"),
@@ -353,8 +381,7 @@ object Dedup {
     // Either way no aggregation buffer grows with corpus content.
     // Intersections are array_intersect on the candidate pair rows:
     // shingle rows never join against each other.
-    val hs60 = df.select(F.col(id).as("doc"),
-      mallispark.expressions.ShingleH60Set(F.col(text), n).as("hs0"))
+    val hs60 = base.select(F.col("doc"), F.col("hs0"))
       .where(F.size(F.col("hs0")) > 0)
     val docsets =
       if (maxShingleDf <= 0)

@@ -143,8 +143,20 @@ class PlanSpec extends SparkSuite {
     // k signature values are fine — that's k elements per doc, not per
     // shingle); the tokenizing split would betray the old HOF path
     assert(!lsh.contains("split(lower("), "shingle tokenization in-plan")
+    // the bench query materializes the one-pass kernel projection
+    // (localCheckpoint), which hides the expression from the final plan —
+    // assert the wiring on the unmaterialized variant, and that the
+    // materialized bench plan carries no tokenizing HOF chain either
+    val jacWiring = planOf(mallispark.text.Dedup.ngramJaccardWithinBuckets(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text",
+      n = 3, threshold = 0.9, k = 16, bands = 8, materialize = false))
+    assert(jacWiring.contains("shingle_h60_set"),
+      "no h60 kernel in jaccard plan")
+    assert(jacWiring.contains("minhash_from_text") ||
+      jacWiring.contains("shingle_minhash"),
+      "no minhash kernel in jaccard plan")
     val jac = planOf(graft.SparkEntry.queries("dedup_jaccard")(spark, sf))
-    assert(jac.contains("shingle_h60_set"), "no h60 kernel in jaccard plan")
+    assert(!jac.contains("split(lower("), "shingle tokenization in-plan")
     val sim = planOf(graft.SparkEntry.queries("dedup_simhash")(spark, sf))
     assert(sim.contains("simhash_portable"), "no kernel in simhash plan")
     val ann = planOf(graft.SparkEntry.queries("ann_lsh_topk")(spark, sf))

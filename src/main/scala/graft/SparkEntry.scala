@@ -38,20 +38,37 @@ object SparkEntry {
   private def pages(s: SparkSession, dir: String): DataFrame =
     WebPages.derive(t(s, dir, "documents"))
 
-  /** Corpus-scaled ubiquitous-shingle cap for the Jaccard family: a FIXED
-    * df cap stops meaning "ubiquitous" as the corpus grows (at web scale
-    * nearly every distinct shingle exceeds df 20, and the hot set itself
-    * grows with corpus content), so the cap tracks corpus size: a shingle
-    * is hot only past 1% of the shingled-document count, floor 20. The
-    * count() is a one-number driver aggregate; the SQL oracle computes
-    * the identical value as greatest(20, (SELECT count(*) FROM toks)//100)
-    * over the same length(text)>0 population. */
-  private def scaledShingleDf(p: DataFrame): Int =
-    math.max(20L,
-      p.where(F.length(F.col("text")) > 0).count() / 100L).toInt
+  // Corpus-scaled ubiquitous-shingle cap for the Jaccard family: a FIXED
+  // df cap stops meaning "ubiquitous" as the corpus grows (at web scale
+  // nearly every distinct shingle exceeds df 20, and the hot set itself
+  // grows with corpus content), so the cap tracks corpus size: a shingle
+  // is hot only past 1% of the shingled-document count, floor 20 — the
+  // `scaledShingleDf = Some((20, 100L))` argument the Jaccard builders
+  // pass. The count rides the pipeline's base materialization as an
+  // observe metric (no separate corpus scan); the SQL oracle computes
+  // the identical value as greatest(20, (SELECT count(*) FROM toks)//100)
+  // over the same length(text)>0 population.
 
   /** Portable logical partition: md5-derived hash of url, mod 32. */
   private def partId(url: Column): Column = TextOps.h32(url) % 32
+
+  /** Run `body` with `spark.sql.shuffle.partitions` temporarily set to
+    * the streaming-state partition count (default 8, env
+    * SPARK_GRAFT_STREAM_STATE_PARTS). A stateful stream spawns one state
+    * store per shuffle partition per micro-batch (delta + snapshot files,
+    * task per partition) — the gate streams carry sf0.01-sized state, so
+    * the session-wide 32 buys nothing but 4× the state-store commit I/O
+    * (guide §2.2: fewer, larger partitions). At production scale set the
+    * env to match key-cardinality/executor count; the value is pinned
+    * into the checkpoint by the first run either way. Results are
+    * partition-count-independent (grouping semantics don't change). */
+  private def withStreamStateParts[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTS", "8"))
+    try body finally s.conf.set(key, prev)
+  }
 
   // ------------------------------------------------------------------
   // multimodal test corpus: real BMP/WAV binaries synthesized
@@ -712,11 +729,13 @@ object SparkEntry {
       val win = mallispark.streaming.StreamingValidator
         .windowedVerdicts(validated, "ts")
       val qn = s"win_verdicts_${System.nanoTime}"
-      val q = win.writeStream.format("memory").queryName(qn)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      withStreamStateParts(s) {
+        val q = win.writeStream.format("memory").queryName(qn)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
       val res = s.table(qn)
         .select(
           F.unix_timestamp(F.col("window.start")).cast(LongType)
@@ -784,8 +803,10 @@ object SparkEntry {
       // checkpointed state MUST suppress them — a broken state store
       // would re-emit and fail the oracle (disjoint batches would pass
       // trivially)
-      pass(p.where(F.col("doc_id") % 3 < 2))
-      pass(p.where(F.col("doc_id") % 3 > 0))
+      withStreamStateParts(s) {
+        pass(p.where(F.col("doc_id") % 3 < 2))
+        pass(p.where(F.col("doc_id") % 3 > 0))
+      }
       val res = s.read.parquet(sink.toString)
         .select(F.col("url"), F.col("first_id")).orderBy("url")
       val rows = res.collect().toIndexedSeq
@@ -1479,7 +1500,7 @@ object SparkEntry {
       val p = pages(s, dir)
       Dedup.ngramJaccardWithinBuckets(p, "doc_id", "text",
           n = 3, threshold = 0.9, k = 16, bands = 8,
-          maxShingleDf = scaledShingleDf(p))
+          scaledShingleDf = Some((20, 100L)))
         .select("id_a", "id_b", "inter", "sz_a", "sz_b")
         .orderBy("id_a", "id_b")
     }),
@@ -1492,7 +1513,7 @@ object SparkEntry {
       Dedup.dupClusters(
           Dedup.ngramJaccardWithinBuckets(p, "doc_id", "text",
             n = 3, threshold = 0.9, k = 16, bands = 8,
-            maxShingleDf = scaledShingleDf(p)),
+            scaledShingleDf = Some((20, 100L))),
           "id_a", "id_b")
         .orderBy("cluster_id")
     }),
@@ -1504,7 +1525,7 @@ object SparkEntry {
       Dedup.dupClustersStar(
           Dedup.ngramJaccardWithinBuckets(p, "doc_id", "text",
             n = 3, threshold = 0.9, k = 16, bands = 8,
-            maxShingleDf = scaledShingleDf(p)),
+            scaledShingleDf = Some((20, 100L))),
           "id_a", "id_b")
         .orderBy("cluster_id")
     }),

@@ -313,7 +313,9 @@ object Dedup {
                                 portable: Boolean = false,
                                 maxBucket: Int = 4096,
                                 maxHotBroadcast: Int = 1 << 20,
-                                materialize: Boolean = true): DataFrame = {
+                                materialize: Boolean = true,
+                                scaledShingleDf: Option[(Int, Long)] = None)
+      : DataFrame = {
     // candidate pairs from ONE pass over the banded signatures: group a
     // band bucket, explode its id pairs (bucket sizes are LSH-bounded, so
     // the per-bucket pair expansion is small by construction). HOT-BUCKET
@@ -337,14 +339,41 @@ object Dedup {
     // smaller than the text payload it replaces. `materialize = false`
     // keeps the kernel projection in-plan (recompute per reference) —
     // used by plan specs that assert the kernel wiring.
-    val base0 = df.select(F.col(id).as("doc"),
+    //
+    // `scaledShingleDf = Some((floor, divisor))` derives the ubiquitous-
+    // shingle cap from the corpus itself — max(floor, N/divisor) with N =
+    // docs with nonempty text — riding N on the base materialization as
+    // an `observe` metric (Observations complete on an eager
+    // localCheckpoint) instead of the caller paying a SEPARATE corpus
+    // scan for the count. Overrides `maxShingleDf` when set.
+    val wantScaled = scaledShingleDf.isDefined && materialize
+    val obsOpt =
+      if (wantScaled)
+        Some(org.apache.spark.sql.Observation(obsName("jaccard_corpus_n")))
+      else None
+    val baseCols = Seq(F.col(id).as("doc"),
         (if (portable)
           mallispark.expressions.ShingleMinHash(F.col(text), n, k)
         else
           mallispark.expressions.MinHashFromText(F.col(text), n, k))
           .as("sig"),
-        mallispark.expressions.ShingleH60Set(F.col(text), n).as("hs0"))
+        mallispark.expressions.ShingleH60Set(F.col(text), n).as("hs0")) ++
+      (if (wantScaled) Seq((F.length(F.col(text)) > 0).as("len_ok"))
+       else Nil)
+    val baseSel = df.select(baseCols: _*)
+    val base0 = obsOpt.map(o => baseSel.observe(o,
+        F.coalesce(F.sum(F.when(F.col("len_ok"), 1L).otherwise(0L)),
+          F.lit(0L)).as("n"))).getOrElse(baseSel)
     val base = if (materialize) base0.localCheckpoint(true) else base0
+    val effMaxShingleDf = scaledShingleDf match {
+      case Some((floor, div)) if materialize =>
+        math.max(floor.toLong,
+          obsOpt.get.get("n").asInstanceOf[Long] / div).toInt
+      case Some((floor, div)) => // unmaterialized: pay the explicit count
+        math.max(floor.toLong,
+          df.where(F.length(F.col(text)) > 0).count() / div).toInt
+      case None => maxShingleDf
+    }
     val bd = bandsFromSig(base.select(F.col("doc"), F.col("sig")), "doc",
         k, bands, shiftNonneg = !portable)
       .select(F.col("doc"), F.col("band"), F.col("band_key"))
@@ -384,14 +413,14 @@ object Dedup {
     val hs60 = base.select(F.col("doc"), F.col("hs0"))
       .where(F.size(F.col("hs0")) > 0)
     val docsets =
-      if (maxShingleDf <= 0)
+      if (effMaxShingleDf <= 0)
         hs60.select(F.col("doc"), F.col("hs0").as("hs"))
       else {
         val exploded = hs60.select(F.col("doc"),
           F.explode(F.col("hs0")).as("h"))
         // one pass over the exploded rows; what survives is small
         val hot = exploded.groupBy("h").agg(F.count(F.lit(1)).as("df"))
-          .where(F.col("df") > maxShingleDf)
+          .where(F.col("df") > effMaxShingleDf)
           .select("h")
           .localCheckpoint(true)
         val nHot = hot.count() // free: runs on the checkpointed blocks

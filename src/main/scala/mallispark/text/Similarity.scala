@@ -118,22 +118,27 @@ object Similarity {
     // near-identical embeddings collapsing into one signature) would
     // expand |cell|² candidate pairs; cells over `maxBucket` are skipped
     // — recall degrades, the job survives — with the skip count exposed
-    // as an observed metric. The size pre-aggregation shuffles on the
-    // same (tbl, bucket) key as the self-join, so the exchange is reused.
-    val okCells = b.groupBy("tbl", "bucket")
-      .agg(F.count(F.lit(1)).as("bsz"))
+    // as an observed metric. Candidate pairs come from ONE aggregation of
+    // the banded rows (k-capped member heap per cell + in-cell pair
+    // explode, the same shape as the Jaccard path) instead of a
+    // cell-size pre-join feeding a self-join — one exchange of
+    // (tbl, bucket, id), no second shuffle of the banded rows, no join.
+    // Ids must be INTEGRAL (the bounded heap is a long heap), same
+    // restriction the dedup member lists carry.
+    val buckets = b.groupBy("tbl", "bucket")
+      .agg(mallispark.expressions.BoundedCollectMin(
+          F.col(idCol).cast(LongType), maxBucket + 1).as("ids"),
+        F.count(F.lit(1)).as("bsz"))
       .observe(obsName("embedding_lsh_dropped_buckets"),
         F.coalesce(F.sum(F.when(F.col("bsz") > maxBucket, 1L)
           .otherwise(0L)), F.lit(0L)).as("dropped"))
-      .where(F.col("bsz") <= maxBucket)
-      .select("tbl", "bucket")
-    val bg = b.join(okCells, Seq("tbl", "bucket"))
-    val cand = bg.select(F.col(idCol).as("id_a"), F.col("tbl"),
-        F.col("bucket"))
-      .join(bg.select(F.col(idCol).as("id_b"), F.col("tbl"),
-        F.col("bucket")), Seq("tbl", "bucket"))
-      .where(F.col("id_a") < F.col("id_b"))
-      .select("id_a", "id_b").distinct()
+      .where(F.col("bsz") > 1 && F.col("bsz") <= maxBucket)
+    val ids = F.col("ids")
+    val cand = buckets.select(F.explode(F.flatten(F.transform(ids, (x, i) =>
+        F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
+          y => F.struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
+      .distinct()
     val va = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
     val vb = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
     cand.join(va, "id_a").join(vb, "id_b")

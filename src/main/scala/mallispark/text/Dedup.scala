@@ -496,38 +496,46 @@ object Dedup {
     val edges = p.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
       .unionAll(p.select(F.col(bCol).as("a"), F.col(aCol).as("b")))
       .distinct().localCheckpoint(true)
-    var labels = edges.select(F.col("a").as("id"))
-      .distinct().select(F.col("id"), F.col("id").as("label"))
-      .localCheckpoint(true)
-    var changed = 1L
+    // seed labels lazily (id → id over the edge endpoints) — round 1's
+    // groupBy dedups them, so no separate distinct/checkpoint job
+    var labels = edges.select(F.col("a").as("id"), F.col("a").as("label"))
+    // Each round is ONE equi-join + ONE groupBy: every endpoint takes
+    // min(own ∪ neighbors' labels) via `(edges ⋈ labels on b) ∪ labels
+    // → min per id` — the previous formulation added a second (outer)
+    // join per round just to pair old/new labels for the changed-count
+    // metric. Labels are monotonically non-increasing, so the label SUM
+    // (summed exactly in decimal — no overflow, ANSI-safe) is strictly
+    // decreasing until the fixpoint and stalls exactly there: comparing
+    // consecutive round sums detects convergence with no old/new pairing
+    // at all. ~1/3 less shuffle work per round (guide §2.4), identical
+    // fixpoint.
+    var prevSum: Option[java.math.BigDecimal] = None
+    var converged = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      val nbrMin = edges
-        .join(labels.select(F.col("id").as("b"), F.col("label").as("bl")),
-          "b")
-        .groupBy("a").agg(F.min("bl").as("nmin"))
+    while (!converged && it < maxIter) {
       val obs = org.apache.spark.sql.Observation(s"cc_round_$it")
-      val next = labels
-        .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
-        .select(F.col("id"), F.col("label").as("old"),
-          F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label")))
-            .as("label"))
+      val next = edges
+        .join(labels.select(F.col("id").as("b"), F.col("label")), "b")
+        .select(F.col("a").as("id"), F.col("label"))
+        .unionAll(labels)
+        .groupBy("id").agg(F.min("label").as("label"))
         .observe(obs, F.coalesce(
-          F.sum(F.when(F.col("label") =!= F.col("old"), 1L).otherwise(0L)),
-          F.lit(0L)).as("changed"))
-        .select("id", "label")
+          F.sum(F.col("label").cast(DecimalType(38, 0))),
+          F.lit(java.math.BigDecimal.ZERO).cast(DecimalType(38, 0)))
+          .as("lsum"))
         .localCheckpoint(true) // eager: fires the round's ONE job
-      changed = obs.get("changed").asInstanceOf[Long]
+      val lsum = obs.get("lsum").asInstanceOf[java.math.BigDecimal]
+      converged = prevSum.exists(_.compareTo(lsum) == 0)
+      prevSum = Some(lsum)
       labels = next
       it += 1
     }
     // labels that are still moving are NOT component ids — refuse to
     // emit wrong clusters (min-label needs diameter rounds; raise
     // maxIter or use dupClustersStar for adversarial chains)
-    if (changed > 0) throw new IllegalStateException(
+    if (!converged) throw new IllegalStateException(
       s"dupClusters: min-label propagation did not converge in $maxIter " +
-        s"rounds ($changed labels still changing) — raise maxIter or use " +
-        "dupClustersStar (O(log d) rounds)")
+        "rounds — raise maxIter or use dupClustersStar (O(log d) rounds)")
     // members sort NUMERICALLY (a string sort would put "10" before "2");
     // the list is state-bounded: maxMembers smallest ids + full sz
     labels.groupBy(F.col("label").as("cluster_id"))

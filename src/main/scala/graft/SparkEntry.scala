@@ -1959,10 +1959,22 @@ object SparkEntry {
     // is the engine-proved law
     "native_hash_law" -> ((s, dir) => {
       import mallispark.expressions.{MinHashFromText, SimHashFromText}
-      val p = pages(s, dir).where(F.length(F.col("text")) > 0)
-        .select(F.col("doc_id"), F.md5(F.col("text")).as("th"),
+      // the self-join on md5(text) keeps ONLY duplicate-text pairs — so
+      // compute the expensive 64-seed MinHash/SimHash kernels ONLY for
+      // docs whose text hash recurs (guide §3.2: reduce the side before
+      // the expensive work), not for every doc on both join sides. The
+      // dup-hash set is tiny (bounded by repeated boilerplate) →
+      // broadcast semi-join; signatures for the surviving docs are
+      // materialized once and self-joined.
+      val basep = pages(s, dir).where(F.length(F.col("text")) > 0)
+        .select(F.col("doc_id"), F.col("text"), F.md5(F.col("text")).as("th"))
+      val dups = basep.groupBy("th").agg(F.count(F.lit(1)).as("c"))
+        .where(F.col("c") > 1).select("th")
+      val p = basep.join(F.broadcast(dups), "th")
+        .select(F.col("doc_id"), F.col("th"),
           MinHashFromText(F.col("text"), 3, 64).as("mh"),
           SimHashFromText(F.col("text")).as("sh"))
+        .localCheckpoint(true)
       val a = p.select(F.col("doc_id").as("id_a"), F.col("th"),
         F.col("mh").as("mh_a"), F.col("sh").as("sh_a"))
       val b = p.select(F.col("doc_id").as("id_b"), F.col("th"),

@@ -333,7 +333,14 @@ object Parse {
             unparse(c, v.cast(parseType(c, dt)), dt)).otherwise(acc)
         }
       // :or unparse = first child whose unparser succeeds, in child
-      // order; a simple child's unparser is validate-or-invalid
+      // order; a simple child's unparser is validate-or-invalid.
+      // GUARD (reference ->unparser stops at the first non-::m/invalid
+      // result, which CAN be nil): coalesce conflates "child unparsed to
+      // NULL" with "child failed" and would fall through to a later
+      // child. Safe ONLY under tier-1's one-unified-type restriction,
+      // where no null-accepting branch is expressible here; if such a
+      // branch ever becomes expressible, encode success separately from
+      // the value (e.g. a struct of (ok, value)) instead of coalesce.
       case SOr(cs) =>
         val candidates = cs.map { c =>
           if (simple(c))

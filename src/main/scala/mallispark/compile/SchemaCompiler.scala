@@ -1293,7 +1293,7 @@ object SchemaCompiler {
       case Some((m, ctx2)) =>
         val st = StructType(df.schema.fields
           .filterNot(f => (exclude + outCol)(f.name)))
-        if (structMapDepth(m, st) > DeepNestThreshold)
+        if (structMapDepth(m, st)(ctx2) > DeepNestThreshold)
           df.withColumn(outCol, deepValidUdf(m, st, ctx2))
         else
           df.withColumn(outCol,
@@ -1353,7 +1353,7 @@ object SchemaCompiler {
       case Some((m, ctx2)) =>
         val st = StructType(df.schema.fields
           .filterNot(f => (exclude + outCol)(f.name)))
-        if (structMapDepth(m, st) > DeepNestErrorsThreshold)
+        if (structMapDepth(m, st)(ctx2) > DeepNestErrorsThreshold)
           df.withColumn(outCol, deepErrorsUdf(m, st, ctx2))
         else
           df.withColumn(outCol, errorStructFields(m.entries, m.closed,
@@ -1384,49 +1384,74 @@ object SchemaCompiler {
     * `:map`-over-struct level, DESCENDING through props/scoped/maybe
     * wrappers, and/or/orn/andn/multi branches, collections, tuples and
     * map-of values — a deep chain is a deep chain however it is wrapped.
-    * Refs count one level (their inline unroll is already bounded by
-    * ctx.depth ≤ 8). */
-  private def structMapDepth(ir: SchemaIR, dt: DataType): Int = ir match {
+    * Refs DEREFERENCE through the registry (cycle-guarded): valid()/
+    * errors() inline-unroll a ref's target up to ctx.depth times, so a
+    * ref whose target is itself a deep struct chain — or a recursive ref
+    * nesting several maps per unroll — compiles to a conditional chain of
+    * target-depth (× unroll count when self-recursive) levels; counting
+    * the ref as a flat 1 let exactly the exponential-codegen OOM the
+    * hatch exists to prevent sneak past the heuristic. The multiply
+    * over-counts refs whose deep physical struct does not actually recur
+    * at every level, which can only engage the hatch EARLY — the safe
+    * direction. */
+  private def structMapDepth(ir: SchemaIR, dt: DataType,
+                             seen: Set[String] = Set.empty)(
+      implicit ctx: Ctx): Int = ir match {
     case m: SMap => dt match {
       case st: StructType =>
         val kids = m.entries.flatMap(e => st.find(_.name == e.key)
-          .map(f => structMapDepth(e.child, f.dataType)))
+          .map(f => structMapDepth(e.child, f.dataType, seen)))
         1 + (if (kids.isEmpty) 0 else kids.max)
       case _ => 1
     }
-    case SProps(_, c) => structMapDepth(c, dt)
-    case SScoped(_, c, _) => structMapDepth(c, dt)
-    case SMaybe(c) => structMapDepth(c, dt)
-    case SAnd(cs) => (0 +: cs.map(structMapDepth(_, dt))).max
-    case SOr(cs) => (0 +: cs.map(structMapDepth(_, dt))).max
-    case SOrn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt))).max
-    case SAndn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt))).max
+    case SProps(_, c) => structMapDepth(c, dt, seen)
+    case SScoped(local, c, _) =>
+      structMapDepth(c, dt, seen)(ctx.copy(registry =
+        Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
+    case SMaybe(c) => structMapDepth(c, dt, seen)
+    case SAnd(cs) => (0 +: cs.map(structMapDepth(_, dt, seen))).max
+    case SOr(cs) => (0 +: cs.map(structMapDepth(_, dt, seen))).max
+    case SOrn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt, seen))).max
+    case SAndn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt, seen))).max
     case SMulti(_, bs, d) =>
-      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt))).max
+      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt, seen))).max
     case SMultiExpr(_, _, _, bs, d) =>
-      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt))).max
-    case SVector(c, _, _) => elemDepth(c, dt)
-    case SSeqable(c, _, _) => elemDepth(c, dt)
-    case SSet(c, _, _) => elemDepth(c, dt)
-    case SEvery(c, _, _, _) => elemDepth(c, dt)
+      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt, seen))).max
+    case SVector(c, _, _) => elemDepth(c, dt, seen)
+    case SSeqable(c, _, _) => elemDepth(c, dt, seen)
+    case SSet(c, _, _) => elemDepth(c, dt, seen)
+    case SEvery(c, _, _, _) => elemDepth(c, dt, seen)
     case STuple(cs) => dt match {
       case st: StructType =>
         (0 +: cs.zip(st.fields).map { case (c, f) =>
-          structMapDepth(c, f.dataType) }).max
+          structMapDepth(c, f.dataType, seen) }).max
       case ArrayType(et, _) =>
-        (0 +: cs.map(structMapDepth(_, et))).max
+        (0 +: cs.map(structMapDepth(_, et, seen))).max
       case _ => 0
     }
     case SMapOf(_, v, _, _) => dt match {
-      case mt: MapType => structMapDepth(v, mt.valueType)
+      case mt: MapType => structMapDepth(v, mt.valueType, seen)
       case _ => 0
     }
-    case _: SRef => 1
+    case SRef(name) =>
+      if (seen(name)) 0 // cycle: charged at first entry via the multiply
+      else ctx.registry.schemas.get(name) match {
+        case Some(target) =>
+          val d = structMapDepth(target, dt, seen + name)
+          // a self-recursive target re-inlines up to ctx.depth times —
+          // each unroll stacks the target's own chain again
+          val recursive = SchemaIR.fold(target, false)((acc, n) => acc ||
+            (n match { case SRef(`name`) => true; case _ => false }))
+          if (recursive) d * math.max(1, ctx.depth) else d
+        case None => 1 // unresolvable ref compiles to a leaf check
+      }
     case _ => 0
   }
 
-  private def elemDepth(c: SchemaIR, dt: DataType): Int = dt match {
-    case ArrayType(et, _) => structMapDepth(c, et)
+  private def elemDepth(c: SchemaIR, dt: DataType,
+                        seen: Set[String] = Set.empty)(
+      implicit ctx: Ctx): Int = dt match {
+    case ArrayType(et, _) => structMapDepth(c, et, seen)
     case _ => 0
   }
 

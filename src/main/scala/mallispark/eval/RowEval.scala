@@ -1182,7 +1182,11 @@ object RowEval {
     case b: Array[Byte] =>
       "\"" + java.util.Base64.getEncoder.encodeToString(b) + "\""
     case r: org.apache.spark.sql.Row if r.schema != null =>
+      // to_json (the Column tier's valueStr) DROPS null struct fields by
+      // default — emit the same shape so hatch-tier violation values are
+      // byte-identical to the Column tier's
       r.schema.fieldNames.zip(r.toSeq)
+        .filter(_._2 != null)
         .map { case (k, x) => "\"" + k + "\":" + jsonish(x) }
         .mkString("{", ",", "}")
     case m: scala.collection.Map[_, _] =>
@@ -1192,6 +1196,11 @@ object RowEval {
       xs.map(jsonish).mkString("[", ",", "]")
     case a: Array[_] => jsonish(a.toSeq)
     case t: java.sql.Timestamp => "\"" + errValueString(t) + "\""
+    // to_json quotes dates as ISO yyyy-MM-dd; String.valueOf would print
+    // them UNquoted (java.sql.Date.toString / LocalDate.toString are
+    // already the ISO form)
+    case d: java.sql.Date => "\"" + d.toString + "\""
+    case d: java.time.LocalDate => "\"" + d.toString + "\""
     case x => String.valueOf(x)
   }
 

@@ -197,8 +197,9 @@ object Generate {
         val hi = mx.map(sec).getOrElse(86399L)
         val t = F.lit(lo) + rnd(id, salt, hi - lo + 1)
         F.concat(fmtTimeOfDay(t),
-          F.element_at(F.array(Seq("+05:30", "Z", "-08:00", "+01:00")
-            .map(F.lit): _*), (rnd(id, salt + 7, 4) + 1).cast(IntegerType)))
+          F.element_at(F.array(zoneOffsetLabels.map(F.lit): _*),
+            (rnd(id, salt + 7, zoneOffsetLabels.size) + 1)
+              .cast(IntegerType)))
       case "offset-date-time" =>
         def sec(s: String) =
           java.time.OffsetDateTime.parse(s).toEpochSecond

@@ -76,7 +76,10 @@ object Infer {
          else Seq.empty) ++
         (f.dataType match {
           case StringType if opts.narrowStrings =>
-            Seq(F.count(F.when(c.rlike(UuidRe), 1)).as(s"${f.name}__uuid"))
+            // length(c) = 36 gate: codegen's && short-circuits, so long
+            // non-uuid strings (document bodies) never enter the regex
+            Seq(F.count(F.when(F.length(c) === 36 && c.rlike(UuidRe), 1))
+              .as(s"${f.name}__uuid"))
           case _: ArrayType =>
             Seq(F.min(F.size(c)).as(s"${f.name}__szmin"),
               F.max(F.size(c)).as(s"${f.name}__szmax"))
@@ -134,8 +137,12 @@ object Infer {
     * `:map-of`, which is always sound for a uniform physical map type). */
   private def inferMapCol(df: DataFrame, name: String, mt: MapType,
                           nonNullRows: Long, opts: Options): SchemaIR = {
+    // materialize the per-key counts once: the totals aggregate AND the
+    // fixed-key collect below both consume them (the collect otherwise
+    // re-runs the whole explode+groupBy)
     val keyRows = df.select(F.explode(F.map_keys(F.col(name))).as("k"))
       .groupBy("k").agg(F.count(F.lit(1)).as("kc"))
+      .localCheckpoint(true)
     val ks = stats(keyRows)
     val (nOcc, dk) = ks
     val kLeaf = leafFor(mt.keyType, name, null, Options())

@@ -189,13 +189,21 @@ object Dedup {
     * half with high probability for small hamming distances). */
   def simhashCandidates(df: DataFrame, id: String, text: String,
                         maxMembers: Int = DefaultMaxMembers): DataFrame = {
-    val withSig = simhashDF(df, id, text)
-    val byHalf = (half: String) => withSig.groupBy(F.col(half).as("half_key"))
+    // ONE kernel pass + ONE shuffle: explode each doc into its two
+    // (half, half_key) rows and group once — the per-half groupBy pair
+    // ran the SimHash kernel scan twice (once per union branch) for the
+    // same result set
+    val halves = simhashDF(df, id, text)
+      .select(F.col(id), F.explode(F.array(
+        F.struct(F.lit("hi").as("half"), F.col("hi").as("half_key")),
+        F.struct(F.lit("lo").as("half"), F.col("lo").as("half_key"))))
+        .as("hk"))
+      .select(F.col(id), F.col("hk.half").as("half"),
+        F.col("hk.half_key").as("half_key"))
+    halves.groupBy("half", "half_key")
       .agg(F.count(F.lit(1)).as("dup_cnt"),
         memberIds(id, maxMembers).as("doc_ids"))
       .where(F.col("dup_cnt") > 1)
-      .withColumn("half", F.lit(half))
-    byHalf("hi").unionAll(byHalf("lo"))
       .select("half", "half_key", "dup_cnt", "doc_ids")
   }
 

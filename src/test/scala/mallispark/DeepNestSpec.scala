@@ -102,13 +102,20 @@ class DeepNestSpec extends SparkSuite {
         if (d == 0) S.mapE(true, S.req("leaf", S.int(0L, 100L)))
         else S.mapE(false, S.req("leaf", S.int(0L, 100L)),
           S.req("kid", bsch(d - 1)))
+      // strayrec: a struct-valued stray field with a NULL field and a
+      // date — the hatch's value stringifier must match to_json exactly
+      // (null struct fields dropped, dates quoted ISO)
       def bdt(d: Int): DataType =
         if (d == 0) StructType(Seq(StructField("leaf", LongType),
-          StructField("stray", BinaryType)))
+          StructField("stray", BinaryType),
+          StructField("strayrec", StructType(Seq(
+            StructField("a", LongType, nullable = true),
+            StructField("d", DateType))))))
         else StructType(Seq(StructField("leaf", LongType),
           StructField("kid", bdt(d - 1))))
       def bv(d: Int, x: Long): Any =
-        if (d == 0) Row(x, Array[Byte](1, 2, (x % 100).toByte))
+        if (d == 0) Row(x, Array[Byte](1, 2, (x % 100).toByte),
+          Row(null, java.sql.Date.valueOf("2024-03-05")))
         else Row(x, bv(d - 1, x))
       val D = 11
       val top = S.mapE(false, S.req("root", bsch(D))).asInstanceOf[SMap]
@@ -149,5 +156,65 @@ class DeepNestSpec extends SparkSuite {
         assert(errSet(h) === errSet(g), s"row $i errors diverge")
       }
     }
+  }
+
+  // a ref whose TARGET is a deep struct chain must count its
+  // dereferenced depth (the valid()/errors() compile inline-unrolls the
+  // target), not a flat 1 — otherwise the exponential-codegen OOM the
+  // hatch prevents is reachable through one [:ref]
+  test("ref targets count dereferenced depth; shallow recursion stays codegen") {
+    import scala.jdk.CollectionConverters._
+    def sch(d: Int): SchemaIR =
+      if (d == 0) S.int(0L, 100L)
+      else S.mapE(false, S.req("leaf", S.int(0L, 100L)),
+        S.req("kid", sch(d - 1)))
+    def dt(d: Int): DataType =
+      if (d == 0) LongType
+      else StructType(Seq(StructField("leaf", LongType),
+        StructField("kid", dt(d - 1))))
+    def v(d: Int, x: Long): Any = if (d == 0) x else Row(x, v(d - 1, x))
+    val D = 18 // > valid threshold 16 once dereferenced; codegen twin still compiles
+    val top = S.scoped("chain" -> sch(D))(
+      S.mapE(false, S.req("root", S.ref("chain"))))
+    val st = StructType(Seq(StructField("root", dt(D))))
+    val rows = (0 until 60).map(i => Row(v(D, (i * 7) % 130).asInstanceOf[Row]))
+    // parquet round-trip: ConvertToLocalRelation would eagerly fold a
+    // LocalRelation plan and hide the hatch UDF from the assertion
+    val tmp = java.nio.file.Files.createTempDirectory("refdeep").toString
+    spark.createDataFrame(new java.util.ArrayList[Row](rows.asJava), st)
+      .write.mode("overwrite").parquet(tmp)
+    val df = spark.read.parquet(tmp)
+    val flagged = SchemaCompiler.validateDF(top, df, "ok")
+    assert(flagged.queryExecution.executedPlan.toString.contains("UDF"),
+      "deep ref chain did not engage the interpreter hatch")
+    val hatch = flagged.select("ok").collect().map(_.getBoolean(0))
+    val generic = df.select(SchemaCompiler.valid(top,
+        F.struct(F.col("root")), st).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(hatch.toSeq === generic.toSeq)
+    // the v_recursive_ref shape (1 map per unroll, ctx.depth 8) must stay
+    // on the codegen tier — over-counting would silently route shallow
+    // recursive schemas through the row interpreter
+    val rec = S.scoped("node" -> S.mapE(false,
+        S.req("v", S.intMin(0L)),
+        S.opt("kids", S.vector(S.ref("node")))))(
+      S.mapE(false, S.req("doc_id", S.int), S.req("tree", S.ref("node"))))
+    val treeDt = StructType(Seq(StructField("v", LongType),
+      StructField("kids", ArrayType(StructType(Seq(
+        StructField("v", LongType)))))))
+    val recSt = StructType(Seq(StructField("doc_id", LongType),
+      StructField("tree", treeDt)))
+    val recRows = (0 until 5).map(i =>
+      Row(i.toLong, Row(i.toLong, Seq(Row(i.toLong)))))
+    val tmp2 = java.nio.file.Files.createTempDirectory("refshal").toString
+    spark.createDataFrame(
+        new java.util.ArrayList[Row](recRows.asJava), recSt)
+      .write.mode("overwrite").parquet(tmp2)
+    val recDf = spark.read.parquet(tmp2)
+    val recPlan = SchemaCompiler.validateDF(rec, recDf, "ok")
+      .queryExecution.executedPlan.toString
+    assert(!recPlan.contains("UDF"),
+      "shallow recursive ref wrongly engaged the hatch")
+    rmTree(tmp); rmTree(tmp2)
   }
 }

@@ -1708,7 +1708,10 @@ object SparkEntry {
         .when(id % 4 === 2, F.concat(riff, base))
         .otherwise(base)
       t(s, dir, "documents")
-        .select(id, F.posexplode(
+        // posexplode_OUTER: constant-length window array (never empty) —
+        // a plain posexplode lets InferFiltersFromGenerate rebuild the
+        // whole window transform inside a size() Filter (double work)
+        .select(id, F.posexplode_outer(
           Multimodal.sampleWindows(bin, n = 3, width = 8))
           .as(Seq("frame_idx", "frame")))
         .select(id, F.col("frame_idx").cast(LongType).as("frame_idx"),

@@ -1479,13 +1479,20 @@ object SchemaCompiler {
                    maskValue: Option[String] = None)(
       implicit ctx: Ctx = Ctx()): DataFrame = {
     val withErrs = explainDF(ir, df, "__errs", exclude)
-    // NO size(__errs) > 0 pre-filter: a non-outer explode already drops
-    // empty arrays, and the optimizer pushes such a filter BELOW the
-    // projection defining __errs, evaluating the whole errors expression
-    // twice per input row (once in Filter, once in Generate) — confirmed
-    // in the physical plan (guide §4.4's duplication, for pure columns)
+    // explode_OUTER + null-filter, NOT a size(__errs) > 0 pre-filter and
+    // NOT a plain explode: both of those end with a size(<full errors
+    // expression>) Filter below the projection — the explicit filter by
+    // predicate pushdown, the plain explode by InferFiltersFromGenerate
+    // re-deriving it — evaluating the whole errors expression twice per
+    // input row (confirmed in the physical plan; guide §4.4's
+    // duplication, for pure columns). No filter can be inferred from an
+    // outer generate; the null-filter on the generated column drops the
+    // one extra row an errorless input contributes, after the expression
+    // ran once.
     val exploded = withErrs
-      .select(keyCols.map(F.col) :+ F.explode(F.col("__errs")).as("e"): _*)
+      .select(keyCols.map(F.col) :+
+        F.explode_outer(F.col("__errs")).as("e"): _*)
+      .where(F.col("e").isNotNull)
     val valueCol = maskValue match {
       case Some(m) => F.when(F.col("e.value").isNotNull, F.lit(m))
         .otherwise(F.lit(null).cast(StringType))

@@ -117,8 +117,14 @@ object Dedup {
       if (shiftNonneg) F.transform(raw, x => F.pmod(x, F.lit(Long.MaxValue)))
       else raw
     }
+    // explode_OUTER: the band array has constant length `bands` ≥ 1, so
+    // outer explode emits identical rows — but a plain explode lets
+    // InferFiltersFromGenerate add a size(<band transform>) Filter below
+    // the projection, re-running the per-band key folds (and, when the
+    // signature is computed in the same projection, the text kernel) a
+    // second time per row
     sig.where(F.element_at(F.col("sig"), 1) =!= Long.MaxValue)
-      .select(F.col(id), F.explode(
+      .select(F.col(id), F.explode_outer(
         F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), b =>
           F.struct(b.as("band"),
             bandKey(slice(b)).as("band_key")))).as("bk"))
@@ -194,7 +200,7 @@ object Dedup {
     // ran the SimHash kernel scan twice (once per union branch) for the
     // same result set
     val halves = simhashDF(df, id, text)
-      .select(F.col(id), F.explode(F.array(
+      .select(F.col(id), F.explode_outer(F.array(
         F.struct(F.lit("hi").as("half"), F.col("hi").as("half_key")),
         F.struct(F.lit("lo").as("half"), F.col("lo").as("half_key"))))
         .as("hk"))
@@ -221,8 +227,12 @@ object Dedup {
     * DuckDB oracle applies the identical cap. */
   private def shingleSet(df: DataFrame, id: String, text: String, n: Int,
                          maxShingleDf: Int): DataFrame = {
+    // explode_OUTER + null-filter: a plain explode lets the optimizer
+    // infer a size() Filter that re-runs the shingle HOF chain per row
     val sh = df.select(F.col(id).as("doc"),
-      F.explode(F.array_distinct(shingles(F.col(text), n))).as("shingle"))
+        F.explode_outer(F.array_distinct(shingles(F.col(text), n)))
+          .as("shingle"))
+      .where(F.col("shingle").isNotNull)
     if (maxShingleDf <= 0) sh
     else {
       // hot-shingle set is tiny by construction → broadcast anti-join
@@ -257,7 +267,7 @@ object Dedup {
   def simhashFastCandidates(df: DataFrame, id: String, text: String,
                             maxMembers: Int = DefaultMaxMembers): DataFrame = {
     val withSig = simhashFast(df, id, text)
-    val banded = withSig.select(F.col(id), F.explode(F.array(
+    val banded = withSig.select(F.col(id), F.explode_outer(F.array(
       (0 until 4).map(b => F.struct(F.lit(b).as("band"),
         F.shiftrightunsigned(F.col("sig"), b * 16)
           .bitwiseAND(F.lit(0xFFFFL)).as("band_key"))): _*)).as("bk"))
@@ -394,9 +404,11 @@ object Dedup {
           .otherwise(0L)), F.lit(0L)).as("dropped"))
       .where(F.col("bsz") > 1 && F.col("bsz") <= maxBucket)
     val ids = F.col("ids")
-    val cand = buckets.select(F.explode(F.flatten(F.transform(ids, (x, i) =>
-        F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
-          y => F.struct(x.as("a"), y.as("b")))))).as("p"))
+    val cand = buckets.select(F.explode_outer(
+        F.flatten(F.transform(ids, (x, i) =>
+          F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
+            y => F.struct(x.as("a"), y.as("b")))))).as("p"))
+      .where(F.col("p").isNotNull)
       .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
       .distinct()
     // per-doc sorted 60-bit shingle-hash sets from the ShingleH60Set

@@ -97,8 +97,12 @@ object Similarity {
     * equal in tests), then explodes with positional indices. */
   private def bucketed(df: DataFrame, idCol: String, vecCol: String,
                        planes: Int, tables: Int, dims: Int): DataFrame =
+    // posexplode_OUTER: the bucket array has constant length `tables`
+    // ≥ 1, so outer explode emits identical rows — a plain posexplode
+    // lets InferFiltersFromGenerate add a size(hyperplane_buckets(vec))
+    // Filter below the projection, running the kernel TWICE per vector
     df.select(F.col(idCol),
-        F.posexplode(mallispark.expressions.HyperplaneBuckets(
+        F.posexplode_outer(mallispark.expressions.HyperplaneBuckets(
           F.col(vecCol), planes, tables, dims)).as(Seq("tbl", "bucket")))
       .select(F.col(idCol), F.col("tbl"), F.col("bucket"))
 
@@ -134,9 +138,11 @@ object Similarity {
           .otherwise(0L)), F.lit(0L)).as("dropped"))
       .where(F.col("bsz") > 1 && F.col("bsz") <= maxBucket)
     val ids = F.col("ids")
-    val cand = buckets.select(F.explode(F.flatten(F.transform(ids, (x, i) =>
-        F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
-          y => F.struct(x.as("a"), y.as("b")))))).as("p"))
+    val cand = buckets.select(F.explode_outer(
+        F.flatten(F.transform(ids, (x, i) =>
+          F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
+            y => F.struct(x.as("a"), y.as("b")))))).as("p"))
+      .where(F.col("p").isNotNull)
       .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
       .distinct()
     val va = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))

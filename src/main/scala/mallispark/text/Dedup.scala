@@ -512,9 +512,17 @@ object Dedup {
     // pairs is typically the OUTPUT of the whole LSH+refine pipeline and
     // is referenced twice below — materialize it once (near-dup pairs
     // are ≪ corpus, so the checkpoint is small at any scale)
-    val p = pairs.select(F.col(aCol), F.col(bCol)).localCheckpoint(true)
-    val edges = p.select(F.col(aCol).as("a"), F.col(bCol).as("b"))
-      .unionAll(p.select(F.col(bCol).as("a"), F.col(aCol).as("b")))
+    // symmetrize with ONE reference to the (usually pipeline-produced)
+    // pair list — explode each pair into both orientations — so the
+    // whole pair pipeline runs inside the single edges-checkpoint job;
+    // the former union-of-two-projections shape needed its own pairs
+    // checkpoint first to avoid running the pipeline twice (outer
+    // explode: the 2-element array is never empty, and a plain explode
+    // would get a size() filter inferred below the projection)
+    val edges = pairs.select(F.explode_outer(F.array(
+        F.struct(F.col(aCol).as("a"), F.col(bCol).as("b")),
+        F.struct(F.col(bCol).as("a"), F.col(aCol).as("b")))).as("e"))
+      .select(F.col("e.a").as("a"), F.col("e.b").as("b"))
       .distinct().localCheckpoint(true)
     // seed labels lazily (id → id over the edge endpoints) — round 1's
     // groupBy dedups them, so no separate distinct/checkpoint job

@@ -83,12 +83,18 @@ object BenchExtra {
           val samples = scala.collection.mutable.Map.empty[String, List[Double]]
           for (pass <- 1 to repeat; q <- names; fn <- all.get(q)) {
             val t0 = System.nanoTime()
-            try fn(spark, dirFor(q)).count() catch {
-              case e: Throwable =>
-                System.err.println(s"[benchextra] $q FAILED: ${e.getMessage}")
+            val ok =
+              try { fn(spark, dirFor(q)).count(); true } catch {
+                case e: Throwable =>
+                  System.err.println(s"[benchextra] $q FAILED: ${e.getMessage}")
+                  false
+              }
+            // a failed pass records NO sample — time-to-failure would
+            // read as a dramatic (fake) speedup in before/after evidence
+            if (ok) {
+              val sec = (System.nanoTime() - t0) / 1e9
+              samples.updateWith(q)(o => Some(sec :: o.getOrElse(Nil)))
             }
-            val sec = (System.nanoTime() - t0) / 1e9
-            samples.updateWith(q)(o => Some(sec :: o.getOrElse(Nil)))
           }
           var totalMin = 0.0
           for (q <- names if samples.contains(q)) {

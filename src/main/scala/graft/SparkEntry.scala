@@ -1965,15 +1965,18 @@ object SparkEntry {
       // the self-join on md5(text) keeps ONLY duplicate-text pairs — so
       // compute the expensive 64-seed MinHash/SimHash kernels ONLY for
       // docs whose text hash recurs (guide §3.2: reduce the side before
-      // the expensive work), not for every doc on both join sides. The
-      // dup-hash set is tiny (bounded by repeated boilerplate) →
-      // broadcast semi-join; signatures for the surviving docs are
-      // materialized once and self-joined.
+      // the expensive work), not for every doc on both join sides.
+      // NO forced broadcast of the dup-hash set: its size is bounded
+      // only by corpus content (boilerplate-heavy crawls), and the
+      // repo rule is that adversarial corpora degrade, never kill, the
+      // job — the set comes out of an aggregation, so AQE sees its REAL
+      // size at runtime and converts the join to broadcast exactly when
+      // it is small (the gate-scale case).
       val basep = pages(s, dir).where(F.length(F.col("text")) > 0)
         .select(F.col("doc_id"), F.col("text"), F.md5(F.col("text")).as("th"))
       val dups = basep.groupBy("th").agg(F.count(F.lit(1)).as("c"))
         .where(F.col("c") > 1).select("th")
-      val p = basep.join(F.broadcast(dups), "th")
+      val p = basep.join(dups, "th")
         .select(F.col("doc_id"), F.col("th"),
           MinHashFromText(F.col("text"), 3, 64).as("mh"),
           SimHashFromText(F.col("text")).as("sh"))

@@ -1384,74 +1384,69 @@ object SchemaCompiler {
     * `:map`-over-struct level, DESCENDING through props/scoped/maybe
     * wrappers, and/or/orn/andn/multi branches, collections, tuples and
     * map-of values — a deep chain is a deep chain however it is wrapped.
-    * Refs DEREFERENCE through the registry (cycle-guarded): valid()/
-    * errors() inline-unroll a ref's target up to ctx.depth times, so a
-    * ref whose target is itself a deep struct chain — or a recursive ref
-    * nesting several maps per unroll — compiles to a conditional chain of
-    * target-depth (× unroll count when self-recursive) levels; counting
-    * the ref as a flat 1 let exactly the exponential-codegen OOM the
-    * hatch exists to prevent sneak past the heuristic. The multiply
-    * over-counts refs whose deep physical struct does not actually recur
-    * at every level, which can only engage the hatch EARLY — the safe
-    * direction. */
-  private def structMapDepth(ir: SchemaIR, dt: DataType,
-                             seen: Set[String] = Set.empty)(
+    * Refs DEREFERENCE through the registry consuming the SAME shared
+    * unroll budget valid()/errors() consume (one ctx.depth unit per
+    * deref, whichever ref it is — see the SRef case of valid()), so the
+    * estimate models the compiled conditional chain EXACTLY for direct
+    * AND mutual recursion alike; counting a ref as a flat 1 let the
+    * exponential-codegen OOM the hatch exists to prevent sneak past the
+    * heuristic through one [:ref] to a deep chain, and a
+    * self-reference-only multiply would still miss A→B→A cycles. The
+    * budget also makes the traversal terminate without a seen-set —
+    * the physical DataType bottoming out ends it sooner in practice. */
+  private def structMapDepth(ir: SchemaIR, dt: DataType)(
       implicit ctx: Ctx): Int = ir match {
     case m: SMap => dt match {
       case st: StructType =>
         val kids = m.entries.flatMap(e => st.find(_.name == e.key)
-          .map(f => structMapDepth(e.child, f.dataType, seen)))
+          .map(f => structMapDepth(e.child, f.dataType)))
         1 + (if (kids.isEmpty) 0 else kids.max)
       case _ => 1
     }
-    case SProps(_, c) => structMapDepth(c, dt, seen)
+    case SProps(_, c) => structMapDepth(c, dt)
     case SScoped(local, c, _) =>
-      structMapDepth(c, dt, seen)(ctx.copy(registry =
+      structMapDepth(c, dt)(ctx.copy(registry =
         Registry(ctx.registry.schemas ++ local, ctx.registry.maxDepth)))
-    case SMaybe(c) => structMapDepth(c, dt, seen)
-    case SAnd(cs) => (0 +: cs.map(structMapDepth(_, dt, seen))).max
-    case SOr(cs) => (0 +: cs.map(structMapDepth(_, dt, seen))).max
-    case SOrn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt, seen))).max
-    case SAndn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt, seen))).max
+    case SMaybe(c) => structMapDepth(c, dt)
+    case SAnd(cs) => (0 +: cs.map(structMapDepth(_, dt))).max
+    case SOr(cs) => (0 +: cs.map(structMapDepth(_, dt))).max
+    case SOrn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt))).max
+    case SAndn(bs) => (0 +: bs.map(b => structMapDepth(b._2, dt))).max
     case SMulti(_, bs, d) =>
-      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt, seen))).max
+      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt))).max
     case SMultiExpr(_, _, _, bs, d) =>
-      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt, seen))).max
-    case SVector(c, _, _) => elemDepth(c, dt, seen)
-    case SSeqable(c, _, _) => elemDepth(c, dt, seen)
-    case SSet(c, _, _) => elemDepth(c, dt, seen)
-    case SEvery(c, _, _, _) => elemDepth(c, dt, seen)
+      (0 +: (bs.map(_._2) ++ d).map(structMapDepth(_, dt))).max
+    case SVector(c, _, _) => elemDepth(c, dt)
+    case SSeqable(c, _, _) => elemDepth(c, dt)
+    case SSet(c, _, _) => elemDepth(c, dt)
+    case SEvery(c, _, _, _) => elemDepth(c, dt)
     case STuple(cs) => dt match {
       case st: StructType =>
         (0 +: cs.zip(st.fields).map { case (c, f) =>
-          structMapDepth(c, f.dataType, seen) }).max
+          structMapDepth(c, f.dataType) }).max
       case ArrayType(et, _) =>
-        (0 +: cs.map(structMapDepth(_, et, seen))).max
+        (0 +: cs.map(structMapDepth(_, et))).max
       case _ => 0
     }
     case SMapOf(_, v, _, _) => dt match {
-      case mt: MapType => structMapDepth(v, mt.valueType, seen)
+      case mt: MapType => structMapDepth(v, mt.valueType)
       case _ => 0
     }
     case SRef(name) =>
-      if (seen(name)) 0 // cycle: charged at first entry via the multiply
+      // mirror valid()'s unroll: one shared budget unit per deref; at
+      // exhaustion the compile emits lit(true) — depth 0
+      if (ctx.depth <= 0) 0
       else ctx.registry.schemas.get(name) match {
         case Some(target) =>
-          val d = structMapDepth(target, dt, seen + name)
-          // a self-recursive target re-inlines up to ctx.depth times —
-          // each unroll stacks the target's own chain again
-          val recursive = SchemaIR.fold(target, false)((acc, n) => acc ||
-            (n match { case SRef(`name`) => true; case _ => false }))
-          if (recursive) d * math.max(1, ctx.depth) else d
+          structMapDepth(target, dt)(ctx.copy(depth = ctx.depth - 1))
         case None => 1 // unresolvable ref compiles to a leaf check
       }
     case _ => 0
   }
 
-  private def elemDepth(c: SchemaIR, dt: DataType,
-                        seen: Set[String] = Set.empty)(
+  private def elemDepth(c: SchemaIR, dt: DataType)(
       implicit ctx: Ctx): Int = dt match {
-    case ArrayType(et, _) => structMapDepth(c, et, seen)
+    case ArrayType(et, _) => structMapDepth(c, et)
     case _ => 0
   }
 

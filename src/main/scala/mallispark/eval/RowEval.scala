@@ -1195,7 +1195,15 @@ object RowEval {
     case xs: scala.collection.Seq[_] =>
       xs.map(jsonish).mkString("[", ",", "]")
     case a: Array[_] => jsonish(a.toSeq)
-    case t: java.sql.Timestamp => "\"" + errValueString(t) + "\""
+    // to_json renders container timestamps as ISO-8601 with exactly 3
+    // fraction digits and the session-zone offset (engine-wide UTC →
+    // "Z"), NOT the SQL-cast form errValueString uses for top-level
+    // scalars — match it so hatch-tier violation values are
+    // byte-identical to the Column tier's (NTZ values arrive as
+    // LocalDateTime and render without a zone)
+    case t: java.sql.Timestamp => "\"" + JsonTsFmt.format(t.toInstant) + "\""
+    case i: java.time.Instant => "\"" + JsonTsFmt.format(i) + "\""
+    case l: java.time.LocalDateTime => "\"" + JsonNtzFmt.format(l) + "\""
     // to_json quotes dates as ISO yyyy-MM-dd; String.valueOf would print
     // them UNquoted (java.sql.Date.toString / LocalDate.toString are
     // already the ISO form)
@@ -1203,6 +1211,12 @@ object RowEval {
     case d: java.time.LocalDate => "\"" + d.toString + "\""
     case x => String.valueOf(x)
   }
+
+  private val JsonTsFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSXXX")
+    .withZone(java.time.ZoneOffset.UTC)
+  private val JsonNtzFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS")
 
   private def asMap(v: Any): Option[Map[String, Any]] = v match {
     case m: scala.collection.Map[_, _] =>

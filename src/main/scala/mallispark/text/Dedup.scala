@@ -312,6 +312,26 @@ object Dedup {
         mallispark.expressions.MinHashFromText(F.col(text), n, k).as("sig")),
       id, k, bands, shiftNonneg = true)
 
+
+  /** In-bucket candidate-pair expansion shared by the text (MinHash) and
+    * embedding (hyperplane) LSH paths: each bucket row carries its
+    * ascending, k-capped member list in `idsCol`; explode it into the
+    * ordered pairs (id_a < id_b, guaranteed by the ascending order) and
+    * dedup across buckets. Outer explode + null-filter on the GENERATED
+    * column so the optimizer cannot infer a size() filter that re-runs
+    * the pair transform per row. */
+  private[text] def bucketPairs(buckets: DataFrame,
+                                idsCol: String): DataFrame = {
+    val ids = F.col(idsCol)
+    buckets.select(F.explode_outer(
+        F.flatten(F.transform(ids, (x, i) =>
+          F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
+            y => F.struct(x.as("a"), y.as("b")))))).as("p"))
+      .where(F.col("p").isNotNull)
+      .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
+      .distinct()
+  }
+
   /** Scale path: exact Jaccard REFINEMENT of MinHash-LSH candidates —
     * the quadratic pair expansion runs only inside LSH buckets (candidate
     * pairs ≪ corpus²), then TRUE Jaccard is verified with one
@@ -403,14 +423,7 @@ object Dedup {
         F.coalesce(F.sum(F.when(F.col("bsz") > maxBucket, 1L)
           .otherwise(0L)), F.lit(0L)).as("dropped"))
       .where(F.col("bsz") > 1 && F.col("bsz") <= maxBucket)
-    val ids = F.col("ids")
-    val cand = buckets.select(F.explode_outer(
-        F.flatten(F.transform(ids, (x, i) =>
-          F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
-            y => F.struct(x.as("a"), y.as("b")))))).as("p"))
-      .where(F.col("p").isNotNull)
-      .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
-      .distinct()
+    val cand = bucketPairs(buckets, "ids")
     // per-doc sorted 60-bit shingle-hash sets from the ShingleH60Set
     // kernel (bit-identical to md5 of the shingle strings; collision odds
     // 2^-60-scale — the DuckDB oracle counts the strings themselves).

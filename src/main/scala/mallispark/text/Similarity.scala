@@ -101,9 +101,15 @@ object Similarity {
     // ≥ 1, so outer explode emits identical rows — a plain posexplode
     // lets InferFiltersFromGenerate add a size(hyperplane_buckets(vec))
     // Filter below the projection, running the kernel TWICE per vector
+    // null-vector rows produce a null bucket array (null-in-null-out
+    // kernel) — drop their single outer-explode row so they cannot pool
+    // into one shared (null, null) LSH cell (the plain posexplode
+    // dropped them implicitly; the filter runs on the GENERATED column,
+    // so no kernel re-evaluation is inferable from it)
     df.select(F.col(idCol),
         F.posexplode_outer(mallispark.expressions.HyperplaneBuckets(
           F.col(vecCol), planes, tables, dims)).as(Seq("tbl", "bucket")))
+      .where(F.col("tbl").isNotNull)
       .select(F.col(idCol), F.col("tbl"), F.col("bucket"))
 
   /** Embedding-cosine NEAR-DUP pair generation — the embedding analogue
@@ -137,14 +143,7 @@ object Similarity {
         F.coalesce(F.sum(F.when(F.col("bsz") > maxBucket, 1L)
           .otherwise(0L)), F.lit(0L)).as("dropped"))
       .where(F.col("bsz") > 1 && F.col("bsz") <= maxBucket)
-    val ids = F.col("ids")
-    val cand = buckets.select(F.explode_outer(
-        F.flatten(F.transform(ids, (x, i) =>
-          F.transform(F.slice(ids, i + 2, F.size(ids) - i - 1),
-            y => F.struct(x.as("a"), y.as("b")))))).as("p"))
-      .where(F.col("p").isNotNull)
-      .select(F.col("p.a").as("id_a"), F.col("p.b").as("id_b"))
-      .distinct()
+    val cand = Dedup.bucketPairs(buckets, "ids")
     val va = df.select(F.col(idCol).as("id_a"), F.col(vecCol).as("va"))
     val vb = df.select(F.col(idCol).as("id_b"), F.col(vecCol).as("vb"))
     cand.join(va, "id_a").join(vb, "id_b")

@@ -110,12 +110,15 @@ class DeepNestSpec extends SparkSuite {
           StructField("stray", BinaryType),
           StructField("strayrec", StructType(Seq(
             StructField("a", LongType, nullable = true),
-            StructField("d", DateType))))))
+            StructField("d", DateType),
+            StructField("t", TimestampType))))))
         else StructType(Seq(StructField("leaf", LongType),
           StructField("kid", bdt(d - 1))))
       def bv(d: Int, x: Long): Any =
         if (d == 0) Row(x, Array[Byte](1, 2, (x % 100).toByte),
-          Row(null, java.sql.Date.valueOf("2024-03-05")))
+          Row(null, java.sql.Date.valueOf("2024-03-05"),
+            java.sql.Timestamp.from(
+              java.time.Instant.parse("2024-03-05T12:34:56.250Z"))))
         else Row(x, bv(d - 1, x))
       val D = 11
       val top = S.mapE(false, S.req("root", bsch(D))).asInstanceOf[SMap]
@@ -215,6 +218,32 @@ class DeepNestSpec extends SparkSuite {
       .queryExecution.executedPlan.toString
     assert(!recPlan.contains("UDF"),
       "shallow recursive ref wrongly engaged the hatch")
-    rmTree(tmp); rmTree(tmp2)
+    // MUTUAL recursion A→B→A: the unroll budget is SHARED across refs
+    // (one ctx.depth unit per deref, whichever name), so two 2-map
+    // segments alternating 8 times compile ~17 levels deep — the
+    // estimate must count that (a self-reference-only check would see
+    // depth 4 and compile the exponential chain)
+    def seg(to: String): SchemaIR =
+      S.mapE(false, S.req("leaf", S.int(0L, 100L)),
+        S.req("kid", S.mapE(false, S.req("leaf", S.int(0L, 100L)),
+          S.req("kid", S.ref(to)))))
+    val mut = S.scoped("A" -> seg("B"), "B" -> seg("A"))(
+      S.mapE(false, S.req("root", S.ref("A"))))
+    val mutSt = StructType(Seq(StructField("root", dt(20))))
+    val mutRows = (0 until 40).map(i =>
+      Row(v(20, (i * 7) % 130).asInstanceOf[Row]))
+    val tmp3 = java.nio.file.Files.createTempDirectory("refmut").toString
+    spark.createDataFrame(new java.util.ArrayList[Row](mutRows.asJava), mutSt)
+      .write.mode("overwrite").parquet(tmp3)
+    val mutDf = spark.read.parquet(tmp3)
+    val mutFlagged = SchemaCompiler.validateDF(mut, mutDf, "ok")
+    assert(mutFlagged.queryExecution.executedPlan.toString.contains("UDF"),
+      "mutually recursive deep chain did not engage the hatch")
+    val mutHatch = mutFlagged.select("ok").collect().map(_.getBoolean(0))
+    val mutGeneric = mutDf.select(SchemaCompiler.valid(mut,
+        F.struct(F.col("root")), mutSt).as("ok"))
+      .collect().map(_.getBoolean(0))
+    assert(mutHatch.toSeq === mutGeneric.toSeq)
+    rmTree(tmp); rmTree(tmp2); rmTree(tmp3)
   }
 }
